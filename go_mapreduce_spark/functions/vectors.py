@@ -1,0 +1,36 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side.
+
+``F.zip_with`` + ``F.aggregate`` keep the dot product inside codegen;
+no Python UDF, no Arrow transfer.  All arithmetic is done in double
+(cast per element) so results are engine-portable: a sequential
+left-to-right double sum over the same element order is bit-identical
+in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

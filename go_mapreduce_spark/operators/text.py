@@ -1,0 +1,123 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline primitives (BASELINE.json:6 north star): token
+statistics, heuristic language ID, quality scoring, and document
+fingerprinting.  All are pure built-in-expression pipelines — one
+narrow pass over the corpus, no shuffle except the final declared
+ordering, no Python UDFs — so they run at parquet-scan speed at
+100 TB.
+
+Every constant here is shared with the DuckDB oracle generators in
+``queries.py`` so both engines compute literally the same formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.operators.dedup import lower_tokens, shingle_array
+from go_mapreduce_spark.sources.registry import load_table
+
+# Heuristic language-ID stopword lists (tiny, deterministic; quality of
+# prediction is not the contract — engine parity is).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "en", "que", "pour"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "von"),
+}
+LANG_ORDER = ("de", "en", "es", "fr")  # tie-break: lexicographic
+
+EN_STOPWORDS = STOPWORDS["en"]
+
+
+def _tokens_ascii(text: Column) -> Column:
+    """Case-sensitive [A-Za-z]+ tokens (Q1 tokenizer)."""
+    return F.filter(F.split(text, "[^A-Za-z]+"), lambda t: F.length(t) > 0)
+
+
+def x7_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count, distinct-token count, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_ascii(F.col("text"))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.when(F.size(toks) > 0, total_len.cast("double") / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def _stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def x8_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax stopword-hit ratio over 4 langs.
+
+    Deterministic contract: scores compared in LANG_ORDER; strictly
+    greater wins; all-zero scores → 'und'.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lower_tokens(F.col("text"))
+    scores = {lang: _stopword_count(toks, STOPWORDS[lang]) for lang in LANG_ORDER}
+    # pick first lang in LANG_ORDER achieving the max count (> 0)
+    max_score = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.when(max_score <= 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(scores[lang] == max_score, F.lit(lang))
+    return docs.select("doc_id", "lang", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+def x9_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristics: alpha ratio, digit ratio, stopword
+    ratio, mean token length, and a fixed-weight composite score.
+
+    Formula (identical term order in the oracle): quality =
+    0.4*alpha_ratio + 0.3*stopword_ratio + 0.3*min(1, n_tokens/50).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lower_tokens(F.col("text"))
+    text_len = F.length("text")
+    alpha_len = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    digit_len = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_toks = F.size(toks)
+    sw = _stopword_count(toks, EN_STOPWORDS)
+    alpha_ratio = F.when(text_len > 0, alpha_len.cast("double") / text_len).otherwise(0.0)
+    digit_ratio = F.when(text_len > 0, digit_len.cast("double") / text_len).otherwise(0.0)
+    sw_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    quality = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * sw_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / 50)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: min sha256 over word-3-gram
+    shingles (lowercase tokenizer); sha256 of the lowercased text when
+    the doc has < 3 tokens.
+
+    This is the hash-min fingerprint used for fast corpus diffing: one
+    64-hex value per doc, stable under shingle reordering.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shs = shingle_array(F.col("text"))
+    fp = F.when(
+        F.size(shs) > 0,
+        F.array_min(F.transform(shs, lambda s: F.sha2(s, 256))),
+    ).otherwise(F.sha2(F.lower(F.col("text")), 256))
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,69 @@
+"""Event-time window aggregation (batch semantics, streaming-shared).
+
+These are the batch versions of the M4 streaming slice: the same
+tumbling/session window logic runs under Structured Streaming in
+``go_mapreduce_spark.streaming`` — Spark's ``window()`` /
+``session_window()`` expressions are identical in both modes, so the
+batch queries here double as the oracle-checkable ground truth for
+the streaming tests (batch-equivalence, SURVEY.md §7.2 M4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.functions.numeric import dsum
+from go_mapreduce_spark.sources.registry import load_table
+
+
+def x11_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact sum.
+
+    ``window()`` is a pure projection (floor of the timestamp) — the
+    only shuffle is the groupBy, keyed on (hour, type): uniformly
+    distributed, no skew at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def x12_session_window(spark: SparkSession, sf_dir: str, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap.
+
+    ``session_window`` merges events whose timestamp falls strictly
+    before the previous event's (ts + gap); the window end is
+    last_ts + gap.  The oracle mirrors this with a gaps-and-islands
+    formulation (new session when ts - lag(ts) >= gap).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

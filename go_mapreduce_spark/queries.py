@@ -1,0 +1,356 @@
+"""Declared query registry — the oracle-checked contract (SURVEY.md §2.C).
+
+Each entry pairs a PySpark implementation (``QUERIES``) with an
+ANSI-SQL oracle DuckDB can run on the same parquet fixtures
+(``ORACLE_SQL``).  Column names and aggregate aliases match exactly
+between the two — the driver's compare hashes values after sorting
+columns by name.
+
+Queries whose semantics are not exactly SQL-expressible (seeded LSH,
+streaming state) appear in ``QUERIES`` without an oracle entry; the
+driver records a rows-only check and pytest covers them with
+recall-bound / batch-equivalence tests instead (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from go_mapreduce_spark.operators import relational as R
+from go_mapreduce_spark.operators import wordcount as W
+from go_mapreduce_spark.operators import dedup as D
+from go_mapreduce_spark.operators import similarity as S
+from go_mapreduce_spark.operators import text as T
+from go_mapreduce_spark.operators import windows as WIN
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    # --- reference parity + relational core (SURVEY.md §2.C Q1–Q10) ---
+    "q1_word_count": W.q1_word_count,
+    "q2_grouped_agg": R.q2_grouped_agg,
+    "q3_filter_agg": R.q3_filter_agg,
+    "q4_broadcast_join": R.q4_broadcast_join,
+    "q5_multiway_join": R.q5_multiway_join,
+    "q6_count_distinct": R.q6_count_distinct,
+    "q7_topk": R.q7_topk,
+    "q8_window": R.q8_window,
+    "q9_intersect": R.q9_intersect,
+    "q10_anti_join": R.q10_anti_join,
+    # --- north-star extensions (X1–X3) ---
+    "x1_dedup_exact": D.x1_dedup_exact,
+    "x2_top_tokens": W.x2_top_tokens,
+    "x3_knn_cosine": S.x3_knn_cosine,
+    # --- training-data pipeline: dedup family ---
+    "x4_dedup_minhash_lsh": D.x4_dedup_minhash_lsh,      # no exact oracle (LSH)
+    "x5_dedup_simhash": D.x5_dedup_simhash,              # no exact oracle (LSH)
+    "x6_dedup_ngram_jaccard": D.x6_dedup_ngram_jaccard,
+    # --- text analysis ---
+    "x7_token_stats": T.x7_token_stats,
+    "x8_lang_id": T.x8_lang_id,
+    "x9_quality_score": T.x9_quality_score,
+    "x10_fingerprint": T.x10_fingerprint,
+    # --- streaming-semantics windows (batch-checked) ---
+    "x11_tumbling_window": WIN.x11_tumbling_window,
+    "x12_session_window": WIN.x12_session_window,        # no oracle (gap semantics)
+    # --- embedding near-dup ---
+    "x13_dedup_embedding": D.x13_dedup_embedding,
+}
+
+
+# DuckDB-runnable ANSI SQL over views: region nation customer supplier
+# part orders lineitem events documents embeddings.
+#
+# Float discipline: every double aggregate goes through
+# CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) — exact, associative,
+# order-independent — mirroring functions/numeric.py on the Spark side.
+ORACLE_SQL: dict[str, str] = {
+    "q1_word_count": """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY word
+    """,
+    "q2_grouped_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_filter_agg": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "q4_broadcast_join": """
+        SELECT c_mktsegment,
+               COUNT(*) AS num_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "q5_multiway_join": """
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    "q6_count_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q7_topk": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q8_window": """
+        SELECT user_id, event_id, rn, running_value
+        FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+            FROM events
+        ) t
+        WHERE rn <= 3
+        ORDER BY user_id, rn
+    """,
+    "q9_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id
+    """,
+    "q10_anti_join": """
+        SELECT c_custkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "x1_dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY sha256(text)
+        ORDER BY doc_id
+    """,
+    "x2_top_tokens": """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY cnt DESC, word ASC
+        LIMIT 20
+    """,
+    "x3_knn_cosine": """
+        SELECT query_id, neighbor_id, ROUND(similarity, 6) AS similarity
+        FROM (
+            SELECT q.vec_id AS query_id,
+                   n.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])) AS similarity,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(n.embedding AS DOUBLE[])) DESC,
+                                n.vec_id ASC) AS rnk
+            FROM embeddings q
+            JOIN embeddings n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id BETWEEN 1 AND 5
+        ) t
+        WHERE rnk <= 5
+        ORDER BY query_id, similarity DESC, neighbor_id
+    """,
+    "x6_dedup_ngram_jaccard": """
+        WITH shingles AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       )) AS sh
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                         t -> len(t) > 0) AS toks
+                      FROM documents)
+            )
+        ),
+        pair_inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+        SELECT doc_a, doc_b,
+               ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
+    "x7_token_stats": """
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS avg_token_len
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), t -> len(t) > 0) AS toks
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    "x11_tumbling_window": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "x12_session_window": """
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '10 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    "x13_dedup_embedding": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+        ORDER BY vec_a, vec_b
+    """,
+}
+
+
+def _lang_id_oracle() -> str:
+    """Build the x8 oracle from the same constants the Spark op uses."""
+    from go_mapreduce_spark.operators.text import LANG_ORDER, STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    score_cols = ",\n                   ".join(
+        f"len(list_filter(toks, x -> list_contains({lst(lang)}, x))) AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    whens = "\n                    ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> len(x) > 0) AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   {score_cols}
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN {greatest} <= 0 THEN 'und'
+                    {whens}
+               END AS pred_lang
+        FROM s
+        ORDER BY doc_id
+    """
+
+
+def _quality_oracle() -> str:
+    from go_mapreduce_spark.operators.text import EN_STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> len(x) > 0) AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(text) AS tl,
+                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
+                   len(regexp_replace(text, '[^0-9]', '', 'g')) AS dl,
+                   len(toks) AS nt,
+                   len(list_filter(toks, x -> list_contains({sw}, x))) AS sw
+            FROM t
+        )
+        SELECT doc_id,
+               ROUND(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl ELSE 0.0 END, 6) AS alpha_ratio,
+               ROUND(CASE WHEN tl > 0 THEN CAST(dl AS DOUBLE)/tl ELSE 0.0 END, 6) AS digit_ratio,
+               ROUND(CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE)/nt ELSE 0.0 END, 6) AS stopword_ratio,
+               nt AS n_tokens,
+               ROUND(0.4*(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl ELSE 0.0 END)
+                   + 0.3*(CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE)/nt ELSE 0.0 END)
+                   + 0.3*least(1.0, CAST(nt AS DOUBLE)/50), 6) AS quality
+        FROM m
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["x8_lang_id"] = _lang_id_oracle()
+ORACLE_SQL["x9_quality_score"] = _quality_oracle()
+ORACLE_SQL["x10_fingerprint"] = """
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, text,
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(shs) > 0 THEN list_min(list_transform(shs, x -> sha256(x)))
+                ELSE sha256(lower(text)) END AS fingerprint
+    FROM s
+    ORDER BY doc_id
+"""

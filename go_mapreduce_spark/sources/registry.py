@@ -1,0 +1,84 @@
+"""Table sources for the fixture star schema.
+
+The reference supports exactly one source — a single line-oriented
+text file split into nMap byte-balanced chunks (reference
+mapreduce/mapreduce.go:74-112).  Spark's file sources generalize that:
+splits fall out of ``spark.sql.files.maxPartitionBytes`` and block
+boundaries, and Parquet additionally gives column pruning + predicate
+pushdown, which matter far more at 100 TB than split parity.
+
+``load_table`` is intentionally a thin ``spark.read.parquet`` — the
+point is to keep the scan declarative so Catalyst can push filters
+and prune columns into the scan node (verify via
+``plans.explain.scan_report``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are always small relative to facts; queries
+# broadcast these explicitly so the 100 TB plan never sort-merge-joins
+# a 5-row region table against a shuffled fact table.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # The engine must work with ANY caller-provided SparkSession (the
+    # correctness driver builds its own), so the two confs results
+    # depend on are set here at runtime, not only in session.py:
+    # - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which
+    #   Spark otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    # - UTC session tz: timestamps must collect as UTC to match the
+    #   (tz-naive, UTC-stored) DuckDB oracle values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as raw int64 (see session.py);
+        # truncate to µs exactly as DuckDB's parquet reader does.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_lines(spark: SparkSession, path: str, n_map: int | None = None) -> DataFrame:
+    """Line-oriented text source (reference parity: R1 file split).
+
+    The reference splits one file into nMap line-aligned chunks
+    (mapreduce/mapreduce.go:74-112).  Spark's text source does the
+    same split at HDFS-block/line boundaries; ``n_map`` maps to a
+    minimum split count via repartition only when the caller insists
+    on the reference's static parallelism.
+    """
+    df = spark.read.text(path)
+    if n_map is not None:
+        df = df.repartition(n_map)
+    return df
