@@ -1,0 +1,59 @@
+"""Benchmark harness: runs every declared query at the bench scale
+factor and prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Each query executes through a no-op sink (``format("noop")``) so the
+full physical plan — including final sorts — runs without paying an
+output-materialization cost; results never hit the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_mapreduce_spark.queries import QUERIES
+from go_mapreduce_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warmup: JVM/codegen spin-up on a trivial job, not counted
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,9 +52,16 @@ def lower_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "[^a-z]+"), lambda t: F.length(t) > 0)
 
 
-def shingle_array(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as space-joined strings; empty if < n tokens."""
-    toks = lower_tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of an ALREADY-MATERIALIZED token array
+    column; empty array if < n tokens.
+
+    ``toks`` must be a plain column reference, not a computed
+    expression: it is read inside the transform lambda, and Spark
+    re-evaluates lambda-captured expressions per element — passing
+    the raw ``lower_tokens(text)`` expression here made shingling
+    O(tokens²) per document (observed 3–4× slowdown at sf0.1).
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -63,10 +70,18 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Shingles directly from text — convenience for single-use sites;
+    prefer materializing tokens + :func:`shingles_from_tokens` in
+    multi-stage pipelines (see its docstring for why)."""
+    return shingles_from_tokens(lower_tokens(text), n)
+
+
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exploded distinct (doc_id, shingle) inverted-index relation."""
+    toks = docs.select(id_col, lower_tokens(F.col(text_col)).alias("toks"))
     return (
-        docs.select(id_col, F.explode(shingle_array(F.col(text_col))).alias("sh"))
+        toks.select(id_col, F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
         .distinct()
     )
 
@@ -139,25 +154,25 @@ def x6_dedup_ngram_jaccard(
 # x4 — MinHash + LSH near-dup (the 100 TB-scale path)
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles_col: Column) -> Column:
-    """64-permutation MinHash signature of a shingle array.
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-permutation MinHash signature per doc, columnar form.
 
-    Universal hashing (a*h + b) mod p over xxhash64-reduced shingles;
-    all arithmetic stays < 2^63 so it is safe under ANSI overflow
-    checking.  Entirely JVM-side expression work.
+    Input: exploded (doc_id, sh) relation.  Universal hashing
+    (a*h + b) mod p over xxhash64-reduced shingles; all arithmetic
+    stays < 2^63 so it is safe under ANSI overflow checking.
+
+    Shape matters for speed: one explode + a 64-column min aggregate
+    (map-side partial min, so the shuffle carries one 64-int row per
+    doc per partition) benches ~10× faster than per-row array
+    transforms, which allocate 64 temporary arrays per document.
     """
-    base = F.transform(
-        shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-    )
-
-    def _perm(a: int, b: int):
-        # closure factory: PySpark requires exact-arity lambdas for
-        # higher-order functions, so coefficients bind via closure.
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P))
-
-    return F.array(
+    h = F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_P))
+    hashed = shingles.select(id_col, h.alias("h"))
+    return hashed.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(base, _perm(_MINHASH_A[i], _MINHASH_B[i])))
+            F.min(
+                F.pmod(F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i]), F.lit(MERSENNE_P))
+            ).alias(f"s{i}")
             for i in range(N_PERM)
         ]
     )
@@ -175,15 +190,15 @@ def x4_dedup_minhash_lsh(
     candidate stage is probabilistic (tested by recall bounds vs x6,
     SURVEY.md §5.2.4).
 
-    Scale: signature cost is O(shingles × 64) JVM ops; the bucket
-    join touches only colliding (band, bucket-hash) groups.  No
-    O(N²) stage exists.
+    Scale: signature cost is O(shingles × 64) JVM ops with map-side
+    partial min; the bucket join touches only colliding
+    (band, bucket-hash) groups; exact-Jaccard verification runs ONLY
+    on candidate pairs (joined against per-doc shingle-set arrays),
+    never on all co-occurring pairs.  No O(N²) stage exists.
     """
     docs = load_table(spark, sf_dir, "documents")
-    with_sh = docs.select("doc_id", shingle_array(F.col("text")).alias("shs")).filter(
-        F.size("shs") > 0
-    )
-    sig = with_sh.select("doc_id", minhash_signature(F.col("shs")).alias("sig"))
+    shingles = doc_shingles(docs)
+    sig = minhash_signatures(shingles)
 
     # band id + hash of the band's signature slice → bucket key
     bands = sig.select(
@@ -194,7 +209,7 @@ def x4_dedup_minhash_lsh(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                            *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -216,11 +231,19 @@ def x4_dedup_minhash_lsh(
         .distinct()
     )
 
-    # exact verify: recompute Jaccard only for candidate pairs
-    shingles = doc_shingles(docs)
+    # exact verify on candidates only: join the (small) candidate set
+    # against per-doc sorted shingle arrays, intersect JVM-side.
+    sets_ = shingles.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
     verified = (
-        _pairwise_jaccard(shingles)
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        candidates.join(
+            sets_.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa")), "doc_a"
+        )
+        .join(sets_.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.size("sa") + F.size("sb") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
     return (
@@ -233,26 +256,36 @@ def x4_dedup_minhash_lsh(
 # x5 — SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash_bits(text: Column) -> Column:
-    """64-element 0/1 array: sign of the per-bit vote over token hashes.
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, bits[64]) — classic Charikar SimHash over unigram
+    token hashes (with multiplicity).
 
-    Classic Charikar SimHash with unweighted unigram features; the
-    per-bit vote is an int64 aggregate over xxhash64(token) — all
+    Explode + 64-column conditional-count aggregate: per bit, the
+    vote is ``count(bit set) * 2 - count(*)``; map-side partial
+    aggregation ships one 64-int row per doc per partition.  All
     expression-level, no UDF.
     """
-    toks = lower_tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _vote(bit: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    bits = []
-    for b in range(64):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(b))
-        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.array(*bits)
+    toks = docs.select(
+        id_col, F.explode(lower_tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+    # Single-pass conditional aggregate: map-side partial aggregation
+    # reduces each partition to one 65-int row per doc before the
+    # shuffle (a pre-aggregation by (doc, hash) benched slower — it
+    # adds a full extra shuffle of the exploded relation).
+    votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(64)
+        ],
+    )
+    bits = F.array(
+        *[
+            F.when(F.col(f"c{b}") * 2 > F.col("n_tok"), F.lit(1)).otherwise(F.lit(0))
+            for b in range(64)
+        ]
+    )
+    return votes.select(id_col, bits.alias("bits"))
 
 
 def x5_dedup_simhash(
@@ -267,7 +300,7 @@ def x5_dedup_simhash(
     computes the true Hamming distance on the full signature.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", simhash_bits(F.col("text")).alias("bits"))
+    sigs = simhash_signatures(docs)
 
     chunks = sigs.select(
         "doc_id",
@@ -331,21 +364,28 @@ def x13_dedup_embedding(
     O(Σ block²) instead of O(N²).  The scalable unblocked variant is
     operators/similarity.py's sign-LSH.
     """
-    from go_mapreduce_spark.functions.vectors import cosine_similarity
+    from go_mapreduce_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label").alias("label"),
+    # norms computed once per row, not once per pair: O(N·d) instead
+    # of O(pairs·d) — the pair loop pays only the dot product.
+    with_norm = emb.select(
+        "label", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = with_norm.select(
+        "label",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
-        F.col("label").alias("label"),
+    b = with_norm.select(
+        "label",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
-    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_mapreduce_spark.operators.dedup import lower_tokens, shingle_array
+from go_mapreduce_spark.operators.dedup import lower_tokens, shingles_from_tokens
 from go_mapreduce_spark.sources.registry import load_table
 
 # Heuristic language-ID stopword lists (tiny, deterministic; quality of
@@ -115,9 +115,21 @@ def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-hex value per doc, stable under shingle reordering.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shs = shingle_array(F.col("text"))
-    fp = F.when(
-        F.size(shs) > 0,
-        F.array_min(F.transform(shs, lambda s: F.sha2(s, 256))),
-    ).otherwise(F.sha2(F.lower(F.col("text")), 256))
-    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    # explode + min aggregate (map-side partial min) instead of a
+    # per-row array transform: sha256 runs once per shingle with no
+    # temporary array allocation; tokens materialized first so
+    # shingling is linear (see shingles_from_tokens).
+    min_fp = (
+        docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min(F.sha2(F.col("sh"), 256)).alias("min_fp"))
+    )
+    return (
+        docs.select("doc_id", F.sha2(F.lower(F.col("text")), 256).alias("fallback"))
+        .join(min_fp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("min_fp", "fallback").alias("fingerprint")
+        )
+        .orderBy("doc_id")
+    )
