@@ -1,0 +1,180 @@
+"""Multimodal column support: binary payloads + typed metadata.
+
+Design (north-star extension, BASELINE.json:6): image/audio/video
+payloads travel as opaque ``binary`` columns with a typed metadata
+struct alongside; decode / feature-extract / resize / frame-sample
+run as Arrow-batched Pandas functions over ``mapInPandas``.
+
+The actual codec work is STUBBED — image/audio libraries are not in
+this container — behind ``set_decoder``:
+- default ``"fake"`` decoder: deterministic, pure-Python header parse
+  + content-hash features (real Spark plumbing, fake pixels);
+- ``"strict"`` raises NotImplementedError, marking exactly where a
+  real codec (PIL/ffmpeg) plugs in.
+
+What IS real and tested: the schema contract, the Arrow batch path,
+partition-preserving execution, and batch-shape independence (results
+must not depend on how rows land in batches/partitions — the property
+that matters at 100 TB when batch boundaries are arbitrary).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("format", StringType()),     # png | wav | mp4 | ...
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),     # -1 when unknown/not applicable
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_sha", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+_DECODER_MODE = "fake"
+
+
+def set_decoder(mode: str) -> None:
+    """'fake' (deterministic stub) or 'strict' (NotImplementedError)."""
+    global _DECODER_MODE
+    if mode not in ("fake", "strict"):
+        raise ValueError("decoder mode must be 'fake' or 'strict'")
+    _DECODER_MODE = mode
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic unit-norm feature vector from a content hash.
+
+    Stands in for a real encoder; byte-identical across machines so
+    downstream similarity tests are reproducible.
+    """
+    h = hashlib.sha256(payload).digest()
+    raw = [
+        _struct.unpack(">h", h[2 * i : 2 * i + 2])[0] / 32768.0
+        for i in range(FEATURE_DIM)
+    ]
+    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    return [float(x / norm) for x in raw]
+
+
+def make_decode_batch(mode: str):
+    """Build the mapInPandas worker fn with the decoder mode captured
+    in the closure — module globals set on the driver do NOT reach
+    executor processes (they re-import the module), closures pickle
+    by value.
+
+    One output row per input row; output depends only on row content,
+    never on batch composition.
+    """
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "strict":
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg; install and register "
+                    "a codec-backed decoder via multimodal.set_decoder"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "format": pdf["format"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_sha": pdf["payload"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": pdf["payload"].map(lambda b: _fake_features(bytes(b))),
+                }
+            )
+
+    return decode_batch
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode a MEDIA_SCHEMA DataFrame → DECODED_SCHEMA.
+
+    Arrow-batched (``spark.sql.execution.arrow.maxRecordsPerBatch``
+    bounds per-batch memory — size it so batch_bytes ≈ batch_rows ×
+    max payload fits the executor); partitioning of the input is
+    preserved, so a corpus pre-partitioned by media_id stays
+    co-located for downstream joins.
+    """
+    from go_mapreduce_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    return media.mapInPandas(make_decode_batch(_DECODER_MODE), schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (JVM-side explode of the sample grid; the per-frame
+    pixel decode is the stubbed step).
+
+    At scale this is the right shape: the (cheap) frame-grid explode
+    happens before the (expensive) decode, so decode parallelism is
+    per-frame, not per-video — a 2-hour video fans out to thousands
+    of independently-schedulable rows instead of one straggler task.
+    """
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        "format",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+    return frames
+
+
+def synthetic_media(spark, n: int = 64):
+    """Deterministic fake media table for tests/demos (seeded bytes)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        fmt = {"image": "png", "audio": "wav", "video": "mp4"}[kind]
+        payload = hashlib.sha256(f"media:{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                fmt,
+                bytearray(payload),
+                64 + i if kind == "image" else -1,
+                48 + i if kind == "image" else -1,
+                (i + 1) * 3000 if kind == "video" else -1,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -67,14 +67,21 @@ def x3_knn_cosine(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# approximate path: sign-random-projection LSH
+# approximate path: multi-table sign-random-projection LSH
 # ---------------------------------------------------------------------------
 
-N_PLANES = 12
+N_TABLES = 8       # L independent hash tables
+BITS_PER_TABLE = 8  # k hyperplanes per table
 _DIM = 64
 
+# Recall for a neighbor at angular sign-agreement prob p:
+#   1 - (1 - p^k)^L     (collide in >= 1 of L tables)
+# With k=8, L=8: p=0.86 (cos~0.9) -> 0.93; p=0.62 (random data) -> 0.15.
+# Multi-table, not multiprobe, is the structure that gives the knob:
+# raise L for recall, raise k for precision/bucket-size.
 
-def _hyperplanes(dim: int = _DIM, n_planes: int = N_PLANES) -> list[list[float]]:
+
+def _hyperplanes(dim: int = _DIM, n_planes: int = N_TABLES * BITS_PER_TABLE) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from a counter-based hash (seeded
     forever — signatures must be identical across runs/clusters)."""
     import hashlib
@@ -90,7 +97,7 @@ def _hyperplanes(dim: int = _DIM, n_planes: int = N_PLANES) -> list[list[float]]
 
 
 def lsh_signature(vec_col: Column, dim: int = _DIM) -> Column:
-    """Bit-string bucket id: sign of <v, r_p> for each hyperplane."""
+    """Full bit-string over all L×k hyperplanes: sign of <v, r_p>."""
     planes = _hyperplanes(dim)
     bits = []
     for row in planes:
@@ -104,52 +111,60 @@ def lsh_signature(vec_col: Column, dim: int = _DIM) -> Column:
     return F.concat(*bits)
 
 
+def _table_buckets(sig_col: Column) -> Column:
+    """Array of (table, key) structs — table t's key is bits [t*k, (t+1)*k)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.substring(sig_col, t * BITS_PER_TABLE + 1, BITS_PER_TABLE).alias("key"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows in the query's LSH
-    bucket (plus Hamming-≤multiprobe neighbor buckets).
+    """Approximate top-k via L-table sign-LSH: score only corpus rows
+    colliding with the query in ≥1 table, dedup, exact-cosine rank.
 
-    At 100 TB the corpus is written bucketed/partitioned by signature
-    so a query touches only its probe partitions (partition pruning);
-    here we express the same thing as an equi-join on the signature,
-    which Spark executes as a broadcast join on the (tiny) probe set.
+    At 100 TB the corpus side is materialized once as the exploded
+    (table, key, id, vec) relation — written bucketed by (table, key)
+    so each query probes L buckets via partition pruning.  Here the
+    same plan is an equi-join on (table, key) against the broadcast
+    (tiny) query probe set; the corpus never shuffles.
     """
-    sig = lsh_signature(F.col(vec_col))
     corpus_b = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne"), sig.alias("bucket")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ne"),
+        F.explode(_table_buckets(lsh_signature(F.col(vec_col)))).alias("tb"),
+    ).select("neighbor_id", "ne", "tb.table", "tb.key")
 
-    qsig = queries.select("query_id", "qe", lsh_signature(F.col("qe")).alias("qbucket"))
-    # multiprobe: flip ≤ multiprobe bits of the query signature
-    probes = [F.col("qbucket")]
-    if multiprobe >= 1:
-        for i in range(N_PLANES):
-            flipped = F.concat(
-                F.substring("qbucket", 1, i),
-                F.when(F.substring("qbucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
-                F.substring("qbucket", i + 2, N_PLANES - i - 1),
-            )
-            probes.append(flipped)
-    qprobe = qsig.select(
-        "query_id", "qe", F.explode(F.array_distinct(F.array(*probes))).alias("bucket")
-    )
+    qprobe = queries.select(
+        "query_id",
+        "qe",
+        F.explode(_table_buckets(lsh_signature(F.col("qe")))).alias("tb"),
+    ).select("query_id", "qe", "tb.table", "tb.key")
 
-    joined = corpus_b.join(F.broadcast(qprobe), "bucket").filter(
+    joined = corpus_b.join(F.broadcast(qprobe), ["table", "key"]).filter(
         F.col("neighbor_id") != F.col("query_id")
+    )
+    # a pair colliding in multiple tables appears L× — dedup before scoring
+    pairs = joined.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id", "qe", "neighbor_id", "ne"
     )
     sim = cosine_similarity(F.col("qe"), F.col("ne"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity_raw").desc(), F.col("neighbor_id").asc()
     )
     return (
-        joined.withColumn("similarity_raw", sim)
-        .dropDuplicates(["query_id", "neighbor_id"])
+        pairs.withColumn("similarity_raw", sim)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(

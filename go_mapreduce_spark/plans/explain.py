@@ -1,0 +1,76 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB design rules (predicate pushdown reaches the scan, small
+dims broadcast, hot paths stay in WholeStageCodegen) are asserted in
+tests via these helpers, so a regression that silently flips a
+broadcast join to sort-merge or drops a pushed filter fails CI —
+plan shape is part of the contract, not a hope.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain("formatted")` output as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema column lists (one string per scan) — column-pruning check."""
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", plan)]
+
+
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Count physical-plan nodes by their numbered detail header —
+    the formatted dump shows each node twice (tree + details), so a
+    raw substring count double-counts."""
+    return len(re.findall(rf"\(\d+\) {re.escape(node)}\b", formatted_plan(df)))
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan — triggers execution.
+
+    Under AQE the pre-execution dump shows ``isFinalPlan=false`` with
+    no codegen spans; only the executed plan reveals the real stage
+    shapes.  Use on small/test data only.
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+
+
+def wholestage_codegen_ids(df: DataFrame) -> list[int]:
+    """Distinct WholeStageCodegen span ids in the executed plan
+    (rendered as ``*(id)`` prefixes in the plan tree)."""
+    plan = executed_plan(df)
+    return sorted({int(m.group(1)) for m in re.finditer(r"\*\((\d+)\)", plan)})
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """True when top-k planned as TakeOrderedAndProject (no full sort)."""
+    return "TakeOrderedAndProject" in formatted_plan(df)

@@ -14,10 +14,42 @@ so the same code runs unchanged on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship go_mapreduce_spark to executor Python workers via addPyFile.
+
+    Needed by any operator that runs Python on executors (the RDD
+    parity shim, mapInPandas decoders): executor workers are fresh
+    Python processes that import pickled-by-reference module functions
+    — the package must be importable THERE, not just on the driver.
+    Idempotent per SparkContext; a no-op overhead of one zip on first
+    use.  (On a real cluster the same is achieved by installing the
+    wheel on executors or spark-submit --py-files.)
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="gms_pkg_"), "go_mapreduce_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def get_spark(

@@ -1,0 +1,113 @@
+"""Structured Streaming slice over the events stream (SURVEY.md §7.2 M4).
+
+The reference is strictly batch, one job at a time
+(reference README.md:12; master.go:156-174 blocks per job) — streaming
+is pure extension surface.  The transformations here are the SAME
+expressions as the batch queries in ``operators/windows.py``:
+``window()`` / ``session_window()`` behave identically in both modes,
+which is what makes batch-equivalence testing possible (replay the
+events table as a stream → results must equal the batch query).
+
+Scale notes:
+- Watermarks bound state: an hour-window agg with a 2-hour watermark
+  holds ≤ 3 windows of partial aggregates per key group, regardless
+  of stream length.
+- ``availableNow`` triggers give exactly-once batch-style replay for
+  backfills — same code path as the 24/7 stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema of the replayed event stream (ts already µs-normalized —
+# streams come from a normalized source, not raw ns parquet).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (parquet files dropped into a dir)."""
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(source_dir)
+
+
+def tumbling_counts(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Streaming mirror of x11: per-window per-type count + sum.
+
+    The decimal-sum discipline (functions/numeric.dsum) applies in
+    streaming too — state merges stay order-independent.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame, watermark: str = "2 hours", gap: str = "10 minutes"
+) -> DataFrame:
+    """Streaming mirror of x12: per-user session windows."""
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a stream with an availableNow trigger into a memory sink
+    table named ``query_name`` (then query via spark.sql)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
