@@ -1,0 +1,152 @@
+"""Extended relational surface: rollup, JSON, as-of join, range join,
+set ops, scalar functions (SURVEY.md §2.B capability matrix rows the
+reference lacks entirely).
+
+Every query keeps the scale rules: dimension/band tables broadcast,
+JSON parsing stays JVM-side (get_json_object), as-of joins avoid the
+naive cross product by pre-filtering on the equi-key before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_mapreduce_spark.functions.numeric import dsum
+from go_mapreduce_spark.sources.registry import load_table
+
+
+def x14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (flag, status) → (flag) → grand total.
+
+    Spark plans rollup as a single Expand + hash aggregate — one scan,
+    one shuffle, all grouping levels computed together (not one pass
+    per level).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def x15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over events.props (string JSON column).
+
+    get_json_object is a JVM-side expression — no Python, no UDF; at
+    100 TB prefer parsing once via from_json into a struct column if
+    multiple paths are read (single parse), which this single-path
+    query doesn't need.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select(F.pmod(k, F.lit(10)).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the same user's most
+    recent click at-or-before the purchase time (left: purchases with
+    no prior click keep NULL).
+
+    Implementation: equi-join on user_id bounded by the range
+    predicate, then keep the latest click per purchase via a window.
+    At 100 TB the right physical shape is the same equi-key shuffle —
+    per-user event lists are small, so the range filter + rank stays
+    in-partition; a full interval/BNL join is never needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        on=[
+            purchases.user_id == clicks.user_id,
+            clicks.click_ts <= purchases.purchase_ts,
+        ],
+        how="left",
+    ).select(
+        purchases.user_id, "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc_nulls_last(), F.col("click_id").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "purchase_id", "click_id")
+        .orderBy("purchase_id")
+    )
+
+
+_QTY_BANDS = [(0, 10, "low"), (10, 25, "mid"), (25, 40, "high"), (40, 60, "xl")]
+
+
+def x17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: lineitem rows bucketed by quantity bands.
+
+    The band table is tiny → broadcast nested-loop join; the fact
+    side streams through without shuffling.  (With a large band table
+    the scale path is interval partitioning / Spark's range-join hints
+    — not needed for dimension-sized bands.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_QTY_BANDS, "lo int, hi int, band string")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+def x18_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: users who viewed but never purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == ANSI EXCEPT (distinct); plans as dedup + left-anti
+    return views.subtract(purchases).orderBy("user_id")
+
+
+def x19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function sampler (string/date/math) with exact
+    cross-engine semantics: upper/substring/concat, year/month/
+    date_trunc, abs/floor/round."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 6).alias("price_sqrt"),
+    ).orderBy("o_orderkey")

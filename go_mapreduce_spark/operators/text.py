@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from go_mapreduce_spark.operators.dedup import lower_tokens, shingles_from_tokens
 from go_mapreduce_spark.sources.registry import load_table
@@ -104,6 +105,38 @@ def x9_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_toks.cast("bigint").alias("n_tokens"),
         F.round(quality, 6).alias("quality"),
     ).orderBy("doc_id")
+
+
+def x21_tfidf(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
+    """Top-n TF-IDF terms per document (lowercase tokenizer).
+
+    tf = in-doc term count; idf = ln(N / df) with N = total docs.
+    One explode + two aggregates + a broadcast of the (tiny) df
+    relation back onto the term rows; score ranking is an in-partition
+    window keyed by doc.  All shuffles are on (doc_id) or (token) —
+    both high-cardinality, no skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at 100 TB use an approx or metadata count
+    terms = docs.select(
+        "doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok")
+    )
+    tf = terms.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= top_n)
+        .select("doc_id", "tok", "rn", F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", "rn")
+    )
 
 
 def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,51 @@
+"""UDF surface demonstration — the reference's ENTIRE query language
+was a user (Map, Reduce) callback pair compiled into the worker
+(reference mapreduce/worker.go:13-21, wc.go:14-38).  Our engine's
+user-extension points, fastest first:
+
+1. built-in expressions (JVM, codegen)            — everything else here
+2. pandas_udf / mapInPandas (Arrow, vectorized)   — this module + multimodal
+3. RDD callbacks (pickled Python, row-at-a-time)  — mapreduce.py shim only
+
+x22 exists to pin the Arrow path with an exact oracle: a vectorized
+scalar pandas_udf whose integer output is engine-portable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from go_mapreduce_spark.sources.registry import load_table
+
+
+def token_count_udf():
+    """Vectorized [A-Za-z]+ token counter (same tokenizer as Q1).
+
+    Built lazily: the pandas_udf decorator parses its DDL return type
+    against the ACTIVE SparkContext, so decorating at module import
+    time fails before any session exists.
+    """
+
+    @pandas_udf("bigint")
+    def _count(text: pd.Series) -> pd.Series:
+        return text.str.count(r"[A-Za-z]+").astype("int64")
+
+    return _count
+
+
+def x22_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count via an Arrow-batched pandas UDF.
+
+    Integer results → exact oracle parity, proving the Python
+    vectorized path produces driver-checkable results.  (The same
+    quantity is computed JVM-side in x7; pick that in production —
+    this entry exists to keep the UDF path tested end-to-end.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_udf()(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")

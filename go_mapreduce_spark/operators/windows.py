@@ -43,6 +43,32 @@ def x11_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x24_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes, per event_type.
+
+    ``window(ts, '1 hour', '30 minutes')`` expands each event into its
+    2 covering windows (Expand node — cost × windows-per-event, known
+    and bounded) before a single grouped aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def x12_session_window(spark: SparkSession, sf_dir: str, gap: str = "10 minutes") -> DataFrame:
     """Per-user session windows with a 10-minute inactivity gap.
 

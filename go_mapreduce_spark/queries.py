@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from go_mapreduce_spark.operators import relational as R
+from go_mapreduce_spark.operators import relational_ext as RX
+from go_mapreduce_spark.operators import udfs as U
 from go_mapreduce_spark.operators import wordcount as W
 from go_mapreduce_spark.operators import dedup as D
 from go_mapreduce_spark.operators import similarity as S
@@ -57,6 +59,19 @@ QUERIES: dict[str, QueryFn] = {
     "x12_session_window": WIN.x12_session_window,        # no oracle (gap semantics)
     # --- embedding near-dup ---
     "x13_dedup_embedding": D.x13_dedup_embedding,
+    # --- extended relational surface ---
+    "x14_rollup": RX.x14_rollup,
+    "x15_json_extract": RX.x15_json_extract,
+    "x16_asof_join": RX.x16_asof_join,
+    "x17_range_join": RX.x17_range_join,
+    "x18_except": RX.x18_except,
+    "x19_scalar_funcs": RX.x19_scalar_funcs,
+    # --- text analysis (continued) ---
+    "x21_tfidf": T.x21_tfidf,
+    # --- UDF surface ---
+    "x22_pandas_udf_tokens": U.x22_pandas_udf_tokens,
+    # --- sliding window ---
+    "x24_sliding_window": WIN.x24_sliding_window,
 }
 
 
@@ -263,6 +278,120 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3
         ORDER BY vec_a, vec_b
+    """,
+    "x14_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "x15_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "x16_asof_join": """
+        WITH purchases AS (
+            SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ), joined AS (
+            SELECT p.user_id, p.purchase_id, c.click_id, c.click_ts,
+                   row_number() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY c.click_ts DESC NULLS LAST,
+                                c.click_id DESC NULLS LAST) AS rn
+            FROM purchases p
+            LEFT JOIN clicks c
+              ON c.user_id = p.user_id AND c.click_ts <= p.purchase_ts
+        )
+        SELECT user_id, purchase_id, click_id
+        FROM joined WHERE rn = 1
+        ORDER BY purchase_id
+    """,
+    "x17_range_join": """
+        SELECT band, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        JOIN (VALUES (0, 10, 'low'), (10, 25, 'mid'),
+                     (25, 40, 'high'), (40, 60, 'xl')) AS bands(lo, hi, band)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
+        ORDER BY band
+    """,
+    "x18_except": """
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id
+    """,
+    "x19_scalar_funcs": """
+        SELECT o_orderkey,
+               upper(substring(o_orderpriority, 1, 8)) AS prio_prefix,
+               concat_ws('#', o_orderstatus, o_orderpriority) AS status_tag,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+               round(sqrt(abs(o_totalprice)), 6) AS price_sqrt
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+    """,
+    "x21_tfidf": """
+        WITH terms AS (
+            SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> len(t) > 0)) AS tok
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM terms GROUP BY doc_id, tok
+        ), df AS (
+            SELECT tok, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, tok FROM terms) GROUP BY tok
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+                                tf.tok ASC) AS rn
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, rn, ROUND(tfidf, 6) AS tfidf
+        FROM scored WHERE rn <= 3
+        ORDER BY doc_id, rn
+    """,
+    "x22_pandas_udf_tokens": """
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                               t -> len(t) > 0)) AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "x24_sliding_window": """
+        WITH expanded AS (
+            SELECT unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                           time_bucket(INTERVAL '30 minutes', ts)]) AS window_start,
+                   event_type, value, ts
+            FROM events
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM expanded
+        WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
     """,
 }
 
