@@ -1,0 +1,73 @@
+"""Sink round-trip tests (reference Merge/TSV parity + engine formats)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.sources.registry import load_table
+from go_mapreduce_spark.sources.sinks import (
+    write_csv,
+    write_json,
+    write_parquet,
+    write_sorted_tsv,
+)
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_pq")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    # partition dirs exist → downstream partition pruning works
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    a = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    b = {r.o_orderkey for r in back.select("o_orderkey").collect()}
+    assert a == b
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    cdir, jdir = str(tmp_path / "csv"), str(tmp_path / "json")
+    write_csv(region, cdir)
+    write_json(region, jdir)
+    assert spark.read.option("header", "true").csv(cdir).count() == region.count()
+    assert spark.read.json(jdir).count() == region.count()
+
+
+def test_sorted_tsv_single_file(spark, sf_dir, tmp_path):
+    wc = (
+        load_table(spark, sf_dir, "region")
+        .select(F.col("r_name").alias("k"), F.col("r_regionkey").cast("string").alias("v"))
+    )
+    out = str(tmp_path / "tsv1")
+    write_sorted_tsv(wc, out, ["k"], single_file=True)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    lines = open(os.path.join(out, parts[0])).read().splitlines()
+    keys = [ln.split("\t")[0] for ln in lines]
+    assert keys == sorted(keys)
+
+
+def test_sorted_tsv_sharded_globally_ordered(spark, sf_dir, tmp_path):
+    """Shards are range-partitioned: concatenated in filename order the
+    keys are globally sorted (the scalable Merge)."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("k"),
+            F.col("o_orderstatus").alias("v"),
+        )
+        .repartition(8)
+    )
+    out = str(tmp_path / "tsv_sharded")
+    write_sorted_tsv(df, out, ["k"])
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    all_keys = []
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            all_keys.extend(ln.split("\t")[0] for ln in fh.read().splitlines())
+    assert all_keys == sorted(all_keys)
+    assert len(all_keys) == df.count()
