@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from go_mapreduce_spark.operators import relational as R
 from go_mapreduce_spark.operators import relational_ext as RX
+from go_mapreduce_spark.operators import sketches as SK
 from go_mapreduce_spark.operators import udfs as U
 from go_mapreduce_spark.operators import wordcount as W
 from go_mapreduce_spark.operators import dedup as D
@@ -72,6 +73,10 @@ QUERIES: dict[str, QueryFn] = {
     "x22_pandas_udf_tokens": U.x22_pandas_udf_tokens,
     # --- sliding window ---
     "x24_sliding_window": WIN.x24_sliding_window,
+    # --- sketches (no oracle: estimates are implementation-specific;
+    #     error-bound tests vs exact in tests/test_scale.py) ---
+    "x25_approx_distinct": SK.x25_approx_distinct,
+    "x26_approx_quantiles": SK.x26_approx_quantiles,
 }
 
 

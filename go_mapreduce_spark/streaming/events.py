@@ -78,6 +78,28 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Streaming mirror of x24: sliding-window count + exact sum."""
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_aggregate(
     events: DataFrame, watermark: str = "2 hours", gap: str = "10 minutes"
 ) -> DataFrame:

@@ -1,0 +1,82 @@
+"""Scale utilities: salted join correctness under skew, sketch error
+bounds, partitioning helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.operators.scale import key_histogram, repartition_for_join, salted_join
+from go_mapreduce_spark.operators.sketches import x25_approx_distinct, x26_approx_quantiles
+from go_mapreduce_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1 hot key with 5k rows + 100 cold keys with 10 each."""
+    hot = spark.range(5000).select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+    cold = (
+        spark.range(1000)
+        .select((F.col("id") % 100 + 1).alias("k"), F.col("id").alias("payload"))
+    )
+    left = hot.union(cold)
+    right = spark.range(101).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    return left, right
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    left, right = skewed
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = salted_join(left, right, "k", salt=8).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark, skewed):
+    left, right = skewed
+    right_missing = right.filter(F.col("k") != 0)  # drop the hot key's dim row
+    plain = left.join(right_missing, "k", "left").filter(F.col("name").isNull())
+    salted = salted_join(left, right_missing, "k", salt=4, how="left").filter(
+        F.col("name").isNull()
+    )
+    assert plain.count() == salted.count() == 5000
+
+
+def test_key_histogram_flags_hot_key(spark, skewed):
+    left, _ = skewed
+    top = key_histogram(left, "k", top=3).collect()
+    assert top[0].k == 0 and top[0].share > 0.8
+
+
+def test_repartition_reuses_partitioning(spark, skewed):
+    left, _ = skewed
+    df = repartition_for_join(left, "k", 16)
+    assert df.rdd.getNumPartitions() == 16
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    approx = {r.event_type: r.approx_users for r in x25_approx_distinct(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.u
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    for et, e in exact.items():
+        rel_err = abs(approx[et] - e) / e
+        assert rel_err < 0.05, f"{et}: rel err {rel_err:.3f}"
+
+
+def test_approx_quantiles_bounds(spark, sf_dir):
+    rows = x26_approx_quantiles(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    for r in rows:
+        vals = sorted(
+            x.o_totalprice
+            for x in orders.filter(F.col("o_orderstatus") == r.o_orderstatus).collect()
+        )
+        assert vals[0] <= r.p50 <= vals[-1]
+        assert r.p50 <= r.p90 <= r.p99 <= vals[-1]
+        # p50 within the central half of the data
+        lo, hi = vals[int(0.25 * len(vals))], vals[min(int(0.75 * len(vals)), len(vals) - 1)]
+        assert lo <= r.p50 <= hi

@@ -56,3 +56,65 @@ def test_watermark_bounds_state(spark, stream_dir):
     stream = read_event_stream(spark, stream_dir)
     agg = tumbling_counts(stream, watermark="2 hours")
     assert agg.isStreaming
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, stream_dir):
+    from go_mapreduce_spark.operators.windows import x24_sliding_window
+    from go_mapreduce_spark.streaming.events import sliding_counts
+
+    stream = read_event_stream(spark, stream_dir)
+    run_to_memory_sink(sliding_counts(stream), "t_sliding", output_mode="complete")
+    got = spark.sql("select * from t_sliding")
+    want = x24_sliding_window(spark, sf_dir)
+    assert canon_rows(got.columns, [tuple(r) for r in got.collect()]) == canon_rows(
+        want.columns, [tuple(r) for r in want.collect()]
+    )
+
+
+@pytest.fixture(scope="module")
+def ordered_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 4 TIME-CONTIGUOUS parquet files with
+    increasing mtimes — a realistic in-order replay.  (A randomly
+    partitioned replay makes ~3/4 of rows late once the watermark has
+    advanced past their window — they are correctly dropped, which is
+    exactly why a real stream needs approximately-ordered arrival.)"""
+    import os
+    import shutil
+    import time
+
+    d = str(tmp_path_factory.mktemp("events_ordered"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts").collect()
+    schema = load_table(spark, sf_dir, "events").schema
+    n = len(ev)
+    for i in range(4):
+        chunk = ev[i * n // 4 : (i + 1) * n // 4]
+        tmp = d + f"_chunk{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    return d
+
+
+def test_append_mode_emits_only_finalized_windows(spark, sf_dir, ordered_stream_dir):
+    """Append mode + watermark on an in-order replay: emitted windows
+    carry exactly the batch-aggregate values; windows not yet past the
+    watermark are withheld."""
+    stream = read_event_stream(spark, ordered_stream_dir, max_files_per_trigger=1)
+    run_to_memory_sink(tumbling_counts(stream), "t_append", output_mode="append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from t_append").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in x11_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got, "expected finalized windows"
+    # every emitted window has exactly the complete batch value (no
+    # partial/duplicate emission)
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: emitted {v} != batch {want[k]}"
+    # and append mode withheld the windows still open at end-of-stream
+    assert len(got) < len(want)
