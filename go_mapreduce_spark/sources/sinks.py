@@ -46,6 +46,31 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sort-within-bucket) table.
+
+    Bucketing is THE shuffle eliminator for repeated big-big joins:
+    two tables bucketed on the same key with the same bucket count
+    join with zero Exchange — each task reads matching bucket files
+    from both sides.  At 100 TB, bucket the fact tables on their
+    primary join key at write time and every downstream join/agg on
+    that key skips its shuffle (verified in tests/test_bucketing.py).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_sorted_tsv(
     df: DataFrame, path: str, key_cols: list[str], single_file: bool = False
 ) -> None:

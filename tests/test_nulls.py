@@ -1,0 +1,56 @@
+"""Null/edge-input robustness: the fixtures are null-free, but a real
+corpus is not — operators must not throw or silently drop rows on
+null text/values (ANSI mode is ON in Spark 4, so unguarded nulls and
+division edge cases fail loudly; these tests pin the guarded
+behavior)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.functions.tokenize import word_counts
+from go_mapreduce_spark.operators.dedup import doc_shingles, simhash_signatures
+from go_mapreduce_spark.functions.vectors import cosine_similarity
+
+
+def test_word_counts_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r.word: r.cnt for r in word_counts(df).collect()}
+    assert out == {"hello": 1, "world": 1}
+
+
+def test_shingles_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "one two three four")], "doc_id long, text string"
+    )
+    got = doc_shingles(df).groupBy("doc_id").count().collect()
+    assert {r.doc_id for r in got} == {2}
+
+
+def test_simhash_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    sigs = simhash_signatures(df).collect()
+    assert {r.doc_id for r in sigs} == {2}
+
+
+def test_cosine_null_embedding_yields_null(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, None, [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r.id: r.s for r in df.select("id", cosine_similarity(F.col("a"), F.col("b")).alias("s")).collect()}
+    assert abs(rows[1] - 1.0) < 1e-12
+    assert rows[2] is None  # null in → null out, no crash
+
+
+def test_groupby_null_keys_form_a_group(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 3.0)], "k string, v double"
+    )
+    out = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert out[None] == 3.0 and out["a"] == 3.0
