@@ -40,6 +40,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries may persist shared intermediates (dedup indexes);
+        # drop them so each timing stands alone
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

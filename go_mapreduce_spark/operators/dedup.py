@@ -197,6 +197,10 @@ def x4_dedup_minhash_lsh(
     never on all co-occurring pairs.  No O(N²) stage exists.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # NOT persisted: benched slower with caching here — the branches
+    # (sig→bands, shingles→sets) each pipeline into narrow stages, and
+    # persisting blocks that for a modest reuse.  (x5's signature
+    # self-join is the opposite case — see simhash.)
     shingles = doc_shingles(docs)
     sig = minhash_signatures(shingles)
 
@@ -300,7 +304,9 @@ def x5_dedup_simhash(
     computes the true Hamming distance on the full signature.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    # both sides of the chunk self-join read the signatures — persist
+    # so the 64-vote aggregate runs once, not three times
+    sigs = simhash_signatures(docs).persist()
 
     chunks = sigs.select(
         "doc_id",
@@ -348,6 +354,68 @@ def x5_dedup_simhash(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x27 — dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Min-label propagation to a fixpoint: every node gets the
+    minimum doc_id reachable in its component → (doc_id, cluster_id).
+
+    The iterative algorithm the SQL surface can't express in one
+    query: a driver loop of join+min rounds, each round halving the
+    label distance (converges in O(log(diameter)) rounds — near-dup
+    clusters are tiny, so 2-3 rounds in practice).  At 100 TB: same
+    loop with checkpointing each round to cut lineage, the standard
+    large-graph CC pattern (alternating small/large-star in the
+    Hash-to-Min family).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    while True:
+        # candidate: min over own label and neighbors' labels
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("u", "node")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def x27_dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate clusters: connected components over the x6
+    Jaccard-pair graph; cluster_id = min doc_id in the component."""
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    return connected_components(pairs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -49,3 +49,37 @@ def x22_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", token_count_udf()(F.col("text")).alias("n_tokens")
     ).orderBy("doc_id")
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map worker: z-score of o_totalprice within the group
+    (sample stddev).  Whole group in one pandas frame — the UDTF-style
+    grouped transform the reference could only express as a Reduce
+    callback over a materialized value list."""
+    mean = pdf["o_totalprice"].mean()
+    std = pdf["o_totalprice"].std(ddof=1)
+    out = pdf[["o_orderkey", "o_orderstatus"]].copy()
+    out["z"] = ((pdf["o_totalprice"] - mean) / std).round(6)
+    return out
+
+
+def x28_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status z-score of order totals via applyInPandas.
+
+    Grouped-map contract notes for scale: one group must fit in one
+    pandas frame (fine for bounded group counts; for unbounded groups
+    use window functions instead — the same query is expressible as
+    (x - avg over w)/stddev over w with zero Python).
+    """
+    from go_mapreduce_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .groupBy("o_orderstatus")
+        .applyInPandas(
+            _zscore_group, "o_orderkey long, o_orderstatus string, z double"
+        )
+        .orderBy("o_orderkey")
+    )

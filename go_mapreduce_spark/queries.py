@@ -77,6 +77,9 @@ QUERIES: dict[str, QueryFn] = {
     #     error-bound tests vs exact in tests/test_scale.py) ---
     "x25_approx_distinct": SK.x25_approx_distinct,
     "x26_approx_quantiles": SK.x26_approx_quantiles,
+    # --- iterative graph algorithm + grouped-map UDF ---
+    "x27_dedup_clusters": D.x27_dedup_clusters,
+    "x28_grouped_zscore": U.x28_grouped_zscore,
 }
 
 
@@ -467,6 +470,48 @@ def _quality_oracle() -> str:
         ORDER BY doc_id
     """
 
+
+ORACLE_SQL["x27_dedup_clusters"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+ORACLE_SQL["x28_grouped_zscore"] = """
+    SELECT o_orderkey, o_orderstatus,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                 / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
+    FROM orders
+    ORDER BY o_orderkey
+"""
 
 ORACLE_SQL["x8_lang_id"] = _lang_id_oracle()
 ORACLE_SQL["x9_quality_score"] = _quality_oracle()

@@ -1,0 +1,81 @@
+"""Determinism properties behind the oracle gate:
+
+1. Tokenizer parity fuzz: Spark split/filter == DuckDB
+   regexp_split_to_array == Python re on adversarial ASCII inputs.
+2. Partition-count invariance: decimal-sum aggregates produce
+   IDENTICAL bits at any parallelism (the property plain double sums
+   lack, and the reason functions/numeric.py exists).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import string
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.functions.tokenize import tokens
+from go_mapreduce_spark.operators.relational import q2_grouped_agg, q5_multiway_join
+from tests.conftest import canon_rows
+
+
+def _fuzz_corpus(n=300):
+    rng = random.Random(20240813)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + " \t"
+    docs = []
+    for i in range(n):
+        length = rng.randrange(0, 80)
+        docs.append((i, "".join(rng.choice(alphabet) for _ in range(length))))
+    # adversarial edges
+    docs += [
+        (n, ""), (n + 1, "abc"), (n + 2, "   "), (n + 3, "a" * 500),
+        (n + 4, "!!!"), (n + 5, "a!b!c!"), (n + 6, "!leading"), (n + 7, "trailing!"),
+    ]
+    return docs
+
+
+def test_tokenizer_three_way_parity(spark):
+    docs = _fuzz_corpus()
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    spark_toks = {
+        r.doc_id: r.t
+        for r in sdf.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    duck_toks = {
+        k: v
+        for k, v in con.execute(
+            "SELECT doc_id, list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),"
+            " t -> len(t) > 0) FROM d"
+        ).fetchall()
+    }
+    py_toks = {i: [t for t in re.split(r"[^A-Za-z]+", s) if t] for i, s in docs}
+    assert spark_toks == py_toks
+    assert duck_toks == py_toks
+
+
+@pytest.mark.parametrize("parts", [1, 7, 32])
+def test_aggregates_invariant_to_partitioning(spark, sf_dir, parts):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q2 = q2_grouped_agg(spark, sf_dir)
+        rows2 = canon_rows(q2.columns, [tuple(r) for r in q2.collect()])
+        q5 = q5_multiway_join(spark, sf_dir)
+        rows5 = canon_rows(q5.columns, [tuple(r) for r in q5.collect()])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # compare against the module-level reference run (default partitions)
+    ref2 = q2_grouped_agg(spark, sf_dir)
+    ref5 = q5_multiway_join(spark, sf_dir)
+    assert rows2 == canon_rows(ref2.columns, [tuple(r) for r in ref2.collect()])
+    assert rows5 == canon_rows(ref5.columns, [tuple(r) for r in ref5.collect()])
+    # and the doubles are bit-identical, not just 12-digit-identical
+    vals = {r.l_returnflag + r.l_linestatus: r.sum_base_price for r in q2.collect()}
+    ref_vals = {r.l_returnflag + r.l_linestatus: r.sum_base_price for r in ref2.collect()}
+    assert vals == ref_vals
