@@ -37,6 +37,15 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert spark.read.json(jdir).count() == region.count()
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source/sink parity (second columnar format)."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
 def test_sorted_tsv_single_file(spark, sf_dir, tmp_path):
     wc = (
         load_table(spark, sf_dir, "region")
