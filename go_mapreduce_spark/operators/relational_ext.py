@@ -38,6 +38,47 @@ def x14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x29_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 2^2 grouping sets of (status, priority).
+
+    Same single-Expand plan as rollup — grouping-set count multiplies
+    the pre-aggregation input, not the number of passes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def x30_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type.
+
+    Pivot with an EXPLICIT value list compiles to conditional
+    aggregation (one pass, no second job to discover values) — always
+    pass the list at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    )
+    return out.orderBy("user_id")
+
+
 def x15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction over events.props (string JSON column).
 

@@ -80,6 +80,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- iterative graph algorithm + grouped-map UDF ---
     "x27_dedup_clusters": D.x27_dedup_clusters,
     "x28_grouped_zscore": U.x28_grouped_zscore,
+    # --- cube & pivot ---
+    "x29_cube": RX.x29_cube,
+    "x30_pivot": RX.x30_pivot,
 }
 
 
@@ -470,6 +473,27 @@ def _quality_oracle() -> str:
         ORDER BY doc_id
     """
 
+
+ORACLE_SQL["x29_cube"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+ORACLE_SQL["x30_pivot"] = """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
 
 ORACLE_SQL["x27_dedup_clusters"] = """
     WITH RECURSIVE toks AS (
