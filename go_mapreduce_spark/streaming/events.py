@@ -120,6 +120,62 @@ def session_aggregate(
     )
 
 
+def purchases_with_recent_click(
+    events: DataFrame, max_gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's click(s) within the preceding ``max_gap``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends — this is what lets Spark EVICT join state: a
+    click older than (watermark + max_gap) can never match again and
+    is dropped.  Unbounded stream-stream joins are a state leak; the
+    time bound is not optional at scale.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = c_user_id AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {max_gap}
+            """
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
+def streaming_dedup(docs: DataFrame, watermark_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Online exact dedup of a document stream: first occurrence wins.
+
+    ``dropDuplicatesWithinWatermark`` keeps the seen-key set only for
+    the watermark horizon — bounded state, unlike a global distinct.
+    The batch equivalent is x1 (sha256 groupBy); the stream trades
+    global exactness for bounded memory: duplicates farther apart than
+    the watermark are both kept (documented contract).
+    """
+    keyed = docs.withColumn("_h", F.sha2(F.col("text"), 256))
+    return keyed.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(["_h"]).drop("_h")
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:
