@@ -140,6 +140,32 @@ def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x31_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the spark.sql surface:
+    customers with above-nation-average account balance.
+
+    Exercises (a) the SQL API over registered temp views and (b)
+    Catalyst's subquery decorrelation — the correlated scalar subquery
+    rewrites to an aggregate + join (no per-row re-execution; verify
+    in the plan: one aggregate over customer grouped by nation,
+    joined back).
+    """
+    from go_mapreduce_spark.sources.registry import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey,
+               ROUND(c_acctbal, 6) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal)
+                           FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
 _QTY_BANDS = [(0, 10, "low"), (10, 25, "mid"), (25, 40, "high"), (40, 60, "xl")]
 
 

@@ -83,6 +83,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- cube & pivot ---
     "x29_cube": RX.x29_cube,
     "x30_pivot": RX.x30_pivot,
+    # --- SQL surface + correlated subquery (decorrelation) ---
+    "x31_correlated_subquery": RX.x31_correlated_subquery,
 }
 
 
@@ -473,6 +475,15 @@ def _quality_oracle() -> str:
         ORDER BY doc_id
     """
 
+
+ORACLE_SQL["x31_correlated_subquery"] = """
+    SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 6) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal)
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey
+"""
 
 ORACLE_SQL["x29_cube"] = """
     SELECT o_orderstatus, o_orderpriority,
