@@ -382,6 +382,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .persist()
     )
     while True:
         # candidate: min over own label and neighbors' labels
@@ -405,10 +406,18 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # release the superseded round's cache — an iterative loop that
+        # only persists leaks one cached relation per round
+        labels.unpersist()
         labels = updated
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # materialization contract: caller may collect after we unpersist,
+    # so leave the final labels cached; bench/driver clear caches
+    # between queries
+    edges.unpersist()
+    return result
 
 
 def x27_dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
