@@ -202,6 +202,45 @@ def x18_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.subtract(purchases).orderBy("user_id")
 
 
+def x32_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of two event streams, re-aggregated.
+
+    union is a zero-shuffle concatenation of partitions; only the
+    downstream groupBy shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return (
+        clicks.unionAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_interactions"))
+        .orderBy("user_id")
+    )
+
+
+def x33_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions: per user, the sorted set
+    of event types and its size.
+
+    collect_set has nondeterministic order — array_sort makes the
+    value canonical (the rule for ANY array-valued aggregate under
+    hash comparison).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id",
+            "types",
+            F.size("types").cast("bigint").alias("n_types"),
+            F.array_contains("types", "purchase").alias("is_buyer"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def x19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function sampler (string/date/math) with exact
     cross-engine semantics: upper/substring/concat, year/month/

@@ -85,6 +85,9 @@ QUERIES: dict[str, QueryFn] = {
     "x30_pivot": RX.x30_pivot,
     # --- SQL surface + correlated subquery (decorrelation) ---
     "x31_correlated_subquery": RX.x31_correlated_subquery,
+    # --- UNION ALL + array aggregation ---
+    "x32_union_all": RX.x32_union_all,
+    "x33_array_agg": RX.x33_array_agg,
 }
 
 
@@ -475,6 +478,27 @@ def _quality_oracle() -> str:
         ORDER BY doc_id
     """
 
+
+ORACLE_SQL["x32_union_all"] = """
+    SELECT user_id, COUNT(*) AS n_interactions
+    FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+ORACLE_SQL["x33_array_agg"] = """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types,
+           list_contains(list(DISTINCT event_type), 'purchase') AS is_buyer
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
 
 ORACLE_SQL["x31_correlated_subquery"] = """
     SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 6) AS acctbal
