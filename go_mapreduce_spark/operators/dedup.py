@@ -86,24 +86,77 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def _pairwise_jaccard(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard for every doc pair sharing ≥1 shingle.
+def _candidate_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", max_df: int | None = None
+) -> DataFrame:
+    """Distinct co-occurring (doc_a, doc_b) pairs from the inverted
+    index — candidate generation only.
+
+    ``max_df`` is the posting-list cap: shingles appearing in more
+    than max_df docs are dropped BEFORE the self-join.  A shingle in
+    d docs yields O(d²) join output, so one stop-shingle ("in the")
+    across 1% of a 100 TB corpus is quadratic without the cap; with
+    it, candidate count is bounded by Σ_{df≤max_df} df² ≤
+    max_df · |postings|.  Recall contract: a true near-dup pair is
+    missed only if EVERY shared shingle is a stop-shingle — near-dup
+    docs share long runs of (rare) 3-gram shingles, so choose max_df
+    well above the expected duplicate-cluster size and far below
+    corpus size (e.g. 1e4 at web scale).  Jaccard itself is always
+    verified on FULL shingle sets, so the cap affects recall only,
+    never emits a wrong score.
+    """
+    posting = shingles
+    if max_df is not None:
+        hot = (
+            shingles.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        # left-anti against the (tiny) hot-shingle list; Spark plans
+        # this as a broadcast anti join
+        posting = shingles.join(hot, "sh", "left_anti")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _pairwise_jaccard(
+    shingles: DataFrame, id_col: str = "doc_id", max_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing ≥1 (non-capped)
+    shingle.
 
     Inverted-index self-join: only pairs that actually co-occur in
-    some shingle posting list are generated — never the full cross
-    join.  At 100 TB the long posting lists (stop-shingles) are the
-    skew risk; AQE skew splitting plus an optional posting-list cap
-    (drop shingles appearing in > max_df docs, standard practice)
-    keeps the join balanced.
+    some posting list are generated — never the full cross join.
+    Uncapped, the per-shingle join output doubles as the exact
+    intersection count (one pass).  With ``max_df`` set (the 100 TB
+    configuration — see :func:`_candidate_pairs`), candidates come
+    from capped postings and the intersection is re-verified against
+    full per-doc shingle sets, so scores are identical to the
+    uncapped path for every surviving pair.
     """
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is None:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sets_ = shingles.groupBy(id_col).agg(F.collect_set("sh").alias("shset"))
+        inter = (
+            _candidate_pairs(shingles, id_col, max_df)
+            .join(sets_.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("sa")), "doc_a")
+            .join(sets_.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("sb")), "doc_b")
+            .select("doc_a", "doc_b", F.size(F.array_intersect("sa", "sb")).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -138,11 +191,16 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def x6_dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, max_df: int | None = None
 ) -> DataFrame:
-    """All doc pairs with word-3-gram Jaccard ≥ threshold."""
+    """All doc pairs with word-3-gram Jaccard ≥ threshold.
+
+    ``max_df`` (posting-list cap, see :func:`_candidate_pairs`) is
+    off by default at fixture scale — the oracle checks the exact
+    uncapped answer; at 100 TB it is the required configuration.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _pairwise_jaccard(doc_shingles(docs))
+    pairs = _pairwise_jaccard(doc_shingles(docs), max_df=max_df)
     return (
         pairs.filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -308,6 +366,9 @@ def x5_dedup_simhash(
     # so the 64-vote aggregate runs once, not three times
     sigs = simhash_signatures(docs).persist()
 
+    # chunk key packed into one int (sum of bit<<pos) — an 8-byte
+    # shuffle key instead of a 16-char string; same collisions, same
+    # candidates, smaller exchange.
     chunks = sigs.select(
         "doc_id",
         "bits",
@@ -316,8 +377,9 @@ def x5_dedup_simhash(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.concat_ws(
-                            "", *[F.col("bits")[c * 16 + j].cast("string") for j in range(16)]
+                        sum(
+                            (F.col("bits")[c * 16 + j] * F.lit(1 << j) for j in range(16)),
+                            F.lit(0),
                         ).alias("key"),
                     )
                     for c in range(4)
@@ -360,17 +422,25 @@ def x5_dedup_simhash(
 # x27 — dedup clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", checkpoint_every: int = 3
+) -> DataFrame:
     """Min-label propagation to a fixpoint: every node gets the
     minimum doc_id reachable in its component → (doc_id, cluster_id).
 
     The iterative algorithm the SQL surface can't express in one
-    query: a driver loop of join+min rounds, each round halving the
-    label distance (converges in O(log(diameter)) rounds — near-dup
-    clusters are tiny, so 2-3 rounds in practice).  At 100 TB: same
-    loop with checkpointing each round to cut lineage, the standard
-    large-graph CC pattern (alternating small/large-star in the
-    Hash-to-Min family).
+    query: a driver loop of join+min rounds (labels move one hop per
+    round → converges in O(diameter) rounds; near-dup clusters are
+    tiny-diameter, so 2-3 rounds in practice).
+
+    Lineage discipline: persist alone does NOT stop the logical plan
+    growing one join+aggregate layer per round — analysis/optimization
+    cost compounds and a cache miss would recompute the whole chain.
+    Every ``checkpoint_every`` rounds the labels are localCheckpoint-ed
+    (materialized, lineage truncated), bounding plan depth at k rounds
+    regardless of graph diameter.  On a multi-executor cluster swap
+    localCheckpoint for reliable ``checkpoint()`` + checkpoint dir
+    (localCheckpoint state dies with an executor).
     """
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -384,6 +454,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         .withColumn("label", F.col("node"))
         .persist()
     )
+    rounds = 0
     while True:
         # candidate: min over own label and neighbors' labels
         neighbor_min = (
@@ -392,14 +463,17 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("u", "node")
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
-            .persist()
+        updated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            # localCheckpoint is eager: materializes AND caches the
+            # result while cutting lineage back to a leaf
+            updated = updated.localCheckpoint()
+        else:
+            updated = updated.persist()
         changed = (
             updated.alias("n")
             .join(labels.alias("o"), "node")

@@ -221,23 +221,75 @@ def x32_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x33_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation + array functions: per user, the sorted set
-    of event types and its size.
+    of event types (canonical CSV form), its size, and a membership
+    test.
 
     collect_set has nondeterministic order — array_sort makes the
-    value canonical (the rule for ANY array-valued aggregate under
-    hash comparison).
-    """
+    value canonical, and array_join emits it as a scalar string (the
+    rule for ANY array-valued aggregate under cross-engine hash
+    comparison: arrays are engine-internal, the canonical serialized
+    form is the contract)."""
     ev = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
     return (
         ev.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .agg(types.alias("types"))
         .select(
             "user_id",
-            "types",
+            F.array_join("types", ",").alias("types_csv"),
             F.size("types").cast("bigint").alias("n_types"),
             F.array_contains("types", "purchase").alias("is_buyer"),
         )
         .orderBy("user_id")
+    )
+
+
+def x28_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status z-score of order totals — window-function plan.
+
+    (x − avg over w) / stddev_samp over w with
+    w = PARTITION BY o_orderstatus: zero Python, one shuffle on the
+    group key, per-partition parallelism regardless of group count.
+    The applyInPandas formulation of the same query lives in
+    operators/udfs.grouped_zscore_pandas as the grouped-map UDF demo
+    (pytest-equivalence-checked) — a whole-group pandas frame is a
+    scale-killer when groups are unbounded, so the declared plan is
+    this one.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        orders.select(
+            "o_orderkey", "o_orderstatus", F.round(z, 6).alias("z")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def x34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the §2.B aggregation shape rollup and
+    cube don't cover: an arbitrary list of grouping columns,
+    ((returnflag), (linestatus), ()) — per-flag totals, per-status
+    totals, and the grand total in ONE pass.
+
+    Same single-Expand physical plan as rollup/cube: the grouping-set
+    list multiplies pre-aggregation rows (3× here), never the number
+    of scans.  Expressed through the SQL surface (GROUPING SETS has no
+    DataFrame-API equivalent) with the decimal-sum discipline inline.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
     )
 
 

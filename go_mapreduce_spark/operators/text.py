@@ -111,22 +111,25 @@ def x21_tfidf(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
     """Top-n TF-IDF terms per document (lowercase tokenizer).
 
     tf = in-doc term count; idf = ln(N / df) with N = total docs.
-    One explode + two aggregates + a broadcast of the (tiny) df
-    relation back onto the term rows; score ranking is an in-partition
-    window keyed by doc.  All shuffles are on (doc_id) or (token) —
-    both high-cardinality, no skew.
+    One explode + two aggregates; the (doc,term)↔df join shuffles on
+    ``tok`` — a high-cardinality, skew-free key, so a plain shuffle
+    join is the right plan (df is VOCABULARY-sized: far beyond
+    broadcast at 100 TB, so no broadcast hint).  N is computed
+    in-plan as a 1-row aggregate broadcast-cross-joined onto the term
+    rows — no driver-side count(), no job break in the lineage.
+    Score ranking is an in-partition window keyed by doc.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at 100 TB use an approx or metadata count
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok")
     )
     tf = terms.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+    scored = tf.join(df_, "tok").crossJoin(F.broadcast(n)).withColumn(
         "tfidf",
         F.col("tf").cast("double")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        * F.log(F.col("n_docs") / F.col("df").cast("double")),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("tok").asc()

@@ -63,13 +63,17 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def x28_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-status z-score of order totals via applyInPandas.
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status z-score of order totals via applyInPandas — the
+    grouped-map UDF surface demo (pytest-covered, NOT the declared
+    x28 plan).
 
-    Grouped-map contract notes for scale: one group must fit in one
-    pandas frame (fine for bounded group counts; for unbounded groups
-    use window functions instead — the same query is expressible as
-    (x - avg over w)/stddev over w with zero Python).
+    Grouped-map contract notes for scale: one whole group must fit in
+    one pandas frame and parallelism is bounded by group count (3
+    order statuses here) — which is why the DECLARED x28 is the
+    window-function plan in relational_ext.x28_grouped_zscore: same
+    math, zero Python, per-partition parallelism.  This variant exists
+    to keep the applyInPandas path tested end-to-end against it.
     """
     from go_mapreduce_spark.session import ensure_package_on_executors
 

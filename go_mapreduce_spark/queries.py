@@ -77,9 +77,10 @@ QUERIES: dict[str, QueryFn] = {
     #     error-bound tests vs exact in tests/test_scale.py) ---
     "x25_approx_distinct": SK.x25_approx_distinct,
     "x26_approx_quantiles": SK.x26_approx_quantiles,
-    # --- iterative graph algorithm + grouped-map UDF ---
+    # --- iterative graph algorithm + grouped z-score (window plan;
+    #     the applyInPandas variant is the pytest UDF demo) ---
     "x27_dedup_clusters": D.x27_dedup_clusters,
-    "x28_grouped_zscore": U.x28_grouped_zscore,
+    "x28_grouped_zscore": RX.x28_grouped_zscore,
     # --- cube & pivot ---
     "x29_cube": RX.x29_cube,
     "x30_pivot": RX.x30_pivot,
@@ -88,6 +89,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- UNION ALL + array aggregation ---
     "x32_union_all": RX.x32_union_all,
     "x33_array_agg": RX.x33_array_agg,
+    # --- explicit GROUPING SETS (SQL surface) ---
+    "x34_grouping_sets": RX.x34_grouping_sets,
 }
 
 
@@ -492,7 +495,7 @@ ORACLE_SQL["x32_union_all"] = """
 
 ORACLE_SQL["x33_array_agg"] = """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
            CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types,
            list_contains(list(DISTINCT event_type), 'purchase') AS is_buyer
     FROM events
@@ -562,6 +565,15 @@ ORACLE_SQL["x27_dedup_clusters"] = """
     )
     SELECT node AS doc_id, MIN(r) AS cluster_id
     FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+ORACLE_SQL["x34_grouping_sets"] = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
 ORACLE_SQL["x28_grouped_zscore"] = """
