@@ -152,3 +152,84 @@ def test_shingles_empty_and_short_docs(spark):
     by_doc = {r.doc_id: r.cnt for r in sh.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
     assert 1 not in by_doc and 2 not in by_doc  # < 3 tokens → no shingles
     assert by_doc[3] == 2
+
+
+# ---------------------------------------------------------------------------
+# max_df posting-list cap (the 100 TB stop-shingle guard)
+# ---------------------------------------------------------------------------
+
+def _alpha(i: int) -> str:
+    """Letter-only suffix — the dedup tokenizer is [a-z]+, so numeric
+    suffixes would be stripped and collapse the docs into duplicates."""
+    return "".join(chr(97 + int(d)) for d in str(i))
+
+
+@pytest.fixture(scope="module")
+def stop_shingle_docs(spark):
+    """40 docs, half sharing one hot shingle prefix ("common alpha
+    beta gamma" → 2 shingles with df=20), plus one planted exact-dup
+    pair built from rare shingles only."""
+    rows = []
+    for i in range(20):
+        a = _alpha(i)
+        rows.append((i, f"common alpha beta gamma tail{a} more{a} words{a}"))
+    for i in range(20, 40):
+        a = _alpha(i)
+        rows.append((i, f"unique{a} only{a} here{a} now{a} end{a}"))
+    dup = "rare red fox jumps over the lazy dog tonight"
+    rows += [(100, dup), (101, dup)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_max_df_cap_bounds_candidates(spark, stop_shingle_docs):
+    """With the cap, the O(d²) blowup from the hot shingle disappears:
+    candidates drop from >=C(20,2) to just the rare-shingle pairs."""
+    sh = D.doc_shingles(stop_shingle_docs)
+    uncapped = D._candidate_pairs(sh).count()
+    capped = D._candidate_pairs(sh, max_df=5).count()
+    assert uncapped >= 190 + 1  # hot-shingle quadratic pairs + planted dup
+    assert capped < 20          # hot shingle removed from candidate gen
+    assert capped >= 1          # planted dup survives (rare shingles)
+
+
+def test_max_df_cap_keeps_threshold_pairs(spark, stop_shingle_docs):
+    """Pairs at Jaccard >= threshold are identical with and without
+    the cap (scores are always verified on FULL shingle sets)."""
+    sh = D.doc_shingles(stop_shingle_docs)
+    thr = 0.8
+    def pairs(max_df):
+        return {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in D._pairwise_jaccard(sh, max_df=max_df)
+            .filter(F.col("jaccard") >= thr)
+            .collect()
+        }
+    got_capped = pairs(5)
+    got_uncapped = pairs(None)
+    assert got_capped == got_uncapped
+    assert (100, 101, 1.0) in got_capped
+
+
+# ---------------------------------------------------------------------------
+# connected-components: checkpointing bounds lineage on deep graphs
+# ---------------------------------------------------------------------------
+
+def test_cc_chain_graph_converges_with_bounded_lineage(spark):
+    """A diameter-10 chain forces ~10 propagation rounds (labels move
+    one hop per round); localCheckpoint every 3 rounds must keep the
+    final plan depth bounded by the rounds since the last checkpoint,
+    not the total round count."""
+    edges = [(i, i + 1) for i in range(10)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = D.connected_components(pairs, checkpoint_every=3)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {i: 0 for i in range(11)}  # one component, min label 0
+    # lineage assertion: the plan must bottom out at the checkpoint
+    # leaf (Scan ExistingRDD).  Each un-checkpointed round embeds the
+    # previous round's plan TWICE (labels feeds both join inputs), so
+    # plan text grows ~2× per round: 11 rounds ≈ 2^11 units, while ≤
+    # checkpoint_every rounds above the leaf stays small — a flat cap
+    # on the string length is a real lineage-depth bound.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert len(plan) < 100_000, f"plan text {len(plan)} chars — lineage not truncated"
