@@ -54,6 +54,28 @@ def main() -> None:
         # drop them so each timing stands alone
         spark.catalog.clearCache()
 
+    # ANN quality gate: recall of the sign-LSH approximate top-k vs
+    # the exact x3 answer at the SAME scale factor — the approximate
+    # path gets a tracked quality number, not just a wall-clock one.
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.operators.similarity import ann_lsh_topk
+    from go_mapreduce_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probe = emb.filter(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    t0 = time.perf_counter()
+    ann = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(emb, probe).collect()}
+    timings["ann_lsh_topk"] = round(time.perf_counter() - t0, 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["x3_knn_cosine"](spark, SF_DIR).collect()
+    }
+    ann_recall = round(len(ann & exact) / len(exact), 4) if exact else None
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -63,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
+                "ann_recall": ann_recall,
             }
         )
     )

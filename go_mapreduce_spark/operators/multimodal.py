@@ -21,12 +21,13 @@ that matters at 100 TB when batch boundaries are arbitrary).
 from __future__ import annotations
 
 import hashlib
+import os
 import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -157,6 +158,33 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media.parquet",
+)
+
+
+def x35_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible multimodal query: decode the committed media
+    fixture and emit per-media (kind, format, byte count, payload
+    sha256).
+
+    ``sf_dir`` is ignored — media payloads are fixture-scale-
+    independent; the committed parquet (tools/make_media_fixture.py)
+    gives the DuckDB oracle a stable absolute path, and its
+    independent BLOB length/sha computation cross-checks the Arrow
+    mapInPandas decode path end-to-end.  The ``features`` vector stays
+    pytest-only (its formula is the fake-decoder's, not SQL).
+    """
+    media = spark.read.parquet(FIXTURE_PATH)
+    return (
+        decode_media(media)
+        .select("media_id", "kind", "format", "n_bytes", "payload_sha")
+        .orderBy("media_id")
+    )
 
 
 def synthetic_media(spark, n: int = 64):

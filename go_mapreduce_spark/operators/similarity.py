@@ -15,7 +15,9 @@ Dot products run JVM-side via zip_with/aggregate in double precision.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -70,58 +72,69 @@ def x3_knn_cosine(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 # approximate path: multi-table sign-random-projection LSH
 # ---------------------------------------------------------------------------
 
-N_TABLES = 8       # L independent hash tables
-BITS_PER_TABLE = 8  # k hyperplanes per table
+N_TABLES = 16      # L independent hash tables
+BITS_PER_TABLE = 4  # k hyperplanes per table
 _DIM = 64
 
-# Recall for a neighbor at angular sign-agreement prob p:
+# Recall for a neighbor at angular sign-agreement prob p = 1 - θ/π:
 #   1 - (1 - p^k)^L     (collide in >= 1 of L tables)
-# With k=8, L=8: p=0.86 (cos~0.9) -> 0.93; p=0.62 (random data) -> 0.15.
-# Multi-table, not multiprobe, is the structure that gives the knob:
-# raise L for recall, raise k for precision/bucket-size.
+# Defaults are tuned for the MODERATE-similarity regime the fixture's
+# true top-k lives in (cos ≈ 0.35 → p ≈ 0.61): k=4, L=16 → recall
+# ≈ 0.92 (measured per-run in bench.py's ann_recall).  The old k=8,
+# L=8 setting recalls ~0.15 there — fine for cos ≥ 0.9 near-dups,
+# useless for kNN.  Tuning rule at scale: k ≈ log2(N / target bucket
+# size) bounds candidates per table; then raise L until
+# 1-(1-p^k)^L clears the recall target for the p your neighbors
+# actually have.
 
 
-def _hyperplanes(dim: int = _DIM, n_planes: int = N_TABLES * BITS_PER_TABLE) -> list[list[float]]:
+def _plane_matrix(dim: int, n_planes: int):
     """Deterministic ±1 hyperplanes from a counter-based hash (seeded
     forever — signatures must be identical across runs/clusters)."""
     import hashlib
 
-    planes = []
+    import numpy as np
+
+    m = np.empty((n_planes, dim))
     for p in range(n_planes):
-        row = []
         for d in range(dim):
             h = hashlib.sha256(f"plane:{p}:{d}".encode()).digest()
-            row.append(1.0 if h[0] % 2 == 0 else -1.0)
-        planes.append(row)
-    return planes
+            m[p, d] = 1.0 if h[0] % 2 == 0 else -1.0
+    return m
 
 
-def lsh_signature(vec_col: Column, dim: int = _DIM) -> Column:
-    """Full bit-string over all L×k hyperplanes: sign of <v, r_p>."""
-    planes = _hyperplanes(dim)
-    bits = []
-    for row in planes:
-        plane_lit = F.array(*[F.lit(x) for x in row])
-        proj = F.aggregate(
-            F.zip_with(vec_col, plane_lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def table_keys_udf(dim: int = _DIM, n_tables: int = N_TABLES, bits: int = BITS_PER_TABLE):
+    """Arrow-batched signature: per row, the array of L table keys
+    (each the k sign bits of <v, plane> packed into an int).
 
+    This is the one similarity step done in Python ON PURPOSE: all
+    L×k projections are ONE numpy matmul per Arrow batch
+    ((B×dim) @ (dim×L·k)), where the expression-tree formulation (64
+    zip_with/aggregate chains) spends multiple seconds in analysis +
+    codegen alone.  The plane matrix is captured in the closure —
+    pickled by value, no executor-side package import needed.  Built
+    lazily: pandas_udf needs an active SparkContext to parse its
+    return type.
+    """
+    import numpy as np
 
-def _table_buckets(sig_col: Column) -> Column:
-    """Array of (table, key) structs — table t's key is bits [t*k, (t+1)*k)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                F.substring(sig_col, t * BITS_PER_TABLE + 1, BITS_PER_TABLE).alias("key"),
-            )
-            for t in range(N_TABLES)
-        ]
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(dim, n_tables * bits)
+
+    @pandas_udf("array<int>")
+    def _keys(v: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = _np.stack([_np.asarray(x, dtype=_np.float64) for x in v])
+        bitm = (m @ planes.T) >= 0                       # (B, L*k) sign bits
+        w = 1 << _np.arange(bits)
+        keys = bitm.reshape(len(m), n_tables, bits) @ w  # pack k bits per table
+        return pd.Series([row.tolist() for row in keys.astype("int32")])
+
+    return _keys
 
 
 def ann_lsh_topk(
@@ -130,6 +143,9 @@ def ann_lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = _DIM,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
 ) -> DataFrame:
     """Approximate top-k via L-table sign-LSH: score only corpus rows
     colliding with the query in ≥1 table, dedup, exact-cosine rank.
@@ -140,17 +156,18 @@ def ann_lsh_topk(
     same plan is an equi-join on (table, key) against the broadcast
     (tiny) query probe set; the corpus never shuffles.
     """
+    keys = table_keys_udf(dim, n_tables, bits)
     corpus_b = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ne"),
-        F.explode(_table_buckets(lsh_signature(F.col(vec_col)))).alias("tb"),
-    ).select("neighbor_id", "ne", "tb.table", "tb.key")
+        F.posexplode(keys(F.col(vec_col))).alias("table", "key"),
+    )
 
     qprobe = queries.select(
         "query_id",
         "qe",
-        F.explode(_table_buckets(lsh_signature(F.col("qe")))).alias("tb"),
-    ).select("query_id", "qe", "tb.table", "tb.key")
+        F.posexplode(keys(F.col("qe"))).alias("table", "key"),
+    )
 
     joined = corpus_b.join(F.broadcast(qprobe), ["table", "key"]).filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_mapreduce_spark.operators import multimodal as MM
 from go_mapreduce_spark.operators import relational as R
 from go_mapreduce_spark.operators import relational_ext as RX
 from go_mapreduce_spark.operators import sketches as SK
@@ -27,6 +28,7 @@ from go_mapreduce_spark.operators import dedup as D
 from go_mapreduce_spark.operators import similarity as S
 from go_mapreduce_spark.operators import text as T
 from go_mapreduce_spark.operators import windows as WIN
+from go_mapreduce_spark.streaming import events as SE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -91,6 +93,10 @@ QUERIES: dict[str, QueryFn] = {
     "x33_array_agg": RX.x33_array_agg,
     # --- explicit GROUPING SETS (SQL surface) ---
     "x34_grouping_sets": RX.x34_grouping_sets,
+    # --- multimodal decode (Arrow mapInPandas over binary payloads) ---
+    "x35_multimodal_decode": MM.x35_multimodal_decode,
+    # --- Structured Streaming availableNow replay (≡ batch x11) ---
+    "x36_stream_tumbling": SE.x36_stream_tumbling,
 }
 
 
@@ -397,6 +403,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    "x36_stream_tumbling": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "x24_sliding_window": """
         WITH expanded AS (
             SELECT unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
@@ -565,6 +580,18 @@ ORACLE_SQL["x27_dedup_clusters"] = """
     )
     SELECT node AS doc_id, MIN(r) AS cluster_id
     FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+# Payload bytes in the committed fixture are printable ASCII by
+# construction (tools/make_media_fixture.py), so CAST(payload AS
+# VARCHAR) is byte-identical to the raw BLOB and DuckDB's
+# VARCHAR-only sha256 hashes the same bytes hashlib sees.
+ORACLE_SQL["x35_multimodal_decode"] = f"""
+    SELECT media_id, kind, format,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           sha256(CAST(payload AS VARCHAR)) AS payload_sha
+    FROM read_parquet('{MM.FIXTURE_PATH}/*.parquet')
+    ORDER BY media_id
 """
 
 ORACLE_SQL["x34_grouping_sets"] = """

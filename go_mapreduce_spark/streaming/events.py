@@ -176,6 +176,35 @@ def streaming_dedup(docs: DataFrame, watermark_col: str = "ts", watermark: str =
     return keyed.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(["_h"]).drop("_h")
 
 
+def x36_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming query: replay the events table through
+    the Structured Streaming tumbling-window aggregate (availableNow
+    trigger, multi-file source → multiple triggers) and return the
+    final result — which must equal the batch x11 answer exactly.
+
+    This is the backfill shape at 100 TB: identical query code serves
+    the 24/7 stream and the historical replay; ``complete`` output
+    mode keeps every window in state so the drained result matches
+    batch (an append-mode replay emits only watermark-finalized
+    windows — that variant is pytest-covered in test_streaming).
+    """
+    import tempfile
+    import uuid
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    replay_dir = tempfile.mkdtemp(prefix="gms_x36_replay_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        replay_dir
+    )
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    sink = f"x36_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(tumbling_counts(stream), sink, output_mode="complete")
+    return spark.sql(
+        f"SELECT window_start, event_type, n_events, total_value FROM {sink}"
+    ).orderBy("window_start", "event_type")
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:
