@@ -74,6 +74,12 @@ def main() -> None:
         for r in QUERIES["x3_knn_cosine"](spark, SF_DIR).collect()
     }
     ann_recall = round(len(ann & exact) / len(exact), 4) if exact else None
+    from go_mapreduce_spark.operators.similarity import ann_ivf_topk
+
+    t0 = time.perf_counter()
+    ivf = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb, probe).collect()}
+    timings["ann_ivf_topk"] = round(time.perf_counter() - t0, 3)
+    ivf_recall = round(len(ivf & exact) / len(exact), 4) if exact else None
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -86,6 +92,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
                 "ann_recall": ann_recall,
+                "ivf_recall": ivf_recall,
             }
         )
     )

@@ -1,0 +1,114 @@
+"""Training-data curation operators: deterministic sampling, per-group
+caps, and BPE-style token accounting over the ``documents`` table.
+
+These are the selection/budgeting primitives of an LLM data pipeline
+(the reference has none — its surface ends at Map/Reduce callbacks,
+reference wc.go:14-38): every one is a single declarative pass with
+cross-engine-exact semantics, so the driver's DuckDB oracle checks
+them bit-for-bit.
+
+Scale notes:
+- Hash sampling replaces ``df.sample`` ON PURPOSE: ``sample`` is
+  seed+partitioning-dependent (a repartition changes the sample),
+  while a content-hash predicate is a pure function of the row —
+  reproducible across engines, runs, cluster sizes, and input
+  layouts, and it pushes down to the scan like any filter.
+- The per-group cap is one window over the group key — the standard
+  "at most N docs per domain" budget; skewed groups cost one
+  in-partition sort each, never a cross-partition explosion.
+- BPE-ish counting is a pure regexp_extract_all expression — JVM
+  codegen, no tokenizer library on the hot path; counts approximate a
+  byte-pair tokenizer's segmentation (contractions, letter runs,
+  digit runs, punctuation runs, space runs) closely enough for
+  token-budget accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_mapreduce_spark.sources.registry import load_table
+
+# GPT-2-ish pre-tokenizer segmentation (ASCII fixture variant).  The
+# single-quoted contraction alternatives come first, mirroring the
+# published BPE pre-tokenizer regex ordering.
+BPE_REGEX = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+# Sampling keeps rows whose 2-hex-char sha256 prefix sorts below this
+# threshold: '1a' keeps 26/256 ≈ 10.2% — the rate knob is the prefix.
+SAMPLE_PREFIX_LT = "1a"
+
+
+def x37_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% document sample by content-addressed hash.
+
+    Keep doc iff substring(sha256(doc_id), 1, 2) < '1a' — a pure
+    row-function predicate: the same doc is in or out regardless of
+    engine, partitioning, or run (unlike seeded ``sample``).  The
+    string comparison avoids hex→int parsing differences between
+    engines entirely.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    return (
+        docs.filter(pfx < F.lit(SAMPLE_PREFIX_LT))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def x38_per_group_cap(spark: SparkSession, sf_dir: str, cap: int = 50) -> DataFrame:
+    """Balanced downsampling: keep at most ``cap`` documents per
+    language (deterministic keep-order: lowest doc_id first).
+
+    The "cap per domain/source/language" budget every curation
+    pipeline applies before mixing; one window, one shuffle on the
+    group key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "lang", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("doc_id")
+    )
+
+
+def x39_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE-style token count + whitespace token count.
+
+    Token-budget accounting: n_ws_tokens is the naive whitespace
+    split; n_bpe_tokens segments like a byte-pair pre-tokenizer
+    (contractions / letter runs / digit runs / punctuation / spaces).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
+    ws = F.size(F.filter(F.split(F.col("text"), " +"), lambda t: F.length(t) > 0))
+    return docs.select(
+        "doc_id",
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        ws.cast("bigint").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+def x40_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median and p90 (linear interpolation) of
+    lineitem quantity.
+
+    ``percentile`` (exact, interpolating — ≡ DuckDB quantile_cont) is
+    the right call below ~10⁹ rows per group; the sketch-based
+    ``approx_percentile`` path for unbounded groups is x26.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

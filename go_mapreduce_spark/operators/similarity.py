@@ -137,6 +137,132 @@ def table_keys_udf(dim: int = _DIM, n_tables: int = N_TABLES, bits: int = BITS_P
     return _keys
 
 
+# ---------------------------------------------------------------------------
+# approximate path 2: IVF (inverted-file) coarse quantizer
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def _ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str):
+    """Deterministic centroid pick: the ``n_cells`` corpus vectors
+    with the smallest sha256(id) — a seed-free pseudorandom sample
+    (collecting k×dim floats to the driver is bounded by the cell
+    count, never the corpus).  A production index would k-means these;
+    centroid CHOICE only moves recall, never correctness, since
+    candidates are exact-scored."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.sha2(F.col("cid").cast("string"), 256))
+        .limit(n_cells)
+        .collect()
+    )
+    m = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _cell_assign_udf(centroids, n_probe: int):
+    """Arrow-batched: per vector, the ``n_probe`` nearest centroid
+    indices by cosine (ties → lower cell index), one matmul per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = _np.stack([_np.asarray(x, dtype=_np.float64) for x in v])
+        m = m / _np.maximum(_np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T                       # (B, n_cells)
+        # argsort is stable → ties resolve to the lower cell index
+        order = _np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.tolist() for row in order.astype("int32")])
+
+    return _cells
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: corpus rows are
+    bucketed by nearest centroid; each query exact-scores only the
+    rows in its ``n_probe`` nearest cells.
+
+    Candidate volume ≈ N·(n_probe/n_cells) per query, tunable
+    independently of data geometry (unlike LSH's collision
+    probability).  At 100 TB the assignment pass writes the corpus
+    bucketed/partitioned BY CELL once; probes then read n_probe
+    partitions via partition pruning — the classic FAISS-IVF layout
+    expressed as a partitioned table.  Here the same plan is an
+    equi-join on cell against the broadcast probe set; the corpus
+    never shuffles.
+
+    Recall honesty (bench.py ``ivf_recall``): on the near-ISOTROPIC
+    fixture embeddings (true top-k at cos ≈ 0.35, not localized)
+    recall ≈ 1.6× the candidate fraction — 0.4 at 4/16 probes; that
+    is a property of unclustered data, measured and reported rather
+    than hidden behind a bigger probe fraction.  On clustered corpora
+    (the regime IVF exists for — near-dup mining, retrieval) recall
+    ≥ 0.8 at the same settings (tests/test_similarity.py); the
+    geometry-adaptive sign-LSH path scores 0.92 on the fixture.
+    """
+    centroids = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assign = _cell_assign_udf(centroids, 1)
+    probe = _cell_assign_udf(centroids, n_probe)
+
+    corpus_b = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ne"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+    )
+    qprobe = queries.select(
+        "query_id",
+        "qe",
+        F.explode(probe(F.col("qe"))).alias("cell"),
+    )
+    joined = corpus_b.join(F.broadcast(qprobe), ["cell"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    pairs = joined.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id", "qe", "neighbor_id", "ne"
+    )
+    sim = cosine_similarity(F.col("qe"), F.col("ne"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("similarity_raw", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("similarity_raw", 6).alias("similarity")
+        )
+    )
+
+
+def x41_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Declared IVF query: approximate top-5 neighbors for vec_id 1..5
+    (no SQL oracle — recall-bound-tested vs exact x3 in pytest and
+    tracked per-run as ``ivf_recall`` in bench.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ann_ivf_topk(emb, probe, k=k).orderBy(
+        "query_id", F.col("similarity").desc(), "neighbor_id"
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

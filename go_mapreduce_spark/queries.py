@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_mapreduce_spark.operators import curation as C
 from go_mapreduce_spark.operators import multimodal as MM
 from go_mapreduce_spark.operators import relational as R
 from go_mapreduce_spark.operators import relational_ext as RX
@@ -97,6 +98,13 @@ QUERIES: dict[str, QueryFn] = {
     "x35_multimodal_decode": MM.x35_multimodal_decode,
     # --- Structured Streaming availableNow replay (≡ batch x11) ---
     "x36_stream_tumbling": SE.x36_stream_tumbling,
+    # --- training-data curation: sampling / budgeting / accounting ---
+    "x37_hash_sample": C.x37_hash_sample,
+    "x38_per_group_cap": C.x38_per_group_cap,
+    "x39_bpe_token_count": C.x39_bpe_token_count,
+    "x40_grouped_median": C.x40_grouped_median,
+    # --- IVF approximate nearest neighbors (recall-tested, no oracle) ---
+    "x41_ann_ivf": S.x41_ann_ivf,
 }
 
 
@@ -609,6 +617,40 @@ ORACLE_SQL["x28_grouped_zscore"] = """
                  / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["x37_hash_sample"] = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE sha256(CAST(doc_id AS VARCHAR))[:2] < '{C.SAMPLE_PREFIX_LT}'
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x38_per_group_cap"] = """
+    SELECT doc_id, lang, rn
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 50
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x39_bpe_token_count"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{C.BPE_REGEX.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, ' +'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x40_grouped_median"] = """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
 """
 
 ORACLE_SQL["x8_lang_id"] = _lang_id_oracle()

@@ -74,3 +74,30 @@ def test_ann_lsh_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, ann_lsh_topk(emb, q, k=5).collect()))
     b = sorted(map(tuple, ann_lsh_topk(emb, q, k=5).collect()))
     assert a == b
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from go_mapreduce_spark.operators.similarity import ann_ivf_topk
+
+    emb = _clustered_embeddings(spark)
+    q = _queries(emb, 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(emb, q, k=5).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} below bound"
+
+
+def test_ann_ivf_is_deterministic(spark, sf_dir):
+    from go_mapreduce_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb, 5)
+    a = sorted(map(tuple, ann_ivf_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, ann_ivf_topk(emb, q, k=5).collect()))
+    assert a == b
