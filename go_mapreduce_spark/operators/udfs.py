@@ -51,6 +51,44 @@ def x22_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def geomean_udaf():
+    """Vectorized grouped-aggregate (UDAF) pandas_udf: geometric mean.
+
+    The GROUPED_AGG Arrow path — per group, the whole value series
+    arrives as ONE pandas Series and returns one scalar.  Chosen
+    because the quantity is exactly SQL-expressible (exp(avg(ln x)))
+    so the Python aggregate gets a real cross-engine oracle, unlike
+    typical UDAF demos.  Built lazily (pandas_udf needs an active
+    SparkContext for its return type).
+    """
+    import numpy as np
+
+    @pandas_udf("double")
+    def _geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    return _geomean
+
+
+def x42_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status geometric mean of order totals via a grouped-agg
+    pandas UDF, rounded for cross-engine float parity.
+
+    Scale note: GROUPED_AGG ships each group's full value series to
+    Python — right for bounded group counts with big groups (3 order
+    statuses); for the JVM-only formulation use exp(avg(ln x)), which
+    is what the oracle does.  This entry exists to driver-gate the
+    UDAF surface itself.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    gm = geomean_udaf()
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.round(gm(F.col("o_totalprice")), 6).alias("geomean_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map worker: z-score of o_totalprice within the group
     (sample stddev).  Whole group in one pandas frame — the UDTF-style

@@ -105,6 +105,10 @@ QUERIES: dict[str, QueryFn] = {
     "x40_grouped_median": C.x40_grouped_median,
     # --- IVF approximate nearest neighbors (recall-tested, no oracle) ---
     "x41_ann_ivf": S.x41_ann_ivf,
+    # --- grouped-agg pandas UDAF surface ---
+    "x42_pandas_udaf_geomean": U.x42_pandas_udaf_geomean,
+    # --- streaming session-window replay (≡ batch x12) ---
+    "x43_stream_sessions": SE.x43_stream_sessions,
 }
 
 
@@ -618,6 +622,16 @@ ORACLE_SQL["x28_grouped_zscore"] = """
     FROM orders
     ORDER BY o_orderkey
 """
+
+ORACLE_SQL["x42_pandas_udaf_geomean"] = """
+    SELECT o_orderstatus,
+           ROUND(exp(avg(ln(o_totalprice))), 6) AS geomean_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["x43_stream_sessions"] = ORACLE_SQL["x12_session_window"]
 
 ORACLE_SQL["x37_hash_sample"] = f"""
     SELECT doc_id, lang

@@ -205,6 +205,33 @@ def x36_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def x43_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming session windows: replay events through
+    the ``session_window`` aggregate (availableNow) — result must
+    equal the batch x12 answer.
+
+    Session windows are the genuinely STATEFUL window shape (window
+    extent depends on the data, unlike fixed tumbling grids), so this
+    gate proves the merge-on-overlap session state machine, not just
+    windowed hashing.
+    """
+    import tempfile
+    import uuid
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    replay_dir = tempfile.mkdtemp(prefix="gms_x43_replay_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        replay_dir
+    )
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    sink = f"x43_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(session_aggregate(stream), sink, output_mode="complete")
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n_events, total_value FROM {sink}"
+    ).orderBy("user_id", "session_start")
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:
