@@ -455,35 +455,35 @@ def connected_components(
         .persist()
     )
     rounds = 0
+    prev_cached = labels
     while True:
-        # candidate: min over own label and neighbors' labels
+        # candidate: min over own label and neighbors' labels; the OLD
+        # label rides along so convergence is read off THIS relation —
+        # no extra labels⋈updated join (and its shuffle) per round
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("u", "node")
         )
-        updated = labels.join(neighbor_min, "node", "left").select(
+        cand = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
         rounds += 1
         if rounds % checkpoint_every == 0:
             # localCheckpoint is eager: materializes AND caches the
             # result while cutting lineage back to a leaf
-            updated = updated.localCheckpoint()
+            cand = cand.localCheckpoint()
         else:
-            updated = updated.persist()
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+            cand = cand.persist()
+        changed = cand.filter(F.col("label") != F.col("_old")).count()
         # release the superseded round's cache — an iterative loop that
         # only persists leaks one cached relation per round
-        labels.unpersist()
-        labels = updated
+        prev_cached.unpersist()
+        prev_cached = cand
+        labels = cand.select("node", "label")
         if changed == 0:
             break
     result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
