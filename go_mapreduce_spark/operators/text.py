@@ -142,6 +142,49 @@ def x21_tfidf(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
     )
 
 
+WINNOW_W = 4
+
+
+def x44_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): per doc,
+    hash every word-3-gram shingle, slide a window of WINNOW_W
+    consecutive hashes, select each window's minimum → the selected
+    set is the document's fingerprint sketch.
+
+    Winnowing guarantees any shared run of ≥ w+n-1 tokens between two
+    docs yields a shared selected hash — the position-robust overlap
+    detector used by MOSS-style plagiarism/contamination checks.
+    Output: per doc, the distinct-selection count and the smallest
+    selected hash (docs with < w full windows emit nothing —
+    documented contract).
+
+    Plan shape: posexplode + two windows over (doc_id, pos) — one
+    shuffle on doc_id, per-doc work linear in length.  sha256 (not
+    xxhash) so the DuckDB oracle computes literally the same values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.posexplode(shingles_from_tokens(F.col("toks"))).alias("pos", "sh"))
+    )
+    w_frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    w_doc = Window.partitionBy("doc_id")
+    sel = (
+        sh.withColumn("h", F.sha2(F.col("sh"), 256))
+        .withColumn("wmin", F.min("h").over(w_frame))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .filter(F.col("pos") <= F.col("n") - WINNOW_W)
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.countDistinct("wmin").alias("n_fp"),
+            F.min("wmin").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: min sha256 over word-3-gram
     shingles (lowercase tokenizer); sha256 of the lowercased text when

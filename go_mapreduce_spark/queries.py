@@ -109,6 +109,8 @@ QUERIES: dict[str, QueryFn] = {
     "x42_pandas_udaf_geomean": U.x42_pandas_udaf_geomean,
     # --- streaming session-window replay (≡ batch x12) ---
     "x43_stream_sessions": SE.x43_stream_sessions,
+    # --- winnowing fingerprints (MOSS-style overlap sketch) ---
+    "x44_winnow_fingerprint": T.x44_winnow_fingerprint,
 }
 
 
@@ -621,6 +623,30 @@ ORACLE_SQL["x28_grouped_zscore"] = """
                  / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+# Winnowing (W=4): full windows start at 1-based i ∈ [1, n-W+1] →
+# range(1, n-2); slice hs[i:i+3] is the 4-element window (DuckDB
+# slices are 1-based inclusive).
+ORACLE_SQL["x44_winnow_fingerprint"] = """
+    WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> len(x) > 0) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, list_transform(range(1, len(toks) - 1),
+                   i -> sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
+        FROM t
+    ), w AS (
+        SELECT doc_id, list_transform(range(1, len(hs) - 2),
+                   i -> list_min(hs[i:i+3])) AS mins
+        FROM s WHERE len(hs) >= 4
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(mins)) AS BIGINT) AS n_fp,
+           list_min(mins) AS fp_min
+    FROM w
+    ORDER BY doc_id
 """
 
 ORACLE_SQL["x42_pandas_udaf_geomean"] = """
