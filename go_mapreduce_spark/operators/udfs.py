@@ -89,6 +89,41 @@ def x42_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x45_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional word bigrams via a real Python UDTF (1 row → N
+    rows), consumed through SQL LATERAL — completing the
+    UDF/UDAF/UDTF triple of driver-gated extension points (x22 scalar,
+    x42 grouped-agg, x45 table function).
+
+    This is the exact shape of the reference's Map callback
+    (reference worker.go:13-21: one string in, a list of records out)
+    re-expressed as a first-class SQL-addressable table function.
+    Tokenization pinned to [A-Za-z]+ so the oracle's
+    regexp_extract_all matches Python's re.findall byte-for-byte on
+    the ASCII fixtures.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            import re
+
+            toks = re.findall(r"[A-Za-z]+", text or "")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("gms_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("gms_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, pos, bigram
+        FROM gms_docs, LATERAL gms_bigrams(text)
+        ORDER BY doc_id, pos
+        """
+    )
+
+
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map worker: z-score of o_totalprice within the group
     (sample stddev).  Whole group in one pandas frame — the UDTF-style

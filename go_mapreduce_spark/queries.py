@@ -111,6 +111,8 @@ QUERIES: dict[str, QueryFn] = {
     "x43_stream_sessions": SE.x43_stream_sessions,
     # --- winnowing fingerprints (MOSS-style overlap sketch) ---
     "x44_winnow_fingerprint": T.x44_winnow_fingerprint,
+    # --- Python UDTF through SQL LATERAL ---
+    "x45_udtf_bigrams": U.x45_udtf_bigrams,
 }
 
 
@@ -623,6 +625,19 @@ ORACLE_SQL["x28_grouped_zscore"] = """
                  / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["x45_udtf_bigrams"] = """
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS toks
+        FROM documents
+    )
+    SELECT doc_id, CAST(pb.pos AS BIGINT) AS pos, pb.bigram AS bigram
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> {'pos': i - 1, 'bigram': toks[i] || ' ' || toks[i+1]})) AS pb
+          FROM t)
+    ORDER BY doc_id, pos
 """
 
 # Winnowing (W=4): full windows start at 1-based i ∈ [1, n-W+1] →
