@@ -293,6 +293,32 @@ def x34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x46_array_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column:
+    dimension, L2 norm, mean element, max |element| — transform /
+    aggregate / array_max staying entirely JVM-side (the §2.B "array"
+    scalar-function row, exercised on real vector data).
+
+    Per-element double casts on BOTH engines (the floats are float32
+    in parquet; summing in float32 order-dependently would break hash
+    parity).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+            F.round(total / F.size("embedding"), 6).alias("mean_elem"),
+            F.round(F.array_max(F.transform(v, F.abs)), 6).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def x19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function sampler (string/date/math) with exact
     cross-engine semantics: upper/substring/concat, year/month/

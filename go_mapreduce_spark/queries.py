@@ -113,6 +113,8 @@ QUERIES: dict[str, QueryFn] = {
     "x44_winnow_fingerprint": T.x44_winnow_fingerprint,
     # --- Python UDTF through SQL LATERAL ---
     "x45_udtf_bigrams": U.x45_udtf_bigrams,
+    # --- higher-order array functions over vectors ---
+    "x46_array_math": RX.x46_array_math,
 }
 
 
@@ -625,6 +627,17 @@ ORACLE_SQL["x28_grouped_zscore"] = """
                  / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["x46_array_math"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT vec_id,
+           CAST(len(e) AS BIGINT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2_norm,
+           ROUND(list_sum(e) / len(e), 6) AS mean_elem,
+           ROUND(list_max(list_transform(e, x -> abs(x))), 6) AS max_abs
+    FROM v
+    ORDER BY vec_id
 """
 
 ORACLE_SQL["x45_udtf_bigrams"] = """

@@ -80,3 +80,36 @@ def test_sorted_tsv_sharded_globally_ordered(spark, sf_dir, tmp_path):
             all_keys.extend(ln.split("\t")[0] for ln in fh.read().splitlines())
     assert all_keys == sorted(all_keys)
     assert len(all_keys) == df.count()
+
+
+def test_query_results_identical_across_source_formats(spark, sf_dir, tmp_path):
+    """The engine answer is a property of the DATA, not the source
+    format: the q2 aggregation over lineitem must hash-match whether
+    the table is read from parquet, CSV (schema applied), or ORC."""
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+    from tests.conftest import canon_rows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cdir, odir = str(tmp_path / "li_csv"), str(tmp_path / "li_orc")
+    li.write.mode("overwrite").option("header", "true").csv(cdir)
+    li.write.mode("overwrite").orc(odir)
+    sources = {
+        "parquet": li,
+        "csv": spark.read.schema(li.schema).option("header", "true").csv(cdir),
+        "orc": spark.read.orc(odir),
+    }
+
+    def agg(df):
+        out = (
+            df.groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+        return canon_rows(out.columns, [tuple(r) for r in out.collect()])
+
+    results = {fmt: agg(df) for fmt, df in sources.items()}
+    assert results["csv"] == results["parquet"]
+    assert results["orc"] == results["parquet"]
