@@ -42,6 +42,34 @@ def salted_join(
     return out.drop("_salt")
 
 
+def x47_salted_join(spark, sf_dir: str) -> DataFrame:
+    """Driver-gated salting proof: events ⋈ customer-segments through
+    :func:`salted_join`, re-aggregated per segment.
+
+    The oracle is the PLAIN join+aggregate — the whole point of
+    salting is that the physical rebalancing is semantically
+    invisible, and this gate proves it: any salt assignment must
+    produce the bit-identical answer (each salted left row matches
+    exactly one replica of its right row).
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, seg, "user_id")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def repartition_for_join(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     """Pre-shuffle on the join key so several downstream joins/aggs on
     the same key reuse one exchange (Catalyst reuses compatible

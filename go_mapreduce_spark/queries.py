@@ -22,6 +22,7 @@ from go_mapreduce_spark.operators import curation as C
 from go_mapreduce_spark.operators import multimodal as MM
 from go_mapreduce_spark.operators import relational as R
 from go_mapreduce_spark.operators import relational_ext as RX
+from go_mapreduce_spark.operators import scale as SC
 from go_mapreduce_spark.operators import sketches as SK
 from go_mapreduce_spark.operators import udfs as U
 from go_mapreduce_spark.operators import wordcount as W
@@ -115,6 +116,8 @@ QUERIES: dict[str, QueryFn] = {
     "x45_udtf_bigrams": U.x45_udtf_bigrams,
     # --- higher-order array functions over vectors ---
     "x46_array_math": RX.x46_array_math,
+    # --- skew salting proven semantically invisible ---
+    "x47_salted_join": SC.x47_salted_join,
 }
 
 
@@ -627,6 +630,16 @@ ORACLE_SQL["x28_grouped_zscore"] = """
                  / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["x47_salted_join"] = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
 """
 
 ORACLE_SQL["x46_array_math"] = """
