@@ -94,6 +94,91 @@ def x39_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+def x48_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay documents end-to-end (doc_id order) into
+    a concatenated token stream and split it into PACK_BUDGET-token
+    bins — each doc gets (bin_id, start_offset) in the packed layout.
+
+    The concat-then-split packing used to build fixed-length training
+    batches without padding waste.  One running-sum window over a
+    deterministic order; at 100 TB pack per shard/partition instead
+    of globally (a global cumsum serializes) — the per-shard variant
+    is this same window with the shard as partition key.
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens_ascii(F.col("text"))).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    sized = docs.select("doc_id", n_tok.alias("n_tokens"))
+    return (
+        sized.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("bin_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def x49_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of duplicate word-3-gram
+    occurrences (Gopher-style repetition quality rule — a doc whose
+    shingles are mostly repeats is boilerplate/spam).
+
+    dup_frac = 1 − distinct_shingles / total_shingles; docs with < 3
+    tokens score 0 by contract.  Pure array expressions, scan-speed.
+    """
+    from go_mapreduce_spark.operators.dedup import lower_tokens, shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+    shs = shingles_from_tokens(F.col("toks"))
+    n_sh = F.size(shs)
+    n_uniq = F.size(F.array_distinct(shs))
+    dup_frac = F.when(
+        n_sh > 0, F.lit(1.0) - n_uniq.cast("double") / n_sh.cast("double")
+    ).otherwise(F.lit(0.0))
+    return toks.select(
+        "doc_id",
+        n_sh.cast("bigint").alias("n_shingles"),
+        n_uniq.cast("bigint").alias("n_distinct_shingles"),
+        F.round(dup_frac, 6).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_RE = "[0-9]{6,}"
+
+
+def x50_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing accounting: redact email-like strings and long
+    digit runs, report counts and the redacted length delta.
+
+    The scrub itself is regexp_replace (JVM, scan-speed); the DECLARED
+    output is the per-doc audit (n_emails, n_longnums, chars removed)
+    — the numbers a compliance pass reports.  Redaction order is
+    pinned (emails first, then digit runs) so both engines transform
+    identical intermediate text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_email = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).cast("bigint")
+    step1 = F.regexp_replace("text", EMAIL_RE, "<EMAIL>")
+    n_num = F.size(F.regexp_extract_all(step1, F.lit(LONGNUM_RE), F.lit(0))).cast("bigint")
+    redacted = F.regexp_replace(step1, LONGNUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_num.alias("n_longnums"),
+        (F.length("text") - F.length(redacted)).cast("bigint").alias("chars_removed"),
+    ).orderBy("doc_id")
+
+
 def x40_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group median and p90 (linear interpolation) of
     lineitem quantity.

@@ -118,6 +118,10 @@ QUERIES: dict[str, QueryFn] = {
     "x46_array_math": RX.x46_array_math,
     # --- skew salting proven semantically invisible ---
     "x47_salted_join": SC.x47_salted_join,
+    # --- curation wave 2: packing / repetition / PII audit ---
+    "x48_pack_sequences": C.x48_pack_sequences,
+    "x49_repetition_score": C.x49_repetition_score,
+    "x50_redact_pii": C.x50_redact_pii,
 }
 
 
@@ -630,6 +634,59 @@ ORACLE_SQL["x28_grouped_zscore"] = """
                  / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["x48_pack_sequences"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM s
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / {C.PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM o
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x49_repetition_score"] = """
+    WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> len(x) > 0) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(shs) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct_shingles,
+           ROUND(CASE WHEN len(shs) > 0
+                      THEN 1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM s
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x50_redact_pii"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(text, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+                '{C.LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+           CAST(len(text) - len(
+                regexp_replace(
+                    regexp_replace(text, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{C.LONGNUM_RE}', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+    FROM documents
+    ORDER BY doc_id
 """
 
 ORACLE_SQL["x47_salted_join"] = """
