@@ -60,3 +60,48 @@ def test_wordcount_stays_in_codegen(spark, sf_dir):
     assert wholestage_codegen_ids(df), "expected WholeStageCodegen spans"
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partitioned parquet table
+    must become a PartitionFilter (pruned directories, not scanned
+    rows) — the layout that turns a 100 TB table into a per-day read."""
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf, plan[:1500]
+    # and the pruned read returns exactly the filtered rows
+    want = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click").count()
+    assert df.count() == want
+
+
+def test_large_large_join_uses_sort_merge(spark, sf_dir):
+    """Two fact tables with no broadcast hint and no bucketing: the
+    planner must choose a shuffle join (SMJ or shuffled hash), never a
+    nested loop — the strategy that scales to fact⋈fact at 100 TB."""
+    from go_mapreduce_spark.plans.explain import executed_plan
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # disable broadcast so fixture-scale stats don't hide the strategy
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = executed_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
