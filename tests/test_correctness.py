@@ -35,3 +35,25 @@ def test_no_oracle_query_runs_and_is_deterministic(spark, sf_dir, name):
 
 def test_every_oracle_key_has_query():
     assert not set(ORACLE_SQL) - set(QUERIES)
+
+
+def test_no_declared_query_emits_unhashable_columns(spark, sf_dir):
+    """The driver's canonicalizer sorts result columns with pandas —
+    array/map/struct values crash it (round-1 x33 lesson). Every
+    declared query must emit only scalar columns; complex values must
+    be serialized (array_join etc.) before they leave the query."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from go_mapreduce_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex-typed output columns: {offenders}"
