@@ -69,6 +69,51 @@ def x24_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x51_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per event_type, a DENSE hourly grid
+    from that type's first to last hour — empty hours appear with
+    n_events = 0 and the last seen hourly total carried forward
+    (the gap-fill + LOCF pair every hypertable/rollup engine ships).
+
+    Plan shape: the spine is sequence()+explode off the per-type
+    min/max (one tiny aggregate — n_types rows), left-joined to the
+    hourly aggregate on (type, hour), then one ordered window for the
+    forward fill.  Nothing here scales with the GAP count except the
+    spine itself — empty hours never touch the events table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 def x12_session_window(spark: SparkSession, sf_dir: str, gap: str = "10 minutes") -> DataFrame:
     """Per-user session windows with a 10-minute inactivity gap.
 

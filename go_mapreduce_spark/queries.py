@@ -122,6 +122,8 @@ QUERIES: dict[str, QueryFn] = {
     "x48_pack_sequences": C.x48_pack_sequences,
     "x49_repetition_score": C.x49_repetition_score,
     "x50_redact_pii": C.x50_redact_pii,
+    # --- time-series gap-fill + forward fill (hypertable resample) ---
+    "x51_gapfill_ffill": WIN.x51_gapfill_ffill,
 }
 
 
@@ -634,6 +636,30 @@ ORACLE_SQL["x28_grouped_zscore"] = """
                  / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["x51_gapfill_ffill"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(CAST(min(h) AS TIMESTAMP),
+                                      CAST(max(h) AS TIMESTAMP),
+                                      INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY event_type
+    )
+    SELECT s.event_type,
+           s.h AS hour,
+           CAST(COALESCE(hy.n_events, 0) AS BIGINT) AS n_events,
+           last_value(hy.total_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN hourly hy ON hy.event_type = s.event_type AND hy.h = s.h
+    ORDER BY s.event_type, hour
 """
 
 ORACLE_SQL["x48_pack_sequences"] = f"""
