@@ -95,29 +95,43 @@ def x39_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 512  # tokens per packed sequence
+PACK_SHARDS = 16   # independent packing streams
 
 
 def x48_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: lay documents end-to-end (doc_id order) into
-    a concatenated token stream and split it into PACK_BUDGET-token
-    bins — each doc gets (bin_id, start_offset) in the packed layout.
+    """Sharded sequence packing: documents are assigned to
+    PACK_SHARDS deterministic shards (doc_id mod), laid end-to-end in
+    doc_id order WITHIN each shard, and split into PACK_BUDGET-token
+    bins — each doc gets (shard_id, bin_id, start_offset).
 
     The concat-then-split packing used to build fixed-length training
-    batches without padding waste.  One running-sum window over a
-    deterministic order; at 100 TB pack per shard/partition instead
-    of globally (a global cumsum serializes) — the per-shard variant
-    is this same window with the shard as partition key.
+    batches without padding waste.  Sharding is what makes it a
+    100 TB plan: a GLOBAL cumulative sum is a single-partition window
+    (one task sees every row); per-shard windows run PACK_SHARDS-wide
+    in parallel and each training shard is packed independently —
+    which is how packing is consumed anyway (one stream per data
+    loader).  Raise PACK_SHARDS with the cluster, bins stay identical
+    within a shard.
     """
     from go_mapreduce_spark.operators.text import _tokens_ascii
 
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_tokens_ascii(F.col("text"))).cast("bigint")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    sized = docs.select("doc_id", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("bigint").alias("shard_id"),
+        n_tok.alias("n_tokens"),
+    )
     return (
         sized.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .select(
             "doc_id",
+            "shard_id",
             "n_tokens",
             "start_offset",
             F.floor(F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("bin_id"),

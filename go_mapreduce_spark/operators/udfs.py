@@ -104,7 +104,9 @@ def x45_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos bigint, bigram string")
+    # useArrow: results cross the Python↔JVM boundary as Arrow
+    # batches instead of pickled rows — the UDTF analog of pandas_udf
+    @udtf(returnType="pos bigint, bigram string", useArrow=True)
     class Bigrams:
         def eval(self, text: str):
             import re

@@ -665,17 +665,18 @@ ORACLE_SQL["x51_gapfill_ffill"] = """
 ORACLE_SQL["x48_pack_sequences"] = f"""
     WITH s AS (
         SELECT doc_id,
+               doc_id % {C.PACK_SHARDS} AS shard_id,
                CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
                                     t -> len(t) > 0)) AS BIGINT) AS n_tokens
         FROM documents
     ), o AS (
-        SELECT doc_id, n_tokens,
-               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        SELECT doc_id, shard_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                    AS start_offset
         FROM s
     )
-    SELECT doc_id, n_tokens, start_offset,
+    SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id, n_tokens, start_offset,
            CAST(FLOOR(start_offset / {C.PACK_BUDGET}) AS BIGINT) AS bin_id
     FROM o
     ORDER BY doc_id
