@@ -54,3 +54,35 @@ def test_groupby_null_keys_form_a_group(spark):
     )
     out = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     assert out[None] == 3.0 and out["a"] == 3.0
+
+
+def test_curation_ops_on_null_and_empty_text(spark, tmp_path):
+    """BPE counting, repetition scoring, and PII audit must survive
+    null/empty text without throwing (ANSI mode) and without emitting
+    surprise values for present docs."""
+    import os
+
+    from go_mapreduce_spark.operators import curation as C
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alice@example.com called 1234567 twice", "en"),
+         (2, None, "en"),
+         (3, "", "en"),
+         (4, "plain words only here now", "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    bpe = {r.doc_id: (r.n_bpe_tokens, r.n_ws_tokens)
+           for r in C.x39_bpe_token_count(spark, d).collect()}
+    assert bpe[4][1] == 5 and bpe[4][0] >= 5
+    assert 1 in bpe  # email doc tokenizes without error
+
+    rep = {r.doc_id: r.dup_frac for r in C.x49_repetition_score(spark, d).collect()}
+    assert rep[4] == 0.0
+    assert rep.get(2, 0.0) == 0.0 and rep.get(3, 0.0) == 0.0  # null/empty → 0 by contract
+
+    pii = {r.doc_id: (r.n_emails, r.n_longnums, r.chars_removed)
+           for r in C.x50_redact_pii(spark, d).collect()}
+    assert pii[1][0] == 1 and pii[1][1] == 1 and pii[1][2] > 0
+    assert pii[4] == (0, 0, 0)
