@@ -41,7 +41,12 @@ def main() -> None:
     # measure execution, not first-compile noise.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     if os.path.isdir(WARMUP_SF_DIR) and WARMUP_SF_DIR != SF_DIR:
-        for fn in QUERIES.values():
+        for name, fn in QUERIES.items():
+            # stream-replay queries cost wall-clock in the streaming
+            # machinery (temp write + triggers), not codegen — warming
+            # them doubles bench time for no measurement benefit
+            if name.startswith(("x36_", "x43_")):
+                continue
             fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
 
