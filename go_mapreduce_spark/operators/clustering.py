@@ -1,0 +1,140 @@
+"""Embedding clustering: nearest-centroid assignment (declared,
+oracle-checked) and an iterative Lloyd's k-means trainer (pytest-
+covered — iterative fixpoints are not one-query SQL, same status as
+connected components).
+
+Used for corpus organization in training-data pipelines: topic
+bucketing, quality-stratified mixing, and fitting the coarse
+quantizer behind the IVF index (operators/similarity.py).
+
+Scale design:
+- Centroids are k×d values — driver/broadcast-sized by construction
+  (k ≤ 10⁵ even at 100 TB).  Assignment is a broadcast nested-loop
+  join (corpus never shuffles) + a map-side partial ``min(struct)``
+  aggregate: each partition reduces to one row per vector BEFORE the
+  exchange, so the shuffle carries N rows, not N×k.
+- The update step (per-cluster per-dimension mean) explodes to
+  (cluster, dim) keys — k×d groups, uniform by construction — and
+  sums through exact decimal, so trained centroids are bit-identical
+  at any partitioning (tests/test_clustering.py proves it).
+- Each round reads the SAME cached corpus; only k×d floats cross the
+  driver boundary per round.  Lineage doesn't grow per round because
+  centroids re-enter the plan as fresh literal relations, so no
+  checkpointing is needed (unlike connected components, where labels
+  are a DataFrame fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.functions.numeric import DECIMAL_T
+from go_mapreduce_spark.functions.vectors import l2_dist2
+from go_mapreduce_spark.sources.registry import load_table
+
+KMEANS_K = 8
+
+
+def assign_nearest(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared L2; ties break to the
+    lower centroid_id (struct-min ordering).  centroids:
+    (centroid_id, ce).  Returns (id, centroid_id, d2)."""
+    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    d2 = l2_dist2(F.col(vec_col), F.col("ce"))
+    best = joined.groupBy(id_col).agg(
+        F.min(F.struct(d2.alias("d2"), F.col("centroid_id"))).alias("m")
+    )
+    return best.select(
+        id_col,
+        F.col("m.centroid_id").alias("centroid_id"),
+        F.col("m.d2").alias("d2"),
+    )
+
+
+def x56_kmeans_assign(spark: SparkSession, sf_dir: str, k: int = KMEANS_K) -> DataFrame:
+    """Declared clustering query: assign every embedding to its
+    nearest of k fixed centroids (the embeddings with vec_id 1..k —
+    deterministic, so DuckDB can replay the exact assignment).
+
+    The trained-centroid variant is :func:`kmeans_fit` (pytest).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").between(1, k)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    out = assign_nearest(emb, centroids)
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        F.round(F.sqrt(F.col("d2")), 6).alias("dist"),
+    ).orderBy("vec_id")
+
+
+def _seed_centroids(corpus: DataFrame, k: int, id_col: str, vec_col: str):
+    """Deterministic seed pick: k corpus vectors with the smallest
+    sha256(id) — seed-free, reproducible anywhere (same rule as the
+    IVF coarse quantizer)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.sha2(F.col("cid").cast("string"), 256))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r.cvec] for r in rows]
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = KMEANS_K,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means over an embedding column.
+
+    Returns (centroids, assign) where centroids is a k×d list of
+    lists and ``assign`` the final (id, centroid_id, d2) DataFrame.
+    Empty clusters keep their previous centroid (standard Lloyd
+    fallback).  Deterministic: seeded centroids + exact-decimal mean
+    sums make every round's centroids partition-invariant.
+    """
+    spark = corpus.sparkSession
+    corpus = corpus.select(id_col, vec_col).persist()
+    cents = _seed_centroids(corpus, k, id_col, vec_col)
+    assign = None
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "centroid_id int, ce array<double>",
+        )
+        assign = assign_nearest(corpus, cdf, id_col, vec_col)
+        # update: per-(cluster, dim) exact-decimal mean; k×d groups
+        sums = (
+            assign.join(corpus, id_col)
+            .select("centroid_id", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(
+                F.sum(F.col("x").cast("double").cast(DECIMAL_T)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in sums:
+            new_cents[r.centroid_id][r.dim] = float(r.s) / r.n
+        shift = max(
+            sum((a - b) * (a - b) for a, b in zip(ca, cb))
+            for ca, cb in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    corpus.unpersist()
+    return cents, assign

@@ -193,6 +193,98 @@ def x50_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+DECON_HOLDOUT_MOD = 10   # doc_id % MOD == 0 → benchmark/eval holdout
+DECON_FLAG_FRAC = 0.2    # flag a train doc when ≥20% of its shingles hit
+
+
+def x52_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per train doc, how many of its word
+    3-gram shingles also appear in the benchmark (holdout) set, and a
+    flag when the overlap fraction clears ``DECON_FLAG_FRAC``.
+
+    The standard eval-leakage audit before training: the holdout here
+    is the deterministic ``doc_id % 10 == 0`` slice of ``documents``
+    (in production: the benchmark suite itself).
+
+    100 TB shape: benchmark suites are tiny (10⁵–10⁶ shingles) next
+    to the corpus, so the DISTINCT benchmark-shingle set is
+    **broadcast** and the train corpus is scanned once — a broadcast
+    left-semi probe per posting, no shuffle of the corpus, no join
+    key skew (a hot shingle multiplies nothing: the probe is a set
+    membership test, not a pair generator).  Contrast x6, where
+    pairwise train×train overlap needs the capped inverted index.
+    """
+    from go_mapreduce_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_holdout = F.pmod(F.col("doc_id"), F.lit(DECON_HOLDOUT_MOD)) == 0
+    bench_sh = doc_shingles(docs.filter(is_holdout)).select("sh").distinct()
+    train = docs.filter(~is_holdout)
+    train_sh = doc_shingles(train)
+
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        train.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+        .withColumn("contamination", F.round(frac, 6))
+        .withColumn("flagged", frac >= DECON_FLAG_FRAC)
+        .orderBy("doc_id")
+    )
+
+
+MIX_TOKEN_BUDGET = 2000  # tokens admitted per language stream
+
+
+def x53_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: admit documents per language, in
+    deterministic doc_id order, until each language's token budget is
+    reached (the document that crosses the budget line is admitted —
+    fill-then-stop semantics).
+
+    This is the mixture-weighting step of corpus assembly ("x tokens
+    of code, y of web, z of books"): one window cumulative sum per
+    group key, then a pure filter — the same shape as x48's packing,
+    so skewed languages cost one in-partition sort, never a
+    cross-partition explosion.  Budgets scale by raising
+    MIX_TOKEN_BUDGET; determinism comes from the (lang, doc_id)
+    ordering, not from arrival order.
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens_ascii(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    return (
+        sized.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("cum_before") < MIX_TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_before")
+        .orderBy("doc_id")
+    )
+
+
 def x40_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group median and p90 (linear interpolation) of
     lineitem quantity.

@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_mapreduce_spark.operators import cdc as CD
+from go_mapreduce_spark.operators import clustering as CL
 from go_mapreduce_spark.operators import curation as C
 from go_mapreduce_spark.operators import multimodal as MM
 from go_mapreduce_spark.operators import relational as R
@@ -124,6 +126,14 @@ QUERIES: dict[str, QueryFn] = {
     "x50_redact_pii": C.x50_redact_pii,
     # --- time-series gap-fill + forward fill (hypertable resample) ---
     "x51_gapfill_ffill": WIN.x51_gapfill_ffill,
+    # --- curation wave 3: eval decontamination + token-budget mixing ---
+    "x52_decontaminate": C.x52_decontaminate,
+    "x53_token_budget_mix": C.x53_token_budget_mix,
+    # --- CDC: join-based MERGE upsert + SCD2 validity intervals ---
+    "x54_merge_upsert": CD.x54_merge_upsert,
+    "x55_scd2_intervals": CD.x55_scd2_intervals,
+    # --- clustering: nearest-centroid assignment (trainer in pytest) ---
+    "x56_kmeans_assign": CL.x56_kmeans_assign,
 }
 
 
@@ -816,6 +826,111 @@ ORACLE_SQL["x40_grouped_median"] = """
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["x52_decontaminate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    ), bench AS (
+        SELECT DISTINCT sh FROM shingles WHERE doc_id % {C.DECON_HOLDOUT_MOD} = 0
+    ), train_sh AS (
+        SELECT * FROM shingles WHERE doc_id % {C.DECON_HOLDOUT_MOD} <> 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM train_sh GROUP BY doc_id
+    ), hits AS (
+        SELECT doc_id, COUNT(*) AS n_hit
+        FROM train_sh JOIN bench USING (sh) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CASE WHEN COALESCE(s.n_sh, 0) > 0
+                      THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_sh
+                      ELSE 0.0 END, 6) AS contamination,
+           (CASE WHEN COALESCE(s.n_sh, 0) > 0
+                 THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_sh
+                 ELSE 0.0 END) >= {C.DECON_FLAG_FRAC} AS flagged
+    FROM documents d
+    LEFT JOIN sizes s ON s.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % {C.DECON_HOLDOUT_MOD} <> 0
+    ORDER BY d.doc_id
+"""
+
+ORACLE_SQL["x53_token_budget_mix"] = f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+    FROM s
+    QUALIFY cum_before < {C.MIX_TOKEN_BUDGET}
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x54_merge_upsert"] = """
+    WITH target AS (
+        SELECT c_custkey AS cust_key, c_acctbal, 1 AS in_t
+        FROM customer WHERE c_custkey % 2 = 0
+    ), source AS (
+        SELECT o_custkey AS cust_key,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS delta,
+               1 AS in_s
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(t.cust_key, s.cust_key) AS cust_key,
+           CASE WHEN t.in_t IS NULL THEN 'insert'
+                WHEN s.in_s IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           ROUND(CASE WHEN t.in_t IS NULL THEN s.delta
+                      WHEN s.in_s IS NULL THEN t.c_acctbal
+                      ELSE t.c_acctbal + s.delta END, 6) AS balance,
+           CAST(COALESCE(s.n_orders, 0) AS BIGINT) AS n_orders
+    FROM target t FULL OUTER JOIN source s ON t.cust_key = s.cust_key
+    ORDER BY cust_key
+"""
+
+ORACLE_SQL["x55_scd2_intervals"] = """
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events
+    ORDER BY user_id, valid_from, event_id
+"""
+
+ORACLE_SQL["x56_kmeans_assign"] = f"""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings WHERE vec_id BETWEEN 1 AND {CL.KMEANS_K}
+    ), v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), d AS (
+        SELECT v.vec_id, c.centroid_id,
+               list_sum(list_transform(ve, (x, i) -> (x - ce[i]) * (x - ce[i]))) AS d2
+        FROM v CROSS JOIN c
+    ), r AS (
+        SELECT vec_id, centroid_id, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+        FROM d
+    )
+    SELECT vec_id, centroid_id, ROUND(sqrt(d2), 6) AS dist
+    FROM r WHERE rn = 1
+    ORDER BY vec_id
 """
 
 ORACLE_SQL["x8_lang_id"] = _lang_id_oracle()
