@@ -419,6 +419,37 @@ def x5_dedup_simhash(
 
 
 # ---------------------------------------------------------------------------
+# x57 — hot-shingle audit (the data the max_df posting cap acts on)
+# ---------------------------------------------------------------------------
+
+HOT_DF_MIN = 5
+
+
+def x57_hot_shingles(spark: SparkSession, sf_dir: str, min_df: int = HOT_DF_MIN) -> DataFrame:
+    """Shingles whose document frequency ≥ ``min_df`` — the
+    stop-shingle audit that justifies a ``max_df`` choice for
+    :func:`_candidate_pairs` before a production dedup run.
+
+    A shingle in d docs contributes d·(d−1)/2 candidate pairs, so this
+    relation ordered by df DESC is literally the pair-explosion
+    ranking; its tail tells you what a given cap discards.  One
+    groupBy on the shingle (uniform 3-gram key), map-side partial
+    counts — the same single pass the cap itself performs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        doc_shingles(docs)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .withColumn(
+            "n_cand_pairs", (F.col("df") * (F.col("df") - 1) / 2).cast("bigint")
+        )
+        .orderBy(F.col("df").desc(), "sh")
+    )
+
+
+# ---------------------------------------------------------------------------
 # x27 — dedup clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

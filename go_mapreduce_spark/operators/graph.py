@@ -1,0 +1,112 @@
+"""Iterative graph algorithms beyond connected components: PageRank
+over the near-duplicate graph.
+
+Rank on the dedup graph is a real curation signal: in a duplicate
+cluster, the highest-rank node is the most-connected ("canonical")
+variant — a principled keep-choice, where x27's min-id keep is the
+cheap one.
+
+Scale design (shared with connected_components, operators/dedup.py):
+- One driver loop, fixed ``n_iter`` rounds (deterministic plan — no
+  data-dependent convergence branch, so the oracle can replay it).
+- Per round: one join ranks⋈edges (key-partitioned; reusing the same
+  partitioning across rounds) + one aggregate.  Contribution sums go
+  through DECIMAL(38,18) — exact and associative, so ranks are
+  bit-identical at any partitioning AND match the oracle's
+  identically-shaped sum; 18 fractional digits keep ~1e-18 absolute
+  precision on rank mass (ranks ∈ (0,1]).
+- ``localCheckpoint`` every ``checkpoint_every`` rounds bounds
+  lineage depth (same discipline as the CC loop; swap for reliable
+  checkpoint() on a multi-executor cluster).
+- The symmetric near-dup edge relation has no dangling nodes by
+  construction; the general dangling-mass correction is out of scope
+  and documented here rather than half-implemented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+_DEC = "decimal(38,18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    n_iter: int = PR_ITERS,
+    checkpoint_every: int = 4,
+    symmetric: bool = False,
+) -> DataFrame:
+    """PageRank over a directed edge list (u, v); returns
+    (node, rank).  Every node must have out-degree ≥ 1 (true for
+    symmetric graphs; assert-checked cheaply via the outdeg join
+    being inner).
+
+    ``symmetric=True`` declares in-degree ≥ 1 for every node (any
+    undirected/symmetrized graph): the per-round left-join against
+    the node list — needed only to re-admit zero-in-degree nodes —
+    is skipped, dropping a third of the per-round shuffles.
+    """
+    # the edge list is often an expensive subplan (x59 feeds the x6
+    # near-dup join in) — cache it FIRST so degrees, nodes, and the
+    # per-round joins all read the materialized relation, not the
+    # upstream pipeline again
+    ed = edges.select("u", "v").distinct().persist()
+    outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # (u, v, deg) resolved once; every round reuses this cached relation
+    ed_deg = ed.join(outd, "u").persist()
+    nodes = ed.select(F.col("u").alias("node")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        ed.unpersist()
+        ed_deg.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev_cached = None
+    for i in range(n_iter):
+        contrib = ed_deg.join(ranks.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast(_DEC)).cast("double").alias("s")
+        )
+        if symmetric:
+            ranks = summed.select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(summed, "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    ed.unpersist()
+    ed_deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def x59_pagerank(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """PageRank over the symmetric x6 near-dup pair graph, 10 fixed
+    rounds — (doc_id, rank) for every doc in some near-dup pair."""
+    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    out = pagerank(edges, symmetric=True)
+    return out.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")

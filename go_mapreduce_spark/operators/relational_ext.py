@@ -269,6 +269,31 @@ def x28_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x58_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window functions in one declared query:
+    lag, dense_rank, percent_rank, ntile — per order-status, ordered
+    by (o_totalprice, o_orderkey) so ties are deterministic.
+
+    One shuffle on the partition key + one in-partition sort serves
+    all four functions (a single Window physical operator); adding
+    functions to an existing frame is free, which is why a reporting
+    layer should stack them rather than re-window per metric.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.dense_rank().over(w).cast("bigint").alias("drank"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def x34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the §2.B aggregation shape rollup and
     cube don't cover: an arbitrary list of grouping columns,

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from go_mapreduce_spark.operators import cdc as CD
+from go_mapreduce_spark.operators import graph as G
 from go_mapreduce_spark.operators import clustering as CL
 from go_mapreduce_spark.operators import curation as C
 from go_mapreduce_spark.operators import multimodal as MM
@@ -134,6 +135,11 @@ QUERIES: dict[str, QueryFn] = {
     "x55_scd2_intervals": CD.x55_scd2_intervals,
     # --- clustering: nearest-centroid assignment (trainer in pytest) ---
     "x56_kmeans_assign": CL.x56_kmeans_assign,
+    # --- hot-shingle audit (max_df sizing input) + window-fn zoo ---
+    "x57_hot_shingles": D.x57_hot_shingles,
+    "x58_window_zoo": RX.x58_window_zoo,
+    # --- PageRank over the near-dup graph (fixed-iteration replay) ---
+    "x59_pagerank": G.x59_pagerank,
 }
 
 
@@ -932,6 +938,99 @@ ORACLE_SQL["x56_kmeans_assign"] = f"""
     FROM r WHERE rn = 1
     ORDER BY vec_id
 """
+
+ORACLE_SQL["x57_hot_shingles"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    )
+    SELECT sh, COUNT(*) AS df,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_cand_pairs
+    FROM shingles
+    GROUP BY sh
+    HAVING COUNT(*) >= {D.HOT_DF_MIN}
+    ORDER BY df DESC, sh
+"""
+
+ORACLE_SQL["x58_window_zoo"] = """
+    SELECT o_orderkey, o_orderstatus,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           ROUND(percent_rank() OVER w, 6) AS prank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+"""
+
+def _pagerank_oracle(damping: float = G.PR_DAMPING, n_iter: int = G.PR_ITERS) -> str:
+    """Fixed-iteration PageRank as chained CTEs (recursive CTEs can't
+    aggregate over the recursive term, so each round is its own CTE).
+    Float parity: teleport/damping literals are injected via ``repr``
+    (bit-identical doubles both sides) and contribution sums go
+    through DECIMAL(38,18) in both engines — the identical expression
+    shape graph.pagerank evaluates, so values agree exactly."""
+    t = repr(1.0 - damping)
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""pr{i} AS (
+        SELECT n.node,
+               CAST({t} AS DOUBLE) / nn.n
+               + CAST({damping!r} AS DOUBLE)
+                 * COALESCE(CAST(SUM(CAST(p.rank / od.deg AS DECIMAL(38,18)))
+                                 AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+        FROM nodes n
+        CROSS JOIN nn
+        LEFT JOIN edges e ON e.v = n.node
+        LEFT JOIN pr{i - 1} p ON p.node = e.u
+        LEFT JOIN outd od ON od.u = e.u
+        GROUP BY n.node, nn.n
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (SELECT DISTINCT u AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outd AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+            FROM nodes CROSS JOIN nn),
+    {rounds_sql}
+    SELECT node AS doc_id, ROUND(rank, 6) AS rank
+    FROM pr{n_iter}
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["x59_pagerank"] = _pagerank_oracle()
 
 ORACLE_SQL["x8_lang_id"] = _lang_id_oracle()
 ORACLE_SQL["x9_quality_score"] = _quality_oracle()

@@ -1,0 +1,92 @@
+"""PageRank semantics tests (operators/graph.py) + the streaming
+foreachBatch upsert (streaming/upsert.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pr_reference(edges, damping=0.85, n_iter=10):
+    """Plain-python replica of the declared fixed-iteration formula."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outd = {}
+    for u, _ in edges:
+        outd[u] = outd.get(u, 0) + 1
+    n = len(nodes)
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(n_iter):
+        incoming = {x: 0.0 for x in nodes}
+        for u, v in edges:
+            incoming[v] += rank[u] / outd[u]
+        rank = {x: (1.0 - damping) / n + damping * incoming[x] for x in nodes}
+    return rank
+
+
+def test_pagerank_star_graph_matches_reference(spark):
+    from go_mapreduce_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.rank for r in pagerank(df, symmetric=True).collect()}
+    want = _pr_reference(edges)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    # hub dominates leaves
+    assert got[1] > got[2] == pytest.approx(got[3])
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a directed cycle every round preserves the uniform
+    distribution exactly — generic (non-symmetric) path."""
+    from go_mapreduce_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "u long, v long")
+    ranks = [r.rank for r in pagerank(df).collect()]
+    assert len(ranks) == 3
+    for r in ranks:
+        assert r == pytest.approx(1.0 / 3, abs=1e-12)
+
+
+def test_pagerank_symmetric_flag_is_equivalent(spark):
+    from go_mapreduce_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "u long, v long")
+    a = {r.node: r.rank for r in pagerank(df, symmetric=True).collect()}
+    b = {r.node: r.rank for r in pagerank(df, symmetric=False).collect()}
+    assert a == b  # bit-identical: same decimal-sum plan modulo the sink join
+
+
+def test_stream_upsert_totals_equals_batch(spark, sf_dir, tmp_path):
+    """Replaying events through the foreachBatch upsert must leave the
+    target equal to the batch per-user aggregate — across multiple
+    micro-batches (maxFilesPerTrigger=2 over 4 files)."""
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.streaming.events import read_event_stream
+    from go_mapreduce_spark.streaming.upsert import stream_upsert_totals
+
+    replay = str(tmp_path / "replay")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(replay)
+
+    stream = read_event_stream(spark, replay, max_files_per_trigger=2)
+    stream_upsert_totals(spark, stream, target, ckpt)
+
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .collect()
+    }
+    assert got == want
