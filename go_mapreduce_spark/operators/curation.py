@@ -285,6 +285,80 @@ def x53_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def x60_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into
+    CHUNK_TOKENS-token windows starting every CHUNK_STRIDE tokens
+    (overlapping), emitting (doc_id, chunk_idx, start_tok, chunk_len).
+    The final chunk truncates at the document end; empty documents
+    produce no chunks.
+
+    The pre-tokenization shaping step before embedding/packing: pure
+    ``sequence``+``explode`` arithmetic on the token count — no text
+    is materialized per chunk here (the slice itself is
+    ``F.slice(toks, start+1, len)`` at consumption time), so the
+    chunk INDEX relation is a few ints per chunk regardless of
+    document size.
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens_ascii(F.col("text")))
+    sized = docs.select("doc_id", n_tok.alias("n")).filter(F.col("n") > 0)
+    idx = F.sequence(F.lit(0), F.floor((F.col("n") - 1) / CHUNK_STRIDE))
+    return (
+        sized.select("doc_id", "n", F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_idx") * CHUNK_STRIDE
+            )
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+QUALITY_KEEP_MIN = 0.5
+
+
+def x61_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation keep-set: a document survives iff it
+    (a) is its exact-dedup cluster representative (x1),
+    (b) clears the quality threshold (x9), and
+    (c) has language-ID agreeing with its metadata lang (x8).
+
+    The composition query: each stage is the ALREADY-DECLARED
+    operator reused as a relation, joined on doc_id — demonstrating
+    that the curation ops compose relationally (Catalyst collapses
+    the shared ``documents`` scans via exchange reuse; each stage
+    remains one narrow pass).  This is the shape of a production
+    keep-list job: N independent signals, one join, one filter.
+    """
+    from go_mapreduce_spark.operators.dedup import x1_dedup_exact
+    from go_mapreduce_spark.operators.text import x8_lang_id, x9_quality_score
+
+    keep = x1_dedup_exact(spark, sf_dir)
+    quality = x9_quality_score(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    lang = x8_lang_id(spark, sf_dir)
+    return (
+        keep.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality") >= QUALITY_KEEP_MIN)
+            & (F.col("pred_lang") == F.col("lang"))
+        )
+        .select("doc_id", "lang", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def x40_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group median and p90 (linear interpolation) of
     lineitem quantity.

@@ -56,8 +56,11 @@ def pagerank(
     # upstream pipeline again
     ed = edges.select("u", "v").distinct().persist()
     outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # (u, v, deg) resolved once; every round reuses this cached relation
-    ed_deg = ed.join(outd, "u").persist()
+    # (u, v, deg) resolved once, hash-partitioned by the per-round
+    # join key and cached: every round's ranks⋈edges join reuses this
+    # partitioning (only the small ranks side moves) instead of
+    # re-exchanging the graph each iteration
+    ed_deg = ed.join(outd, "u").repartition("u").persist()
     nodes = ed.select(F.col("u").alias("node")).distinct().persist()
     n = nodes.count()
     if n == 0:

@@ -140,6 +140,9 @@ QUERIES: dict[str, QueryFn] = {
     "x58_window_zoo": RX.x58_window_zoo,
     # --- PageRank over the near-dup graph (fixed-iteration replay) ---
     "x59_pagerank": G.x59_pagerank,
+    # --- context-window chunking + composed curation keep-set ---
+    "x60_chunk_documents": C.x60_chunk_documents,
+    "x61_curation_pipeline": C.x61_curation_pipeline,
 }
 
 
@@ -1031,6 +1034,42 @@ def _pagerank_oracle(damping: float = G.PR_DAMPING, n_iter: int = G.PR_ITERS) ->
 
 
 ORACLE_SQL["x59_pagerank"] = _pagerank_oracle()
+
+ORACLE_SQL["x60_chunk_documents"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                               t -> len(t) > 0)) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {C.CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({C.CHUNK_TOKENS}, n - i * {C.CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_len
+    FROM (SELECT doc_id, n, unnest(range(0, (n - 1) // {C.CHUNK_STRIDE} + 1)) AS i
+          FROM s WHERE n > 0)
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+def _curation_pipeline_oracle() -> str:
+    return f"""
+    WITH q AS ({_quality_oracle()}),
+    l AS ({_lang_id_oracle()}),
+    keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    )
+    SELECT q.doc_id, l.lang, q.quality, q.n_tokens
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    JOIN keep ON keep.doc_id = q.doc_id
+    WHERE q.quality >= {C.QUALITY_KEEP_MIN} AND l.pred_lang = l.lang
+    ORDER BY q.doc_id
+"""
+
+
+ORACLE_SQL["x61_curation_pipeline"] = _curation_pipeline_oracle()
 
 ORACLE_SQL["x8_lang_id"] = _lang_id_oracle()
 ORACLE_SQL["x9_quality_score"] = _quality_oracle()
