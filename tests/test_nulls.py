@@ -86,3 +86,65 @@ def test_curation_ops_on_null_and_empty_text(spark, tmp_path):
            for r in C.x50_redact_pii(spark, d).collect()}
     assert pii[1][0] == 1 and pii[1][1] == 1 and pii[1][2] > 0
     assert pii[4] == (0, 0, 0)
+
+
+def test_wave3_curation_ops_on_null_and_empty_text(spark, tmp_path):
+    """Decontamination, token budgeting, and chunking on null/empty
+    text: no throw (ANSI), documented per-op contracts — x52 keeps
+    degenerate train docs with zeroes, x60 drops token-less docs,
+    x53 passes a null token count through (cumsum treats it as 0)."""
+    import os
+
+    from go_mapreduce_spark.operators import curation as C
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en"),
+         (2, None, "en"),
+         (3, "", "en"),
+         (10, "benchmark holdout text lives here today", "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    dec = {r.doc_id: (r.n_shingles, r.contamination, r.flagged)
+           for r in C.x52_decontaminate(spark, d).collect()}
+    assert set(dec) == {1, 2, 3}  # holdout doc 10 excluded, degenerates kept
+    assert dec[2] == (0, 0.0, False) and dec[3] == (0, 0.0, False)
+    assert dec[1][0] > 0
+
+    mix = {r.doc_id: r.n_tokens for r in C.x53_token_budget_mix(spark, d).collect()}
+    assert mix[2] is None and mix[3] == 0  # null text → null count, empty → 0
+
+    chunks = {r.doc_id for r in C.x60_chunk_documents(spark, d).collect()}
+    assert chunks == {1, 10}  # token-less docs produce no chunks
+
+
+def test_assign_nearest_null_embedding(spark):
+    """Null vector → null distance, no crash; valid vectors assign."""
+    from go_mapreduce_spark.operators.clustering import assign_nearest
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 3.0])], "centroid_id int, ce array<double>"
+    )
+    got = {r.vec_id: (r.centroid_id, r.d2) for r in assign_nearest(corpus, cents).collect()}
+    assert got[1] == (0, 1.0)
+    assert got[2][1] is None
+
+
+def test_scd2_null_timestamp_rows_survive(spark):
+    """A null change-ts row must not crash interval derivation (it
+    sorts first in its entity's history under Spark's NULLS FIRST)."""
+    import datetime
+
+    from go_mapreduce_spark.operators.cdc import scd2_intervals
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, 100, None, 1.0), (1, 101, t0, 2.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    rows = scd2_intervals(df, "user_id", "ts", "event_id").orderBy("event_id").collect()
+    assert rows[0].valid_to == t0 and rows[1].is_current
