@@ -84,6 +84,43 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     assert df.count() == want
 
 
+def test_x52_benchmark_probe_is_broadcast(spark, sf_dir):
+    """Decontamination must probe the holdout shingle set via a
+    broadcast (semi) join — the corpus side must never shuffle for
+    the membership test."""
+    from go_mapreduce_spark.operators.curation import x52_decontaminate
+
+    plan = formatted_plan(x52_decontaminate(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_x56_assignment_aggregates_map_side(spark, sf_dir):
+    """Nearest-centroid assignment: centroids broadcast (nested-loop
+    over k rows), and the arg-min is a partial+final aggregate — the
+    exchange carries one row per vector, never N×k."""
+    from go_mapreduce_spark.operators.clustering import x56_kmeans_assign
+
+    plan = formatted_plan(x56_kmeans_assign(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # min(struct) is not hash-aggregable → SortAggregate, still
+    # partial+final (partial_min before the exchange)
+    assert "partial_min" in plan and plan.count("Aggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_x54_merge_join_is_shuffle_not_nested_loop(spark, sf_dir):
+    """The MERGE full-outer join must plan as a key-partitioned
+    shuffle join (SMJ/SHJ) — full outer cannot broadcast, and a
+    nested loop would be O(N·M)."""
+    from go_mapreduce_spark.operators.cdc import x54_merge_upsert
+
+    plan = formatted_plan(x54_merge_upsert(spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_large_large_join_uses_sort_merge(spark, sf_dir):
     """Two fact tables with no broadcast hint and no bucketing: the
     planner must choose a shuffle join (SMJ or shuffled hash), never a
