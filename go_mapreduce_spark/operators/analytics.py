@@ -1,0 +1,92 @@
+"""Event-sequence analytics: conversion funnels and retention
+cohorts over the ``events`` stream.
+
+The product-analytics query family (funnel → conversion, cohort →
+retention): both are pure relational plans — per-user minima and a
+day-grid aggregation — with none of the per-user imperative scanning
+a naive implementation reaches for.
+
+Scale notes:
+- The funnel is three per-user min-aggregates chained by time bounds:
+  each stage is a key-partitioned partial+final aggregate over only
+  that stage's event type (filter pushed to the scan), then an equi
+  join on user_id — never a per-user sorted replay of the full
+  stream.  Stage relations shrink monotonically (conversion < 100%),
+  so later joins are cheaper, and AQE re-plans them as broadcasts
+  once a stage drops under the threshold.
+- Retention dedups to one row per (user, active-day) FIRST — the
+  smallest relation that answers the question — then joins the
+  per-user cohort day and aggregates onto the (cohort, offset) grid:
+  shuffle volume is bounded by user-days, not raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.sources.registry import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def x62_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user,
+    the first view, the first click at-or-after it, the first
+    purchase at-or-after that click, and the stage count reached
+    (1, 2, or 3).  Users with no view are outside the funnel."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_at_or_after(event_type: str, lower: DataFrame, lower_col: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .join(lower, "user_id")
+            .filter(F.col("ts") >= F.col(lower_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = first_at_or_after("click", views, "first_view", "first_click")
+    purchases = first_at_or_after("purchase", clicks, "first_click", "first_purchase")
+    stage = (
+        F.lit(1)
+        + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            stage.cast("bigint").alias("funnel_stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def x63_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention grid: users bucketed by first-active day;
+    for each (cohort_day, day_offset), the count of cohort users
+    active that day.  Offset 0 row = cohort size."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    cohort = user_days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        user_days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

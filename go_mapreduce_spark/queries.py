@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_mapreduce_spark.operators import analytics as AN
 from go_mapreduce_spark.operators import cdc as CD
 from go_mapreduce_spark.operators import graph as G
 from go_mapreduce_spark.operators import clustering as CL
@@ -143,6 +144,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- context-window chunking + composed curation keep-set ---
     "x60_chunk_documents": C.x60_chunk_documents,
     "x61_curation_pipeline": C.x61_curation_pipeline,
+    # --- event analytics: conversion funnel + retention cohorts ---
+    "x62_funnel": AN.x62_funnel,
+    "x63_retention_cohorts": AN.x63_retention_cohorts,
 }
 
 
@@ -1070,6 +1074,44 @@ def _curation_pipeline_oracle() -> str:
 
 
 ORACLE_SQL["x61_curation_pipeline"] = _curation_pipeline_oracle()
+
+ORACLE_SQL["x62_funnel"] = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.first_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+                AS BIGINT) AS funnel_stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    ORDER BY v.user_id
+"""
+
+ORACLE_SQL["x63_retention_cohorts"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(d) AS cohort_day FROM user_days GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, u.d) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM user_days u JOIN cohort c ON c.user_id = u.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
 
 ORACLE_SQL["x8_lang_id"] = _lang_id_oracle()
 ORACLE_SQL["x9_quality_score"] = _quality_oracle()
