@@ -121,18 +121,40 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "ann_recall": ann_recall,
+        "ivf_recall": ivf_recall,
+        "ivf_recall_clustered": ivf_recall_clustered,
+    }
+    # The driver captures only a ~2 KiB tail of stdout: a single line
+    # carrying all per-query timings no longer fits (BENCH_r02 lost its
+    # head, "parsed": null).  Per-query detail goes to BENCH_FULL.json;
+    # the printed line stays a few hundred bytes.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_of(SF_DIR),
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_file": "BENCH_FULL.json",
                 "ann_recall": ann_recall,
                 "ivf_recall": ivf_recall,
                 "ivf_recall_clustered": ivf_recall_clustered,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -136,5 +136,13 @@ def kmeans_fit(
         cents = new_cents
         if shift < tol:
             break
+    # the loop assigns BEFORE updating centroids, so on max_iter exit
+    # ``assign`` reflects the previous round's centroids — recompute
+    # against the final ones so (cents, assign) are consistent
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, ce array<double>",
+    )
+    assign = assign_nearest(corpus, cdf, id_col, vec_col)
     corpus.unpersist()
     return cents, assign

@@ -41,14 +41,17 @@ def pagerank(
     symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (u, v); returns
-    (node, rank).  Every node must have out-degree ≥ 1 (true for
-    symmetric graphs; assert-checked cheaply via the outdeg join
-    being inner).
+    (node, rank).  The node set is u ∪ v, so sink nodes (out-degree
+    0) are counted in n and receive teleport + incoming mass; their
+    own mass is NOT redistributed (the standard lossy simplification
+    — total rank < 1 when sinks exist; the full dangling-mass
+    correction is documented out of scope in the module docstring).
 
-    ``symmetric=True`` declares in-degree ≥ 1 for every node (any
-    undirected/symmetrized graph): the per-round left-join against
-    the node list — needed only to re-admit zero-in-degree nodes —
-    is skipped, dropping a third of the per-round shuffles.
+    ``symmetric=True`` declares the graph symmetric (every node has
+    both in- and out-degree ≥ 1): the node set collapses to the u
+    side, and the per-round left-join against the node list — needed
+    only to re-admit zero-in-degree nodes — is skipped, dropping a
+    third of the per-round shuffles.
     """
     # the edge list is often an expensive subplan (x59 feeds the x6
     # near-dup join in) — cache it FIRST so degrees, nodes, and the
@@ -61,7 +64,15 @@ def pagerank(
     # partitioning (only the small ranks side moves) instead of
     # re-exchanging the graph each iteration
     ed_deg = ed.join(outd, "u").repartition("u").persist()
-    nodes = ed.select(F.col("u").alias("node")).distinct().persist()
+    if symmetric:
+        nodes = ed.select(F.col("u").alias("node")).distinct().persist()
+    else:
+        nodes = (
+            ed.select(F.col("u").alias("node"))
+            .union(ed.select(F.col("v").alias("node")))
+            .distinct()
+            .persist()
+        )
     n = nodes.count()
     if n == 0:
         ed.unpersist()

@@ -8,17 +8,25 @@ DataFrame and is applied transactionally-per-batch.  On a lakehouse
 the apply step is ``MERGE INTO`` on a Delta/Iceberg table (storage
 handles atomicity + file pruning); this container has bare parquet,
 so the apply is read-target → full-outer-join → write-stage →
-atomic directory swap — same plan shape, driver-local commit.
+rename-based directory swap — same plan shape, driver-local commit.
 
 Scale notes: per batch, one key-partitioned full-outer join between
 the (small) batch aggregate and the target — the batch side is
 map-side pre-aggregated first, so join input is one row per touched
-key.  Restart safety comes from the checkpoint dir: availableNow +
-checkpointLocation replays only unprocessed files (exactly-once per
-batch id); idempotence of re-applying batch N after a crash between
-write and checkpoint-commit is the storage layer's job (Delta MERGE
-is idempotent under replay when keyed by batch id; plain parquet
-swap is not — documented, not hidden).
+key.  Restart safety:
+
+- **Replay idempotence**: every applied batch id leaves a marker file
+  under ``<target>/_batches/`` (underscore-prefixed paths are hidden
+  from Spark's file listing, so the parquet read is unaffected).
+  Markers are copied into the stage directory before the swap, so
+  they travel with the data version they describe.  Re-applying a
+  batch whose marker exists is a no-op — ``foreachBatch`` replay
+  after a crash between write and checkpoint-commit is safe, the
+  guarantee Delta's keyed MERGE would give.
+- **Crash-safe swap**: target is renamed aside (``<target>.old``)
+  before the stage is renamed in, so some complete copy of the table
+  exists at every instant; a crash between the two renames is healed
+  on the next read/apply by restoring ``.old``.
 """
 
 from __future__ import annotations
@@ -31,12 +39,38 @@ from pyspark.sql import functions as F
 
 from go_mapreduce_spark.functions.numeric import dsum
 
+_BATCH_MARKERS = "_batches"
+
+
+def _recover_target(target_dir: str) -> None:
+    """Heal a crash between the two swap renames: if the target is
+    missing but ``<target>.old`` survives, restore it."""
+    old = target_dir.rstrip("/") + ".old"
+    if not os.path.isdir(target_dir) and os.path.isdir(old):
+        os.rename(old, target_dir)
+
+
+def _applied_batches(target_dir: str) -> set[str]:
+    d = os.path.join(target_dir, _BATCH_MARKERS)
+    return set(os.listdir(d)) if os.path.isdir(d) else set()
+
 
 def apply_totals_batch(
-    spark: SparkSession, target_dir: str, batch_df: DataFrame
+    spark: SparkSession,
+    target_dir: str,
+    batch_df: DataFrame,
+    batch_id: int | None = None,
 ) -> None:
     """Merge one micro-batch of events into the per-user totals
-    target: n_events += batch count, total_value += batch sum."""
+    target: n_events += batch count, total_value += batch sum.
+
+    With a ``batch_id``, the apply is idempotent: an id already
+    recorded in ``<target>/_batches/`` is skipped, so replaying the
+    last micro-batch after a crash cannot double-count.
+    """
+    _recover_target(target_dir)
+    if batch_id is not None and str(batch_id) in _applied_batches(target_dir):
+        return
     agg = batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("b_n"), dsum(F.col("value"), "b_total")
     )
@@ -61,9 +95,23 @@ def apply_totals_batch(
     )
     stage = target_dir.rstrip("/") + ".stage"
     merged.write.mode("overwrite").parquet(stage)
+    # markers describe the data version they ride with: carry the
+    # history forward into the stage, then add this batch's marker
+    stage_markers = os.path.join(stage, _BATCH_MARKERS)
+    os.makedirs(stage_markers, exist_ok=True)
+    for b in _applied_batches(target_dir):
+        open(os.path.join(stage_markers, b), "w").close()
+    if batch_id is not None:
+        open(os.path.join(stage_markers, str(batch_id)), "w").close()
+    # swap with a complete copy present at every instant
+    old = target_dir.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(target_dir):
-        shutil.rmtree(target_dir)
+        os.rename(target_dir, old)
     os.rename(stage, target_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def stream_upsert_totals(
@@ -75,7 +123,7 @@ def stream_upsert_totals(
     """Drain ``events_stream`` (availableNow) applying each
     micro-batch to the keyed target via :func:`apply_totals_batch`."""
     writer = events_stream.writeStream.foreachBatch(
-        lambda bdf, _bid: apply_totals_batch(spark, target_dir, bdf)
+        lambda bdf, bid: apply_totals_batch(spark, target_dir, bdf, bid)
     ).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -90,3 +90,72 @@ def test_stream_upsert_totals_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_pagerank_counts_sink_nodes(spark):
+    """A pure sink (in-edges only) must be part of the node set: it
+    dilutes 1/n and receives teleport + incoming mass."""
+    from go_mapreduce_spark.operators.graph import pagerank
+
+    # 1->2, 3->2: node 2 is a sink; n must be 3, not 2
+    df = spark.createDataFrame([(1, 2), (3, 2)], "u long, v long")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    want = _pr_reference([(1, 2), (3, 2)])
+    assert set(got) == {1, 2, 3}
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_upsert_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-applying a micro-batch whose id is already recorded (crash
+    between target write and checkpoint commit) must be a no-op."""
+    from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.streaming.upsert import apply_totals_batch
+
+    target = str(tmp_path / "target")
+    batch = load_table(spark, sf_dir, "events").limit(50)
+    apply_totals_batch(spark, target, batch, batch_id=0)
+    first = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(target).collect()
+    )
+    # replay of batch 0: skipped, no double-count
+    apply_totals_batch(spark, target, batch, batch_id=0)
+    again = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(target).collect()
+    )
+    assert again == first
+    # a NEW batch id does apply
+    apply_totals_batch(spark, target, batch, batch_id=1)
+    doubled = {
+        r.user_id: r.n_events for r in spark.read.parquet(target).collect()
+    }
+    base = {r[0]: r[1] for r in first}
+    assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_upsert_swap_crash_is_recoverable(spark, sf_dir, tmp_path):
+    """Simulate a crash between the two swap renames (target moved
+    aside, stage not yet renamed in): the next apply must heal from
+    <target>.old instead of losing the table."""
+    import os
+
+    from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.streaming.upsert import apply_totals_batch
+
+    target = str(tmp_path / "target")
+    batch = load_table(spark, sf_dir, "events").limit(50)
+    apply_totals_batch(spark, target, batch, batch_id=0)
+    want = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(target).collect()
+    )
+    # crash window: target renamed aside, stage rename never happened
+    os.rename(target, target + ".old")
+    apply_totals_batch(spark, target, batch, batch_id=0)  # replay heals + skips
+    got = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got == want
