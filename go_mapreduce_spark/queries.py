@@ -454,13 +454,23 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY doc_id
     """,
     "x36_stream_tumbling": """
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-               event_type,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
-        FROM events
-        GROUP BY 1, 2
-        ORDER BY 1, 2
+        -- append-mode replay emits the watermark-finalized windows:
+        -- window_end <= max(ts) - 2h (Spark truncates the watermark
+        -- to milliseconds; replicate exactly)
+        WITH wm AS (
+            SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+            FROM events
+        ), agg AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT agg.* FROM agg, wm
+        WHERE agg.window_start + INTERVAL 1 HOUR <= wm.w
+        ORDER BY window_start, event_type
     """,
     "x24_sliding_window": """
         WITH expanded AS (
@@ -805,7 +815,39 @@ ORACLE_SQL["x42_pandas_udaf_geomean"] = """
     ORDER BY o_orderstatus
 """
 
-ORACLE_SQL["x43_stream_sessions"] = ORACLE_SQL["x12_session_window"]
+# x12's gaps-and-islands sessionization, restricted to the
+# watermark-finalized sessions the append-mode replay emits:
+# session_end <= ms-truncated max(ts) - 2h
+ORACLE_SQL["x43_stream_sessions"] = """
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+        FROM events
+    ), o AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL '10 minutes' <= (SELECT w FROM wm)
+    ORDER BY user_id, session_start
+"""
 
 ORACLE_SQL["x37_hash_sample"] = f"""
     SELECT doc_id, lang

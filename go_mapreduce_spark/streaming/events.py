@@ -176,59 +176,110 @@ def streaming_dedup(docs: DataFrame, watermark_col: str = "ts", watermark: str =
     return keyed.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(["_h"]).drop("_h")
 
 
-def x36_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible streaming query: replay the events table through
-    the Structured Streaming tumbling-window aggregate (availableNow
-    trigger, multi-file source → multiple triggers) and return the
-    final result — which must equal the batch x11 answer exactly.
-
-    This is the backfill shape at 100 TB: identical query code serves
-    the 24/7 stream and the historical replay; ``complete`` output
-    mode keeps every window in state so the drained result matches
-    batch (an append-mode replay emits only watermark-finalized
-    windows — that variant is pytest-covered in test_streaming).
-    """
+def _replay_base(sf_dir: str) -> str:
+    """Deterministic per-sf scratch dir for stream replays: constant
+    disk across repeated bench/correctness invocations (the round-2
+    mkdtemp-per-call shape leaked a full events copy per run)."""
+    import os
     import tempfile
-    import uuid
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"gms_stream_replay_{tag}")
+
+
+def _ensure_replay_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as a 4-file parquet replay source once
+    per sf; reuse on later calls (availableNow replays it in 2-file
+    micro-batches, exercising multi-trigger watermark advancement)."""
+    import os
 
     from go_mapreduce_spark.sources.registry import load_table
 
-    replay_dir = tempfile.mkdtemp(prefix="gms_x36_replay_")
-    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
-        replay_dir
+    base = _replay_base(sf_dir)
+    events_dir = os.path.join(base, "events")
+    if not os.path.isfile(os.path.join(events_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(events_dir)
+    return events_dir
+
+
+def _replay_to_parquet(
+    spark: SparkSession, sf_dir: str, name: str, stream_df: DataFrame
+) -> DataFrame:
+    """Drain ``stream_df`` (availableNow, append mode) into a parquet
+    sink under the per-sf scratch dir; return the sink relation.
+
+    This is the 100 TB backfill shape: append output + file sink keep
+    driver memory flat (state holds only open windows; finalized rows
+    go straight to distributed storage), unlike a ``complete``-mode
+    memory sink, which materializes every window on the driver and
+    grows with stream length.  Sink + checkpoint are recreated per
+    invocation (constant disk, deterministic), so each call is a full
+    deterministic replay.
+    """
+    import os
+    import shutil
+
+    base = _replay_base(sf_dir)
+    out_dir = os.path.join(base, f"{name}_out")
+    ckpt_dir = os.path.join(base, f"{name}_ckpt")
+    for d in (out_dir, ckpt_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )
-    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
-    sink = f"x36_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(tumbling_counts(stream), sink, output_mode="complete")
-    return spark.sql(
-        f"SELECT window_start, event_type, n_events, total_value FROM {sink}"
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def x36_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming query: replay the events table through
+    the Structured Streaming tumbling-window aggregate (availableNow,
+    multi-file source → multiple triggers, APPEND output to a parquet
+    sink) and return the emitted rows.
+
+    Append mode emits exactly the watermark-finalized windows — those
+    with ``window_end <= max(ts) - 2h`` (the final no-data micro-batch
+    advances the watermark to global-max-event-time-minus-delay,
+    ms-truncated; verified empirically) — so the oracle is the batch
+    x11 aggregate under the same finalization predicate.  The
+    ``complete``-mode memory-sink variant (equals FULL batch, but
+    driver-bound) stays pytest-only in test_streaming.
+    """
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x36", tumbling_counts(stream))
+    return out.select(
+        "window_start", "event_type", "n_events", "total_value"
     ).orderBy("window_start", "event_type")
 
 
 def x43_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible streaming session windows: replay events through
-    the ``session_window`` aggregate (availableNow) — result must
-    equal the batch x12 answer.
+    the ``session_window`` aggregate (availableNow, APPEND output to a
+    parquet sink) — emitted rows are the watermark-finalized sessions
+    (``session_end <= max(ts) - 2h``), matching the batch x12
+    gaps-and-islands oracle under the same predicate.
 
     Session windows are the genuinely STATEFUL window shape (window
     extent depends on the data, unlike fixed tumbling grids), so this
     gate proves the merge-on-overlap session state machine, not just
     windowed hashing.
     """
-    import tempfile
-    import uuid
-
-    from go_mapreduce_spark.sources.registry import load_table
-
-    replay_dir = tempfile.mkdtemp(prefix="gms_x43_replay_")
-    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
-        replay_dir
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
     )
-    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
-    sink = f"x43_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(session_aggregate(stream), sink, output_mode="complete")
-    return spark.sql(
-        f"SELECT user_id, session_start, session_end, n_events, total_value FROM {sink}"
+    out = _replay_to_parquet(spark, sf_dir, "x43", session_aggregate(stream))
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
     ).orderBy("user_id", "session_start")
 
 
