@@ -20,6 +20,7 @@ def salted_join(
     key: str,
     salt: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the (large, skewed) left side
     into ``salt`` sub-keys and replicate the right side once per salt.
@@ -30,8 +31,20 @@ def salted_join(
     AQE-off constraints.  (With AQE skew-join on, prefer letting AQE
     split partitions; salting is the deterministic fallback and the
     only option when a SINGLE key exceeds one executor.)
+
+    The salt is ``xxhash64`` of the row CONTENT (``salt_cols``,
+    default all left columns) — deterministic under task retry and
+    partitioning changes, unlike a ``monotonically_increasing_id``
+    salt whose assignment depends on which partition replays (results
+    were provably invariant either way — x47's oracle is the plain
+    join — but retry-deterministic task outputs keep speculative
+    execution and stage retries byte-stable at scale).  Identical
+    rows share a salt; distinct rows of a hot key spread uniformly.
     """
-    lsalt = left.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    cols = salt_cols or left.columns
+    lsalt = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt))
+    )
     rsalt = right.join(
         F.broadcast(
             left.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))

@@ -43,6 +43,27 @@ def test_salted_join_left_outer(spark, skewed):
     assert plain.count() == salted.count() == 5000
 
 
+def test_salt_assignment_is_partitioning_invariant(spark, skewed):
+    """The salt derives from row content only, so the per-row salt —
+    not just the join result — is identical at any partitioning
+    (what a task retry or speculative duplicate would see)."""
+    left, _ = skewed
+
+    def salts(df):
+        s = df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8)),
+        )
+        return sorted((r.k, r.payload, r._salt) for r in s.collect())
+
+    a = salts(left.repartition(1))
+    b = salts(left.repartition(13))
+    assert a == b
+    # and the hot key's distinct rows actually spread across salts
+    hot_salts = {s for k, _p, s in a if k == 0}
+    assert len(hot_salts) == 8
+
+
 def test_key_histogram_flags_hot_key(spark, skewed):
     left, _ = skewed
     top = key_histogram(left, "k", top=3).collect()
