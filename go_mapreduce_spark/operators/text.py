@@ -194,21 +194,28 @@ def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-hex value per doc, stable under shingle reordering.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # explode + min aggregate (map-side partial min) instead of a
-    # per-row array transform: sha256 runs once per shingle with no
-    # temporary array allocation; tokens materialized first so
-    # shingling is linear (see shingles_from_tokens).
-    min_fp = (
-        docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
-        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
-        .groupBy("doc_id")
-        .agg(F.min(F.sha2(F.col("sh"), 256)).alias("min_fp"))
-    )
+    # Single pass: explode + min aggregate (map-side partial min) —
+    # sha256 runs once per shingle, tokens materialized first so
+    # shingling is linear (see shingles_from_tokens).  The <3-token
+    # fallback rides the SAME explode as a one-element array, so
+    # there's no second scan + rejoin (the r2 join shape cost 1.4×
+    # — every doc re-hashed for a fallback only short docs need).
     return (
-        docs.select("doc_id", F.sha2(F.lower(F.col("text")), 256).alias("fallback"))
-        .join(min_fp, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("min_fp", "fallback").alias("fingerprint")
+        docs.select(
+            "doc_id",
+            lower_tokens(F.col("text")).alias("toks"),
+            F.lower(F.col("text")).alias("ltext"),
         )
+        .withColumn("sh_arr", shingles_from_tokens(F.col("toks")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("sh_arr") > 0, F.col("sh_arr")).otherwise(
+                    F.array(F.col("ltext"))
+                )
+            ).alias("sh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.sha2(F.col("sh"), 256)).alias("fingerprint"))
         .orderBy("doc_id")
     )
