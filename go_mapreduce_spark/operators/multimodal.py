@@ -68,11 +68,38 @@ DECODED_SCHEMA = StructType(
 _DECODER_MODE = "fake"
 
 
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def set_decoder(mode: str) -> None:
-    """'fake' (deterministic stub) or 'strict' (NotImplementedError)."""
+    """Select the decode implementation:
+
+    - ``'fake'`` (default): deterministic stub — header parse +
+      content-hash features.  Keeps the x35 oracle reproducible
+      anywhere, codecs or not.
+    - ``'strict'``: raises NotImplementedError at decode time,
+      marking exactly where a real codec plugs in.
+    - ``'pil'``: real image decode via Pillow (true width/height +
+      16-bin grayscale-histogram features); non-image kinds keep the
+      fake features.  Registration fails fast with ImportError if
+      Pillow isn't importable on the driver (executors import it per
+      worker — install the wheel cluster-wide, same discipline as
+      any Python dependency).
+    """
     global _DECODER_MODE
-    if mode not in ("fake", "strict"):
-        raise ValueError("decoder mode must be 'fake' or 'strict'")
+    if mode not in ("fake", "strict", "pil"):
+        raise ValueError("decoder mode must be 'fake', 'strict', or 'pil'")
+    if mode == "pil" and not pil_available():
+        raise ImportError(
+            "set_decoder('pil') requires Pillow; it is not importable here — "
+            "install it or stay on the deterministic 'fake' decoder"
+        )
     _DECODER_MODE = mode
 
 
@@ -108,6 +135,15 @@ def make_decode_batch(mode: str):
                     "real media decode requires PIL/ffmpeg; install and register "
                     "a codec-backed decoder via multimodal.set_decoder"
                 )
+            if mode == "pil":
+                features = [
+                    _pil_features(bytes(b))
+                    if k == "image"
+                    else _fake_features(bytes(b))
+                    for b, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            else:
+                features = [_fake_features(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -117,11 +153,27 @@ def make_decode_batch(mode: str):
                     "payload_sha": pdf["payload"].map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
-                    "features": pdf["payload"].map(lambda b: _fake_features(bytes(b))),
+                    "features": features,
                 }
             )
 
     return decode_batch
+
+
+def _pil_features(payload: bytes) -> list[float]:
+    """Real image features: FEATURE_DIM-bin grayscale histogram,
+    unit-normalized.  Import is per-call-site (executor processes
+    re-import the module; Pillow must be installed there)."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    hist = img.histogram()  # 256 bins
+    step = 256 // FEATURE_DIM
+    raw = [float(sum(hist[i * step : (i + 1) * step])) for i in range(FEATURE_DIM)]
+    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    return [x / norm for x in raw]
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -46,6 +46,42 @@ def test_strict_mode_raises(spark, media):
         M.set_decoder("fake")
 
 
+def test_pil_decoder_selection(spark, media):
+    """'pil' registers only when Pillow imports; otherwise it fails
+    fast with ImportError and the default stays 'fake'."""
+    if not M.pil_available():
+        with pytest.raises(ImportError, match="Pillow"):
+            M.set_decoder("pil")
+        # failed registration must not change the active decoder
+        rows = M.decode_media(media).limit(1).collect()
+        assert len(rows) == 1
+        return
+    # Pillow present: real decode of a generated PNG
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (8, 4), (200, 10, 10)).save(buf, format="PNG")
+    png = spark.createDataFrame(
+        [(1, "image", "png", bytearray(buf.getvalue()), 8, 4, -1)], M.MEDIA_SCHEMA
+    )
+    M.set_decoder("pil")
+    try:
+        r = M.decode_media(png).collect()[0]
+        norm = sum(x * x for x in r.features) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+        # a uniform dark-red image concentrates in one histogram bin
+        assert max(r.features) > 0.99
+    finally:
+        M.set_decoder("fake")
+
+
+def test_unknown_decoder_rejected():
+    with pytest.raises(ValueError):
+        M.set_decoder("ffmpeg")
+
+
 def test_frame_sample_plan_explodes_grid(spark, media):
     frames = M.frame_sample_plan(media, every_ms=1000)
     per_video = {
