@@ -359,6 +359,42 @@ def x61_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x64_neardup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware keep-set — x61 upgraded from exact dedup to
+    near-duplicate clusters: a document survives iff
+    (a) it is its near-dup cluster's canonical representative —
+        ``doc_id == cluster_id`` from x27's connected components over
+        the x6 Jaccard pair graph (min-id canonical; a doc in no
+        near-dup pair is its own singleton representative),
+    (b) it clears the quality threshold (x9), and
+    (c) its language-ID agrees with the metadata lang (x8).
+
+    This is the full production curation shape: pair generation is
+    capped-posting blocked (x6), clustering is the checkpointed CC
+    loop (x27), and the keep decision composes relationally with the
+    per-doc quality/lang signals — one left join against the (small:
+    only docs in some near-dup pair) cluster relation, never a second
+    corpus-wide shuffle.
+    """
+    from go_mapreduce_spark.operators.dedup import x27_dedup_clusters
+    from go_mapreduce_spark.operators.text import x8_lang_id, x9_quality_score
+
+    clusters = x27_dedup_clusters(spark, sf_dir)
+    quality = x9_quality_score(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    lang = x8_lang_id(spark, sf_dir)
+    return (
+        quality.join(lang, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .filter(
+            (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+            & (F.col("quality") >= QUALITY_KEEP_MIN)
+            & (F.col("pred_lang") == F.col("lang"))
+        )
+        .select("doc_id", "lang", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def x40_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group median and p90 (linear interpolation) of
     lineitem quantity.

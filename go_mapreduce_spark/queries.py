@@ -144,6 +144,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- context-window chunking + composed curation keep-set ---
     "x60_chunk_documents": C.x60_chunk_documents,
     "x61_curation_pipeline": C.x61_curation_pipeline,
+    # --- near-dup-aware keep-set (x27 cluster representatives) ---
+    "x64_neardup_curation": C.x64_neardup_curation,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -608,8 +610,9 @@ ORACLE_SQL["x30_pivot"] = """
     ORDER BY user_id
 """
 
-ORACLE_SQL["x27_dedup_clusters"] = """
-    WITH RECURSIVE toks AS (
+# Shared CTE chain: x6's Jaccard pair graph → transitive closure
+# (recursive CTE) — reused by x27 (clusters) and x64 (keep-set).
+_NEARDUP_CC_CTES = """toks AS (
         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                                    t -> len(t) > 0) AS toks
         FROM documents
@@ -637,7 +640,10 @@ ORACLE_SQL["x27_dedup_clusters"] = """
         SELECT u, u FROM edges
         UNION
         SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
-    )
+    )"""
+
+ORACLE_SQL["x27_dedup_clusters"] = f"""
+    WITH RECURSIVE {_NEARDUP_CC_CTES}
     SELECT node AS doc_id, MIN(r) AS cluster_id
     FROM reach GROUP BY node ORDER BY doc_id
 """
@@ -1116,6 +1122,27 @@ def _curation_pipeline_oracle() -> str:
 
 
 ORACLE_SQL["x61_curation_pipeline"] = _curation_pipeline_oracle()
+
+
+def _neardup_curation_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_NEARDUP_CC_CTES},
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    q AS ({_quality_oracle()}),
+    l AS ({_lang_id_oracle()})
+    SELECT q.doc_id, l.lang, q.quality, q.n_tokens
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    LEFT JOIN clusters c ON c.doc_id = q.doc_id
+    WHERE (c.doc_id IS NULL OR c.cluster_id = q.doc_id)
+      AND q.quality >= {C.QUALITY_KEEP_MIN} AND l.pred_lang = l.lang
+    ORDER BY q.doc_id
+"""
+
+
+ORACLE_SQL["x64_neardup_curation"] = _neardup_curation_oracle()
 
 ORACLE_SQL["x62_funnel"] = """
     WITH v AS (
