@@ -146,6 +146,8 @@ QUERIES: dict[str, QueryFn] = {
     "x61_curation_pipeline": C.x61_curation_pipeline,
     # --- near-dup-aware keep-set (x27 cluster representatives) ---
     "x64_neardup_curation": C.x64_neardup_curation,
+    # --- stream-stream join replay (≡ batch time-window self-join) ---
+    "x65_stream_join": SE.x65_stream_join,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1143,6 +1145,22 @@ def _neardup_curation_oracle() -> str:
 
 
 ORACLE_SQL["x64_neardup_curation"] = _neardup_curation_oracle()
+
+ORACLE_SQL["x65_stream_join"] = """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY p.user_id, purchase_id, click_id
+"""
 
 ORACLE_SQL["x62_funnel"] = """
     WITH v AS (

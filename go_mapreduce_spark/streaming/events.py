@@ -190,7 +190,14 @@ def _replay_base(sf_dir: str) -> str:
 def _ensure_replay_events(spark: SparkSession, sf_dir: str) -> str:
     """Write the events table as a 4-file parquet replay source once
     per sf; reuse on later calls (availableNow replays it in 2-file
-    micro-batches, exercising multi-trigger watermark advancement)."""
+    micro-batches, exercising multi-trigger watermark advancement).
+
+    Files are RANGE-partitioned and sorted by ``ts`` — a historical
+    backfill replays chronologically, so per-batch watermarks trail
+    the data instead of jumping to global-max after batch 1 (which
+    would mark every older row in later batches late and, for
+    stateful ops like the x65 stream-stream join, silently drop it).
+    """
     import os
 
     from go_mapreduce_spark.sources.registry import load_table
@@ -198,9 +205,13 @@ def _ensure_replay_events(spark: SparkSession, sf_dir: str) -> str:
     base = _replay_base(sf_dir)
     events_dir = os.path.join(base, "events")
     if not os.path.isfile(os.path.join(events_dir, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(events_dir)
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(events_dir)
+        )
     return events_dir
 
 
@@ -281,6 +292,31 @@ def x43_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     ).orderBy("user_id", "session_start")
+
+
+def x65_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible stream-stream join: replay events chronologically
+    (availableNow, 2-file micro-batches) through
+    :func:`purchases_with_recent_click` into a parquet sink.
+
+    Inner-join matches emit as soon as both sides are present — append
+    output is NOT watermark-gated for inner joins (watermarks only
+    bound join STATE) — so the drained result equals the batch
+    self-join exactly: every purchase × click pair of the same user
+    with the click in the preceding 30 minutes.  That batch query is
+    the oracle; cross-micro-batch matches (purchase in batch N, click
+    buffered from batch N-1) are what make this a real statefulness
+    gate rather than a per-batch join.
+    """
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    out = _replay_to_parquet(
+        spark, sf_dir, "x65", purchases_with_recent_click(stream)
+    )
+    return out.select(
+        "user_id", "purchase_id", "click_id", "purchase_ts", "click_ts"
+    ).orderBy("user_id", "purchase_id", "click_id")
 
 
 def run_to_memory_sink(
