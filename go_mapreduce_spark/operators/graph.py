@@ -124,3 +124,36 @@ def x59_pagerank(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> Da
     return out.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     ).orderBy("doc_id")
+
+
+def x69_triangle_count(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Per-doc triangle participation count over the x6 near-dup
+    graph — the clustering-coefficient numerator, a cluster-density
+    signal (a doc in many triangles sits in a tight clique of
+    mutual near-duplicates, a stronger dedup-keep candidate than one
+    on a sparse path).
+
+    Plan: the classic 3-way edge self-join with the a<b<c canonical
+    orientation (each triangle counted once, no permutation blow-up);
+    edge lists are id-ordered pairs straight from x6, joins shuffle
+    on single node keys.  At 100 TB the standard refinement is
+    degree-ordered orientation (join fan-out bounded by max
+    out-degree in the orientation), noted here — the fixture graph's
+    degrees don't need it.
+    """
+    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = tris.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )

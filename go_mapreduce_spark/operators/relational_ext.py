@@ -359,3 +359,57 @@ def x19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k"),
         F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 6).alias("price_sqrt"),
     ).orderBy("o_orderkey")
+
+
+def x67_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event_type (most frequent; ties break to the
+    lexicographically smallest type — deterministic, unlike bare
+    ``mode()``), plus its count.
+
+    Plan: one partial-aggregated count per (user, type), then an
+    in-partition window rank — two narrow shuffles on user-keyed
+    data, no row explosion.  The tie rule is part of the declared
+    semantics so the oracle replays it exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def x68_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: lineitem's four numeric measures stacked into
+    (measure, value) rows — the inverse of x30's pivot.
+
+    ``unpivot`` is pure per-row expression fan-out (a generate node,
+    no shuffle): each input row emits 4 output rows at scan speed;
+    the aggregate after it is the usual partial+final sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        melted.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("val"), "total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )

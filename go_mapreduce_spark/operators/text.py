@@ -219,3 +219,122 @@ def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.sha2(F.col("sh"), 256)).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x66 — sparse TF-IDF cosine similarity join
+# ---------------------------------------------------------------------------
+
+TFIDF_SIM_THRESHOLD = 0.5
+TFIDF_MAX_DF_FRAC = 0.1
+
+
+def x66_tfidf_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = TFIDF_SIM_THRESHOLD
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine ≥ threshold — the sparse
+    vector-space twin of x13's dense embedding near-dup.
+
+    Vector space contract (engine-portable, part of the semantics):
+    tokens are lowercase ``[a-z]+`` runs restricted to df ≤ 10% of N
+    (common tokens carry ~zero idf weight but dominate posting-list
+    volume — dropping them is the df-limit pruning Lucene/SpaCy use);
+    weights w = round(tf · ln(N/df), 6) held as DECIMAL(18,6), so dot
+    products and norms are EXACT decimal sums — bit-identical at any
+    partitioning and in DuckDB — with only the final sqrt/divide in
+    (correctly-rounded, engine-identical) double.
+
+    Scale shape: pair generation is the posting-list self-join on
+    ``tok`` — fan-out per token is bounded by the df cap (at 100 TB
+    tighten it to an ABSOLUTE posting cap + band blocking, the x6
+    discipline); dot products arrive pre-aggregated map-side.  The
+    corpus never materializes a dense matrix.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    terms = docs.select(
+        "doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok")
+    )
+    tf = terms.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = terms.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfr, "tok")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= TFIDF_MAX_DF_FRAC * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x70 — trigram language-model counts (KenLM-style MLE estimates)
+# ---------------------------------------------------------------------------
+
+TRIGRAM_MIN_COUNT = 3
+
+
+def x70_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram LM counts: for every word trigram (ctx, w3)
+    with count ≥ TRIGRAM_MIN_COUNT, the trigram count c3, the context
+    total c2 = Σ_w c3(ctx, w), and the MLE conditional p = c3/c2.
+
+    The n-gram-count job is the canonical MapReduce-era LM pipeline
+    (and still how KenLM corpora are prepared): one shingle explode +
+    one count aggregate + one context-partition window sum — all
+    partial-aggregated, scan-bound at 100 TB.  ctx/w3 are derived by
+    anchored regex from the shingle string, so the oracle computes
+    literally the same split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tris = (
+        docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+        .select(F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("sh"))
+    )
+    c3 = tris.groupBy("sh").agg(F.count(F.lit(1)).alias("c3"))
+    parts = c3.select(
+        F.regexp_replace(F.col("sh"), " [a-z]+$", "").alias("ctx"),
+        F.regexp_extract(F.col("sh"), "([a-z]+)$", 1).alias("w3"),
+        "c3",
+    )
+    w = Window.partitionBy("ctx")
+    return (
+        parts.withColumn("c2", F.sum("c3").over(w))
+        .filter(F.col("c3") >= TRIGRAM_MIN_COUNT)
+        .select(
+            "ctx",
+            "w3",
+            "c3",
+            "c2",
+            F.round(F.col("c3").cast("double") / F.col("c2"), 6).alias("p"),
+        )
+        .orderBy("ctx", "w3")
+    )

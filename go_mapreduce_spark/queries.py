@@ -148,6 +148,16 @@ QUERIES: dict[str, QueryFn] = {
     "x64_neardup_curation": C.x64_neardup_curation,
     # --- stream-stream join replay (≡ batch time-window self-join) ---
     "x65_stream_join": SE.x65_stream_join,
+    # --- sparse TF-IDF cosine similarity join ---
+    "x66_tfidf_cosine": T.x66_tfidf_cosine,
+    # --- per-group mode with deterministic ties ---
+    "x67_grouped_mode": RX.x67_grouped_mode,
+    # --- UNPIVOT/melt (inverse of x30 pivot) ---
+    "x68_unpivot": RX.x68_unpivot,
+    # --- triangle counting on the near-dup graph ---
+    "x69_triangle_count": G.x69_triangle_count,
+    # --- trigram language-model counts (KenLM-style) ---
+    "x70_trigram_lm": T.x70_trigram_lm,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1160,6 +1170,104 @@ ORACLE_SQL["x65_stream_join"] = """
      AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
     ORDER BY p.user_id, purchase_id, click_id
+"""
+
+# Same vector-space contract as the Spark side: df-capped tokens,
+# weights rounded to 6 decimals then held as DECIMAL(18,6) so dot
+# products and norms are exact decimal sums; only sqrt/divide in
+# double (IEEE correctly-rounded → engine-identical).
+ORACLE_SQL["x66_tfidf_cosine"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                          t -> len(t) > 0)) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), dfr AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, tok,
+               CAST(ROUND(CAST(tf AS DOUBLE) * ln(n_docs / df), 6)
+                    AS DECIMAL(18,6)) AS w
+        FROM tf JOIN dfr USING (tok) CROSS JOIN n
+        WHERE df <= {T.TFIDF_MAX_DF_FRAC} * n_docs
+    ), norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / (na.nrm * nb.nrm) >= {T.TFIDF_SIM_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLE_SQL["x67_grouped_mode"] = """
+    SELECT user_id, modal_type, n_events FROM (
+        SELECT user_id, event_type AS modal_type, COUNT(*) AS n_events,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    ORDER BY user_id
+"""
+
+ORACLE_SQL["x68_unpivot"] = """
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM (
+        SELECT l_returnflag, measure, val
+        FROM lineitem
+        UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    )
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+"""
+
+ORACLE_SQL["x69_triangle_count"] = f"""
+    WITH RECURSIVE {_NEARDUP_CC_CTES},
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x70_trigram_lm"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), tris AS (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM toks
+    ), c3 AS (SELECT sh, COUNT(*) AS c3 FROM tris GROUP BY sh),
+    parts AS (
+        SELECT regexp_replace(sh, ' [a-z]+$', '') AS ctx,
+               regexp_extract(sh, '([a-z]+)$', 1) AS w3,
+               c3
+        FROM c3
+    )
+    SELECT ctx, w3, c3,
+           SUM(c3) OVER (PARTITION BY ctx) AS c2,
+           ROUND(CAST(c3 AS DOUBLE) / SUM(c3) OVER (PARTITION BY ctx), 6) AS p
+    FROM parts
+    QUALIFY c3 >= {T.TRIGRAM_MIN_COUNT}
+    ORDER BY ctx, w3
 """
 
 ORACLE_SQL["x62_funnel"] = """
