@@ -73,6 +73,6 @@ def test_trigram_lm_is_consistent(spark, sf_dir):
     mass: dict[str, float] = {}
     for r in rows:
         assert 0 < r.c3 <= r.c2
-        assert abs(r.p - r.c3 / r.c2) < 1e-9
+        assert abs(r.p - r.c3 / r.c2) < 5e-7  # p is round(·, 6)
         mass[r.ctx] = mass.get(r.ctx, 0.0) + r.p
     assert max(mass.values()) <= 1.0 + 1e-9
