@@ -146,3 +146,38 @@ def kmeans_fit(
     assign = assign_nearest(corpus, cdf, id_col, vec_col)
     corpus.unpersist()
     return cents, assign
+
+
+def x72_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension) — the oracle-checked face of the k-means
+    update step (the trainer itself is an iterative fixpoint, pytest
+    + partition-invariance-tested; THIS query proves the exact-
+    decimal vector mean against an independent engine).
+
+    Plan: posexplode to (label, dim, x) — k×d groups, uniform by
+    construction — partial decimal sums map-side, mean = exact sum /
+    count in one double division.  Scan-bound at 100 TB; no driver
+    collection (unlike the trainer, nothing iterates).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("mean_raw", 6).alias("mean_val"),
+            "n_vecs",
+        )
+        .orderBy("label", "dim")
+    )

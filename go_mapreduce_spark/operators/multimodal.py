@@ -258,3 +258,22 @@ def synthetic_media(spark, n: int = 64):
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def x71_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible frame-sample accounting: per video, the number
+    of frame rows the sample grid fans out to (1 frame/second).
+
+    Drives :func:`frame_sample_plan`'s JVM-side sequence-explode
+    through the correctness gate — the oracle recomputes the grid
+    arithmetic (⌊(duration−1)/step⌋ + 1) from the metadata alone, so
+    a fan-out bug (off-by-one, empty-video handling) hash-mismatches.
+    ``sf_dir`` ignored: media is the committed fixture (see x35).
+    """
+    media = spark.read.parquet(FIXTURE_PATH)
+    frames = frame_sample_plan(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )

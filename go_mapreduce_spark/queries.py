@@ -158,6 +158,10 @@ QUERIES: dict[str, QueryFn] = {
     "x69_triangle_count": G.x69_triangle_count,
     # --- trigram language-model counts (KenLM-style) ---
     "x70_trigram_lm": T.x70_trigram_lm,
+    # --- frame-sample grid fan-out accounting (multimodal plumbing) ---
+    "x71_frame_grid": MM.x71_frame_grid,
+    # --- per-label vector centroid (k-means update step, oracle-faced) ---
+    "x72_label_centroids": CL.x72_label_centroids,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1268,6 +1272,33 @@ ORACLE_SQL["x70_trigram_lm"] = f"""
     FROM parts
     QUALIFY c3 >= {T.TRIGRAM_MIN_COUNT}
     ORDER BY ctx, w3
+"""
+
+ORACLE_SQL["x71_frame_grid"] = f"""
+    SELECT media_id,
+           CAST(CASE WHEN duration_ms - 1 > 0 THEN duration_ms - 1 ELSE 0 END
+                // 1000 + 1 AS BIGINT) AS n_frames
+    FROM read_parquet('{MM.FIXTURE_PATH}/*.parquet')
+    WHERE kind = 'video'
+    ORDER BY media_id
+"""
+
+# per-element cast float→double is exact; decimal(38,12) keeps 1e-12
+# absolute precision on |x|≲1 embedding elements (38,6 would round
+# away the signal); mean = exact sum / count in one double division
+ORACLE_SQL["x72_label_centroids"] = """
+    SELECT label,
+           CAST(dim - 1 AS BIGINT) AS dim,
+           ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_val,
+           COUNT(*) AS n_vecs
+    FROM (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    ORDER BY label, dim
 """
 
 ORACLE_SQL["x62_funnel"] = """
