@@ -338,3 +338,95 @@ def x70_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx", "w3")
     )
+
+
+# ---------------------------------------------------------------------------
+# x73 — BM25 term scoring; x74 — skip-gram co-occurrence counts
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 3
+
+
+def x73_bm25(spark: SparkSession, sf_dir: str, top_n: int = BM25_TOP_N) -> DataFrame:
+    """Top-n BM25 terms per document (Lucene's formula: idf =
+    ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation k1=1.2, length
+    normalization b=0.75 against avgdl).
+
+    Same plan skeleton as x21 TF-IDF — explode + two aggregates + a
+    vocabulary-keyed shuffle join + per-doc window rank — with the
+    corpus constants (N, avgdl) computed in-plan as a 1-row aggregate
+    broadcast onto the term rows: no driver-side count, no lineage
+    break.  Every arithmetic step is an IEEE double op on identical
+    rationals in both engines, so scores match bit-for-bit at
+    round(·, 6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = toks.select("doc_id", F.explode("toks").alias("tok"))
+    tf = terms.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = terms.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dfr, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("bm25", idf * tf_d * F.lit(BM25_K1 + 1.0) / denom)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= top_n)
+        .select("doc_id", "tok", "rn", F.round("bm25", 6).alias("bm25"))
+        .orderBy("doc_id", "rn")
+    )
+
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 5
+
+
+def x74_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed skip-gram co-occurrence counts (word2vec-era corpus
+    statistics): for token positions p1 < p2 ≤ p1 + WINDOW within a
+    doc, count each (w_left, w_right) pair corpus-wide; emit pairs
+    with count ≥ MIN_COUNT.
+
+    Plan: positions explode once, then one EQUI-join per window
+    offset on (doc_id, pos + δ) — linear in corpus size × window,
+    never the per-doc quadratic a raw doc_id join + gap filter would
+    be.  Counts partial-aggregate map-side; scan-bound at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(lower_tokens(F.col("text"))).alias("p", "w")
+    )
+    left = pos.select("doc_id", "p", F.col("w").alias("w_left"))
+    pairs = None
+    for delta in range(1, SKIPGRAM_WINDOW + 1):
+        right = pos.select(
+            "doc_id",
+            (F.col("p") - delta).alias("p"),
+            F.col("w").alias("w_right"),
+        )
+        d = left.join(right, ["doc_id", "p"])
+        pairs = d if pairs is None else pairs.unionAll(d)
+    return (
+        pairs.groupBy("w_left", "w_right")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= SKIPGRAM_MIN_COUNT)
+        .orderBy("w_left", "w_right")
+    )

@@ -162,6 +162,9 @@ QUERIES: dict[str, QueryFn] = {
     "x71_frame_grid": MM.x71_frame_grid,
     # --- per-label vector centroid (k-means update step, oracle-faced) ---
     "x72_label_centroids": CL.x72_label_centroids,
+    # --- BM25 ranking + skip-gram co-occurrence (IR / word2vec prep) ---
+    "x73_bm25": T.x73_bm25,
+    "x74_skipgram_cooc": T.x74_skipgram_cooc,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1299,6 +1302,58 @@ ORACLE_SQL["x72_label_centroids"] = """
     )
     GROUP BY label, dim
     ORDER BY label, dim
+"""
+
+ORACLE_SQL["x73_bm25"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    consts AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), terms AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM terms GROUP BY doc_id, tok),
+    dfr AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * CAST(tf AS DOUBLE) * {T.BM25_K1 + 1.0}
+                 / (CAST(tf AS DOUBLE)
+                    + {T.BM25_K1} * ({1.0 - T.BM25_B} + {T.BM25_B} * dl / avgdl))
+               AS bm25
+        FROM tf
+        JOIN dfr USING (tok)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN consts
+    )
+    SELECT doc_id, tok,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, tok ASC) AS BIGINT) AS rn,
+           ROUND(bm25, 6) AS bm25
+    FROM scored
+    QUALIFY rn <= {T.BM25_TOP_N}
+    ORDER BY doc_id, rn
+"""
+
+ORACLE_SQL["x74_skipgram_cooc"] = f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(toks) AS w,
+               generate_subscripts(toks, 1) AS p
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> len(t) > 0) AS toks
+              FROM documents)
+    )
+    SELECT a.w AS w_left, b.w AS w_right, COUNT(*) AS n
+    FROM pos a
+    JOIN pos b ON b.doc_id = a.doc_id
+              AND b.p BETWEEN a.p + 1 AND a.p + {T.SKIPGRAM_WINDOW}
+    GROUP BY a.w, b.w
+    HAVING COUNT(*) >= {T.SKIPGRAM_MIN_COUNT}
+    ORDER BY w_left, w_right
 """
 
 ORACLE_SQL["x62_funnel"] = """
