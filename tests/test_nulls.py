@@ -148,3 +148,69 @@ def test_scd2_null_timestamp_rows_survive(spark):
     )
     rows = scd2_intervals(df, "user_id", "ts", "event_id").orderBy("event_id").collect()
     assert rows[0].valid_to == t0 and rows[1].is_current
+
+
+def test_round3_text_ops_on_null_and_empty_text(spark, tmp_path):
+    """x66/x70/x73/x74 on null/empty text: no throw, null-text docs
+    contribute no tokens (explode of a null/empty array emits no
+    rows) and therefore no pairs/ngrams/scores."""
+    import os
+
+    from go_mapreduce_spark.operators import text as T
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta gamma alpha beta gamma", "en"),
+         (2, None, "en"),
+         (3, "", "en"),
+         (4, "alpha beta gamma alpha beta gamma alpha beta gamma", "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    sim = T.x66_tfidf_cosine(spark, d).collect()
+    assert {(r.doc_a, r.doc_b) for r in sim} <= {(1, 4)}
+
+    lm = T.x70_trigram_lm(spark, d).collect()
+    assert all(r.c3 >= T.TRIGRAM_MIN_COUNT for r in lm)
+
+    bm = T.x73_bm25(spark, d).collect()
+    assert {r.doc_id for r in bm} == {1, 4}  # token-less docs emit no terms
+
+    sg = T.x74_skipgram_cooc(spark, d).collect()
+    assert all(r.n >= T.SKIPGRAM_MIN_COUNT for r in sg)
+    assert {("alpha", "beta"), ("beta", "gamma")} <= {(r.w_left, r.w_right) for r in sg}
+
+
+def test_grouped_mode_and_unpivot_null_inputs(spark, tmp_path):
+    """x67-style mode with a null group key forms its own group; x68
+    unpivot carries null measure values through to the aggregate
+    guard (dsum skips nulls)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(None, "click"), (None, "click"), (None, "view"), (7, "view")],
+        "user_id bigint, event_type string",
+    )
+    counts = df.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    out = {
+        r.user_id: r.event_type
+        for r in counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert out[None] == "click" and out[7] == "view"
+
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    m = spark.createDataFrame(
+        [("A", 1.0, None), ("A", 2.0, 5.0)], "k string, m1 double, m2 double"
+    ).unpivot(ids=["k"], values=["m1", "m2"], variableColumnName="measure", valueColumnName="val")
+    agg = {
+        (r.k, r.measure): (r.n, r.s)
+        for r in m.groupBy("k", "measure")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("val"), "s"))
+        .collect()
+    }
+    assert agg[("A", "m1")] == (2, 3.0)
+    assert agg[("A", "m2")][0] == 2 and agg[("A", "m2")][1] == 5.0
