@@ -142,3 +142,35 @@ def test_large_large_join_uses_sort_merge(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x74_skipgram_joins_are_equi_not_nested_loop(spark, sf_dir):
+    """The per-offset equi-join construction must never degrade to a
+    nested-loop/cartesian plan (the per-doc quadratic shape)."""
+    from go_mapreduce_spark.operators.text import x74_skipgram_cooc
+
+    plan = formatted_plan(x74_skipgram_cooc(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x66_posting_join_is_equi_with_partial_agg(spark, sf_dir):
+    """TF-IDF cosine: posting-list self-join on tok (equi), dot
+    products partially aggregated before the exchange."""
+    from go_mapreduce_spark.operators.text import x66_tfidf_cosine
+
+    plan = formatted_plan(x66_tfidf_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row corpus-constants
+    # broadcast (n_docs); the posting self-join itself must be equi
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Join" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_x72_centroids_aggregate_map_side(spark, sf_dir):
+    """The (label, dim) mean must partial-aggregate before its
+    exchange — the explode output never shuffles raw."""
+    from go_mapreduce_spark.operators.clustering import x72_label_centroids
+
+    plan = formatted_plan(x72_label_centroids(spark, sf_dir))
+    assert "partial" in plan.lower() or plan.count("HashAggregate") >= 2
