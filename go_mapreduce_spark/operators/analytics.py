@@ -90,3 +90,29 @@ def x63_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def x75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain
+    estimate behind next-action models): events ordered by (ts,
+    event_id) within each user; every adjacent (prev_type → type)
+    step counted corpus-wide.
+
+    One lag window per user partition + one partial-aggregated count
+    — sessionization's cost envelope.  The (ts, event_id) composite
+    order makes the lag deterministic under timestamp ties.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )

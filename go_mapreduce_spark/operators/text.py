@@ -430,3 +430,16 @@ def x74_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= SKIPGRAM_MIN_COUNT)
         .orderBy("w_left", "w_right")
     )
+
+
+def x76_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: metadata lang × predicted lang
+    with counts — the QA dashboard for the x8 classifier (off-diagonal
+    mass = label disagreement worth auditing before a lang-filtered
+    training mix).  Pure composition: x8's relation re-aggregated."""
+    pred = x8_lang_id(spark, sf_dir)
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )

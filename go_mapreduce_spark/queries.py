@@ -165,6 +165,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- BM25 ranking + skip-gram co-occurrence (IR / word2vec prep) ---
     "x73_bm25": T.x73_bm25,
     "x74_skipgram_cooc": T.x74_skipgram_cooc,
+    # --- event-transition matrix + lang-ID confusion matrix ---
+    "x75_event_transitions": AN.x75_event_transitions,
+    "x76_lang_confusion": T.x76_lang_confusion,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1354,6 +1357,29 @@ ORACLE_SQL["x74_skipgram_cooc"] = f"""
     GROUP BY a.w, b.w
     HAVING COUNT(*) >= {T.SKIPGRAM_MIN_COUNT}
     ORDER BY w_left, w_right
+"""
+
+ORACLE_SQL["x75_event_transitions"] = """
+    WITH steps AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM steps
+    WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+"""
+
+ORACLE_SQL["x76_lang_confusion"] = f"""
+    WITH l AS ({_lang_id_oracle()})
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM l
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
 """
 
 ORACLE_SQL["x62_funnel"] = """
