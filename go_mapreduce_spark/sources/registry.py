@@ -82,3 +82,46 @@ def read_text_lines(spark: SparkSession, path: str, n_map: int | None = None) ->
     if n_map is not None:
         df = df.repartition(n_map)
     return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV source.  An explicit ``schema`` DDL string is strongly
+    preferred at scale: schema inference costs a full extra pass over
+    the data, and inferred types drift between files.  With a schema,
+    the reader parses straight into typed columns and, unlike JSON,
+    skips fields the query never selects (column pruning works)."""
+    reader = (
+        spark.read.option("sep", sep).option("header", str(header).lower())
+    )
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines source; same explicit-schema discipline as CSV
+    (inference reads everything once before the query even starts).
+    Corrupt records surface in ``_corrupt_record`` rather than
+    failing the scan (PERMISSIVE default) — audit that column in
+    ingest jobs."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet (pushdown + pruning apply);
+    included so warehouse-resident ORC tables can feed the same
+    queries without conversion."""
+    return spark.read.orc(path)

@@ -86,3 +86,8 @@ def write_sorted_tsv(
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar twin of the parquet sink)."""
+    df.write.mode(mode).orc(path)

@@ -113,3 +113,47 @@ def test_query_results_identical_across_source_formats(spark, sf_dir, tmp_path):
     results = {fmt: agg(df) for fmt, df in sources.items()}
     assert results["csv"] == results["parquet"]
     assert results["orc"] == results["parquet"]
+
+
+def test_csv_json_orc_roundtrips(spark, sf_dir, tmp_path):
+    """Every non-parquet format round-trips the same relation with
+    schema + values intact (CSV through an explicit schema — the
+    at-scale contract; ORC columnar; JSON lines)."""
+    from go_mapreduce_spark.sources.registry import read_csv, read_json, read_orc
+    from go_mapreduce_spark.sources.sinks import write_csv, write_json, write_orc
+    from go_mapreduce_spark.sources.registry import load_table
+
+    nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    want = [(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()]
+    ddl = "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+
+    p = str(tmp_path / "nation_csv")
+    write_csv(nation, p)
+    got = read_csv(spark, p, schema=ddl).orderBy("n_nationkey").collect()
+    assert [(r.n_nationkey, r.n_name, r.n_regionkey) for r in got] == want
+
+    p = str(tmp_path / "nation_json")
+    write_json(nation, p)
+    got = read_json(spark, p, schema=ddl).orderBy("n_nationkey").collect()
+    assert [(r.n_nationkey, r.n_name, r.n_regionkey) for r in got] == want
+
+    p = str(tmp_path / "nation_orc")
+    write_orc(nation, p)
+    got = read_orc(spark, p).orderBy("n_nationkey").collect()
+    assert [(r.n_nationkey, r.n_name, r.n_regionkey) for r in got] == want
+
+
+def test_orc_scan_prunes_columns(spark, sf_dir, tmp_path):
+    """ORC is columnar: a 2-column projection must not read the full
+    schema (same contract the parquet scans are held to)."""
+    from go_mapreduce_spark.plans.explain import scan_read_schema
+    from go_mapreduce_spark.sources.registry import load_table, read_orc
+    from go_mapreduce_spark.sources.sinks import write_orc
+
+    p = str(tmp_path / "li_orc")
+    write_orc(load_table(spark, sf_dir, "lineitem"), p)
+    df = read_orc(spark, p).select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas
+    for s in schemas:
+        assert "l_orderkey" in s and "l_comment" not in s
