@@ -181,3 +181,52 @@ def x72_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+QUANT_BITS_MAX = 127.0
+
+
+def x78_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar-quantization audit: symmetric scale =
+    127 / max|x|, q_i = floor(x_i·scale + 0.5) (floor — identical in
+    both engines, unlike ROUND's half-up/half-even ambiguity), and
+    the mean absolute reconstruction error |x − q/scale|.
+
+    The storage-engineering query behind embedding compression: 4×
+    smaller vectors at what accuracy cost, per row.  Explode + exact
+    decimal error sums; scan-bound, no shuffle besides the final
+    (vec_id) aggregate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # max|x| materialized as a column BEFORE the per-element math
+    # (HOF-lambda capture re-evaluates expressions per element)
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    mx = exploded.groupBy("vec_id").agg(
+        F.greatest(F.max(F.abs(F.col("x"))), F.lit(1e-12)).alias("maxabs")
+    )
+    q = exploded.join(mx, "vec_id").select(
+        "vec_id",
+        "x",
+        (F.lit(QUANT_BITS_MAX) / F.col("maxabs")).alias("scale"),
+    )
+    err = F.abs(
+        F.col("x") - F.floor(F.col("x") * F.col("scale") + F.lit(0.5)) / F.col("scale")
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            (
+                F.sum(err.cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mae_raw"),
+            F.count(F.lit(1)).alias("dim"),
+        )
+        .select(
+            "vec_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round(F.col("mae_raw") * 1e4, 6).alias("mae_x1e4"),
+        )
+        .orderBy("vec_id")
+    )

@@ -138,3 +138,40 @@ def x12_session_window(spark: SparkSession, sf_dir: str, gap: str = "10 minutes"
         )
         .orderBy("user_id", "session_start")
     )
+
+
+def x77_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity continuous aggregate: per
+    event_type counts + exact sums at hour, day, AND week granularity
+    in ONE scan — grouping on (granularity, bucket) after a 3-way
+    granularity explode.
+
+    At 100 TB this is how rollup tables are built: one pass emitting
+    every granularity (3× row fan-out before the partial aggregate,
+    which immediately collapses it map-side), not three scans.  Week
+    buckets pin to Monday 00:00 (date_trunc('week') in both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.select(
+        "event_type",
+        "value",
+        F.explode(
+            F.array(
+                F.struct(F.lit("hour").alias("gran"), F.date_trunc("hour", "ts").alias("bucket")),
+                F.struct(F.lit("day").alias("gran"), F.date_trunc("day", "ts").alias("bucket")),
+                F.struct(F.lit("week").alias("gran"), F.date_trunc("week", "ts").alias("bucket")),
+            )
+        ).alias("g"),
+    )
+    return (
+        buckets.groupBy(
+            F.col("g.gran").alias("gran"),
+            F.col("g.bucket").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("gran", "bucket", "event_type")
+    )

@@ -168,6 +168,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- event-transition matrix + lang-ID confusion matrix ---
     "x75_event_transitions": AN.x75_event_transitions,
     "x76_lang_confusion": T.x76_lang_confusion,
+    # --- multi-granularity rollup + embedding-quantization audit ---
+    "x77_multi_rollup": WIN.x77_multi_rollup,
+    "x78_quantize_audit": CL.x78_quantize_audit,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1380,6 +1383,47 @@ ORACLE_SQL["x76_lang_confusion"] = f"""
     FROM l
     GROUP BY lang, pred_lang
     ORDER BY lang, pred_lang
+"""
+
+# DuckDB date_trunc returns DATE for day/week — cast to TIMESTAMP to
+# match Spark's timestamp buckets (see parity rules)
+ORACLE_SQL["x77_multi_rollup"] = """
+    WITH buckets AS (
+        SELECT event_type, value, g.gran AS gran, g.bucket AS bucket
+        FROM events, unnest([
+            {'gran': 'hour', 'bucket': CAST(date_trunc('hour', ts) AS TIMESTAMP)},
+            {'gran': 'day',  'bucket': CAST(date_trunc('day',  ts) AS TIMESTAMP)},
+            {'gran': 'week', 'bucket': CAST(date_trunc('week', ts) AS TIMESTAMP)}
+        ]) AS t(g)
+    )
+    SELECT gran, bucket, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM buckets
+    GROUP BY gran, bucket, event_type
+    ORDER BY gran, bucket, event_type
+"""
+
+ORACLE_SQL["x78_quantize_audit"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(x AS DOUBLE) AS x
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    ), mx AS (
+        SELECT vec_id,
+               CASE WHEN MAX(ABS(x)) > 1e-12 THEN MAX(ABS(x)) ELSE 1e-12 END AS maxabs
+        FROM e GROUP BY vec_id
+    ), q AS (
+        SELECT e.vec_id, x, 127.0 / maxabs AS scale
+        FROM e JOIN mx ON mx.vec_id = e.vec_id
+    )
+    SELECT vec_id,
+           COUNT(*) AS dim,
+           ROUND(CAST(SUM(CAST(ABS(x - floor(x * scale + 0.5) / scale)
+                              AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) * 1e4, 6) AS mae_x1e4
+    FROM q
+    GROUP BY vec_id
+    ORDER BY vec_id
 """
 
 ORACLE_SQL["x62_funnel"] = """
