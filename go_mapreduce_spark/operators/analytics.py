@@ -116,3 +116,89 @@ def x75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+def x82_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the (lang, source) contingency
+    table — the corpus-balance check a curation pipeline runs before
+    mixing (is language independent of provenance?).
+
+    One partial+final count over the scan collapses 100 TB to a
+    |langs| x |sources| cell table (~100 rows); the marginal totals
+    are unpartitioned window sums over THAT relation, which is
+    constant-size by construction — the single-partition window is a
+    deliberate post-aggregation choice, not a scan-scale shuffle.
+    Expected counts and contributions are computed per-cell in double
+    with a fixed operation order ((row * col) / grand, then
+    (n-e)^2/e) so both engines produce identical bits.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    all_w = Window.partitionBy()
+    scored = cells.select(
+        "lang",
+        "source",
+        "n",
+        (
+            F.sum("n").over(Window.partitionBy("lang")).cast("double")
+            * F.sum("n").over(Window.partitionBy("source")).cast("double")
+            / F.sum("n").over(all_w).cast("double")
+        ).alias("expected"),
+    )
+    return scored.select(
+        "lang",
+        "source",
+        "n",
+        F.round("expected", 6).alias("expected"),
+        F.round(
+            (F.col("n") - F.col("expected"))
+            * (F.col("n") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2_contrib"),
+    ).orderBy("lang", "source")
+
+
+IQR_FENCE = 1.5
+
+
+def x83_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey-fence outlier census: exact interpolated
+    quartiles, fences at q1/q3 -/+ 1.5*IQR, count of values outside.
+
+    Two key-partitioned aggregates over the same scan: quartiles per
+    type (exact ``percentile`` — a per-group sort of that group's
+    values only), then a broadcast join of the ~4-row fence table
+    back onto the events for the outlier count.  The fence arithmetic
+    runs in double with one fixed operation order on both engines, so
+    boundary comparisons are bit-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    joined = ev.join(F.broadcast(fences), "event_type")
+    lo = F.col("q1") - F.lit(IQR_FENCE) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(IQR_FENCE) * (F.col("q3") - F.col("q1"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("q1").alias("q1d"),
+            F.first("q3").alias("q3d"),
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "event_type",
+            F.round("q1d", 6).alias("q1"),
+            F.round("q3d", 6).alias("q3"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            "n_total",
+        )
+        .orderBy("event_type")
+    )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from go_mapreduce_spark.sources.registry import load_table
 
@@ -573,4 +574,63 @@ def x13_dedup_embedding(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+SN_PREFIX_LEN = 64   # levenshtein operand cap — bounds the O(L^2) DP
+SN_BLOCK_LEN = 8     # sort-key prefix that defines a neighborhood block
+SN_WINDOW = 3        # neighbors compared per document within a block
+SN_MAX_DIST = 20     # edit-distance threshold for a candidate pair
+
+
+def x84_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates: normalize, block on
+    an 8-char sort-key prefix, compare each doc to its next 3
+    neighbors in block order by capped Levenshtein distance.
+
+    The classic record-linkage method (Hernandez-Stolfo merge/purge),
+    re-expressed for a cluster: the textbook GLOBAL sort would funnel
+    everything through one partition, so blocking on the sort-key
+    prefix makes each neighborhood window an independent
+    hash-partitioned unit — lead() windows distribute per-block and
+    the comparison count is exactly SN_WINDOW per doc.  Both
+    levenshtein operands are capped at 64 normalized chars, bounding
+    the per-pair DP at 64^2 regardless of document length.  All
+    integer arithmetic — no float parity risk.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, SN_PREFIX_LEN
+    )
+    keyed = docs.select(
+        "doc_id",
+        norm.alias("norm"),
+    ).withColumn("block", F.substring("norm", 1, SN_BLOCK_LEN))
+    w = Window.partitionBy("block").orderBy("doc_id")
+    with_leads = keyed.select(
+        "doc_id",
+        "norm",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", k).over(w).alias("doc_id_b"),
+                    F.lead("norm", k).over(w).alias("norm_b"),
+                )
+                for k in range(1, SN_WINDOW + 1)
+            ]
+        ).alias("nbrs"),
+    )
+    pairs = with_leads.select(
+        F.col("doc_id").alias("doc_id_a"),
+        "norm",
+        F.explode("nbrs").alias("nb"),
+    ).filter(F.col("nb.doc_id_b").isNotNull())
+    return (
+        pairs.select(
+            "doc_id_a",
+            F.col("nb.doc_id_b").alias("doc_id_b"),
+            F.levenshtein(F.col("norm"), F.col("nb.norm_b")).cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= SN_MAX_DIST)
+        .orderBy("doc_id_a", "doc_id_b")
     )

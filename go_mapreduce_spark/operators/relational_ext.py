@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from go_mapreduce_spark.functions.numeric import dsum
+from go_mapreduce_spark.functions.numeric import dsum, dsum_expr
 from go_mapreduce_spark.sources.registry import load_table
 
 
@@ -412,4 +412,43 @@ def x68_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("val"), "total"),
         )
         .orderBy("l_returnflag", "measure")
+    )
+
+
+PRICING_CUTOFF = "1998-09-01"
+
+
+def x79_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan-heavy
+    report (filter -> wide partial aggregate -> tiny final group).
+
+    The shape the reference's map+reduce wordcount generalizes to in
+    a warehouse (reference mapreduce/mapper.go + reducer.go roles):
+    per-split partial sums, one shuffle of 6 aggregate cells per
+    (returnflag, linestatus) group.  The shipdate filter reaches the
+    parquet scan (PushedFilters), products are evaluated per-row in
+    IEEE double (bit-identical on any engine), and every sum goes
+    through exact decimal (functions/numeric.py) so the report is
+    reproducible at any parallelism.  Group cardinality is ~6 rows
+    regardless of input scale — the final shuffle is constant-size.
+    """
+    from go_mapreduce_spark.functions.numeric import davg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum_expr("l_extendedprice * (1.0 - l_discount)", "sum_disc_price"),
+            dsum_expr(
+                "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge"
+            ),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     )

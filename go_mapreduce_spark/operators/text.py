@@ -443,3 +443,41 @@ def x76_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
+
+
+def x81_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats)
+    — the repetitiveness signal quality filters threshold on (low
+    entropy = boilerplate/spam).
+
+    Explode to (doc, token) counts (partial-aggregated map-side),
+    total per doc via a window over the already-collapsed counts
+    relation (bounded by per-doc vocabulary, not token count), then
+    -sum(p ln p) with each term evaluated in IEEE double and the sum
+    carried through decimal(38,12) — order-invariant at any
+    parallelism, and small-magnitude terms (|p ln p| <= 1/e) keep 12
+    fractional digits of signal.  Zero-token documents drop out of
+    the explode on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(per_doc)
+    terms = counts.select(
+        "doc_id",
+        F.sum("n").over(per_doc).alias("n_tokens"),
+        (-(p * F.log(p))).cast("decimal(38,12)").alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -175,3 +175,66 @@ def x77_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gran", "bucket", "event_type")
     )
+
+
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def x80_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute inactivity gaps (the lag + cumulative-sum
+    formulation), then summarize each session.
+
+    This is the exact-oracle batch twin of x12's gap-semantics
+    session_window: one lag window and one running sum, both over the
+    same (user_id)/(ts, event_id) partition-order — a single shuffle
+    on user_id serves both window passes and the final group-by,
+    because groupBy(user_id, session_idx) is partition-compatible
+    with the window's hash partitioning.  The composite (ts,
+    event_id) order makes lag deterministic under timestamp ties;
+    duration is computed in integer microseconds (no float drift).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > F.lit(gap_us)
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(run).alias("session_idx"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            "n_events",
+            "session_start",
+            "session_end",
+            (F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start")))
+            .alias("duration_us"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

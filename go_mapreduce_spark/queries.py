@@ -171,6 +171,13 @@ QUERIES: dict[str, QueryFn] = {
     # --- multi-granularity rollup + embedding-quantization audit ---
     "x77_multi_rollup": WIN.x77_multi_rollup,
     "x78_quantize_audit": CL.x78_quantize_audit,
+    # --- round-3 wave 4: warehouse reports + analytics + dedup ---
+    "x79_pricing_summary": RX.x79_pricing_summary,
+    "x80_sessionize": WIN.x80_sessionize,
+    "x81_token_entropy": T.x81_token_entropy,
+    "x82_chi2_independence": AN.x82_chi2_independence,
+    "x83_iqr_outliers": AN.x83_iqr_outliers,
+    "x84_sorted_neighborhood": D.x84_sorted_neighborhood,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1483,4 +1490,140 @@ ORACLE_SQL["x10_fingerprint"] = """
                 ELSE sha256(lower(text)) END AS fingerprint
     FROM s
     ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["x79_pricing_summary"] = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{RX.PRICING_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["x80_sessionize"] = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {WIN.SESSION_GAP_SECONDS * 1_000_000}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+"""
+
+ORACLE_SQL["x81_token_entropy"] = """
+    WITH counts AS (
+        SELECT doc_id, tok, COUNT(*) AS n
+        FROM (SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                        t -> len(t) > 0)) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), terms AS (
+        SELECT doc_id,
+               SUM(n) OVER (PARTITION BY doc_id) AS n_tokens,
+               CAST(-((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY doc_id))
+                      * ln(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY doc_id)))
+                    AS DECIMAL(38,12)) AS term
+        FROM counts
+    )
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x82_chi2_independence"] = """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    ), scored AS (
+        SELECT lang, source, n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+               * CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE)
+               / CAST(SUM(n) OVER () AS DOUBLE) AS expected
+        FROM cells
+    )
+    SELECT lang, source, n,
+           ROUND(expected, 6) AS expected,
+           ROUND((n - expected) * (n - expected) / expected, 6) AS chi2_contrib
+    FROM scored
+    ORDER BY lang, source
+"""
+
+ORACLE_SQL["x83_iqr_outliers"] = f"""
+    WITH fences AS (
+        SELECT event_type,
+               CAST(quantile_cont(value, 0.25) AS DOUBLE) AS q1,
+               CAST(quantile_cont(value, 0.75) AS DOUBLE) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(f.q1, 6) AS q1, ROUND(f.q3, 6) AS q3,
+           CAST(SUM(CASE WHEN e.value < f.q1 - {AN.IQR_FENCE} * (f.q3 - f.q1)
+                              OR e.value > f.q3 + {AN.IQR_FENCE} * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_total
+    FROM events e JOIN fences f ON f.event_type = e.event_type
+    GROUP BY e.event_type, f.q1, f.q3
+    ORDER BY e.event_type
+"""
+
+ORACLE_SQL["x84_sorted_neighborhood"] = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                         1, {D.SN_PREFIX_LEN}) AS norm
+        FROM documents
+    ), leads AS (
+        SELECT doc_id AS doc_id_a, norm,
+               lead(doc_id, 1) OVER w AS b1, lead(norm, 1) OVER w AS n1,
+               lead(doc_id, 2) OVER w AS b2, lead(norm, 2) OVER w AS n2,
+               lead(doc_id, 3) OVER w AS b3, lead(norm, 3) OVER w AS n3
+        FROM keyed
+        WINDOW w AS (PARTITION BY substring(norm, 1, {D.SN_BLOCK_LEN})
+                     ORDER BY doc_id)
+    ), pairs AS (
+        SELECT doc_id_a, b1 AS doc_id_b,
+               CAST(levenshtein(norm, n1) AS BIGINT) AS dist
+        FROM leads WHERE b1 IS NOT NULL
+        UNION ALL
+        SELECT doc_id_a, b2, CAST(levenshtein(norm, n2) AS BIGINT)
+        FROM leads WHERE b2 IS NOT NULL
+        UNION ALL
+        SELECT doc_id_a, b3, CAST(levenshtein(norm, n3) AS BIGINT)
+        FROM leads WHERE b3 IS NOT NULL
+    )
+    SELECT doc_id_a, doc_id_b, dist
+    FROM pairs
+    WHERE dist <= {D.SN_MAX_DIST}
+    ORDER BY doc_id_a, doc_id_b
 """

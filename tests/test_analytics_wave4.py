@@ -1,0 +1,152 @@
+"""Property tests for the round-3 wave-4 operators: pricing summary
+(x79), batch sessionization (x80), token entropy (x81), chi-square
+independence (x82), IQR outliers (x83), sorted-neighborhood (x84)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_pricing_summary_invariants(spark, sf_dir):
+    """Group cardinality is tiny, counts conserve under the filter,
+    and disc_price <= base_price (discount in [0, 1])."""
+    from go_mapreduce_spark.operators.relational_ext import (
+        PRICING_CUTOFF,
+        x79_pricing_summary,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    rows = x79_pricing_summary(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 12
+    li = load_table(spark, sf_dir, "lineitem")
+    expected_n = li.filter(
+        F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp")
+    ).count()
+    assert sum(r.count_order for r in rows) == expected_n
+    for r in rows:
+        assert r.sum_disc_price <= r.sum_base_price + 1e-6
+        assert r.sum_charge >= r.sum_disc_price - 1e-6
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-9
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    """Sessions per user are contiguous 1..k, consecutive sessions are
+    separated by more than the gap, and every event lands in exactly
+    one session."""
+    from go_mapreduce_spark.operators.windows import (
+        SESSION_GAP_SECONDS,
+        x80_sessionize,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    sessions = x80_sessionize(spark, sf_dir).collect()
+    assert sessions
+    n_events_total = load_table(spark, sf_dir, "events").count()
+    assert sum(s.n_events for s in sessions) == n_events_total
+
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        by_user.setdefault(s.user_id, []).append(s)
+    for user, ss in by_user.items():
+        ss.sort(key=lambda s: s.session_idx)
+        assert [s.session_idx for s in ss] == list(range(1, len(ss) + 1))
+        for a, b in zip(ss, ss[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > SESSION_GAP_SECONDS, (user, a.session_idx)
+        for s in ss:
+            assert s.session_end >= s.session_start
+            assert s.duration_us == int(
+                (s.session_end - s.session_start).total_seconds() * 1_000_000
+            )
+
+
+def test_token_entropy_bounds(spark):
+    """Uniform tokens hit ln(k) exactly; a single repeated token has
+    zero entropy; entropy <= ln(n_distinct) everywhere."""
+    from go_mapreduce_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd", "en", "s", 11),
+            (2, "zz zz zz zz", "en", "s", 11),
+            (3, "aa aa bb", "en", "s", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in T.x81_token_entropy(spark, d).collect()}
+    assert abs(out[1].entropy - round(math.log(4), 6)) < 1e-9
+    assert out[2].entropy == 0.0
+    expect3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(out[3].entropy - expect3) < 1e-6
+    for r in out.values():
+        assert r.entropy <= math.log(r.n_distinct) + 1e-9
+
+
+def test_chi2_marginals_consistent(spark, sf_dir):
+    """Expected counts reproduce the marginal products and every
+    contribution is non-negative; cells partition the corpus."""
+    from go_mapreduce_spark.operators.analytics import x82_chi2_independence
+    from go_mapreduce_spark.sources.registry import load_table
+
+    rows = x82_chi2_independence(spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    # expected counts sum to N only over a COMPLETE table; cells with
+    # zero observed count are absent, so the visible sum is <= N
+    assert sum(r.expected for r in rows) <= n_docs + 1e-3
+    for r in rows:
+        assert r.chi2_contrib >= 0.0
+        assert r.expected > 0.0
+
+
+def test_iqr_outlier_census(spark):
+    """Known distribution: a single wild point is flagged, bulk data
+    inside the fences is not."""
+    from go_mapreduce_spark.operators.analytics import x83_iqr_outliers
+
+    rows = [(i, f"2024-01-01 00:00:{i % 60:02d}", 1, "a", float(i % 7), "{}")
+            for i in range(100)]
+    rows.append((100, "2024-01-01 00:01:40", 1, "a", 1e6, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = x83_iqr_outliers(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_total == 101
+    assert r.n_outliers == 1
+    assert r.q1 <= r.q3
+
+
+def test_sorted_neighborhood_finds_exact_dups(spark, sf_dir):
+    """Exact duplicates (same normalized prefix) appear as dist-0
+    pairs; output pairs are ordered a < b is NOT guaranteed (block
+    order is doc_id), but dist is within threshold and symmetric
+    inputs yield one canonical row."""
+    from go_mapreduce_spark.operators.dedup import (
+        SN_MAX_DIST,
+        x1_dedup_exact,
+        x84_sorted_neighborhood,
+    )
+
+    pairs = x84_sorted_neighborhood(spark, sf_dir).collect()
+    for p in pairs:
+        assert p.doc_id_a < p.doc_id_b  # lead() over doc_id order
+        assert 0 <= p.dist <= SN_MAX_DIST
+    # exact-dup groups from x1 share identical text => dist 0 whenever
+    # the pair is within the same block and window reach
+    seen = {(p.doc_id_a, p.doc_id_b): p.dist for p in pairs}
+    zero_pairs = [k for k, v in seen.items() if v == 0]
+    assert zero_pairs, "fixture contains exact dups -> some dist-0 pair"
