@@ -202,3 +202,86 @@ def x83_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+HIST_BIN_WIDTH = 25_000.0
+
+
+def x86_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: fixed-width bins so the
+    bin id is a pure row function (floor(price / width)) — one
+    partial+final aggregate at scan speed, no global min/max pass and
+    no sampled rangepartitioning like Spark's own `histogram_numeric`
+    (whose bins are nondeterministic across runs).
+
+    floor() on double is IEEE-exact and identical across engines, so
+    bin membership never flips at 1000x the data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / F.lit(HIST_BIN_WIDTH)).cast("bigint")
+    return (
+        orders.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+def x87_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs (market-basket co-occurrence, the support
+    count behind association rules): parts appearing together in at
+    least BASKET_MIN_SUPPORT orders.
+
+    Distinct (order, part) first — repeat lines of the same part
+    collapse before any pairing — then a self-equi-join on the order
+    key with part_a < part_b.  Baskets are bounded (~7 items/order in
+    TPC-H-shaped data) so the per-order fan-out is =< items² — a
+    constant — and both join sides are the SAME shuffle output, so
+    the exchange is reused, never duplicated.  The pair count is
+    partial-aggregated map-side; min-support prunes before the
+    declared sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+        .orderBy("part_a", "part_b")
+    )
+
+
+def x88_key_skew_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency spectrum of orders-per-customer (the degree
+    distribution a skew audit reads before choosing a join
+    strategy): how many customers placed exactly k orders.
+
+    Two nested distributed aggregates — counts per key, then keys per
+    count — with NO driver-side percentile over the key relation:
+    the spectrum stays fully partitioned however many keys exist,
+    which is the difference between this and an exact-quantile
+    summary at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per_key.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )

@@ -413,3 +413,40 @@ def x40_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# per-language keep thresholds: sha256(doc_id) 2-hex-char prefix must
+# sort below the stratum's threshold => keep rate = int(thresh,16)/256.
+# 'en' is downsampled hardest (the overrepresented stratum in web
+# corpora); unknown languages fall back to STRATA_DEFAULT_LT.
+STRATA_PREFIX_LT: dict[str, str] = {
+    "en": "20",  # ~12.5%
+    "zh": "c0",  # ~75%
+    "de": "80",  # ~50%
+    "es": "80",
+    "fr": "80",
+}
+STRATA_DEFAULT_LT = "40"  # ~25%
+
+
+def x85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling: each stratum keeps
+    a different content-addressed fraction (rebalancing a skewed
+    corpus toward a target language mix).
+
+    Same mechanism as x37 — keep iff the 2-hex-char sha256(doc_id)
+    prefix sorts below the stratum threshold — so membership is a
+    pure row predicate: no seeded RNG, no shuffle, identical keep set
+    at any partitioning or scale.  The lang→threshold CASE is a
+    constant-folded expression, not a join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    thresh = F.lit(STRATA_DEFAULT_LT)
+    for lang, lt in STRATA_PREFIX_LT.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(lt)).otherwise(thresh)
+    return (
+        docs.filter(pfx < thresh)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -178,6 +178,10 @@ QUERIES: dict[str, QueryFn] = {
     "x82_chi2_independence": AN.x82_chi2_independence,
     "x83_iqr_outliers": AN.x83_iqr_outliers,
     "x84_sorted_neighborhood": D.x84_sorted_neighborhood,
+    "x85_stratified_sample": C.x85_stratified_sample,
+    "x86_price_histogram": AN.x86_price_histogram,
+    "x87_basket_pairs": AN.x87_basket_pairs,
+    "x88_key_skew_spectrum": AN.x88_key_skew_spectrum,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1626,4 +1630,54 @@ ORACLE_SQL["x84_sorted_neighborhood"] = f"""
     FROM pairs
     WHERE dist <= {D.SN_MAX_DIST}
     ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def _strata_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{lt}'" for lang, lt in C.STRATA_PREFIX_LT.items()
+    )
+    return f"CASE lang {whens} ELSE '{C.STRATA_DEFAULT_LT}' END"
+
+
+ORACLE_SQL["x85_stratified_sample"] = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < {_strata_case()}
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x86_price_histogram"] = f"""
+    SELECT CAST(floor(o_totalprice / {AN.HIST_BIN_WIDTH}) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 6) AS min_price,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+ORACLE_SQL["x87_basket_pairs"] = f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM basket a
+    JOIN basket b ON b.l_orderkey = a.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {AN.BASKET_MIN_SUPPORT}
+    ORDER BY part_a, part_b
+"""
+
+ORACLE_SQL["x88_key_skew_spectrum"] = """
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_key
+    GROUP BY n_orders
+    ORDER BY n_orders
 """

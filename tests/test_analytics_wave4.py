@@ -150,3 +150,81 @@ def test_sorted_neighborhood_finds_exact_dups(spark, sf_dir):
     seen = {(p.doc_id_a, p.doc_id_b): p.dist for p in pairs}
     zero_pairs = [k for k, v in seen.items() if v == 0]
     assert zero_pairs, "fixture contains exact dups -> some dist-0 pair"
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Per-stratum keep rate tracks its threshold (content-hash keep
+    is binomial: allow generous tolerance at fixture scale)."""
+    from go_mapreduce_spark.operators.curation import (
+        STRATA_DEFAULT_LT,
+        STRATA_PREFIX_LT,
+        x85_stratified_sample,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    kept = x85_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in kept:
+        target = int(STRATA_PREFIX_LT.get(r.lang, STRATA_DEFAULT_LT), 16) / 256
+        rate = r["count"] / totals[r.lang]
+        assert abs(rate - target) < 0.35, (r.lang, rate, target)
+
+
+def test_price_histogram_partitions_orders(spark, sf_dir):
+    from go_mapreduce_spark.operators.analytics import (
+        HIST_BIN_WIDTH,
+        x86_price_histogram,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    bins = x86_price_histogram(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(b.n_orders for b in bins) == n_orders
+    for b in bins:
+        assert b.bin_id * HIST_BIN_WIDTH <= b.min_price
+        assert b.max_price < (b.bin_id + 1) * HIST_BIN_WIDTH
+        assert b.min_price <= b.max_price
+
+
+def test_basket_pairs_planted(spark):
+    """Planted baskets: pair support counts are exact and repeated
+    lines of the same part in one order collapse first."""
+    from go_mapreduce_spark.operators.analytics import x87_basket_pairs
+
+    rows = []
+    # orders 1..4 contain {10, 20}; order 5 contains {10, 20, 20}
+    for ok in (1, 2, 3, 4):
+        rows += [(ok, 10), (ok, 20)]
+    rows += [(5, 10), (5, 20), (5, 20)]
+    # parts {30, 40} co-occur only twice -> below min support 3
+    rows += [(6, 30), (6, 40), (7, 30), (7, 40)]
+    li = spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01")
+         for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(f"{d}/lineitem.parquet")
+        out = x87_basket_pairs(spark, d).collect()
+    assert len(out) == 1
+    assert (out[0].part_a, out[0].part_b, out[0].support) == (10, 20, 5)
+
+
+def test_key_skew_spectrum_conserves(spark, sf_dir):
+    from go_mapreduce_spark.operators.analytics import x88_key_skew_spectrum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    spec = x88_key_skew_spectrum(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_orders * r.n_customers for r in spec) == orders.count()
+    assert sum(r.n_customers for r in spec) == orders.select("o_custkey").distinct().count()

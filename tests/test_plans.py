@@ -180,3 +180,47 @@ def test_x72_centroids_aggregate_map_side(spark, sf_dir):
 
     plan = formatted_plan(x72_label_centroids(spark, sf_dir))
     assert "partial" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_x79_pricing_filter_pushed_and_partial_agg(spark, sf_dir):
+    """The shipdate filter reaches the parquet scan and the wide
+    aggregate map-side combines before its constant-size shuffle."""
+    from go_mapreduce_spark.operators import relational_ext as RX
+
+    df = RX.x79_pricing_summary(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    for s in scan_read_schema(df):
+        assert "l_orderkey" not in s  # pruned: 7 of 11 columns read
+
+
+def test_x83_fences_broadcast_back(spark, sf_dir):
+    """The ~|event_types|-row fence table joins back by broadcast —
+    the events relation never shuffles for the join."""
+    from go_mapreduce_spark.operators import analytics as AN
+
+    assert has_broadcast_hash_join(AN.x83_iqr_outliers(spark, sf_dir))
+
+
+def test_x80_sessionize_single_user_shuffle(spark, sf_dir):
+    """Both window passes and the session group-by reuse ONE hash
+    partitioning on user_id: exactly one exchange in the plan."""
+    from go_mapreduce_spark.operators import windows as WIN
+
+    plan = formatted_plan(WIN.x80_sessionize(spark, sf_dir))
+    # one shuffle keyed on user_id serves windows + group-by; the only
+    # other exchange is the final declared-order range partitioning
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("rangepartitioning") <= 1
+
+
+def test_x84_neighborhood_comparisons_bounded(spark, sf_dir):
+    """No join anywhere: candidate generation is window-lead only, so
+    the comparison count is SN_WINDOW per doc by construction."""
+    from go_mapreduce_spark.operators import dedup as D
+
+    plan = formatted_plan(D.x84_sorted_neighborhood(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
