@@ -182,6 +182,8 @@ QUERIES: dict[str, QueryFn] = {
     "x86_price_histogram": AN.x86_price_histogram,
     "x87_basket_pairs": AN.x87_basket_pairs,
     "x88_key_skew_spectrum": AN.x88_key_skew_spectrum,
+    "x89_stream_sliding": SE.x89_stream_sliding,
+    "x90_stream_dedup": SE.x90_stream_dedup,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1680,4 +1682,40 @@ ORACLE_SQL["x88_key_skew_spectrum"] = """
     FROM per_key
     GROUP BY n_orders
     ORDER BY n_orders
+"""
+
+
+ORACLE_SQL["x89_stream_sliding"] = """
+    -- append-mode sliding replay emits watermark-finalized windows:
+    -- window_end <= ms-truncated max(ts) - 2h (same rule as x36)
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+        FROM events
+    ), expanded AS (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                       time_bucket(INTERVAL '30 minutes', ts)]) AS window_start,
+               event_type, value, ts
+        FROM events
+    ), agg AS (
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM expanded
+        WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+        GROUP BY window_start, event_type
+    )
+    SELECT agg.* FROM agg, wm
+    WHERE agg.window_start + INTERVAL 1 HOUR <= wm.w
+    ORDER BY window_start, event_type
+"""
+
+ORACLE_SQL["x90_stream_dedup"] = """
+    -- the stream input is events DUPLICATED; exact dedup on event_id
+    -- must reproduce the plain batch aggregate
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
 """

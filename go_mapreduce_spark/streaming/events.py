@@ -332,3 +332,80 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def x89_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible sliding-window streaming aggregate: replay
+    events through the 1h/30min sliding window (availableNow, APPEND
+    output to a parquet sink).
+
+    Completes the declared streaming window family (tumbling x36,
+    session x43, join x65): sliding windows stress the overlap path —
+    every event feeds 2 window states, and append emits each window
+    only when the watermark passes its end — so the oracle is the
+    batch x24 expansion under the same finalization predicate
+    (window_end <= ms-truncated max(ts) - 2h).
+    """
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x89", sliding_counts(stream))
+    return out.select(
+        "window_start", "event_type", "n_events", "total_value"
+    ).orderBy("window_start", "event_type")
+
+
+def _ensure_replay_events_dup(spark: SparkSession, sf_dir: str) -> str:
+    """Replay source with every event DUPLICATED (events ∪ events),
+    still range-partitioned and ts-sorted: the planted-duplicate
+    input for the streaming-dedup gate.  Written once per sf."""
+    import os
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    base = _replay_base(sf_dir)
+    dup_dir = os.path.join(base, "events_dup")
+    if not os.path.isfile(os.path.join(dup_dir, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.unionAll(ev)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(dup_dir)
+        )
+    return dup_dir
+
+
+def x90_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming exactly-once dedup: replay a source
+    where EVERY event appears twice, drop duplicates on event_id
+    within the watermark horizon, and summarize per event type.
+
+    ``dropDuplicatesWithinWatermark`` keeps the seen-key set only for
+    the 2h watermark horizon — bounded state at any stream length,
+    unlike a global distinct.  Planted duplicates share their ts, so
+    they always fall inside the horizon and the drained result must
+    equal the UN-duplicated batch aggregate exactly — doubled counts
+    mean the state machine failed.  The emitted rows are per-event
+    (dedup is a stateful filter, not watermark-gated), so the
+    summary aggregate runs batch-side on the sink relation.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    stream = read_event_stream(
+        spark, _ensure_replay_events_dup(spark, sf_dir), max_files_per_trigger=2
+    )
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x90", deduped)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("event_type")
+    )

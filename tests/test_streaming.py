@@ -153,3 +153,39 @@ def test_streaming_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # nothing lost, nothing duplicated
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_dedup_collapses_planted_duplicates(spark, sf_dir):
+    """x90: a doubled source drains to exactly one row per event —
+    per-type counts equal the un-duplicated batch aggregate."""
+    from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.streaming.events import x90_stream_dedup
+
+    out = {r.event_type: r.n_events for r in x90_stream_dedup(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert out == batch  # doubled counts = dedup state failed
+
+
+def test_stream_sliding_emits_finalized_subset(spark, sf_dir):
+    """x89 emits exactly the batch x24 windows whose end the final
+    watermark passed — a strict, non-empty subset at fixture scale."""
+    from go_mapreduce_spark.operators.windows import x24_sliding_window
+    from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.streaming.events import x89_stream_sliding
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in x89_stream_sliding(spark, sf_dir).collect()
+    }
+    assert got
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in x24_sliding_window(spark, sf_dir).collect()
+    }
+    assert len(got) < len(batch)  # open windows near max(ts) held back
+    for k, v in got.items():
+        assert batch[k] == v
