@@ -452,3 +452,78 @@ def x79_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def x92_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation with its share of the region total and rank
+    within region — the percent-of-parent report every BI layer ships.
+
+    The q5 star join (all dims broadcast) collapses to a
+    |nations|-row relation; the share/rank windows run over THAT.
+    The window sum stays in exact decimal (order-invariant), and the
+    share division happens once on the already-exact doubles — so the
+    report hashes identically at any parallelism.  Rank orders by the
+    exact decimal with the nation name as tie-break.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr("l_extendedprice * (1.0 - l_discount)").cast("decimal(38,6)")
+            ).alias("rev_dec")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return (
+        rev.select(
+            "r_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(w).cast("double"),
+                6,
+            ).alias("share"),
+            F.rank()
+            .over(w.orderBy(F.col("rev_dec").desc(), F.col("n_name")))
+            .cast("bigint")
+            .alias("rnk"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def x93_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg surface: each order's part keys as one
+    sorted comma-joined string.
+
+    ``collect_list`` is partition-order-nondeterministic, so the
+    deterministic contract is sort-then-join (array_sort before
+    array_join) — the idiom that makes group concatenation safe to
+    hash-compare at any parallelism.  One shuffle on the group key;
+    basket arrays are bounded by order size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_partkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("parts"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -481,3 +481,50 @@ def x81_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def x91_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus trigram MLE model
+    (x70's LM without the reporting min-count): the perplexity filter
+    that flags machine-generated or out-of-domain text.
+
+    Two passes over the same shingle explode: corpus counts (c3 per
+    trigram, c2 per context via a window over the collapsed count
+    relation), then an equi-join of doc trigrams against the
+    trigram-probability relation — hashed on the shingle string,
+    partial-aggregated per doc.  Scoring the training corpus itself
+    means every doc trigram exists in the LM (p > 0), so no smoothing
+    branch — and ln(c3/c2) is evaluated on the identical IEEE double
+    in both engines, with the per-doc sum carried through
+    decimal(38,12).  Docs with < 3 tokens produce no trigrams and
+    drop out on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tris = (
+        docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("sh"))
+    )
+    c3 = tris.groupBy("sh").agg(F.count(F.lit(1)).alias("c3"))
+    parts = c3.select(
+        "sh",
+        F.regexp_replace(F.col("sh"), " [a-z]+$", "").alias("ctx"),
+        "c3",
+    )
+    w = Window.partitionBy("ctx")
+    probs = parts.select(
+        "sh",
+        (F.col("c3").cast("double") / F.sum("c3").over(w)).alias("p"),
+    )
+    scored = tris.join(probs, "sh").select(
+        "doc_id", (-F.log(F.col("p"))).cast("decimal(38,12)").alias("nll")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                (F.sum("nll").cast("double") / F.count(F.lit(1))), 6
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )

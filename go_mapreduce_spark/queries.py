@@ -184,6 +184,9 @@ QUERIES: dict[str, QueryFn] = {
     "x88_key_skew_spectrum": AN.x88_key_skew_spectrum,
     "x89_stream_sliding": SE.x89_stream_sliding,
     "x90_stream_dedup": SE.x90_stream_dedup,
+    "x91_doc_perplexity": T.x91_doc_perplexity,
+    "x92_share_of_total": RX.x92_share_of_total,
+    "x93_string_agg": RX.x93_string_agg,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1718,4 +1721,63 @@ ORACLE_SQL["x90_stream_dedup"] = """
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+
+ORACLE_SQL["x91_doc_perplexity"] = """
+    WITH tris AS (
+        SELECT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> len(t) > 0) AS toks
+              FROM documents),
+             unnest(range(1, len(toks) - 1)) AS r(i)
+    ), c3 AS (
+        SELECT sh, COUNT(*) AS c3 FROM tris GROUP BY sh
+    ), probs AS (
+        SELECT sh,
+               CAST(c3 AS DOUBLE)
+               / SUM(c3) OVER (PARTITION BY regexp_replace(sh, ' [a-z]+$', '')) AS p
+        FROM c3
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_trigrams,
+           ROUND(CAST(SUM(CAST(-ln(p.p) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS cross_entropy
+    FROM tris t JOIN probs p USING (sh)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+ORACLE_SQL["x92_share_of_total"] = """
+    WITH rev AS (
+        SELECT r_name, n_name,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(38,6))) AS rev_dec
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           ROUND(CAST(rev_dec AS DOUBLE)
+                 / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE),
+                 6) AS share,
+           CAST(rank() OVER (PARTITION BY r_name
+                             ORDER BY rev_dec DESC, n_name) AS BIGINT) AS rnk
+    FROM rev
+    ORDER BY r_name, n_name
+"""
+
+ORACLE_SQL["x93_string_agg"] = """
+    SELECT l_orderkey,
+           COUNT(*) AS n_parts,
+           string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
 """

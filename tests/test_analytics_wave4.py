@@ -228,3 +228,60 @@ def test_key_skew_spectrum_conserves(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     assert sum(r.n_orders * r.n_customers for r in spec) == orders.count()
     assert sum(r.n_customers for r in spec) == orders.select("o_custkey").distinct().count()
+
+
+def test_perplexity_degenerate_lm(spark):
+    """A corpus whose every context has exactly one continuation is
+    perfectly predictable: cross-entropy 0 for every doc."""
+    from go_mapreduce_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16), (2, "beta gamma delta", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in T.x91_doc_perplexity(spark, d).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.n_trigrams == 1
+        assert r.cross_entropy == 0.0
+
+
+def test_perplexity_fixture_properties(spark, sf_dir):
+    from go_mapreduce_spark.operators.text import x91_doc_perplexity
+
+    rows = x91_doc_perplexity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_trigrams >= 1
+        assert r.cross_entropy >= 0.0
+
+
+def test_share_of_total_sums_to_one(spark, sf_dir):
+    from go_mapreduce_spark.operators.relational_ext import x92_share_of_total
+
+    rows = x92_share_of_total(spark, sf_dir).collect()
+    assert rows
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    for region, rs in by_region.items():
+        assert abs(sum(x.share for x in rs) - 1.0) < 1e-4, region
+        top = min(rs, key=lambda x: x.rnk)
+        assert top.revenue == max(x.revenue for x in rs)
+
+
+def test_string_agg_deterministic_and_complete(spark, sf_dir):
+    from go_mapreduce_spark.operators.relational_ext import x93_string_agg
+    from go_mapreduce_spark.sources.registry import load_table
+
+    rows = x93_string_agg(spark, sf_dir).collect()
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_parts for r in rows) == li_n
+    for r in rows[:200]:
+        parts = r.parts.split(",")
+        assert len(parts) == r.n_parts
+        assert parts == sorted(parts, key=int)
