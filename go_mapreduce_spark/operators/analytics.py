@@ -285,3 +285,52 @@ def x88_key_skew_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("n_orders")
     )
+
+
+def x94_measure_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations among lineitem's numeric measures in ONE
+    scan-bound aggregate — the moment-sums formulation, not Spark's
+    built-in ``corr`` (whose streaming-update float accumulation is
+    partition-order-dependent and engine-specific).
+
+    All nine moment sums (Σx, Σx², Σxy per pair) go through exact
+    decimal, so they are bit-identical at any parallelism; each
+    correlation is then one fixed-order double expression over those
+    exact sums.  One partial+final aggregate, constant output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = "decimal(38,6)"
+    sums = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            F.sum(F.expr(e).cast(d)).cast("double").alias(a)
+            for e, a in [
+                ("l_quantity", "sq"),
+                ("l_extendedprice", "sp"),
+                ("l_discount", "sd"),
+                ("l_quantity * l_quantity", "sqq"),
+                ("l_extendedprice * l_extendedprice", "spp"),
+                ("l_discount * l_discount", "sdd"),
+                ("l_quantity * l_extendedprice", "sqp"),
+                ("l_quantity * l_discount", "sqd"),
+                ("l_extendedprice * l_discount", "spd"),
+            ]
+        ],
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        return F.round(
+            (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy))
+            / (
+                F.sqrt(F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx))
+                * F.sqrt(F.col("n") * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

@@ -230,3 +230,35 @@ def x78_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def x95_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (min/max/mean per vector
+    position) — the feature-scaling audit run before quantization or
+    whitening.
+
+    ``posexplode`` fans each vector into (pos, value) rows at scan
+    speed; the aggregate is keyed on the 64 positions — perfectly
+    uniform, partial-aggregated map-side, so the shuffle carries 64
+    cells per task however many vectors exist.  Elements are |x|≲1,
+    so the mean's decimal sum uses 12 fractional digits
+    (decimal(38,6) would round away real signal — see x72).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select("pos", F.col("v").cast("double").alias("v"))
+    return (
+        vals.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_v"),
+        )
+        .orderBy("pos")
+    )

@@ -187,6 +187,8 @@ QUERIES: dict[str, QueryFn] = {
     "x91_doc_perplexity": T.x91_doc_perplexity,
     "x92_share_of_total": RX.x92_share_of_total,
     "x93_string_agg": RX.x93_string_agg,
+    "x94_measure_corr": AN.x94_measure_corr,
+    "x95_dim_stats": CL.x95_dim_stats,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1780,4 +1782,48 @@ ORACLE_SQL["x93_string_agg"] = """
     FROM lineitem
     GROUP BY l_orderkey
     ORDER BY l_orderkey
+"""
+
+
+ORACLE_SQL["x94_measure_corr"] = """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sqp,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sqd,
+               CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS spd
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sqp - sq * sp)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+               AS corr_qty_price,
+           ROUND((n * sqd - sq * sd)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+               AS corr_qty_disc,
+           ROUND((n * spd - sp * sd)
+                 / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+               AS corr_price_disc
+    FROM s
+"""
+
+ORACLE_SQL["x95_dim_stats"] = """
+    WITH vals AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT pos,
+           COUNT(*) AS n_vectors,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_v
+    FROM vals
+    GROUP BY pos
+    ORDER BY pos
 """

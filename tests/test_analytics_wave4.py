@@ -285,3 +285,26 @@ def test_string_agg_deterministic_and_complete(spark, sf_dir):
         parts = r.parts.split(",")
         assert len(parts) == r.n_parts
         assert parts == sorted(parts, key=int)
+
+
+def test_measure_corr_bounds(spark, sf_dir):
+    from go_mapreduce_spark.operators.analytics import x94_measure_corr
+
+    r = x94_measure_corr(spark, sf_dir).collect()[0]
+    assert r.n_rows > 0
+    for c in (r.corr_qty_price, r.corr_qty_disc, r.corr_price_disc):
+        assert -1.0 - 1e-9 <= c <= 1.0 + 1e-9
+    # fixture measures are drawn independently: correlations near 0
+    # (this also catches a formula error, which yields |corr| ≈ 1)
+    assert abs(r.corr_qty_price) < 0.1
+
+
+def test_dim_stats_envelope(spark, sf_dir):
+    from go_mapreduce_spark.operators.clustering import x95_dim_stats
+
+    rows = x95_dim_stats(spark, sf_dir).collect()
+    assert len(rows) == 64
+    counts = {r.n_vectors for r in rows}
+    assert len(counts) == 1  # every vector has all 64 dims
+    for r in rows:
+        assert r.min_v <= r.mean_v <= r.max_v
