@@ -91,3 +91,48 @@ def write_sorted_tsv(
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (columnar twin of the parquet sink)."""
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    near ``target_file_bytes`` each; returns the file count written.
+
+    The operational fix for the classic long-running-pipeline
+    pathology (streaming sinks and fine-grained partitions emit
+    thousands of KB-scale files whose open/footer overhead dominates
+    scan time at 100 TB).  File count is sized from the ACTUAL source
+    bytes — no row sampling, no schema-dependent guessing; parquet's
+    compressed size is the best predictor of its rewritten size.
+    An optional ``sort_within_by`` clusters rows within each output
+    file, restoring min/max-statistics pruning (zone-map locality)
+    that accumulation order destroyed.
+
+    Compaction is a full rewrite into a NEW directory — readers of
+    ``src_dir`` are never exposed to a half-written state; the caller
+    swaps directories (or table pointers) once this returns.
+    """
+    import glob as _glob
+    import os
+
+    src_bytes = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, -(-src_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(src_dir)
+    if sort_within_by:
+        out = df.repartitionByRange(n_files, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return len(
+        [p for p in _glob.glob(os.path.join(dst_dir, "*.parquet"))]
+    )

@@ -157,3 +157,30 @@ def test_orc_scan_prunes_columns(spark, sf_dir, tmp_path):
     assert schemas
     for s in schemas:
         assert "l_orderkey" in s and "l_comment" not in s
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """A 64-file fragmented table compacts to the byte-sized target
+    count with zero row loss; sorted compaction restores clustering."""
+    import glob
+
+    from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1  # tiny source bytes -> single target file
+    got = spark.read.parquet(dst)
+    assert got.count() == ev.count()
+    assert set(got.columns) == set(ev.columns)
+
+    dst2 = str(tmp_path / "compacted_sorted")
+    compact_parquet(spark, src, dst2, target_file_bytes=1 << 30,
+                    sort_within_by=["ts"])
+    rows = spark.read.parquet(dst2).select("ts").collect()
+    assert [r.ts for r in rows] == sorted(r.ts for r in rows)
