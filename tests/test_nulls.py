@@ -214,3 +214,61 @@ def test_grouped_mode_and_unpivot_null_inputs(spark, tmp_path):
     }
     assert agg[("A", "m1")] == (2, 3.0)
     assert agg[("A", "m2")][0] == 2 and agg[("A", "m2")][1] == 5.0
+
+
+def test_wave4_text_ops_on_null_and_empty_text(spark, tmp_path):
+    """x81 entropy, x84 sorted-neighborhood, x91 perplexity on
+    null/empty text: token-less docs drop out cleanly (no throw, no
+    phantom rows); null-normalized docs block together without
+    crashing levenshtein."""
+    import os
+
+    from go_mapreduce_spark.operators import dedup as D
+    from go_mapreduce_spark.operators import text as T
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s", 22),
+         (2, None, "en", "s", 0),
+         (3, "", "en", "s", 0),
+         (4, "alpha beta gamma delta", "en", "s", 22),
+         (5, "12345 67890", "en", "s", 11)],  # digits-only -> zero tokens
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    ent = {r.doc_id for r in T.x81_token_entropy(spark, d).collect()}
+    assert ent == {1, 4}
+
+    ppl = {r.doc_id: r for r in T.x91_doc_perplexity(spark, d).collect()}
+    assert set(ppl) == {1, 4}
+    assert all(r.cross_entropy == 0.0 for r in ppl.values())  # twin docs
+
+    # null text normalizes to null norm; empty/digits to '' — the
+    # window over block must not throw and the twins must pair at 0
+    pairs = D.x84_sorted_neighborhood(spark, d).collect()
+    assert {(p.doc_id_a, p.doc_id_b, p.dist) for p in pairs} >= {(1, 4, 0)}
+
+
+def test_wave4_analytics_on_null_values(spark, tmp_path):
+    """x83 fences and x94 moments on null event values / measures:
+    aggregates skip nulls, comparisons don't throw under ANSI."""
+    import os
+
+    from go_mapreduce_spark.operators import analytics as AN
+
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+         (2, "2024-01-01 00:00:01", 1, "a", None, "{}"),
+         (3, "2024-01-01 00:00:02", 1, "a", 100.0, "{}"),
+         (4, "2024-01-01 00:00:03", 1, "a", 2.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+
+    out = AN.x83_iqr_outliers(spark, d).collect()
+    assert len(out) == 1
+    # null value is neither an outlier nor inside — but IS counted in n_total
+    assert out[0].n_total == 4
+    assert out[0].n_outliers in (0, 1)
