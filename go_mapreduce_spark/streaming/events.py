@@ -176,6 +176,11 @@ def streaming_dedup(docs: DataFrame, watermark_col: str = "ts", watermark: str =
     return keyed.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(["_h"]).drop("_h")
 
 
+# State-store fan-out per micro-batch for fixture-scale replays; see
+# _replay_to_parquet's docstring for the sizing rationale.
+REPLAY_SHUFFLE_PARTITIONS = 8
+
+
 def _replay_base(sf_dir: str) -> str:
     """Deterministic per-sf scratch dir for stream replays: constant
     disk across repeated bench/correctness invocations (the round-2
@@ -228,6 +233,17 @@ def _replay_to_parquet(
     grows with stream length.  Sink + checkpoint are recreated per
     invocation (constant disk, deterministic), so each call is a full
     deterministic replay.
+
+    State partitioning is pinned to ``REPLAY_SHUFFLE_PARTITIONS`` for
+    the replay's lifetime (restored after): every stateful operator
+    materializes one state-store instance PER shuffle partition PER
+    micro-batch, so a 32-partition session pays 32 store
+    open/commit cycles per trigger regardless of data volume —
+    store-count overhead, not data, dominated the replay wall clock
+    (x65 at sf0.1: 12.2s → 3.6s at 8 partitions).  Size this to
+    micro-batch volume: raise it for a production-volume stream,
+    where per-partition data — not store fan-out — is the bound.
+    Results are partition-count-invariant (determinism suite).
     """
     import os
     import shutil
@@ -238,15 +254,20 @@ def _replay_to_parquet(
     for d in (out_dir, ckpt_dir):
         if os.path.isdir(d):
             shutil.rmtree(d)
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
 
 
