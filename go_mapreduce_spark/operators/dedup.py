@@ -634,3 +634,57 @@ def x84_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= SN_MAX_DIST)
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+INCR_SPLIT_DOC_ID = 400  # docs >= this id form the "newly ingested" batch
+
+
+def x96_incremental_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Incremental ingestion dedup: check a NEW batch of documents
+    (doc_id >= INCR_SPLIT_DOC_ID stands in for today's crawl) against
+    the EXISTING corpus for word-3-gram Jaccard near-dups — the gate
+    every continuously-ingesting pipeline runs, where re-pairing the
+    whole corpus (x6) per batch would be quadratic in history.
+
+    Shape: the batch's shingle postings join the corpus postings on
+    the shingle key with the BATCH side broadcast — the corpus
+    relation (the 100 TB side) never shuffles, and per-batch cost is
+    O(corpus-scan + batch-size), independent of how many batches were
+    ingested before.  Jaccard is exact on full shingle sets, same
+    contract as x6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    corpus = sh.filter(F.col("doc_id") < INCR_SPLIT_DOC_ID)
+    batch = sh.filter(F.col("doc_id") >= INCR_SPLIT_DOC_ID)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        corpus.alias("c")
+        .join(F.broadcast(batch.alias("b")), F.col("c.sh") == F.col("b.sh"))
+        .groupBy(
+            F.col("b.doc_id").alias("new_doc"), F.col("c.doc_id").alias("dup_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_new")),
+            "new_doc",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("dup_doc"), F.col("n_sh").alias("n_dup")),
+            "dup_doc",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_new") + F.col("n_dup") - F.col("inter")),
+        )
+    )
+    return (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "dup_doc", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("new_doc", "dup_doc")
+    )

@@ -189,6 +189,7 @@ QUERIES: dict[str, QueryFn] = {
     "x93_string_agg": RX.x93_string_agg,
     "x94_measure_corr": AN.x94_measure_corr,
     "x95_dim_stats": CL.x95_dim_stats,
+    "x96_incremental_dedup": D.x96_incremental_dedup,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1826,4 +1827,37 @@ ORACLE_SQL["x95_dim_stats"] = """
     FROM vals
     GROUP BY pos
     ORDER BY pos
+"""
+
+
+ORACLE_SQL["x96_incremental_dedup"] = f"""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   )) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                     t -> len(t) > 0) AS toks
+                  FROM documents)
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT b.doc_id AS new_doc, c.doc_id AS dup_doc, COUNT(*) AS inter
+        FROM shingles c
+        JOIN shingles b ON b.sh = c.sh
+        WHERE c.doc_id < {D.INCR_SPLIT_DOC_ID}
+          AND b.doc_id >= {D.INCR_SPLIT_DOC_ID}
+        GROUP BY b.doc_id, c.doc_id
+    )
+    SELECT new_doc, dup_doc,
+           ROUND(CAST(inter AS DOUBLE) / (sn.n_sh + sd.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sn ON sn.doc_id = new_doc
+    JOIN sizes sd ON sd.doc_id = dup_doc
+    WHERE CAST(inter AS DOUBLE) / (sn.n_sh + sd.n_sh - inter) >= 0.8
+    ORDER BY new_doc, dup_doc
 """

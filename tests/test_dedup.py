@@ -233,3 +233,26 @@ def test_cc_chain_graph_converges_with_bounded_lineage(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Scan ExistingRDD" in plan, plan[:2000]
     assert len(plan) < 100_000, f"plan text {len(plan)} chars — lineage not truncated"
+
+
+def test_incremental_dedup_matches_cross_slice_of_x6(spark, sf_dir):
+    """x96 (batch-vs-corpus) must equal exactly the x6 pairs that
+    cross the ingestion split — same scores, nothing extra/missing."""
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.operators.dedup import (
+        INCR_SPLIT_DOC_ID,
+        x6_dedup_ngram_jaccard,
+        x96_incremental_dedup,
+    )
+
+    got = {
+        (r.dup_doc, r.new_doc): r.jaccard
+        for r in x96_incremental_dedup(spark, sf_dir).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in x6_dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.doc_a < INCR_SPLIT_DOC_ID <= r.doc_b
+    }
+    assert got == full

@@ -224,3 +224,13 @@ def test_x84_neighborhood_comparisons_bounded(spark, sf_dir):
     plan = formatted_plan(D.x84_sorted_neighborhood(spark, sf_dir))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_x96_batch_side_broadcasts(spark, sf_dir):
+    """Incremental dedup joins corpus postings against a BROADCAST
+    batch side — the corpus (100 TB side) never shuffles for the
+    posting join."""
+    from go_mapreduce_spark.operators import dedup as D
+
+    plan = formatted_plan(D.x96_incremental_dedup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
