@@ -334,3 +334,33 @@ def x94_measure_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+def x99_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts and the running total of distinct users
+    ever seen — the growth-accounting formulation of "cumulative
+    count distinct", which has no direct windowed-distinct SQL shape.
+
+    Rewrites the impossible running COUNT(DISTINCT) as min-per-user
+    (each user's first active day: one key-partitioned aggregate)
+    followed by a cumulative sum over the tiny day grid — shuffle
+    volume is |users| rows then |days| rows, never event-scale.
+    Days with zero new users don't appear (no event creates them);
+    the running total is still correct on the days that do.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select(
+            "day",
+            "n_new",
+            F.sum("n_new").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )

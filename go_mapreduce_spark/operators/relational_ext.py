@@ -527,3 +527,91 @@ def x93_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOP_N = 10
+
+
+def x97_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority report: unshipped orders of
+    one market segment ranked by revenue — filter + 3-way join +
+    group + top-k, the other canonical warehouse benchmark shape.
+
+    Both date predicates and the segment filter push to their scans;
+    customer (filtered to one segment) broadcasts; revenue goes
+    through exact decimal so the top-k ordering is deterministic at
+    any parallelism (ties broken by orderkey), and the final
+    ``orderBy + limit`` plans as TakeOrderedAndProject — per-partition
+    heaps, no global sort.
+    """
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.expr("l_extendedprice * (1.0 - l_discount)").cast("decimal(38,6)")
+            ).alias("rev_dec")
+        )
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
+        .limit(Q3_TOP_N)
+    )
+
+
+Q10_CUTOFF = "1997-01-01"
+Q10_TOP_N = 20
+
+
+def x98_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: customers ranked by
+    revenue lost to returns in a date window, with their nation.
+
+    The fact side carries two pushed filters (return flag + order
+    date through the join); nation broadcasts; customer joins by key
+    AFTER the per-customer aggregate has collapsed the fact volume —
+    the aggregate-then-join order that keeps the wide customer
+    attributes out of the fact shuffle.  Top-k is heap-based, exact
+    decimal keeps the ranking deterministic.
+    """
+    cutoff = F.lit(Q10_CUTOFF).cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff)
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("l_extendedprice * (1.0 - l_discount)").cast("decimal(38,6)")
+            ).alias("rev_dec")
+        )
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(Q10_TOP_N)
+    )

@@ -190,6 +190,9 @@ QUERIES: dict[str, QueryFn] = {
     "x94_measure_corr": AN.x94_measure_corr,
     "x95_dim_stats": CL.x95_dim_stats,
     "x96_incremental_dedup": D.x96_incremental_dedup,
+    "x97_shipping_priority": RX.x97_shipping_priority,
+    "x98_returned_items": RX.x98_returned_items,
+    "x99_cumulative_users": AN.x99_cumulative_users,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1860,4 +1863,60 @@ ORACLE_SQL["x96_incremental_dedup"] = f"""
     JOIN sizes sd ON sd.doc_id = dup_doc
     WHERE CAST(inter AS DOUBLE) / (sn.n_sh + sd.n_sh - inter) >= 0.8
     ORDER BY new_doc, dup_doc
+"""
+
+
+ORACLE_SQL["x97_shipping_priority"] = f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(rev_dec AS DOUBLE) AS revenue
+    FROM (
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(38,6))) AS rev_dec
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment = '{RX.Q3_SEGMENT}'
+          AND o_orderdate < TIMESTAMP '{RX.Q3_CUTOFF}'
+          AND l_shipdate  > TIMESTAMP '{RX.Q3_CUTOFF}'
+        GROUP BY 1, 2, 3
+    )
+    ORDER BY rev_dec DESC, l_orderkey
+    LIMIT {RX.Q3_TOP_N}
+"""
+
+ORACLE_SQL["x98_returned_items"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(38,6))) AS rev_dec
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '{RX.Q10_CUTOFF}'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name,
+           CAST(rev_dec AS DOUBLE) AS revenue
+    FROM per_cust
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    ORDER BY rev_dec DESC, c_custkey
+    LIMIT {RX.Q10_TOP_N}
+"""
+
+ORACLE_SQL["x99_cumulative_users"] = """
+    WITH fd AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT day, COUNT(*) AS n_new FROM fd GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM daily
+    ORDER BY day
 """

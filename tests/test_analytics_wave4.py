@@ -308,3 +308,35 @@ def test_dim_stats_envelope(spark, sf_dir):
     assert len(counts) == 1  # every vector has all 64 dims
     for r in rows:
         assert r.min_v <= r.mean_v <= r.max_v
+
+
+def test_cumulative_users_monotone_and_conserving(spark, sf_dir):
+    from go_mapreduce_spark.operators.analytics import x99_cumulative_users
+    from go_mapreduce_spark.sources.registry import load_table
+
+    rows = x99_cumulative_users(spark, sf_dir).collect()
+    assert rows
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1].cum_users == total_users
+    running = 0
+    for r in rows:
+        running += r.n_new
+        assert r.cum_users == running
+
+
+def test_topk_reports_are_exactly_k_and_ordered(spark, sf_dir):
+    from go_mapreduce_spark.operators.relational_ext import (
+        Q3_TOP_N,
+        Q10_TOP_N,
+        x97_shipping_priority,
+        x98_returned_items,
+    )
+
+    q3 = x97_shipping_priority(spark, sf_dir).collect()
+    assert len(q3) == Q3_TOP_N
+    assert all(a.revenue >= b.revenue for a, b in zip(q3, q3[1:]))
+    q10 = x98_returned_items(spark, sf_dir).collect()
+    assert len(q10) == Q10_TOP_N
+    assert all(a.revenue >= b.revenue for a, b in zip(q10, q10[1:]))

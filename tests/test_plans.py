@@ -234,3 +234,29 @@ def test_x96_batch_side_broadcasts(spark, sf_dir):
 
     plan = formatted_plan(D.x96_incremental_dedup(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_x97_topk_is_heap_based(spark, sf_dir):
+    """Q3-shape: TakeOrderedAndProject (per-partition heaps), segment
+    filter pushed, customer broadcast."""
+    from go_mapreduce_spark.operators import relational_ext as RX
+
+    df = RX.x97_shipping_priority(spark, sf_dir)
+    assert has_take_ordered(df)
+    assert has_broadcast_hash_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pf and "l_shipdate" in pf
+
+
+def test_x98_aggregates_before_customer_join(spark, sf_dir):
+    """Q10-shape: the per-customer aggregate collapses the fact volume
+    BEFORE the customer attribute join (aggregate below the join in
+    the plan tree) — customer names never ride the fact shuffle."""
+    from go_mapreduce_spark.operators import relational_ext as RX
+
+    df = RX.x98_returned_items(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_take_ordered(df)
+    # the wide-attribute join input must already be aggregated:
+    # rev_dec appears as an aggregate result before any c_name ref
+    assert plan.index("rev_dec") < plan.index("c_name")
