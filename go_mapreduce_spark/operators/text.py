@@ -528,3 +528,40 @@ def x91_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def x100_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled per-document feature matrix — the table a quality
+    classifier trains on: surface quality ratios (x9), language-ID
+    agreement (x8), and token-distribution entropy (x81) joined on
+    doc_id.
+
+    Composition, not re-derivation: each family keeps its tested
+    single-pass shape and the assembly is two equi-joins on the
+    primary key (entropy left-joined — token-less docs legitimately
+    have none).  Cost is one corpus scan per family; at 100 TB the
+    cheaper layout is materializing the shared tokenized projection
+    once (documents_tokens table) and pointing all three at it —
+    the join shape here is unchanged by that swap.
+    """
+    q = x9_quality_score(spark, sf_dir)
+    l = x8_lang_id(spark, sf_dir)
+    e = x81_token_entropy(spark, sf_dir).select("doc_id", "n_distinct", "entropy")
+    return (
+        q.join(l, "doc_id")
+        .join(e, "doc_id", "left")
+        .select(
+            "doc_id",
+            "alpha_ratio",
+            "digit_ratio",
+            "stopword_ratio",
+            "n_tokens",
+            "quality",
+            "lang",
+            "pred_lang",
+            (F.col("lang") == F.col("pred_lang")).cast("bigint").alias("lang_match"),
+            "n_distinct",
+            "entropy",
+        )
+        .orderBy("doc_id")
+    )

@@ -193,6 +193,7 @@ QUERIES: dict[str, QueryFn] = {
     "x97_shipping_priority": RX.x97_shipping_priority,
     "x98_returned_items": RX.x98_returned_items,
     "x99_cumulative_users": AN.x99_cumulative_users,
+    "x100_feature_matrix": T.x100_feature_matrix,
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
@@ -1919,4 +1920,21 @@ ORACLE_SQL["x99_cumulative_users"] = """
                                  AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM daily
     ORDER BY day
+"""
+
+
+ORACLE_SQL["x100_feature_matrix"] = f"""
+    WITH q AS ({_quality_oracle()}),
+    l AS ({_lang_id_oracle()}),
+    e AS ({ORACLE_SQL["x81_token_entropy"]})
+    SELECT q.doc_id,
+           q.alpha_ratio, q.digit_ratio, q.stopword_ratio,
+           q.n_tokens, q.quality,
+           l.lang, l.pred_lang,
+           CAST(l.lang = l.pred_lang AS BIGINT) AS lang_match,
+           e.n_distinct, e.entropy
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    LEFT JOIN e ON e.doc_id = q.doc_id
+    ORDER BY q.doc_id
 """
