@@ -480,6 +480,22 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # shuffle partitioning sized to the graph (see operators/scale.py):
+    # each round moves ≤ |E| label rows, and the per-round count()
+    # action pays partition-count scheduling overhead at fixture scale
+    from go_mapreduce_spark.operators.scale import (
+        iterative_shuffle_partitions,
+        pinned_shuffle_partitions,
+    )
+
+    m = edges.count()
+    with pinned_shuffle_partitions(
+        edges.sparkSession, iterative_shuffle_partitions(m)
+    ):
+        return _cc_rounds(edges, checkpoint_every)
+
+
+def _cc_rounds(edges: DataFrame, checkpoint_every: int) -> DataFrame:
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

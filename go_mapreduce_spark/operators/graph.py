@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_mapreduce_spark.operators.scale import (
+    iterative_shuffle_partitions,
+    pinned_shuffle_partitions,
+)
+
 PR_DAMPING = 0.85
 PR_ITERS = 10
 _DEC = "decimal(38,18)"
@@ -58,12 +63,33 @@ def pagerank(
     # per-round joins all read the materialized relation, not the
     # upstream pipeline again
     ed = edges.select("u", "v").distinct().persist()
+    m = ed.count()
+    # shuffle partitioning sized to the graph, not the session default:
+    # every round re-shuffles only ranks (≤ |V| rows) and aggregates
+    # ≤ |E| contributions, so partition-count overhead dominates at
+    # small scale and edge volume at large scale
+    parts = iterative_shuffle_partitions(m)
+    spark = edges.sparkSession
+    with pinned_shuffle_partitions(spark, parts):
+        ranks = _pagerank_rounds(ed, damping, n_iter, checkpoint_every, symmetric, parts)
+    ed.unpersist()
+    return ranks
+
+
+def _pagerank_rounds(
+    ed: DataFrame,
+    damping: float,
+    n_iter: int,
+    checkpoint_every: int,
+    symmetric: bool,
+    parts: int,
+) -> DataFrame:
     outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # (u, v, deg) resolved once, hash-partitioned by the per-round
     # join key and cached: every round's ranks⋈edges join reuses this
     # partitioning (only the small ranks side moves) instead of
     # re-exchanging the graph each iteration
-    ed_deg = ed.join(outd, "u").repartition("u").persist()
+    ed_deg = ed.join(outd, "u").repartition(parts, "u").persist()
     if symmetric:
         nodes = ed.select(F.col("u").alias("node")).distinct().persist()
     else:
@@ -75,7 +101,6 @@ def pagerank(
         )
     n = nodes.count()
     if n == 0:
-        ed.unpersist()
         ed_deg.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
@@ -105,7 +130,11 @@ def pagerank(
             )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-    ed.unpersist()
+    if n_iter % checkpoint_every != 0:
+        # materialize the tail rounds while the pinned partitioning is
+        # still in force — otherwise the caller's action re-plans them
+        # at the session default and re-exchanges the cached graph
+        ranks = ranks.localCheckpoint()
     ed_deg.unpersist()
     nodes.unpersist()
     return ranks
