@@ -364,3 +364,144 @@ def x99_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def x103_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a 7-day trailing moving average and a
+    running maximum — the bounded-frame window family (``ROWS BETWEEN
+    k PRECEDING``) that x99's unbounded running total doesn't cover.
+
+    Exactness discipline: the daily revenue is an exact decimal sum
+    (functions/numeric.py), and both window aggregates run over the
+    *decimal* column — decimal addition is associative, so the moving
+    average is identical at any partitioning; the single double
+    division happens last.
+
+    Scale: one partial+final aggregate onto the day grid (≈ thousands
+    of rows at any corpus size), then one window pass over that tiny
+    relation — window cost is bounded by the calendar, not the data.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev_dec"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wmax = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                F.sum("rev_dec").over(w7).cast("double") / F.count(F.lit(1)).over(w7),
+                6,
+            ).alias("ma7"),
+            F.max("rev_dec").over(wmax).cast("double").alias("cum_max"),
+        )
+        .orderBy("day")
+    )
+
+
+def x104_regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares fit: slope / intercept / R² of
+    extendedprice regressed on quantity, per return flag — the
+    ``REGR_SLOPE`` family computed from exact decimal moment sums.
+
+    Built-in ``regr_*`` aggregates sum doubles in partition order
+    (non-deterministic across runs); instead the five moments
+    (Σx, Σy, Σx², Σxy, Σy²) go through decimal — associative, so any
+    partitioning yields bit-identical moments — and the closed-form
+    solve happens once per group in double.
+
+    Scale: one partial+final aggregate, five decimal sums wide; the
+    solve is per-group constant work.  This is the map-side-combine
+    shape regardless of group cardinality.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    m = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(d("l_quantity")).cast("double").alias("sx"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sy"),
+            F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+            F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,6)")).cast("double").alias("sxy"),
+            F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(38,6)")).cast("double").alias("syy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Columns profiled by x106 (name, is_numeric).  Timestamps are left
+# out on purpose: engines disagree on timestamp→string rendering.
+PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+)
+
+
+def x106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling report over ``orders``: per column the
+    null count, exact distinct count, and min / max (rendered as
+    strings so heterogeneous columns share one output schema).
+
+    The profile every ingestion pipeline runs before trusting a new
+    drop of data.  The five exact ``count_distinct``s make Catalyst
+    plan the whole agg through its Expand-based multi-distinct rewrite
+    (each input row fans out once per distinct column, tagged with a
+    group id) — one logical pass, not five scans — and the null/min/
+    max metrics ride the same aggregate.  A constant-width ``stack``
+    then unpivots to (column, metric) rows.  min/max are computed on
+    the native type and cast to string after (casting first would
+    compare "10" < "9" lexically).
+
+    Scale: scan-bound map-side combine; the only caveat at 100 TB is
+    the exact count_distinct on a high-cardinality key, which shuffles
+    that column's values — swap in approx_count_distinct (x25's HLL)
+    when a ±2% answer is acceptable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, _num in PROFILE_COLS:
+        c = F.col(name)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{name}__nulls"),
+            F.count_distinct(c).alias(f"{name}__distinct"),
+            F.min(c).cast("string").alias(f"{name}__min"),
+            F.max(c).cast("string").alias(f"{name}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nulls, {name}__distinct, {name}__min, {name}__max"
+        for name, _num in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) "
+        "as (column_name, n_nulls, n_distinct, min_str, max_str)"
+    ).orderBy("column_name")

@@ -450,3 +450,76 @@ def x85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# 16 output shards for the deterministic corpus shuffle: one hex digit
+# of the shuffle key.  Production would use O(cluster-cores) shards —
+# the digit-width is the only knob (2 hex chars = 256, 3 = 4096, ...).
+N_SHUFFLE_SHARDS = 16
+
+# Length-weighted sampling: keep probability min(1, n_chars / this).
+# Docs at least this long are always kept; shorter docs keep
+# proportionally to length (token-budget-fair downsampling).
+WEIGHTED_SAMPLE_FULL_CHARS = 400
+
+
+def x101_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: assign every document a shard and
+    a position within the shard, both pure functions of doc_id.
+
+    Training-data loaders need the corpus in a *fixed random* order —
+    re-runs, resumed jobs, and differently-partitioned inputs must
+    produce byte-identical shard files.  Seeded ``orderBy(rand())``
+    fails all three.  Here the order key is sha256(doc_id || ':shuffle'):
+    shard = first hex digit (16-way split), position = rank of the key
+    within the shard — cryptographic mixing makes within-shard order
+    indistinguishable from random while staying content-addressed.
+
+    Scale: no global sort.  Each shard is an independent in-partition
+    sort after one hash shuffle — with shards ≥ executor count the
+    whole corpus sorts in parallel, and a shard's writer streams rows
+    in key order (this is the layout x48's sequence packer and any
+    epoch reader want).  At 100 TB widen the digit prefix (2 hex chars
+    → 256 shards, 3 → 4096); position stays a per-shard window rank.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")), 256)
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("key"), 1, 1)) - 1).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("key")
+    return (
+        docs.select("doc_id", key.alias("key"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def x102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling: keep each document with
+    probability min(1, n_chars / 400) — longer docs (more tokens, more
+    training signal) survive downsampling proportionally more often.
+
+    Unlike x37/x85 (uniform / per-stratum rates), the keep rate here
+    is a *continuous per-row weight*.  Determinism is the same
+    content-hash trick with a per-row threshold: draw u from the first
+    4 hex chars of sha256(doc_id || ':w') and keep iff
+    u <= floor(rate·65536) − 1 rendered as 4 lowercase hex digits —
+    P(keep) = floor(rate·65536)/65536 exactly, on any engine, at any
+    partitioning.  Pure row predicate: pushes to the scan, no RNG
+    state, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.substring(
+        F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":w")), 256), 1, 4
+    )
+    cap = F.lit(WEIGHTED_SAMPLE_FULL_CHARS)
+    thresh_int = F.floor(
+        F.least(F.col("n_chars"), cap) * F.lit(65536) / cap
+    ).cast("int") - F.lit(1)
+    thresh_hex = F.format_string("%04x", thresh_int)
+    return (
+        docs.filter((thresh_int >= 0) & (u <= thresh_hex))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

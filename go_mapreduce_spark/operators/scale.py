@@ -140,3 +140,50 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col(key).asc())
         .limit(top)
     )
+
+
+# Filter for x105: ~20% of orders, selective enough that a runtime
+# bloom filter on the fact side pays for itself.
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def x105_bloom_join(spark, sf_dir: str) -> DataFrame:
+    """Selective dim→fact join shaped for runtime bloom-filter
+    pruning: revenue by return flag over lineitems whose order is
+    URGENT-priority.
+
+    The filter lives on ``orders`` (the small side); the expensive
+    part is shuffling 100 TB of ``lineitem`` rows that will never
+    match.  Spark's InjectRuntimeFilter rewrites exactly this plan: it
+    builds a bloom filter over the filtered orders' keys during *its*
+    scan and evaluates ``might_contain(l_orderkey)`` inside the
+    lineitem scan — shuffle input shrinks toward the true match rate
+    with zero semantic change (false positives only cost bytes; the
+    join still decides membership).
+
+    Declared result is the plain join (the oracle); the bloom rewrite
+    is asserted as a plan contract in tests/test_plans.py.  At fixture
+    scale the injection thresholds (10 GB application-side scan) keep
+    the rewrite off — correctness is identical either way, which is
+    the point.
+    """
+    from pyspark.sql import SparkSession  # noqa: F401  (signature parity)
+
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == BLOOM_PRIORITY
+    ).select("o_orderkey")
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_expr("l_extendedprice * (1.0 - l_discount)", "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

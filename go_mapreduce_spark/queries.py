@@ -197,6 +197,13 @@ QUERIES: dict[str, QueryFn] = {
     # --- event analytics: conversion funnel + retention cohorts ---
     "x62_funnel": AN.x62_funnel,
     "x63_retention_cohorts": AN.x63_retention_cohorts,
+    # --- wave 6: shuffle/sampling/profiling/regression/bloom ---
+    "x101_corpus_shuffle": C.x101_corpus_shuffle,
+    "x102_weighted_sample": C.x102_weighted_sample,
+    "x103_rolling_revenue": AN.x103_rolling_revenue,
+    "x104_regr_by_group": AN.x104_regr_by_group,
+    "x105_bloom_join": SC.x105_bloom_join,
+    "x106_column_profile": AN.x106_column_profile,
 }
 
 
@@ -1937,4 +1944,122 @@ ORACLE_SQL["x100_feature_matrix"] = f"""
     JOIN l ON l.doc_id = q.doc_id
     LEFT JOIN e ON e.doc_id = q.doc_id
     ORDER BY q.doc_id
+"""
+
+ORACLE_SQL["x101_corpus_shuffle"] = """
+    WITH k AS (
+        SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':shuffle') AS key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(key, 1, 1)) - 1 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY strpos('0123456789abcdef', substr(key, 1, 1))
+               ORDER BY key) AS BIGINT) AS pos
+    FROM k
+    ORDER BY shard, pos
+"""
+
+ORACLE_SQL["x102_weighted_sample"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               substr(sha256(CAST(doc_id AS VARCHAR) || ':w'), 1, 4) AS u,
+               CAST(floor(least(n_chars, {C.WEIGHTED_SAMPLE_FULL_CHARS}) * 65536.0
+                          / {C.WEIGHTED_SAMPLE_FULL_CHARS}) AS INTEGER) - 1 AS ti
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM t
+    WHERE ti >= 0 AND u <= printf('%04x', ti)
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x103_rolling_revenue"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(rev_dec) OVER w7 AS DOUBLE)
+                 / COUNT(*) OVER w7, 6) AS ma7,
+           CAST(MAX(rev_dec) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_max
+    FROM daily
+    WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+"""
+
+ORACLE_SQL["x104_regr_by_group"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["x105_bloom_join"] = f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '{SC.BLOOM_PRIORITY}'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["x106_column_profile"] = """
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    )
+    ORDER BY column_name
 """

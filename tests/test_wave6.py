@@ -1,0 +1,188 @@
+"""Wave-6 operator tests: deterministic corpus shuffle, weighted
+sampling, rolling windows, grouped regression, bloom join, and the
+column profiler (queries x101–x106)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.operators import analytics as AN
+from go_mapreduce_spark.operators import curation as C
+from go_mapreduce_spark.operators import scale as SC
+from go_mapreduce_spark.sources.registry import load_table
+
+
+# --- x101 corpus shuffle -------------------------------------------------
+
+def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.x101_corpus_shuffle(spark, sf_dir)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # positions are contiguous 1..n within every shard
+    bad = (
+        out.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn"))
+        .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_corpus_shuffle_invariant_to_partitioning(spark, sf_dir):
+    a = C.x101_corpus_shuffle(spark, sf_dir).collect()
+    # same computation over a repartitioned source must agree row-for-row
+    docs = load_table(spark, sf_dir, "documents").repartition(13)
+    docs.createOrReplaceTempView("_shuffle_repart")
+    key = F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")), 256)
+    from pyspark.sql.window import Window
+
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("key"), 1, 1)) - 1).cast("bigint")
+    b = (
+        docs.select("doc_id", key.alias("key"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(Window.partitionBy("shard").orderBy("key")).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+        .collect()
+    )
+    assert a == b
+
+
+def test_corpus_shuffle_order_is_mixed(spark, sf_dir):
+    # the shuffle must not preserve doc_id order: within a shard,
+    # consecutive positions should not be consecutive doc_ids
+    rows = C.x101_corpus_shuffle(spark, sf_dir).filter(F.col("shard") == 0).collect()
+    ids = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+    monotone_runs = sum(1 for a, b in zip(ids, ids[1:]) if b == a + 1)
+    assert monotone_runs < len(ids) / 4
+
+
+# --- x102 weighted sample ------------------------------------------------
+
+def test_weighted_sample_keeps_all_long_docs(spark, sf_dir):
+    out = C.x102_weighted_sample(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_long = docs.filter(F.col("n_chars") >= C.WEIGHTED_SAMPLE_FULL_CHARS).count()
+    kept_long = out.filter(F.col("n_chars") >= C.WEIGHTED_SAMPLE_FULL_CHARS).count()
+    assert kept_long == n_long  # rate 1.0 above the cap: threshold 'ffff' keeps every hash
+    # and the sample is a strict subset overall (some short docs dropped)
+    assert out.count() < docs.count()
+
+
+def test_weighted_sample_rate_tracks_length(spark):
+    # planted corpus: many docs at two length points; empirical keep
+    # rates must bracket the analytic rates
+    n = 2000
+    rows = [(i, "x", "en", "s", 100) for i in range(n)] + [
+        (i + n, "x", "en", "s", 300) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet("/tmp/wave6_docs/documents.parquet")
+    out = C.x102_weighted_sample(spark, "/tmp/wave6_docs")
+    k100 = out.filter(F.col("n_chars") == 100).count() / n
+    k300 = out.filter(F.col("n_chars") == 300).count() / n
+    assert abs(k100 - 0.25) < 0.05
+    assert abs(k300 - 0.75) < 0.05
+
+
+# --- x103 rolling revenue ------------------------------------------------
+
+def test_rolling_revenue_frame_semantics(spark, sf_dir):
+    rows = AN.x103_rolling_revenue(spark, sf_dir).collect()
+    assert rows, "non-empty"
+    # first row: ma7 == revenue, cum_max == revenue
+    r0 = rows[0]
+    assert abs(r0.ma7 - round(r0.revenue, 6)) < 1e-6
+    assert r0.cum_max == r0.revenue
+    # cum_max is monotone non-decreasing and >= revenue
+    prev = float("-inf")
+    for r in rows:
+        assert r.cum_max >= r.revenue - 1e-9
+        assert r.cum_max >= prev - 1e-9
+        prev = r.cum_max
+    # interior row: ma7 equals the mean of the trailing window
+    if len(rows) > 10:
+        i = 9
+        window = [rows[j].revenue for j in range(i - 6, i + 1)]
+        assert abs(rows[i].ma7 - round(sum(window) / 7, 6)) < 1e-4
+
+
+# --- x104 grouped regression --------------------------------------------
+
+def test_regr_matches_numpy(spark, sf_dir):
+    np = pytest.importorskip("numpy")
+    got = {r.l_returnflag: r for r in AN.x104_regr_by_group(spark, sf_dir).collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append((r.l_quantity, r.l_extendedprice))
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[flag].n_rows == len(pts)
+        assert abs(got[flag].slope - slope) < 1e-3
+        assert abs(got[flag].intercept - intercept) < 1e-2
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(got[flag].r2 - r * r) < 1e-4
+
+
+# --- x105 bloom join -----------------------------------------------------
+
+def test_x105_bloom_filter_injected_when_forced(spark, sf_dir):
+    """With injection thresholds opened up, Catalyst rewrites the x105
+    plan to scan-side ``might_contain`` — the 100 TB shape."""
+    from go_mapreduce_spark.plans.explain import formatted_plan
+
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        df = SC.x105_bloom_join(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        forced = {(r.l_returnflag, r.n_items, round(r.revenue, 6)) for r in df.collect()}
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
+    plain = {
+        (r.l_returnflag, r.n_items, round(r.revenue, 6))
+        for r in SC.x105_bloom_join(spark, sf_dir).collect()
+    }
+    assert forced == plain  # the rewrite is cost-only, never semantic
+
+
+# --- x106 column profile -------------------------------------------------
+
+def test_column_profile_matches_duck(spark, sf_dir, duck):
+    got = {r.column_name: r for r in AN.x106_column_profile(spark, sf_dir).collect()}
+    assert set(got) == {c for c, _ in AN.PROFILE_COLS}
+    for col, _num in AN.PROFILE_COLS:
+        n_nulls, n_distinct = duck.execute(
+            f"SELECT SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT {col}) FROM orders"
+        ).fetchone()
+        assert got[col].n_nulls == (n_nulls or 0)
+        assert got[col].n_distinct == n_distinct
+
+
+def test_column_profile_plan_shape(spark, sf_dir):
+    # 5 exact multi-column distincts plan as ONE Expand-based
+    # rewrite (RewriteDistinctAggregates), not 5 separate scans
+    from go_mapreduce_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(AN.x106_column_profile(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 2
