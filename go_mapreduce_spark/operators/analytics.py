@@ -505,3 +505,62 @@ def x106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(PROFILE_COLS)}, {stack_args}) "
         "as (column_name, n_nulls, n_distinct, min_str, max_str)"
     ).orderBy("column_name")
+
+
+# x108 anomaly contract: trailing window size (rows), minimum history
+# before a row is judged, and the z-score flag threshold.
+ANOMALY_WINDOW = 20
+ANOMALY_MIN_N = 10
+ANOMALY_Z = 3.0
+
+
+def x108_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly flags: an event is anomalous when its
+    value exceeds mean + 3σ of the user's trailing 20 events
+    (excluding itself), given ≥ 10 events of history.
+
+    The streaming-monitoring primitive (fraud / abuse / sensor
+    spikes) expressed as one bounded-frame window pass: mean and
+    variance come from trailing Σx and Σx² — both exact decimal sums,
+    so the flag set is partition-invariant — with the variance solved
+    in double once per row.  Frame order is (ts, event_id): the
+    event_id tiebreak makes ROWS frames deterministic under equal
+    timestamps on any engine.
+
+    Scale: one shuffle on user_id, per-user in-partition sort, O(1)
+    state per row (Spark evaluates trailing-frame sums incrementally).
+    Hot users cost a longer in-partition run, never a cross-partition
+    explosion; the same plan is the availableNow backfill shape for a
+    streaming deployment (cf. streaming/events.py).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_WINDOW, -1)
+    )
+    d = F.col("value").cast("decimal(38,6)")
+    d2 = (F.col("value") * F.col("value")).cast("decimal(38,6)")
+    n = F.count(F.lit(1)).over(frame)
+    sx = F.sum(d).over(frame).cast("double")
+    sxx = F.sum(d2).over(frame).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            n.cast("bigint").alias("n_hist"),
+            F.round(mean, 6).alias("mean_prev"),
+            F.round(std, 6).alias("std_prev"),
+        )
+        .filter(
+            (F.col("n_hist") >= ANOMALY_MIN_N)
+            & (F.col("value") > F.col("mean_prev") + ANOMALY_Z * F.col("std_prev"))
+        )
+        .orderBy("event_id")
+    )

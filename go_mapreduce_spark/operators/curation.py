@@ -523,3 +523,43 @@ def x102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def x109_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest over the x101 shuffle assignment: per
+    shard, the document count, total characters, total BPE tokens,
+    and a content fingerprint (exact sum of each member's 32-bit key
+    prefix) — the sidecar file a dataloader checks before trusting a
+    shard, and the artifact that makes re-shuffles auditable (same
+    corpus ⇒ same manifest, bit for bit).
+
+    The fingerprint sums ``int(sha256-key[:8], 16)`` through a
+    decimal-exact aggregate: order-independent, so any partitioning —
+    or an entirely different engine — produces the same value per
+    shard.  One scan, one 16-group aggregate; token counting rides
+    the same pass as a codegen'd regexp, and no window is needed
+    because the manifest doesn't care about within-shard order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")), 256)
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("key"), 1, 1)) - 1).cast(
+        "bigint"
+    )
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
+    return (
+        docs.select(
+            "n_chars",
+            key.alias("key"),
+            bpe.cast("bigint").alias("n_bpe"),
+        )
+        .withColumn("shard", shard)
+        .withColumn("kpfx", F.conv(F.substring("key", 1, 8), 16, 10).cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum(F.col("kpfx").cast("decimal(38,0)")).cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("shard")
+    )

@@ -565,3 +565,71 @@ def x100_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# x107: fixed search query (terms present in the fixture vocabulary)
+# and result depth.  A real engine parameterizes both; the declared
+# query pins them so the oracle is a closed expression.
+SEARCH_QUERY = ("spark", "hash", "window")
+SEARCH_TOP_N = 10
+
+
+def x107_keyword_search(
+    spark: SparkSession, sf_dir: str, top_n: int = SEARCH_TOP_N
+) -> DataFrame:
+    """BM25-ranked keyword search: score every document against a
+    fixed multi-term query and return the top hits.
+
+    Where x73 ranks terms *within* each doc, this is the retrieval
+    direction — the query's terms select their posting lists and each
+    doc sums its matched-term BM25 contributions.  The term filter is
+    applied at the explode, so only |query| posting lists ever reach
+    a shuffle: the tf/df aggregates run over the matched rows alone,
+    corpus constants (N, avgdl) stay an in-plan 1-row broadcast, and
+    the final top-k is TakeOrderedAndProject, never a global sort.
+    Per-term scores are rounded to 6 dp and summed through exact
+    decimal so the doc score is partition-order-independent.
+
+    Scale: the full-corpus work is one tokenize+explode scan (shared
+    shape with x73); everything after the ``isin`` filter is
+    proportional to the query's document frequency, not corpus size.
+    A production system would precompute the posting/df relations once
+    per corpus snapshot (they are this plan's intermediates, bucketed
+    by term) and serve many queries from them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    matched = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*SEARCH_QUERY))
+    )
+    tf = matched.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = matched.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(dfr), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("term_score", F.round(idf * tf_d * F.lit(BM25_K1 + 1.0) / denom, 6))
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum(F.col("term_score").cast("decimal(38,6)")).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )

@@ -204,6 +204,9 @@ QUERIES: dict[str, QueryFn] = {
     "x104_regr_by_group": AN.x104_regr_by_group,
     "x105_bloom_join": SC.x105_bloom_join,
     "x106_column_profile": AN.x106_column_profile,
+    "x107_keyword_search": T.x107_keyword_search,
+    "x108_rolling_anomaly": AN.x108_rolling_anomaly,
+    "x109_shard_manifest": C.x109_shard_manifest,
 }
 
 
@@ -2062,4 +2065,85 @@ ORACLE_SQL["x106_column_profile"] = """
         FROM orders
     )
     ORDER BY column_name
+"""
+
+ORACLE_SQL["x107_keyword_search"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    consts AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    matched AS (
+        SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+        WHERE tok IN ({", ".join(f"'{t}'" for t in T.SEARCH_QUERY)})
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM matched GROUP BY doc_id, tok),
+    dfr AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY tok),
+    per_term AS (
+        SELECT tf.doc_id,
+               ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * CAST(tf AS DOUBLE) * {T.BM25_K1 + 1.0}
+                     / (CAST(tf AS DOUBLE)
+                        + {T.BM25_K1} * ({1.0 - T.BM25_B} + {T.BM25_B} * dl / avgdl)), 6)
+                   AS term_score
+        FROM tf
+        JOIN dfr USING (tok)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN consts
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms_hit,
+           CAST(SUM(CAST(term_score AS DECIMAL(38,6))) AS DOUBLE) AS score
+    FROM per_term
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {T.SEARCH_TOP_N}
+"""
+
+ORACLE_SQL["x108_rolling_anomaly"] = f"""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               COUNT(*) OVER f AS n_hist,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER f AS DOUBLE) AS sxx
+        FROM events
+        WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {AN.ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING)
+    ), m AS (
+        SELECT event_id, user_id, value,
+               CAST(n_hist AS BIGINT) AS n_hist,
+               ROUND(sx / n_hist, 6) AS mean_prev,
+               ROUND(sqrt(greatest((sxx - sx * sx / n_hist) / (n_hist - 1), 0.0)), 6)
+                   AS std_prev
+        FROM w
+    )
+    SELECT event_id, user_id, value, n_hist, mean_prev, std_prev
+    FROM m
+    WHERE n_hist >= {AN.ANOMALY_MIN_N}
+      AND value > mean_prev + {AN.ANOMALY_Z} * std_prev
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["x109_shard_manifest"] = f"""
+    WITH k AS (
+        SELECT n_chars,
+               sha256(CAST(doc_id AS VARCHAR) || ':shuffle') AS key,
+               CAST(len(regexp_extract_all(text, '{C.BPE_REGEX.replace("'", "''")}'))
+                    AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT CAST(strpos('0123456789abcdef', substr(key, 1, 1)) - 1 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(n_bpe) AS total_bpe_tokens,
+           CAST(SUM(CAST(CAST('0x' || substr(key, 1, 8) AS BIGINT)
+                    AS DECIMAL(38,0))) AS BIGINT) AS fingerprint
+    FROM k
+    GROUP BY 1
+    ORDER BY shard
 """

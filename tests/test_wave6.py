@@ -186,3 +186,107 @@ def test_column_profile_plan_shape(spark, sf_dir):
     plan = formatted_plan(AN.x106_column_profile(spark, sf_dir))
     assert "Expand" in plan
     assert plan.count("Scan parquet") <= 2
+
+
+# --- x107 keyword search -------------------------------------------------
+
+def test_keyword_search_hits_contain_query_terms(spark, sf_dir):
+    from go_mapreduce_spark.operators import text as T
+
+    rows = T.x107_keyword_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= T.SEARCH_TOP_N
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms_hit <= len(T.SEARCH_QUERY) for r in rows)
+    # every hit really contains a query term
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        toks = set(docs[r.doc_id].lower().split())
+        assert toks & set(T.SEARCH_QUERY)
+
+
+def test_keyword_search_topk_plan(spark, sf_dir):
+    from go_mapreduce_spark.operators import text as T
+    from go_mapreduce_spark.plans.explain import has_take_ordered
+
+    assert has_take_ordered(T.x107_keyword_search(spark, sf_dir))
+
+
+# --- x108 rolling anomaly ------------------------------------------------
+
+def test_rolling_anomaly_flags_verified_in_python(spark, sf_dir):
+    from go_mapreduce_spark.operators import analytics as AN
+
+    flagged = AN.x108_rolling_anomaly(spark, sf_dir).collect()
+    assert all(r.n_hist >= AN.ANOMALY_MIN_N for r in flagged)
+    # recompute one flagged row's trailing stats from raw events
+    if flagged:
+        probe = flagged[0]
+        ev = sorted(
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") == probe.user_id)
+            .select("event_id", "ts", "value")
+            .collect(),
+            key=lambda r: (r.ts, r.event_id),
+        )
+        idx = next(i for i, r in enumerate(ev) if r.event_id == probe.event_id)
+        hist = [r.value for r in ev[max(0, idx - AN.ANOMALY_WINDOW):idx]]
+        assert len(hist) == probe.n_hist
+        mean = sum(hist) / len(hist)
+        var = (sum(v * v for v in hist) - sum(hist) ** 2 / len(hist)) / (len(hist) - 1)
+        assert abs(probe.mean_prev - mean) < 1e-4
+        assert abs(probe.std_prev - max(var, 0.0) ** 0.5) < 1e-4
+        assert probe.value > probe.mean_prev + AN.ANOMALY_Z * probe.std_prev
+
+
+def test_rolling_anomaly_planted_spike(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from go_mapreduce_spark.operators import analytics as AN
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=i), 1, "view", 10.0 + (i % 3) * 0.1, "{}")
+        for i in range(30)
+    ]
+    rows.append((99, base + timedelta(minutes=99), 1, "view", 1000.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    flagged = AN.x108_rolling_anomaly(spark, str(tmp_path)).collect()
+    assert [r.event_id for r in flagged] == [99]
+
+
+# --- x109 shard manifest -------------------------------------------------
+
+def test_shard_manifest_conserves_totals(spark, sf_dir):
+    m = C.x109_shard_manifest(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in m) == docs.count()
+    assert sum(r.total_chars for r in m) == docs.agg(F.sum("n_chars")).collect()[0][0]
+    # shards agree with the x101 assignment
+    shuffle_counts = {
+        r.shard: r.n
+        for r in C.x101_corpus_shuffle(spark, sf_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.shard: r.n_docs for r in m} == shuffle_counts
+
+
+def test_shard_manifest_fingerprint_partition_invariant(spark, sf_dir):
+    a = {r.shard: r.fingerprint for r in C.x109_shard_manifest(spark, sf_dir).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {r.shard: r.fingerprint for r in C.x109_shard_manifest(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
