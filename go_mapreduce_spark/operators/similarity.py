@@ -185,9 +185,14 @@ def _ivf_centroids(
         # persists it alongside the partitioned corpus; memoizing on
         # the analyzed plan (same immutable source + transforms →
         # same data) mirrors that, so repeated index probes in one
-        # session don't re-run Lloyd.
+        # session don't re-run Lloyd.  Expression ids (vec_id#1057L)
+        # are per-DataFrame-instantiation noise — two load_table()
+        # calls on the same path must hit the same entry — so they
+        # are stripped from the key.
+        import re as _re
+
         key = (
-            corpus._jdf.queryExecution().analyzed().toString(),
+            _re.sub(r"#\d+", "#", corpus._jdf.queryExecution().analyzed().toString()),
             n_cells,
             IVF_TRAIN_ITERS,
         )
