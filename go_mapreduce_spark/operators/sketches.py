@@ -51,3 +51,79 @@ def x26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+HH_CAPACITY = 30  # Misra-Gries counters per partition; threshold N/30
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str, capacity: int = HH_CAPACITY
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ ``capacity`` candidate
+    values per input partition, with the guarantee that any value
+    whose GLOBAL frequency exceeds N/capacity survives in at least
+    one partition's summary (if it were evicted everywhere, its
+    per-partition counts would each be ≤ N_p/capacity, which sums to
+    ≤ N/capacity — contradiction).
+
+    Implemented as Arrow-batched ``mapInPandas``: each batch collapses
+    to ``value_counts`` (vectorized) before touching the counter
+    dict, so Python-loop work is O(distinct-per-batch), not O(rows).
+    Output is the candidate value set only — MG counts are lower
+    bounds and deliberately not emitted; the exact pass supplies
+    true counts.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > capacity:
+                    # Misra-Gries decrement: subtract the minimum
+                    # count from everyone, evict zeros (batch form of
+                    # the classic one-at-a-time decrement)
+                    m = min(counters.values())
+                    counters = {k: n - m for k, n in counters.items() if n > m}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(summarize, f"{col} string").distinct()
+
+
+def x112_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters in two bounded-memory passes: tokens whose
+    corpus frequency exceeds N/HH_CAPACITY (above-mean-frequency
+    tokens on the ~31-token fixture vocabulary), with EXACT counts.
+
+    Pass 1 (Misra-Gries): each partition keeps ≤ 30 counters however
+    many rows it sees — the candidate union is a superset of every
+    true heavy hitter (pigeonhole, see misra_gries_candidates).
+    Pass 2: exact counts for the ≤ partitions×30 candidates only, via
+    a broadcast semi-join probe — the full-vocabulary shuffle of a
+    naive groupBy never happens.  N rides the same pass as a 1-row
+    broadcast.
+
+    At fixture scale a plain groupBy would be fine (31-token vocab);
+    the declared plan is the one that still works when the value
+    domain is 10^9 URLs or user-ids and per-executor memory is fixed.
+    The oracle is the definition itself (HAVING count > N/capacity) —
+    the sketch affects only WHICH values get exact-counted, never the
+    answer, which is what makes this approximate-family operator
+    exactly checkable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from go_mapreduce_spark.operators.dedup import lower_tokens
+
+    terms = docs.select(F.explode(lower_tokens(F.col("text"))).alias("tok"))
+    cands = misra_gries_candidates(terms, "tok")
+    total = terms.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        terms.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") / HH_CAPACITY)
+        .select("tok", "cnt", F.col("n_total").cast("bigint").alias("n_total"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    )

@@ -633,3 +633,61 @@ def x107_keyword_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(top_n)
     )
+
+
+# x111 drift comparison: the two corpora are the en and de slices of
+# `documents`; smoothing is add-1 over the union vocabulary.
+DRIFT_LANG_A = "en"
+DRIFT_LANG_B = "de"
+DRIFT_TOP_N = 20
+
+
+def x111_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift report between two corpus slices:
+    per-token KL(P_A || P_B) contributions with add-1 smoothing,
+    top-|contribution| first — the "did the new crawl change the
+    language mix" check run before admitting a data drop into a
+    training mix.
+
+    One explode feeds a single conditional aggregate (count per token
+    per side); totals and union-vocabulary size are a 1-row broadcast
+    computed from THAT relation, not a second scan.  Probabilities
+    and ln() run in fixed-order double on both engines; the declared
+    ordering tiebreaks on token.
+
+    Scale: everything after the explode is vocabulary-sized.  The
+    explode itself is the same scan shape as x2/x21; at 100 TB the
+    per-token count relation is what you'd persist per corpus
+    snapshot and diff across drops for free.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(DRIFT_LANG_A, DRIFT_LANG_B)
+    )
+    terms = docs.select(
+        "lang", F.explode(lower_tokens(F.col("text"))).alias("tok")
+    )
+    counts = terms.groupBy("tok").agg(
+        F.sum(F.when(F.col("lang") == DRIFT_LANG_A, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("lang") == DRIFT_LANG_B, 1).otherwise(0)).alias("cnt_b"),
+    )
+    consts = counts.agg(
+        F.sum("cnt_a").cast("double").alias("tot_a"),
+        F.sum("cnt_b").cast("double").alias("tot_b"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    p_a = (F.col("cnt_a") + 1.0) / (F.col("tot_a") + F.col("vocab"))
+    p_b = (F.col("cnt_b") + 1.0) / (F.col("tot_b") + F.col("vocab"))
+    contrib = p_a * F.log(p_a / p_b)
+    return (
+        counts.crossJoin(F.broadcast(consts))
+        .select(
+            "tok",
+            "cnt_a",
+            "cnt_b",
+            F.round(p_a, 6).alias("p_a"),
+            F.round(p_b, 6).alias("p_b"),
+            F.round(contrib, 6).alias("kl_contrib"),
+        )
+        .orderBy(F.abs(F.col("kl_contrib")).desc(), F.col("tok").asc())
+        .limit(DRIFT_TOP_N)
+    )

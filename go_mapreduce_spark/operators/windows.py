@@ -238,3 +238,46 @@ def x80_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+RANGE_WINDOW_MS = 3_600_000  # 1 hour, in epoch-milliseconds
+
+
+def x110_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour event count and value sum — RANGE
+    frames over a physical time axis, where x103/x108's ROWS frames
+    count rows.  "How much did this user do in the trailing hour" is
+    the rate-limiting / velocity-check primitive.
+
+    The frame is anchored on epoch-milliseconds (``unix_millis`` ≡
+    DuckDB ``epoch_ms``: both truncate the µs fixture timestamps the
+    same way), bounds inclusive, and RANGE frames include peer rows —
+    so equal-timestamp events see identical frames and the result is
+    deterministic without any tiebreak column.  The value sum is an
+    exact decimal window sum (partition-invariant, cf.
+    functions/numeric.py).
+
+    Scale: one exchange on user_id + one in-partition sort by time;
+    Spark maintains the sliding frame incrementally (two pointers),
+    so per-row cost is amortized O(1) however wide the hour is.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ms = F.unix_millis(F.col("ts"))
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy(ms.alias("ms"))
+        .rangeBetween(-RANGE_WINDOW_MS, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(frame).cast("bigint").alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(38,6)")).over(frame)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )

@@ -207,6 +207,9 @@ QUERIES: dict[str, QueryFn] = {
     "x107_keyword_search": T.x107_keyword_search,
     "x108_rolling_anomaly": AN.x108_rolling_anomaly,
     "x109_shard_manifest": C.x109_shard_manifest,
+    "x110_time_range_rolling": WIN.x110_time_range_rolling,
+    "x111_corpus_drift": T.x111_corpus_drift,
+    "x112_heavy_hitters": SK.x112_heavy_hitters,
 }
 
 
@@ -2146,4 +2149,65 @@ ORACLE_SQL["x109_shard_manifest"] = f"""
     FROM k
     GROUP BY 1
     ORDER BY shard
+"""
+
+ORACLE_SQL["x110_time_range_rolling"] = f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER f AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW f AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN {WIN.RANGE_WINDOW_MS} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["x111_corpus_drift"] = f"""
+    WITH terms AS (
+        SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                        t -> len(t) > 0)) AS tok
+        FROM documents
+        WHERE lang IN ('{T.DRIFT_LANG_A}', '{T.DRIFT_LANG_B}')
+    ),
+    counts AS (
+        SELECT tok,
+               SUM(CASE WHEN lang = '{T.DRIFT_LANG_A}' THEN 1 ELSE 0 END) AS cnt_a,
+               SUM(CASE WHEN lang = '{T.DRIFT_LANG_B}' THEN 1 ELSE 0 END) AS cnt_b
+        FROM terms GROUP BY tok
+    ),
+    consts AS (
+        SELECT CAST(SUM(cnt_a) AS DOUBLE) AS tot_a,
+               CAST(SUM(cnt_b) AS DOUBLE) AS tot_b,
+               CAST(COUNT(*) AS DOUBLE) AS vocab
+        FROM counts
+    ),
+    scored AS (
+        SELECT tok,
+               CAST(cnt_a AS BIGINT) AS cnt_a,
+               CAST(cnt_b AS BIGINT) AS cnt_b,
+               ROUND((cnt_a + 1.0) / (tot_a + vocab), 6) AS p_a,
+               ROUND((cnt_b + 1.0) / (tot_b + vocab), 6) AS p_b,
+               ROUND((cnt_a + 1.0) / (tot_a + vocab)
+                     * ln(((cnt_a + 1.0) / (tot_a + vocab))
+                          / ((cnt_b + 1.0) / (tot_b + vocab))), 6) AS kl_contrib
+        FROM counts CROSS JOIN consts
+    )
+    SELECT * FROM scored
+    ORDER BY abs(kl_contrib) DESC, tok ASC
+    LIMIT {T.DRIFT_TOP_N}
+"""
+
+ORACLE_SQL["x112_heavy_hitters"] = f"""
+    WITH terms AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM terms)
+    SELECT tok,
+           COUNT(*) AS cnt,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_total
+    FROM terms
+    GROUP BY tok
+    HAVING COUNT(*) > (SELECT n FROM tot) / {SK.HH_CAPACITY}
+    ORDER BY cnt DESC, tok ASC
 """

@@ -290,3 +290,95 @@ def test_shard_manifest_fingerprint_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+# --- x110 time-range rolling ---------------------------------------------
+
+def test_time_range_rolling_recomputed(spark, sf_dir):
+    from go_mapreduce_spark.operators import windows as WIN
+
+    out = WIN.x110_time_range_rolling(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value").collect()
+    uid = ev[0].user_id
+    mine = sorted((r for r in ev if r.user_id == uid), key=lambda r: r.ts)
+    got = {r.event_id: r for r in out if r.user_id == uid}
+    ms = lambda t: int(t.timestamp() * 1000)  # noqa: E731
+    for r in mine:
+        frame = [e for e in mine if 0 <= ms(r.ts) - ms(e.ts) <= WIN.RANGE_WINDOW_MS]
+        assert got[r.event_id].n_1h == len(frame)
+        assert abs(got[r.event_id].sum_1h - sum(e.value for e in frame)) < 1e-4
+
+
+def test_time_range_vs_rows_frame_differs(spark, sf_dir):
+    # RANGE semantics are genuinely time-based: some user must have a
+    # trailing-hour count that is not simply "all preceding rows"
+    from go_mapreduce_spark.operators import windows as WIN
+
+    out = WIN.x110_time_range_rolling(spark, sf_dir)
+    n_users_with_bounded = (
+        out.groupBy("user_id")
+        .agg(F.max("n_1h").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("mx") < F.col("n"))
+        .count()
+    )
+    assert n_users_with_bounded > 0
+
+
+# --- x111 corpus drift ---------------------------------------------------
+
+def test_corpus_drift_planted(spark, tmp_path):
+    from go_mapreduce_spark.operators import text as T
+
+    # corpus A says "alpha" constantly, B says "beta"; drift report
+    # must surface both with opposite-signed contributions
+    rows = [(i, "alpha common word", "en", "s", 10) for i in range(50)]
+    rows += [(100 + i, "beta common word", "de", "s", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.tok: r for r in T.x111_corpus_drift(spark, str(tmp_path)).collect()}
+    assert out["alpha"].kl_contrib > 0  # overrepresented in A
+    assert out["beta"].kl_contrib < 0   # A nearly never says it
+    assert out["alpha"].cnt_a == 50 and out["alpha"].cnt_b == 0
+
+
+def test_corpus_drift_identical_corpora_is_flat(spark, tmp_path):
+    from go_mapreduce_spark.operators import text as T
+
+    rows = [(i, "same words here", "en", "s", 10) for i in range(30)]
+    rows += [(100 + i, "same words here", "de", "s", 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    for r in T.x111_corpus_drift(spark, str(tmp_path)).collect():
+        assert abs(r.kl_contrib) < 1e-9
+
+
+# --- x112 heavy hitters --------------------------------------------------
+
+def test_misra_gries_guarantee_on_planted_skew(spark):
+    from go_mapreduce_spark.operators.sketches import misra_gries_candidates
+
+    # 100k rows: 'hot' is 20%, 1000 distinct cold values share the rest;
+    # capacity 10 → threshold 10% → 'hot' MUST be a candidate
+    rows = [("hot",)] * 20000 + [(f"cold{i % 1000}",) for i in range(80000)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    cands = {r.tok for r in misra_gries_candidates(df, "tok", capacity=10).collect()}
+    assert "hot" in cands
+    assert len(cands) <= 8 * 10  # bounded by partitions x capacity
+
+
+def test_heavy_hitters_equal_naive_groupby(spark, sf_dir):
+    from go_mapreduce_spark.operators.dedup import lower_tokens
+    from go_mapreduce_spark.operators.sketches import HH_CAPACITY, x112_heavy_hitters
+
+    got = {(r.tok, r.cnt) for r in x112_heavy_hitters(spark, sf_dir).collect()}
+    terms = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(lower_tokens(F.col("text"))).alias("tok"))
+    )
+    n = terms.count()
+    exact = {
+        (r.tok, r.cnt)
+        for r in terms.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r.cnt > n / HH_CAPACITY
+    }
+    assert got == exact
