@@ -56,6 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet TIMESTAMP(NANOS) read as raw int64 (see session.py);
         # truncate to µs exactly as DuckDB's parquet reader does.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize any TIMESTAMP_NTZ column (parquet isAdjustedToUTC=false,
+    # e.g. a testdata generation that stamps µs-naive timestamps) to
+    # session-tz TIMESTAMP.  Under the UTC session tz the cast is
+    # instant-preserving and wall values stay equal to what DuckDB's
+    # naive reader sees, while downstream instant functions
+    # (unix_micros, window, watermarks) get the LTZ type they require.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
