@@ -704,3 +704,64 @@ def x96_incremental_dedup(
         .select("new_doc", "dup_doc", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("new_doc", "dup_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# x113: fuzzy record linkage via deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def x113_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over part names: all DISTINCT name pairs within
+    Levenshtein distance 1, with how many parts carry each spelling.
+
+    The near-miss spellings a catalog/entity-resolution pass must
+    reconcile.  Blocking is a deletion-neighborhood key join (the
+    FastSS / SymSpell scheme, public): each distinct name emits itself
+    plus every single-character deletion (``len+1`` short keys).  Two
+    strings at Levenshtein distance ≤ 1 always share a neighborhood
+    element — s matches t's deletion (insertion), s's deletion matches
+    t (deletion), and a substitution at position i makes both
+    i-deletions equal — so the key-equality join is a SOUND blocking
+    for distance ≤ 1: it over-generates (candidates up to distance 2),
+    never under-generates, and the exact ``levenshtein`` verify runs
+    only on candidates.  Linear key generation and a key-equality
+    shuffle instead of the O(N²) cross join the oracle runs; key
+    frequency is bounded by how many near-identical spellings exist
+    (the matches themselves), so no hot-key blowup beyond genuinely
+    linked groups.
+    """
+    parts = load_table(spark, sf_dir, "part")
+    names = (
+        parts.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    s = F.col("name")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    keyed = names.select(
+        "name", "n_parts", F.explode(F.array_union(F.array(s), dels)).alias("k")
+    )
+    a = keyed.select(
+        F.col("name").alias("name_a"), F.col("n_parts").alias("n_a"), "k"
+    )
+    b = keyed.select(
+        F.col("name").alias("name_b"), F.col("n_parts").alias("n_b"), "k"
+    )
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "n_a", "n_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select("name_a", "name_b", "n_a", "n_b", "dist")
+        .orderBy("name_a", "name_b")
+    )

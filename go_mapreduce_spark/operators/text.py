@@ -691,3 +691,96 @@ def x111_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("kl_contrib")).desc(), F.col("tok").asc())
         .limit(DRIFT_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# x114: out-of-vocabulary rate vs the corpus top-V vocabulary
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_SIZE = 1000
+
+
+def x114_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``OOV_VOCAB_SIZE`` token vocabulary (count desc, token asc
+    tie-break — a total order, so the vocabulary boundary is
+    deterministic).
+
+    Tokenizer-coverage triage for training corpora: documents whose
+    tokens mostly fall outside the dominant vocabulary are boilerplate,
+    foreign-language leakage, or junk.  Two passes over one exploded
+    relation: (1) global token counts → bounded top-V vocabulary,
+    (2) per-document membership counts with the vocabulary broadcast —
+    the corpus is never shuffled on token, so the plan scales with the
+    explode, not with pair formation.  V is fixed (1000), so the
+    broadcast is bounded at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x115: cross-corpus n-gram novelty (boilerplate / memorization signal)
+# ---------------------------------------------------------------------------
+
+
+def x115_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct word-3-gram shingles whose
+    FIRST corpus occurrence (minimum doc_id) is this document.
+
+    Low novelty = the document mostly repeats shingles already seen in
+    earlier documents — boilerplate, templated spam, or near-copies;
+    the standard corpus-level repetition signal next to the per-doc
+    x49 repetition score.  Plan: one explode → distinct (doc, shingle)
+    → a single shuffle partitioned on shingle where ``min(doc_id)``
+    is computed as a window (no self-join back to the corpus), then a
+    per-doc aggregate.  Shingle-key skew (hot boilerplate shingles)
+    is the same population x57 audits; the window aggregate is a
+    constant-memory running min per key, so hot keys cost scan time,
+    not memory.  Documents with <3 tokens have no shingles and are
+    absent (matches the SQL oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
+        .distinct()
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("sh"))
+    per_sh = sh.withColumn("is_novel", (F.col("doc_id") == first_doc).cast("int"))
+    return (
+        per_sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("is_novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

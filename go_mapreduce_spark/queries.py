@@ -210,6 +210,10 @@ QUERIES: dict[str, QueryFn] = {
     "x110_time_range_rolling": WIN.x110_time_range_rolling,
     "x111_corpus_drift": T.x111_corpus_drift,
     "x112_heavy_hitters": SK.x112_heavy_hitters,
+    # --- wave 7: entity resolution + tokenizer coverage + novelty ---
+    "x113_fuzzy_match": D.x113_fuzzy_match,
+    "x114_oov_rate": T.x114_oov_rate,
+    "x115_ngram_novelty": T.x115_ngram_novelty,
 }
 
 
@@ -2210,4 +2214,60 @@ ORACLE_SQL["x112_heavy_hitters"] = f"""
     GROUP BY tok
     HAVING COUNT(*) > (SELECT n FROM tot) / {SK.HH_CAPACITY}
     ORDER BY cnt DESC, tok ASC
+"""
+
+ORACLE_SQL["x113_fuzzy_match"] = """
+    WITH names AS (
+        SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           a.n_parts AS n_a, b.n_parts AS n_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 1
+    ORDER BY name_a, name_b
+"""
+
+ORACLE_SQL["x114_oov_rate"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ORDER BY c DESC, tok ASC LIMIT {T.OOV_VOCAB_SIZE})
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["x115_ngram_novelty"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    ),
+    firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM shingles GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM shingles s JOIN firsts f USING (sh)
+    GROUP BY s.doc_id ORDER BY doc_id
 """
