@@ -1,0 +1,179 @@
+"""Physical-layout planning: the table-service side of a 100 TB
+engine — compaction planning, range-partitioner boundaries, z-order
+layout audits, and equi-depth histogram statistics.
+
+These are the operators a lakehouse table service runs continuously:
+small-file compaction keeps scan task counts bounded, range boundaries
+drive balanced range partitioning / sorted writes, z-order interleaving
+gives multi-column data-skipping locality, and equi-depth histograms
+feed the cost-based optimizer.  (The reference engine's analog is its
+fixed split planner, reference mapreduce/master.go:33-58 — one split
+per file chunk; these operators are what replaces hand-planning at
+scale.)
+
+Scale design: every operator here works on *metadata-sized* relations
+(one row per file / per bucket / per block) or single-pass aggregates
+of the data.  The compaction planner's running-sum window is a single
+partition BY DESIGN — its input is the file inventory (~1e5 rows for
+100 TB of 1 GB files, driver-scale metadata), never the data.  The
+percentile boundaries are one exact aggregate (swap for
+``approx_percentile`` at petabyte scale — the sketch module's
+tradeoff, see sketches.py).  The z-order audit is pure per-row bit
+arithmetic + one aggregate: whole-stage-codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.sources.registry import load_table
+
+# compaction: pack small files into ~TARGET-byte bins, in file order
+# (sequential fill preserves the table's existing sort/insertion order,
+# the property incremental compaction must keep)
+COMPACT_FILE_GROUP = 64
+COMPACT_TARGET_BYTES = 4096
+
+# range partitioner split count
+RANGE_N_BUCKETS = 16
+
+# z-order: bits per dimension and block granularity for the audit
+Z_BITS = 8
+Z_BLOCK_SHIFT = 6
+
+# equi-depth histogram bucket count (CBO-stats grade)
+HIST_N_BUCKETS = 32
+
+
+def x119_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: simulate a file inventory (one
+    "file" per ``COMPACT_FILE_GROUP`` consecutive orderkeys, sized by
+    its payload bytes), then assign each file to a compaction bin by
+    sequential fill — a file starts a new bin when the running total
+    crosses ``COMPACT_TARGET_BYTES``.
+
+    ``bin_id = floor((cumsum - size) / target)`` is the closed form of
+    "fill bins left to right in file order": deterministic, one window
+    over the inventory, no driver loop.  The inventory is metadata
+    (100 TB at 1 GB/file ≈ 1e5 rows), so the single-partition ordered
+    window is the right plan — the data itself never moves here; the
+    plan's bins are what a rewrite job would execute.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    files = (
+        orders.groupBy(
+            F.floor(F.col("o_orderkey") / COMPACT_FILE_GROUP).alias("file_id")
+        )
+        .agg(
+            F.sum(
+                F.length("o_orderpriority") + F.length("o_orderstatus") + F.lit(48)
+            ).alias("size_bytes")
+        )
+    )
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        files.withColumn("csum", F.sum("size_bytes").over(w))
+        .select(
+            "file_id",
+            "size_bytes",
+            F.floor((F.col("csum") - F.col("size_bytes")) / COMPACT_TARGET_BYTES)
+            .alias("bin_id"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def x120_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner split points: the ``RANGE_N_BUCKETS - 1``
+    interior exact interpolated percentiles of ``o_totalprice``.
+
+    This is what a sorted/range-partitioned write needs up front
+    (Spark's own RangePartitioner samples; a table service computes
+    them from stats).  One exact aggregate — at petabyte scale swap
+    ``F.percentile`` for the mergeable ``approx_percentile`` sketch
+    (x26) and keep the same output contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fracs = [i / RANGE_N_BUCKETS for i in range(1, RANGE_N_BUCKETS)]
+    arr = orders.agg(
+        F.percentile("o_totalprice", F.lit(fracs).cast("array<double>")).alias("bs")
+    )
+    return arr.select(F.posexplode("bs").alias("boundary_id", "v")).select(
+        "boundary_id", F.round("v", 6).alias("split_value")
+    )
+
+
+def _interleave(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Bit-interleave two ``bits``-wide ints into a Morton (z-order)
+    value: x's bit i lands at 2i, y's at 2i+1.  A static sum of
+    shift/mask terms — whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def x124_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit of lineitem on (l_partkey, l_suppkey):
+    interleave the low ``Z_BITS`` of each key into a Morton code,
+    group into blocks of ``2**Z_BLOCK_SHIFT`` z-cells, and report
+    per-block row counts and per-dimension key spreads.
+
+    The audit a layout optimizer runs before/after clustering: tight
+    per-block ``distinct`` counts on BOTH dimensions mean multi-column
+    data skipping works (min/max pruning on either key prunes blocks).
+    Pure bit arithmetic + one aggregate; block count is bounded at
+    ``4**Z_BITS / 2**Z_BLOCK_SHIFT`` regardless of data size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mask = (1 << Z_BITS) - 1
+    z = _interleave(
+        F.col("l_partkey").bitwiseAND(F.lit(mask)),
+        F.col("l_suppkey").bitwiseAND(F.lit(mask)),
+    )
+    return (
+        li.select(
+            F.shiftright(z, Z_BLOCK_SHIFT).alias("block_id"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("block_id")
+    )
+
+
+def x127_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of ``l_extendedprice`` in
+    ``HIST_N_BUCKETS`` buckets — the CBO-statistics shape (selectivity
+    estimation wants equal-mass buckets, not equal-width: x86 is the
+    equal-width counterpart).
+
+    ``ntile`` over a UNIQUE total order (price, orderkey, linenumber)
+    makes bucket assignment deterministic and engine-portable — both
+    Spark and the oracle place the first ``n % k`` buckets one row
+    larger, but only a total order makes WHICH rows land there
+    well-defined.  One global sort (the cost any exact equi-depth
+    histogram pays; the approximate path is x26's sketch).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(HIST_N_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from go_mapreduce_spark.operators import analytics as AN
 from go_mapreduce_spark.operators import cdc as CD
 from go_mapreduce_spark.operators import graph as G
+from go_mapreduce_spark.operators import layout as L
 from go_mapreduce_spark.operators import clustering as CL
 from go_mapreduce_spark.operators import curation as C
 from go_mapreduce_spark.operators import multimodal as MM
@@ -214,6 +215,11 @@ QUERIES: dict[str, QueryFn] = {
     "x113_fuzzy_match": D.x113_fuzzy_match,
     "x114_oov_rate": T.x114_oov_rate,
     "x115_ngram_novelty": T.x115_ngram_novelty,
+    # --- wave 8: physical layout / table-service planning ---
+    "x119_compaction_plan": L.x119_compaction_plan,
+    "x120_range_boundaries": L.x120_range_boundaries,
+    "x124_zorder_audit": L.x124_zorder_audit,
+    "x127_equidepth_hist": L.x127_equidepth_hist,
 }
 
 
@@ -2270,4 +2276,55 @@ ORACLE_SQL["x115_ngram_novelty"] = """
                  / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
     FROM shingles s JOIN firsts f USING (sh)
     GROUP BY s.doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["x119_compaction_plan"] = f"""
+    WITH files AS (
+        SELECT CAST(floor(o_orderkey / {L.COMPACT_FILE_GROUP}) AS BIGINT) AS file_id,
+               CAST(SUM(length(o_orderpriority) + length(o_orderstatus) + 48)
+                    AS BIGINT) AS size_bytes
+        FROM orders GROUP BY 1
+    )
+    SELECT file_id, size_bytes,
+           CAST(floor((SUM(size_bytes) OVER (ORDER BY file_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - size_bytes) / {L.COMPACT_TARGET_BYTES}) AS BIGINT) AS bin_id
+    FROM files ORDER BY file_id
+"""
+
+_RANGE_FRACS = ", ".join(
+    str(i / L.RANGE_N_BUCKETS) for i in range(1, L.RANGE_N_BUCKETS)
+)
+ORACLE_SQL["x120_range_boundaries"] = f"""
+    WITH q AS (SELECT quantile_cont(o_totalprice, [{_RANGE_FRACS}]) AS bs FROM orders),
+         idx AS (SELECT unnest(range(0, {L.RANGE_N_BUCKETS - 1})) AS boundary_id)
+    SELECT CAST(boundary_id AS INT) AS boundary_id,
+           ROUND(bs[CAST(boundary_id AS INT) + 1], 6) AS split_value
+    FROM q, idx ORDER BY boundary_id
+"""
+
+_Z_TERMS = " + ".join(
+    f"((((l_partkey & 255) >> {i}) & 1) << {2 * i})"
+    f" + ((((l_suppkey & 255) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(L.Z_BITS)
+)
+ORACLE_SQL["x124_zorder_audit"] = f"""
+    SELECT ({_Z_TERMS}) >> {L.Z_BLOCK_SHIFT} AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY 1 ORDER BY block_id
+"""
+
+ORACLE_SQL["x127_equidepth_hist"] = f"""
+    WITH t AS (
+        SELECT l_extendedprice,
+               ntile({L.HIST_N_BUCKETS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        FROM lineitem
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 6) AS lo,
+           ROUND(MAX(l_extendedprice), 6) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
 """
