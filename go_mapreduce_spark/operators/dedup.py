@@ -765,3 +765,89 @@ def x113_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "n_a", "n_b", "dist")
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x116/x117: ORACLE-CHECKED MinHash — sha256-derived signatures + band pairs
+# ---------------------------------------------------------------------------
+# The xxhash64-permutation MinHash (x4) is seed-scheme-specific, so it
+# carries recall-bound tests instead of an oracle.  This variant derives
+# each "permutation" from sha256 (available identically in DuckDB), so
+# the ENTIRE LSH pipeline — signatures and banded candidate pairs — is
+# exactly reproducible in ANSI SQL and rides the driver's hash gate.
+# Same plan shape as x4 at scale: one explode + one grouped min per
+# signature row; band pairs via an equality join on band keys, never a
+# corpus cross join.
+
+SIG_K = 8        # signature length (hash functions)
+SIG_BAND_ROWS = 2  # rows per band -> 4 bands
+
+
+def x116_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature: ``SIG_K`` columns, each the min
+    sha256 hex digest of ``"<k>:" || shingle`` over the doc's DISTINCT
+    word-3-gram shingles.  Docs with < 3 tokens have no shingles and
+    are absent (matches the SQL oracle).
+
+    One distinct-explode then a single grouped aggregate computing all
+    K mins — map-side partial min means shuffle volume is K hashes per
+    (doc, partition), independent of document length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
+        .distinct()
+    )
+    mins = [
+        F.min(F.sha2(F.concat(F.lit(f"{k}:"), F.col("sh")), 256)).alias(f"sig_{k}")
+        for k in range(SIG_K)
+    ]
+    return sh.groupBy("doc_id").agg(*mins).orderBy("doc_id")
+
+
+def x117_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs from the x116 signatures: docs
+    agreeing on at least one band of ``SIG_BAND_ROWS`` consecutive
+    signature values.  Deterministic (sha256 scheme), so unlike the
+    seeded x4 this LSH candidate set has an EXACT SQL oracle.
+
+    Explode each doc into (band_id, band_key) rows and equality-join
+    band keys — the standard LSH bucket join: cost scales with bucket
+    occupancy (actual near-duplicates), never pairwise in corpus size.
+    """
+    sigs = x116_minhash_signatures(spark, sf_dir)
+    n_bands = SIG_K // SIG_BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"sig_{b * SIG_BAND_ROWS + r}")
+                                for r in range(SIG_BAND_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

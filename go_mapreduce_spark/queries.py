@@ -216,6 +216,8 @@ QUERIES: dict[str, QueryFn] = {
     "x114_oov_rate": T.x114_oov_rate,
     "x115_ngram_novelty": T.x115_ngram_novelty,
     # --- wave 8: physical layout / table-service planning ---
+    "x116_minhash_signatures": D.x116_minhash_signatures,
+    "x117_minhash_band_pairs": D.x117_minhash_band_pairs,
     "x119_compaction_plan": L.x119_compaction_plan,
     "x120_range_boundaries": L.x120_range_boundaries,
     "x124_zorder_audit": L.x124_zorder_audit,
@@ -2327,4 +2329,49 @@ ORACLE_SQL["x127_equidepth_hist"] = f"""
            ROUND(MIN(l_extendedprice), 6) AS lo,
            ROUND(MAX(l_extendedprice), 6) AS hi
     FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+_SIG_MINS = ",\n           ".join(
+    f"MIN(sha256('{k}:' || sh)) AS sig_{k}" for k in range(D.SIG_K)
+)
+_SIG_CTES = """toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    )"""
+ORACLE_SQL["x116_minhash_signatures"] = f"""
+    WITH {_SIG_CTES}
+    SELECT doc_id,
+           {_SIG_MINS}
+    FROM shingles GROUP BY doc_id ORDER BY doc_id
+"""
+
+_BAND_SELECTS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '|' || ".join(
+        f"sig_{b * D.SIG_BAND_ROWS + r}" for r in range(D.SIG_BAND_ROWS)
+    )
+    + " AS band_key FROM sigs"
+    for b in range(D.SIG_K // D.SIG_BAND_ROWS)
+)
+ORACLE_SQL["x117_minhash_band_pairs"] = f"""
+    WITH {_SIG_CTES},
+    sigs AS (
+        SELECT doc_id,
+               {_SIG_MINS}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_SELECTS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
 """
