@@ -564,3 +564,49 @@ def x108_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def x123_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: credit each user's total purchase
+    revenue to the user's FIRST event type (by ts, event_id
+    tie-break), then aggregate per channel — n_users, attributed
+    revenue, and revenue per user.
+
+    The standard marketing-attribution rollup.  One window pass to
+    pick the first touch (partitioned by user — no global sort), one
+    conditional aggregate for per-user purchase revenue riding the
+    same user-partitioned shuffle, then a small per-channel aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("channel"),
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    F.lit(0.0)
+                ),
+                "revenue",
+            ),
+        )
+    )
+    return (
+        per_user.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("revenue"), 4).alias("revenue"),
+        )
+        .select(
+            "channel",
+            "n_users",
+            "revenue",
+            F.round(F.col("revenue") / F.col("n_users"), 6).alias("revenue_per_user"),
+        )
+        .orderBy("channel")
+    )

@@ -615,3 +615,83 @@ def x98_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
         .limit(Q10_TOP_N)
     )
+
+
+def x125_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for returns on multi-supplier
+    orders: for each order with ≥ 2 distinct suppliers where EXACTLY
+    one supplier has any returned line (l_returnflag = 'R'), charge
+    that supplier; report per-supplier order counts, top 20.
+
+    The TPC-H Q21 shape (exists / not-exists over order line groups)
+    re-expressed as layered aggregation — per-(order, supplier) flags,
+    per-order counts, a filter, then a per-supplier rollup — which is
+    both clearer and cheaper than correlated EXISTS subqueries: one
+    shuffle on orderkey (the two window counts share it), one on
+    suppkey, and a broadcast join to pick up supplier names.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per_order = per_os.withColumn(
+        "n_supp", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    ).withColumn(
+        "n_r_supp", F.sum("has_r").over(Window.partitionBy("l_orderkey"))
+    )
+    culprits = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1) & (F.col("has_r") == 1)
+    )
+    return (
+        culprits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_name").alias("supplier"), "n_orders")
+        .orderBy(F.col("n_orders").desc(), F.col("supplier").asc())
+        .limit(20)
+    )
+
+
+def x126_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count and balance-sum of "under-engaged high-value"
+    customers: account balance above the global average, order count
+    below HALF the average order count — the TPC-H Q22 "global sales
+    opportunity" shape adapted to a fixture where every customer has
+    orders (a pure no-orders anti-join is degenerate here; q10/x52
+    cover anti joins).
+
+    Both global averages stay in-plan (1-row aggregates broadcast via
+    cross join — never a driver collect), order counts ride one
+    shuffle on custkey, and the nation lookup broadcasts.  No
+    correlated per-row execution anywhere — Catalyst sees one scan
+    per table.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    oc = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    avgs = cust.agg(F.avg("c_acctbal").alias("a_bal")).crossJoin(
+        oc.agg(F.avg("n_orders").alias("a_ord"))
+    )
+    idle = (
+        cust.join(oc, "c_custkey")
+        .crossJoin(F.broadcast(avgs))
+        .filter(
+            (F.col("c_acctbal") > F.col("a_bal"))
+            & (F.col("n_orders") < F.col("a_ord") * 0.5)
+        )
+    )
+    return (
+        idle.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+        )
+        .orderBy("nation")
+    )

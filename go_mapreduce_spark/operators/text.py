@@ -784,3 +784,78 @@ def x115_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x121: PMI collocations over adjacent token bigrams
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 50
+
+
+def x121_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PMI_TOP_N`` adjacent-bigram collocations by pointwise
+    mutual information: ``ln((c_ab / NB) / ((c_a / N) * (c_b / N)))``
+    with unigram totals ``N`` and bigram totals ``NB``, keeping
+    bigrams seen ≥ ``PMI_MIN_COUNT`` times.
+
+    The standard collocation / multi-word-expression miner for a
+    training corpus (tokenizer-vocabulary candidates).  Two exploded
+    aggregates (unigrams, bigrams) + two broadcast-sized joins of the
+    bigram relation against the unigram counts — the corpus shuffles
+    on token keys only, and the min-count filter prunes the long tail
+    before the joins.  Ordering is on the ROUNDED score (6 dp) with a
+    (tok_a, tok_b) tie-break, so the top-N boundary is deterministic
+    and engine-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("tok_a"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("tok_b"),
+            "c_ab",
+        )
+    )
+    # corpus totals stay IN-PLAN (1-row aggregate, broadcast by AQE)
+    # — no driver collect between the counting and scoring stages
+    totals = toks.agg(
+        F.sum(F.size("toks")).cast("double").alias("n_uni"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0)))
+        .cast("double")
+        .alias("n_bi"),
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        bi.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(PMI_TOP_N)

@@ -219,6 +219,10 @@ QUERIES: dict[str, QueryFn] = {
     "x116_minhash_signatures": D.x116_minhash_signatures,
     "x117_minhash_band_pairs": D.x117_minhash_band_pairs,
     "x119_compaction_plan": L.x119_compaction_plan,
+    "x121_pmi_bigrams": T.x121_pmi_bigrams,
+    "x123_first_touch": AN.x123_first_touch,
+    "x125_sole_return_supplier": RX.x125_sole_return_supplier,
+    "x126_idle_rich_customers": RX.x126_idle_rich_customers,
     "x120_range_boundaries": L.x120_range_boundaries,
     "x124_zorder_audit": L.x124_zorder_audit,
     "x127_equidepth_hist": L.x127_equidepth_hist,
@@ -2374,4 +2378,96 @@ ORACLE_SQL["x117_minhash_band_pairs"] = f"""
       ON a.band_id = b.band_id AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
+"""
+
+ORACLE_SQL["x121_pmi_bigrams"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(toks) AS tok FROM toks
+    ),
+    ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    bi AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM toks
+    ),
+    bcnt AS (
+        SELECT string_split(bg, ' ')[1] AS tok_a,
+               string_split(bg, ' ')[2] AS tok_b,
+               COUNT(*) AS c_ab
+        FROM bi GROUP BY bg
+        HAVING COUNT(*) >= {T.PMI_MIN_COUNT}
+    ),
+    totals AS (
+        SELECT CAST(SUM(len(toks)) AS DOUBLE) AS n_uni,
+               CAST(SUM(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_bi
+        FROM toks
+    )
+    SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(ln((c_ab / n_bi) / ((ua.c / n_uni) * (ub.c / n_uni))), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt ua ON ua.tok = tok_a
+    JOIN ucnt ub ON ub.tok = tok_b
+    CROSS JOIN totals
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+    LIMIT {T.PMI_TOP_N}
+"""
+
+ORACLE_SQL["x123_first_touch"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN rn = 1 THEN event_type END) AS channel,
+               SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS revenue
+        FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+        GROUP BY user_id
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(revenue), 4) AS revenue,
+           ROUND(ROUND(SUM(revenue), 4) / COUNT(*), 6) AS revenue_per_user
+    FROM per_user GROUP BY channel ORDER BY channel
+"""
+
+ORACLE_SQL["x125_sole_return_supplier"] = """
+    WITH per_os AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT *,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               SUM(has_r) OVER (PARTITION BY l_orderkey) AS n_r_supp
+        FROM per_os
+    )
+    SELECT s_name AS supplier, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_supp >= 2 AND n_r_supp = 1 AND has_r = 1
+    GROUP BY s_name
+    ORDER BY n_orders DESC, supplier ASC
+    LIMIT 20
+"""
+
+ORACLE_SQL["x126_idle_rich_customers"] = """
+    WITH oc AS (
+        SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 4) AS total_balance
+    FROM customer
+    JOIN oc USING (c_custkey)
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND n_orders < (SELECT AVG(n_orders) FROM oc) * 0.5
+    GROUP BY n_name ORDER BY nation
 """
