@@ -277,3 +277,55 @@ def x71_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x122: exact media dedup by content hash
+# ---------------------------------------------------------------------------
+
+DUP_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media_dup.parquet",
+)
+
+
+def x122_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over binary media payloads: group by the
+    payload's sha256, keep groups with > 1 row, report the canonical
+    id (min media_id), copy count, and the redundant-byte total a
+    dedup pass would reclaim.
+
+    The multimodal twin of x1's text dedup: hashing happens JVM-side
+    (``sha2`` over the binary column — payloads never reach Python),
+    the shuffle key is the 64-hex digest (uniform by construction, no
+    skew), and per-group state is three scalars.  Runs on the
+    dedicated dup fixture (fixtures/media_dup.parquet) — the primary
+    media fixture is duplicate-free by design (x35's decode oracle
+    wants one row per id).
+    """
+    media = spark.read.parquet(DUP_FIXTURE_PATH)
+    return (
+        media.select(
+            "media_id",
+            "kind",
+            F.sha2(F.col("payload"), 256).alias("payload_sha"),
+            F.length(F.col("payload")).alias("n_bytes"),
+        )
+        .groupBy("payload_sha", "kind")
+        .agg(
+            F.min("media_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            # payload length is constant within a sha group
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "payload_sha",
+            "kind",
+            "canonical_id",
+            "n_copies",
+            ((F.col("n_copies") - 1) * F.col("n_bytes")).alias("reclaim_bytes"),
+        )
+        .orderBy("canonical_id")
+    )

@@ -219,7 +219,9 @@ QUERIES: dict[str, QueryFn] = {
     "x116_minhash_signatures": D.x116_minhash_signatures,
     "x117_minhash_band_pairs": D.x117_minhash_band_pairs,
     "x119_compaction_plan": L.x119_compaction_plan,
+    "x118_stream_enrich": SE.x118_stream_enrich,
     "x121_pmi_bigrams": T.x121_pmi_bigrams,
+    "x122_media_dedup": MM.x122_media_dedup,
     "x123_first_touch": AN.x123_first_touch,
     "x125_sole_return_supplier": RX.x125_sole_return_supplier,
     "x126_idle_rich_customers": RX.x126_idle_rich_customers,
@@ -2470,4 +2472,29 @@ ORACLE_SQL["x126_idle_rich_customers"] = """
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
       AND n_orders < (SELECT AVG(n_orders) FROM oc) * 0.5
     GROUP BY n_name ORDER BY nation
+"""
+
+ORACLE_SQL["x122_media_dedup"] = f"""
+    SELECT sha256(CAST(payload AS VARCHAR)) AS payload_sha, kind,
+           CAST(MIN(media_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST((COUNT(*) - 1) * MIN(octet_length(payload)) AS BIGINT)
+               AS reclaim_bytes
+    FROM read_parquet('{MM.DUP_FIXTURE_PATH}/*.parquet')
+    GROUP BY 1, 2 HAVING COUNT(*) > 1
+    ORDER BY canonical_id
+"""
+
+ORACLE_SQL["x118_stream_enrich"] = """
+    WITH profile AS (
+        SELECT user_id, CAST(floor(COUNT(*) / 10) AS BIGINT) AS activity_tier
+        FROM events GROUP BY user_id
+    )
+    SELECT activity_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events e JOIN profile USING (user_id)
+    WHERE event_type = 'purchase'
+    GROUP BY activity_tier ORDER BY activity_tier
 """

@@ -430,3 +430,56 @@ def x90_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def x118_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: replay the purchase stream
+    against a STATIC per-user activity profile (total event count,
+    bucketed into tiers of 10), drain the enriched rows to parquet,
+    and roll up per tier.
+
+    The stream-static join is the third join regime next to batch
+    (x4/x5/q-series) and stream-stream (x65): the static side is
+    planned ONCE per micro-batch as an ordinary batch relation —
+    Catalyst broadcasts it under AQE like any small dim — and needs no
+    watermark (no cross-stream state).  This is the canonical "enrich
+    events with a dimension table" production shape; per-row
+    enrichment happens in-stream, the tier rollup happens batch-side
+    on the drained sink (aggregate-in-stream would need the x36
+    watermark machinery for no extra coverage).
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .select(
+            "user_id", F.floor(F.col("n_total") / 10).alias("activity_tier")
+        )
+    )
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(profile, "user_id")
+        .select("user_id", "activity_tier", "value")
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x118", enriched)
+    return (
+        out.groupBy("activity_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            "activity_tier",
+            "n_purchases",
+            "n_users",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("activity_tier")
+    )
