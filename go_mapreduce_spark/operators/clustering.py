@@ -262,3 +262,55 @@ def x95_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+def x128_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-separation audit run after clustering or
+    labeling (near-1 off-diagonal cosines mean two labels are not
+    separable in embedding space and should merge).
+
+    Plan: exact-decimal centroids per (label, dim) — the x72 update
+    step — then the pairwise cosine as a JOIN ON DIM between the two
+    centroid relations: k·d rows each side, so the join is
+    centroid-sized (k²·d intermediate), NEVER corpus-sized; the
+    corpus is touched once by the centroid aggregate.  Dot products
+    and norms ride one grouped sum over the dim-joined relation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

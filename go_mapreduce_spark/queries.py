@@ -228,6 +228,7 @@ QUERIES: dict[str, QueryFn] = {
     "x120_range_boundaries": L.x120_range_boundaries,
     "x124_zorder_audit": L.x124_zorder_audit,
     "x127_equidepth_hist": L.x127_equidepth_hist,
+    "x128_centroid_similarity": CL.x128_centroid_similarity,
 }
 
 
@@ -2497,4 +2498,23 @@ ORACLE_SQL["x118_stream_enrich"] = """
     FROM events e JOIN profile USING (user_id)
     WHERE event_type = 'purchase'
     GROUP BY activity_tier ORDER BY activity_tier
+"""
+
+ORACLE_SQL["x128_centroid_similarity"] = """
+    WITH cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings)
+        GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SUM(a.m * b.m) / (sqrt(SUM(a.m * a.m)) * sqrt(SUM(b.m * b.m))), 6)
+               AS cosine
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
 """
