@@ -610,3 +610,55 @@ def x123_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+CONVERSION_WINDOW_HOURS = 24
+
+
+def x132_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion: of signups in each hour-of-day, how many
+    users purchased within ``CONVERSION_WINDOW_HOURS`` hours of THAT
+    signup — n_signups, n_converted, conversion rate per signup hour.
+
+    The windowed-funnel refinement of x62 (which is order-only): a
+    conversion must land inside the window anchored at the signup
+    event.  The existence probe is an equi-join on user_id with the
+    time band as a join filter, aggregated back to one row per signup
+    before the rollup — per-user bounded, no cross-user pairs, and no
+    row explosion survives the per-signup DISTINCT.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    probed = (
+        signups.join(
+            purchases,
+            (signups.user_id == purchases.user_id)
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("s_ts") + F.expr(f"INTERVAL {CONVERSION_WINDOW_HOURS} HOURS")
+            ),
+            "left",
+        )
+        .groupBy("signup_id", "s_ts")
+        .agg(F.max(F.col("p_ts").isNotNull().cast("int")).alias("converted"))
+    )
+    return (
+        probed.groupBy(F.hour("s_ts").alias("signup_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .select(
+            "signup_hour",
+            "n_signups",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_signups"), 6).alias("rate"),
+        )
+        .orderBy("signup_hour")
+    )

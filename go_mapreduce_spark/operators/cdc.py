@@ -123,3 +123,57 @@ def x55_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "value", "valid_from", "valid_to", "is_current"
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+def x129_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: enrich each purchase with the user's
+    state value as of JUST BEFORE the purchase — the interval from the
+    x55 SCD2 history with ``valid_from < ts <= coalesce(valid_to, ∞)``.
+
+    The warehouse query SCD2 histories exist to answer ("what did the
+    dimension say when the fact happened"), and the batch twin of the
+    x16 as-of join: here containment is against materialized validity
+    intervals instead of a rank-over-candidates.  The join is
+    equi-keyed on user_id FIRST — the interval predicate only filters
+    within a user's own history, so cost is bounded by per-user
+    history length, never cross-user.  First-ever purchases (no prior
+    interval) keep a NULL prior_value via the left join.
+
+    Zero-width intervals (same-ts events) can't match ``valid_from <
+    ts <= valid_to`` — the tie-broken earlier event's interval closes
+    at the same instant it opens, so exactly one interval matches any
+    purchase: row count is purchase count, join fan-out 1.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    hist = scd2_intervals(
+        ev.select("user_id", "event_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "event_id",
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("value").alias("prior_value"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return (
+        purchases.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("valid_from") < F.col("ts"))
+            & (
+                F.col("valid_to").isNull() | (F.col("ts") <= F.col("valid_to"))
+            ),
+            "left",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("purchase_value"),
+            F.round("prior_value", 6).alias("prior_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -314,3 +314,49 @@ def x128_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def x130_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns:
+    ``cov(i,j) = (Σ x_i·x_j − Σx_i·Σx_j / n) / n`` — the input to
+    whitening / PCA over a training-embedding corpus.
+
+    Product sums go through DECIMAL(38,12), so every entry is
+    partition-invariant (the determinism discipline of
+    functions/numeric.py applied to second moments).  Plan: explode to
+    (id, dim, x), self-join on id with ``dim_i <= dim_j`` — per-row
+    fan-out is d(d+1)/2, grouped into d(d+1)/2 keys with map-side
+    partial sums, so shuffle volume is d²-bounded per partition,
+    independent of corpus size.  (At extreme d the mapInPandas
+    outer-product accumulator halves traffic again — documented, not
+    needed at d=64.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+    a = ex.select(
+        "vec_id", F.col("dim").alias("dim_i"), F.col("x").cast("double").alias("xi")
+    )
+    b = ex.select(
+        "vec_id", F.col("dim").alias("dim_j"), F.col("x").cast("double").alias("xj")
+    )
+    dec = "decimal(38,12)"
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") <= F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum((F.col("xi") * F.col("xj")).cast(dec)).cast("double").alias("sxy"),
+            F.sum(F.col("xi").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("xj").cast(dec)).cast("double").alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n"),
+                8,
+            ).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )

@@ -695,3 +695,41 @@ def x126_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def x131_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts on (cheaper price, larger
+    size): a part is on the frontier iff no other part is at most its
+    price AND at least its size with one strict — the classic
+    two-criteria skyline (cheapest-per-capability catalog audit).
+
+    The O(N²) NOT-EXISTS definition (what the oracle runs) collapses
+    to a single sorted sweep: per price level take the max size, then
+    a part survives iff its size equals its price-level max AND
+    strictly exceeds the running max size over all STRICTLY cheaper
+    levels.  The sweep window runs over the aggregated (price →
+    max size) relation — cardinality = distinct prices, metadata-sized
+    next to the part table — so the frontier costs one aggregate, one
+    small window, one broadcast-able join back.  Exact ties on both
+    criteria all stay on the frontier (neither dominates).
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = per_price.withColumn("run_cheaper", F.max("pmax").over(w))
+    return (
+        part.join(F.broadcast(levels), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("pmax"))
+            & (
+                F.col("run_cheaper").isNull()
+                | (F.col("p_size") > F.col("run_cheaper"))
+            )
+        )
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"), "p_size")
+        .orderBy("price", "p_partkey")
+    )

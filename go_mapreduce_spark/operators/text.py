@@ -859,3 +859,43 @@ def x121_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
     ).limit(PMI_TOP_N)
+
+
+# ---------------------------------------------------------------------------
+# x133: BPE training's argmax step — most frequent adjacent char pairs
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+def x133_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE tokenizer training: corpus-wide counts of
+    adjacent character pairs within word tokens, top
+    ``BPE_TOP_PAIRS`` by count — the pair a BPE trainer would merge
+    next (and the next candidates).
+
+    Training a tokenizer over a 100 TB corpus is exactly this
+    aggregate run repeatedly with a merge table; the heavy part — the
+    pair-count scan — is a pure explode + count with map-side
+    partials, shown here.  Per-token fan-out is token length, keys
+    are ≤ 26² pairs: tiny aggregate state, scan-bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(lower_tokens(F.col("text"))).alias("tok"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.length("tok") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -229,6 +229,12 @@ QUERIES: dict[str, QueryFn] = {
     "x124_zorder_audit": L.x124_zorder_audit,
     "x127_equidepth_hist": L.x127_equidepth_hist,
     "x128_centroid_similarity": CL.x128_centroid_similarity,
+    # --- wave 9: PIT join, covariance, skyline, conversion, BPE step ---
+    "x129_pit_join": CD.x129_pit_join,
+    "x130_covariance_matrix": CL.x130_covariance_matrix,
+    "x131_pareto_frontier": RX.x131_pareto_frontier,
+    "x132_conversion_window": AN.x132_conversion_window,
+    "x133_bpe_merge_step": T.x133_bpe_merge_step,
 }
 
 
@@ -2517,4 +2523,85 @@ ORACLE_SQL["x128_centroid_similarity"] = """
     FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
     GROUP BY a.label, b.label
     ORDER BY label_a, label_b
+"""
+
+ORACLE_SQL["x129_pit_join"] = """
+    WITH hist AS (
+        SELECT user_id AS h_user, value AS prior_value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+    )
+    SELECT e.user_id, e.event_id,
+           e.value AS purchase_value,
+           ROUND(h.prior_value, 6) AS prior_value
+    FROM events e
+    LEFT JOIN hist h ON h.h_user = e.user_id AND h.valid_from < e.ts
+                    AND (h.valid_to IS NULL OR e.ts <= h.valid_to)
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.user_id, e.event_id
+"""
+
+ORACLE_SQL["x130_covariance_matrix"] = """
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           ROUND((CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE)
+                  - CAST(SUM(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE)
+                    * CAST(SUM(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*))
+                 / COUNT(*), 8) AS cov
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2 ORDER BY dim_i, dim_j
+"""
+
+ORACLE_SQL["x131_pareto_frontier"] = """
+    SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY price, p_partkey
+"""
+
+ORACLE_SQL["x132_conversion_window"] = f"""
+    WITH s AS (
+        SELECT user_id, event_id AS signup_id, ts AS s_ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+    probed AS (
+        SELECT s.signup_id, s.s_ts,
+               MAX(CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+        FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.p_ts > s.s_ts
+                          AND p.p_ts <= s.s_ts
+                                + INTERVAL {AN.CONVERSION_WINDOW_HOURS} HOURS
+        GROUP BY 1, 2
+    )
+    SELECT CAST(hour(s_ts) AS INT) AS signup_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) / CAST(COUNT(*) AS DOUBLE), 6) AS rate
+    FROM probed GROUP BY 1 ORDER BY signup_hour
+"""
+
+ORACLE_SQL["x133_bpe_merge_step"] = f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(tok)),
+                   i -> substr(tok, CAST(i AS INT), 2))) AS pair
+        FROM toks
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT {T.BPE_TOP_PAIRS}
 """
