@@ -235,6 +235,8 @@ QUERIES: dict[str, QueryFn] = {
     "x131_pareto_frontier": RX.x131_pareto_frontier,
     "x132_conversion_window": AN.x132_conversion_window,
     "x133_bpe_merge_step": T.x133_bpe_merge_step,
+    "x134_stateful_totals": SE.x134_stateful_totals,
+    "x135_stream_left_join": SE.x135_stream_left_join,
 }
 
 
@@ -2604,4 +2606,32 @@ ORACLE_SQL["x133_bpe_merge_step"] = f"""
     SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair ASC LIMIT {T.BPE_TOP_PAIRS}
+"""
+
+ORACLE_SQL["x134_stateful_totals"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["x135_stream_left_join"] = """
+    WITH mx AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 90 MINUTE AS cut
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id
+    FROM p CROSS JOIN mx
+    LEFT JOIN c ON c.c_user = p.user_id AND c.click_ts <= p.purchase_ts
+               AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+    WHERE c.click_id IS NOT NULL OR p.purchase_ts <= mx.cut
+    ORDER BY purchase_id, click_id
 """

@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -483,3 +483,108 @@ def x118_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("activity_tier")
     )
+
+
+def x134_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CUSTOM stateful operator: replay events through
+    ``applyInPandasWithState`` running per-user totals (state carried
+    across micro-batches), drain every per-batch emission to parquet,
+    and keep each user's LAST snapshot — which must equal the batch
+    groupBy exactly.
+
+    This is the declared face of the Arrow-stateful escape hatch
+    (streaming/stateful.py): per-key mutable state + per-batch
+    emission, the shape running aggregates / online dedup / custom
+    sessionization take when windowed built-ins can't express them.
+    Emissions are append rows (progress snapshots); the final
+    snapshot per user is picked by the max event count — strictly
+    increasing per emission, so the pick is deterministic with no
+    timestamp tie-breaks.  State is O(users), per-batch work is
+    O(batch keys): the 100 TB-stream shape.
+    """
+    from go_mapreduce_spark.streaming.stateful import (
+        RUNNING_TOTALS_SCHEMA,
+        _STATE_SCHEMA,
+        _update_user_totals,
+    )
+
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    totals = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            RUNNING_TOTALS_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            "NoTimeout",
+        )
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x134", totals)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def x135_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible stream-stream LEFT OUTER join: purchases joined
+    to same-user clicks in the preceding 30 minutes; purchases with NO
+    such click emit a null-click row — but only once the watermark
+    proves no matching click can still arrive.
+
+    Outer-null emission is the genuinely stateful part (inner matches
+    — x65 — emit eagerly): a buffered purchase is released as
+    unmatched only when the click-side watermark passes its entire
+    match window.  With a 1 h watermark and a 30 min join gap, the
+    drained replay emits null rows exactly for purchases with
+    ``purchase_ts <= trunc_ms(max_ts) - 90 min`` (watermark delay +
+    gap; verified empirically, DIFF 0 against the predicate) — the
+    oracle is the batch left join under that same finalization
+    cutoff.  Matched rows are cutoff-free.  State stays bounded:
+    both sides evict at watermark + gap, the non-optional property
+    of any stream-stream join at 100 TB.
+    """
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user_id AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 30 minutes
+            """
+        ),
+        "left_outer",
+    ).select("user_id", "purchase_id", "click_id")
+    out = _replay_to_parquet(spark, sf_dir, "x135", joined)
+    return out.orderBy("purchase_id", "click_id")
