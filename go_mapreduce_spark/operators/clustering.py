@@ -323,27 +323,40 @@ def x130_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Product sums go through DECIMAL(38,12), so every entry is
     partition-invariant (the determinism discipline of
-    functions/numeric.py applied to second moments).  Plan: explode to
-    (id, dim, x), self-join on id with ``dim_i <= dim_j`` — per-row
-    fan-out is d(d+1)/2, grouped into d(d+1)/2 keys with map-side
-    partial sums, so shuffle volume is d²-bounded per partition,
-    independent of corpus size.  (At extreme d the mapInPandas
-    outer-product accumulator halves traffic again — documented, not
-    needed at d=64.)
+    functions/numeric.py applied to second moments).  Plan: the
+    d(d+1)/2 dimension pairs are generated IN-ROW — posexplode to
+    (dim_i, x_i), then a second posexplode of the row's remaining
+    tail via ``slice`` — so the corpus is never joined or shuffled in
+    exploded form; the only exchange is the final aggregate over d²
+    keys, already collapsed map-side (a (id,dim)-keyed self-join
+    here would exchange a d×-amplified relation — the shape this
+    deliberately avoids at 100 TB).  At extreme d the mapInPandas
+    outer-product accumulator halves fan-out again — documented, not
+    needed at d=64.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-    a = ex.select(
-        "vec_id", F.col("dim").alias("dim_i"), F.col("x").cast("double").alias("xi")
+    ex = emb.select(
+        "embedding", F.posexplode("embedding").alias("dim_i", "xi")
     )
-    b = ex.select(
-        "vec_id", F.col("dim").alias("dim_j"), F.col("x").cast("double").alias("xj")
+    pairs = ex.select(
+        "dim_i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode(
+            F.slice(
+                F.col("embedding"),
+                F.col("dim_i") + 1,
+                F.size("embedding") - F.col("dim_i"),
+            )
+        ).alias("dj_off", "xj"),
+    ).select(
+        "dim_i",
+        (F.col("dim_i") + F.col("dj_off")).alias("dim_j"),
+        "xi",
+        F.col("xj").cast("double").alias("xj"),
     )
     dec = "decimal(38,12)"
     return (
-        a.join(b, "vec_id")
-        .filter(F.col("dim_i") <= F.col("dim_j"))
-        .groupBy("dim_i", "dim_j")
+        pairs.groupBy("dim_i", "dim_j")
         .agg(
             F.sum((F.col("xi") * F.col("xj")).cast(dec)).cast("double").alias("sxy"),
             F.sum(F.col("xi").cast(dec)).cast("double").alias("sx"),

@@ -2617,8 +2617,12 @@ ORACLE_SQL["x134_stateful_totals"] = """
 
 ORACLE_SQL["x135_stream_left_join"] = """
     WITH mx AS (
-        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 90 MINUTE AS cut
-        FROM events
+        SELECT least(
+            (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+              WHERE event_type = 'purchase'),
+            (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+              WHERE event_type = 'click')
+        ) - INTERVAL 1 HOUR AS cut
     ),
     p AS (
         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
@@ -2632,6 +2636,6 @@ ORACLE_SQL["x135_stream_left_join"] = """
     FROM p CROSS JOIN mx
     LEFT JOIN c ON c.c_user = p.user_id AND c.click_ts <= p.purchase_ts
                AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
-    WHERE c.click_id IS NOT NULL OR p.purchase_ts <= mx.cut
+    WHERE c.click_id IS NOT NULL OR p.purchase_ts < mx.cut
     ORDER BY purchase_id, click_id
 """

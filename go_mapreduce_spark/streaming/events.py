@@ -544,14 +544,18 @@ def x135_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Outer-null emission is the genuinely stateful part (inner matches
     — x65 — emit eagerly): a buffered purchase is released as
-    unmatched only when the click-side watermark passes its entire
-    match window.  With a 1 h watermark and a 30 min join gap, the
-    drained replay emits null rows exactly for purchases with
-    ``purchase_ts <= trunc_ms(max_ts) - 90 min`` (watermark delay +
-    gap; verified empirically, DIFF 0 against the predicate) — the
+    unmatched only once the GLOBAL watermark — the MIN over both
+    branches' per-branch watermarks, ``min(max purchase_ts, max
+    click_ts) - 1 h`` — passes its event time: any click that could
+    still match (click_ts ≤ purchase_ts < wm) would be dropped as
+    late, so the row is provably unmatchable.  The drained replay
+    emits null rows exactly for ``purchase_ts < trunc_ms(min-side
+    max) - 1 h`` (bracketed empirically at BOTH sf0.001 and sf0.01 —
+    the first formula tried, global-max − watermark − gap, fit one
+    sf and failed the other; the min-side rule fits both).  The
     oracle is the batch left join under that same finalization
     cutoff.  Matched rows are cutoff-free.  State stays bounded:
-    both sides evict at watermark + gap, the non-optional property
+    both sides evict around the watermark, the non-optional property
     of any stream-stream join at 100 TB.
     """
     stream = read_event_stream(
