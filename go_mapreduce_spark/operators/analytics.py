@@ -662,3 +662,39 @@ def x132_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signup_hour")
     )
+
+
+PATH_TOP_N = 20
+
+
+def x136_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PATH_TOP_N`` 3-step per-user event-type paths (the
+    path-mining rollup behind funnel discovery — x75 is the 2-step
+    Markov matrix; this is the order-3 generalization).
+
+    Two ``lead`` windows over one (user, ts, event_id) sort produce
+    both successors in a single in-partition pass — the user shuffle
+    is shared, no self-joins; path strings aggregate into at most
+    |event_types|³ keys.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(PATH_TOP_N)
+    )

@@ -733,3 +733,73 @@ def x131_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"), "p_size")
         .orderBy("price", "p_partkey")
     )
+
+
+def x137_json_struct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats of the JSON ``props.k`` field, parsed ONCE
+    via ``from_json`` into a typed struct — the multi-read JSON shape
+    (x15's ``get_json_object`` re-parses per path; ``from_json``
+    amortizes one parse across every field read, the right call when
+    a props blob carries more than one consumed key).
+
+    Also counts parse failures (NULL struct) — the schema-drift canary
+    a production ingest keeps next to every typed-JSON read.  Pure
+    JVM expressions; one aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("p").isNull().cast("int")).alias("n_unparsed"),
+            F.min("p.k").alias("k_min"),
+            F.max("p.k").alias("k_max"),
+            F.round(F.avg("p.k"), 6).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def x138_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's foreign
+    keys: per FK edge, total child rows and orphan count (child key
+    with no parent row) — the data-quality gate a warehouse load runs
+    before publishing a snapshot.
+
+    Each orphan check is a left-anti join against the parent's key
+    column only (column-pruned scan, broadcast for dimension-sized
+    parents), aggregated to ONE row — the audit never materializes
+    violating rows, so output is FK-count-sized regardless of data
+    volume.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
+        orphans = child.select(F.col(ckey).alias(pkey)).join(
+            parent.select(pkey), pkey, "left_anti"
+        )
+        return child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+
+    audits = [
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey"),
+        audit(li, "l_partkey", part, "p_partkey", "lineitem.partkey"),
+        audit(li, "l_suppkey", sup, "s_suppkey", "lineitem.suppkey"),
+        audit(orders, "o_custkey", cust, "c_custkey", "orders.custkey"),
+        audit(cust, "c_nationkey", nation, "n_nationkey", "customer.nationkey"),
+        audit(sup, "s_nationkey", nation, "n_nationkey", "supplier.nationkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("fk")

@@ -237,6 +237,10 @@ QUERIES: dict[str, QueryFn] = {
     "x133_bpe_merge_step": T.x133_bpe_merge_step,
     "x134_stateful_totals": SE.x134_stateful_totals,
     "x135_stream_left_join": SE.x135_stream_left_join,
+    # --- wave 10: path mining, typed JSON, data-quality audit ---
+    "x136_event_paths": AN.x136_event_paths,
+    "x137_json_struct_stats": RX.x137_json_struct_stats,
+    "x138_fk_audit": RX.x138_fk_audit,
 }
 
 
@@ -2638,4 +2642,64 @@ ORACLE_SQL["x135_stream_left_join"] = """
                AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
     WHERE c.click_id IS NOT NULL OR p.purchase_ts < mx.cut
     ORDER BY purchase_id, click_id
+"""
+
+ORACLE_SQL["x136_event_paths"] = f"""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT {AN.PATH_TOP_N}
+"""
+
+ORACLE_SQL["x137_json_struct_stats"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_unparsed,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS k_avg
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["x138_fk_audit"] = """
+    SELECT 'customer.nationkey' AS fk,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nation
+                                     WHERE n_nationkey = c.c_nationkey)) AS BIGINT)
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.partkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.suppkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.custkey',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'supplier.nationkey',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s.s_nationkey))
+    ORDER BY fk
 """
