@@ -698,3 +698,87 @@ def x136_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("path").asc())
         .limit(PATH_TOP_N)
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def x139_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value stats: clip each event's value at its
+    type's exact [p5, p95] and report mean before/after plus the
+    clipped-row count — the standard heavy-tail taming step before
+    training on metric columns.
+
+    Exact grouped percentiles (one aggregate) broadcast back onto the
+    events via the type key — a 5-row join, so the second pass is
+    scan-bound; the whole op is two passes by necessity (the clip
+    bounds are data-dependent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("lo"),
+        F.percentile("value", WINSOR_HI).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("int")
+        .alias("was_clipped"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg("w"), 6).alias("mean_winsorized"),
+            F.sum("was_clipped").alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_SCALE = 1.4826  # normal-consistency constant
+ROBUST_Z_CUT = 3.5
+
+
+def x140_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median/MAD z-scores
+    (``|x - med| / (1.4826·MAD) > 3.5``) — the estimator that, unlike
+    the x108 mean/stddev z-score, does not let outliers mask
+    themselves by inflating the scale.
+
+    Two exact grouped medians by necessity (MAD is a median OF
+    deviations from a median); both group keys are the 5 event types,
+    so each pass is one scan + a tiny aggregate, with the intermediate
+    bounds broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(ROBUST_Z_CUT) * F.lit(MAD_SCALE) * F.col("mad")
+            )
+            .cast("int")
+            .alias("is_out"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum("is_out").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -563,3 +563,41 @@ def x109_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# train/val/test split boundaries on the 2-hex-char sha256 prefix
+# (204/256 ≈ 79.7% train, 26/256 ≈ 10.2% val, rest test); string
+# comparison on the hex prefix — the x37 engine-portable hash trick
+SPLIT_TRAIN_LT = "cc"
+SPLIT_VAL_LT = "e6"
+
+
+def x141_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest: every document is
+    assigned a split by its content-addressed sha256(doc_id) prefix —
+    stable across engines, partitionings, and re-runs (the property a
+    training pipeline needs so no document ever migrates between
+    train and eval after a re-shard) — and the manifest reports
+    per-(split, lang) document and character totals.
+
+    One scan, one aggregate; the split predicate is a pure row
+    function (same trick as the x37 sample), so the assignment also
+    serves as the join key for downstream shard writes without any
+    recorded state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    split = (
+        F.when(pfx < F.lit(SPLIT_TRAIN_LT), "train")
+        .when(pfx < F.lit(SPLIT_VAL_LT), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -241,6 +241,10 @@ QUERIES: dict[str, QueryFn] = {
     "x136_event_paths": AN.x136_event_paths,
     "x137_json_struct_stats": RX.x137_json_struct_stats,
     "x138_fk_audit": RX.x138_fk_audit,
+    # --- wave 11: robust stats + split manifest ---
+    "x139_winsorize": AN.x139_winsorize,
+    "x140_robust_outliers": AN.x140_robust_outliers,
+    "x141_split_manifest": C.x141_split_manifest,
 }
 
 
@@ -2702,4 +2706,58 @@ ORACLE_SQL["x138_fk_audit"] = """
            (SELECT COUNT(*) FROM supplier s
              WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s.s_nationkey))
     ORDER BY fk
+"""
+
+ORACLE_SQL["x139_winsorize"] = f"""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, {AN.WINSOR_LO}) AS lo,
+               quantile_cont(value, {AN.WINSOR_HI}) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 6) AS mean_raw,
+           ROUND(AVG(least(greatest(value, lo), hi)), 6) AS mean_winsorized,
+           CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds USING (event_type)
+    GROUP BY e.event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["x140_robust_outliers"] = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MIN(d.med), 6) AS median,
+           ROUND(MIN(mm.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN abs(d.value - d.med)
+                              > {AN.ROBUST_Z_CUT} * {AN.MAD_SCALE} * mm.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM dev d JOIN mad mm USING (event_type)
+    GROUP BY d.event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["x141_split_manifest"] = f"""
+    SELECT CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{C.SPLIT_TRAIN_LT}' THEN 'train'
+                WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{C.SPLIT_VAL_LT}' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2 ORDER BY split, lang
 """
