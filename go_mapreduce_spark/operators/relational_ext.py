@@ -632,8 +632,13 @@ def x125_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    # pre-partition on orderkey ALONE: hash(orderkey) clusters every
+    # (orderkey, suppkey) group too, so the aggregate AND both window
+    # counts run on ONE exchange instead of two
+    per_os = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
     )
     per_order = per_os.withColumn(
         "n_supp", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
@@ -770,11 +775,12 @@ def x138_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no parent row) — the data-quality gate a warehouse load runs
     before publishing a snapshot.
 
-    Each orphan check is a left-anti join against the parent's key
-    column only (column-pruned scan, broadcast for dimension-sized
-    parents), aggregated to ONE row — the audit never materializes
-    violating rows, so output is FK-count-sized regardless of data
-    volume.
+    Each CHILD TABLE is scanned ONCE: its FK columns left-join the
+    (broadcast, key-only) parents, and one conditional aggregate
+    yields every per-FK orphan count simultaneously — 3 lineitem FKs
+    cost one lineitem pass, not three (the naive per-FK anti-join
+    runs 6 child scans; at 100 TB the child scan IS the cost).  The
+    stacked output is FK-count-sized regardless of volume.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -783,21 +789,62 @@ def x138_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
-    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
-        orphans = child.select(F.col(ckey).alias(pkey)).join(
-            parent.select(pkey), pkey, "left_anti"
+    def key_only(parent: DataFrame, pkey: str, marker: str) -> DataFrame:
+        return parent.select(pkey).distinct().withColumn(marker, F.lit(1))
+
+    # lineitem: one scan, three FK checks
+    li_j = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(key_only(orders, "o_orderkey", "m_o")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
         )
-        return child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        .join(
+            F.broadcast(key_only(part, "p_partkey", "m_p")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(key_only(sup, "s_suppkey", "m_s")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+    )
+    agg_row = li_j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("m_o").isNull().cast("int")).alias("orph_o"),
+        F.sum(F.col("m_p").isNull().cast("int")).alias("orph_p"),
+        F.sum(F.col("m_s").isNull().cast("int")).alias("orph_s"),
+    )
+    # unpivot the ONE aggregate row into 3 FK rows inside the same
+    # plan (3 separate .select()s would each re-run the lineitem scan)
+    li_rows = [
+        agg_row.select(
+            F.expr(
+                "stack(3, 'lineitem.orderkey', n, orph_o,"
+                "         'lineitem.partkey',  n, orph_p,"
+                "         'lineitem.suppkey',  n, orph_s)"
+                " as (fk, n_child, n_orphans)"
+            )
+        )
+    ]
+
+    def single(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
+        j = child.select(ckey).join(
+            F.broadcast(key_only(parent, pkey, "m")),
+            F.col(ckey) == F.col(pkey),
+            "left",
+        )
+        return j.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("m").isNull().cast("int")).alias("n_orphans"),
         ).select(F.lit(name).alias("fk"), "n_child", "n_orphans")
 
-    audits = [
-        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey"),
-        audit(li, "l_partkey", part, "p_partkey", "lineitem.partkey"),
-        audit(li, "l_suppkey", sup, "s_suppkey", "lineitem.suppkey"),
-        audit(orders, "o_custkey", cust, "c_custkey", "orders.custkey"),
-        audit(cust, "c_nationkey", nation, "n_nationkey", "customer.nationkey"),
-        audit(sup, "s_nationkey", nation, "n_nationkey", "supplier.nationkey"),
+    audits = li_rows + [
+        single(orders, "o_custkey", cust, "c_custkey", "orders.custkey"),
+        single(cust, "c_nationkey", nation, "n_nationkey", "customer.nationkey"),
+        single(sup, "s_nationkey", nation, "n_nationkey", "supplier.nationkey"),
     ]
     out = audits[0]
     for a in audits[1:]:
