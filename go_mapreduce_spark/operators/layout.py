@@ -177,3 +177,58 @@ def x127_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+SKIP_PRED_DATE = "2000-06-01"
+SKIP_ROWS_PER_FILE = 4096
+
+
+def x142_skipping_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness, UNSORTED vs SORTED layout: build
+    per-file min/max stats for ``l_shipdate`` under (a) the natural
+    orderkey-grouped file layout and (b) a shipdate-sorted layout
+    (``SKIP_ROWS_PER_FILE`` rows per file), and report how many files
+    and rows the predicate ``l_shipdate >= SKIP_PRED_DATE`` could
+    skip via footer min/max pruning under each.
+
+    The before/after audit every layout decision (x119 compaction
+    order, sorted writes, x124 z-order) is judged by: the natural
+    layout spreads all dates through every file (nothing prunes); the
+    sorted layout concentrates the predicate's complement into
+    skippable files.  One scan per layout builds the stats (the
+    sorted one pays the sort a sorted WRITE would pay); verdicts are
+    inventory-sized aggregates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pred_lo = F.lit(SKIP_PRED_DATE).cast("timestamp")
+
+    natural = li.groupBy(
+        F.floor(F.col("l_orderkey") / COMPACT_FILE_GROUP).alias("file_id")
+    ).agg(F.count(F.lit(1)).alias("n_rows"), F.max("l_shipdate").alias("max_ship"))
+
+    rn = F.row_number().over(
+        Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+    sorted_ = (
+        li.select("l_shipdate", "l_orderkey", "l_linenumber")
+        .withColumn("file_id", F.floor((rn - 1) / SKIP_ROWS_PER_FILE))
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.max("l_shipdate").alias("max_ship"))
+    )
+
+    def verdict(stats: DataFrame, layout: str) -> DataFrame:
+        return (
+            stats.select(
+                F.lit(layout).alias("layout"),
+                (F.col("max_ship") < pred_lo).alias("skippable"),
+                "n_rows",
+            )
+            .groupBy("layout", "skippable")
+            .agg(F.count(F.lit(1)).alias("n_files"), F.sum("n_rows").alias("n_rows"))
+        )
+
+    return (
+        verdict(natural, "natural")
+        .unionByName(verdict(sorted_, "shipdate_sorted"))
+        .orderBy("layout", "skippable")
+    )

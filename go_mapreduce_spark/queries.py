@@ -245,6 +245,7 @@ QUERIES: dict[str, QueryFn] = {
     "x139_winsorize": AN.x139_winsorize,
     "x140_robust_outliers": AN.x140_robust_outliers,
     "x141_split_manifest": C.x141_split_manifest,
+    "x142_skipping_estimate": L.x142_skipping_estimate,
 }
 
 
@@ -2760,4 +2761,37 @@ ORACLE_SQL["x141_split_manifest"] = f"""
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+ORACLE_SQL["x142_skipping_estimate"] = f"""
+    WITH nat AS (
+        SELECT CAST(floor(l_orderkey / {L.COMPACT_FILE_GROUP}) AS BIGINT) AS file_id,
+               COUNT(*) AS n_rows, MAX(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_shipdate,
+               row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                   AS rn
+        FROM lineitem
+    ),
+    sorted_ AS (
+        SELECT CAST(floor((rn - 1) / {L.SKIP_ROWS_PER_FILE}) AS BIGINT) AS file_id,
+               COUNT(*) AS n_rows, MAX(l_shipdate) AS max_ship
+        FROM ranked GROUP BY 1
+    ),
+    verdicts AS (
+        SELECT 'natural' AS layout,
+               max_ship < TIMESTAMP '{L.SKIP_PRED_DATE} 00:00:00' AS skippable,
+               n_rows
+        FROM nat
+        UNION ALL
+        SELECT 'shipdate_sorted',
+               max_ship < TIMESTAMP '{L.SKIP_PRED_DATE} 00:00:00', n_rows
+        FROM sorted_
+    )
+    SELECT layout, skippable,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows
+    FROM verdicts GROUP BY 1, 2 ORDER BY layout, skippable
 """
