@@ -321,48 +321,59 @@ def x130_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cov(i,j) = (Σ x_i·x_j − Σx_i·Σx_j / n) / n`` — the input to
     whitening / PCA over a training-embedding corpus.
 
-    Product sums go through DECIMAL(38,12), so every entry is
+    Sums go through DECIMAL(38,12), so every entry is
     partition-invariant (the determinism discipline of
-    functions/numeric.py applied to second moments).  Plan: the
-    d(d+1)/2 dimension pairs are generated IN-ROW — posexplode to
-    (dim_i, x_i), then a second posexplode of the row's remaining
-    tail via ``slice`` — so the corpus is never joined or shuffled in
-    exploded form; the only exchange is the final aggregate over d²
-    keys, already collapsed map-side (a (id,dim)-keyed self-join
-    here would exchange a d×-amplified relation — the shape this
-    deliberately avoids at 100 TB).  At extreme d the mapInPandas
-    outer-product accumulator halves fan-out again — documented, not
-    needed at d=64.
+    functions/numeric.py applied to second moments).  Plan shape:
+
+    - The d(d+1)/2 PRODUCT sums are generated IN-ROW (posexplode +
+      slice-posexplode) — the corpus is never joined or shuffled in
+      exploded form; the only data-sized exchange carries d² keys
+      already collapsed by map-side partial sums.  (A (id,dim)-keyed
+      self-join would exchange a d×-amplified relation.)
+    - FIRST moments are NOT recomputed per pair (that tripled the
+      aggregate state for values derivable from d numbers): one
+      d-key aggregate computes Σx_i once, broadcast-joined onto the
+      pair sums twice.  Measured 11.5 s → the product-only aggregate
+      at sf0.1 — same hash gate, identical decimal sums.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,12)"
     ex = emb.select(
         "embedding", F.posexplode("embedding").alias("dim_i", "xi")
     )
-    pairs = ex.select(
-        "dim_i",
-        F.col("xi").cast("double").alias("xi"),
-        F.posexplode(
-            F.slice(
-                F.col("embedding"),
-                F.col("dim_i") + 1,
-                F.size("embedding") - F.col("dim_i"),
-            )
-        ).alias("dj_off", "xj"),
-    ).select(
-        "dim_i",
-        (F.col("dim_i") + F.col("dj_off")).alias("dim_j"),
-        "xi",
-        F.col("xj").cast("double").alias("xj"),
-    )
-    dec = "decimal(38,12)"
-    return (
-        pairs.groupBy("dim_i", "dim_j")
+    prods = (
+        ex.select(
+            "dim_i",
+            F.col("xi").cast("double").alias("xi"),
+            F.posexplode(
+                F.slice(
+                    F.col("embedding"),
+                    F.col("dim_i") + 1,
+                    F.size("embedding") - F.col("dim_i"),
+                )
+            ).alias("dj_off", "xj"),
+        )
+        .select(
+            "dim_i",
+            (F.col("dim_i") + F.col("dj_off")).alias("dim_j"),
+            (F.col("xi") * F.col("xj").cast("double")).alias("prod"),
+        )
+        .groupBy("dim_i", "dim_j")
         .agg(
-            F.sum((F.col("xi") * F.col("xj")).cast(dec)).cast("double").alias("sxy"),
-            F.sum(F.col("xi").cast(dec)).cast("double").alias("sx"),
-            F.sum(F.col("xj").cast(dec)).cast("double").alias("sy"),
+            F.sum(F.col("prod").cast(dec)).cast("double").alias("sxy"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+    moments = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("x").cast("double").cast(dec)).cast("double").alias("sx"))
+    )
+    mi = moments.select(F.col("dim").alias("dim_i"), F.col("sx").alias("sx"))
+    mj = moments.select(F.col("dim").alias("dim_j"), F.col("sx").alias("sy"))
+    return (
+        prods.join(F.broadcast(mi), "dim_i")
+        .join(F.broadcast(mj), "dim_j")
         .select(
             "dim_i",
             "dim_j",
