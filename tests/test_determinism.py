@@ -79,3 +79,24 @@ def test_aggregates_invariant_to_partitioning(spark, sf_dir, parts):
     vals = {r.l_returnflag + r.l_linestatus: r.sum_base_price for r in q2.collect()}
     ref_vals = {r.l_returnflag + r.l_linestatus: r.sum_base_price for r in ref2.collect()}
     assert vals == ref_vals
+
+
+def test_stream_replays_invariant_to_state_partitioning(spark, sf_dir, monkeypatch):
+    """The drained result of the stateful stream replays must not
+    depend on the state-store partition count (one store instance per
+    shuffle partition — count changes task layout, never results)."""
+    from go_mapreduce_spark.streaming import events as SE
+
+    results = {}
+    for parts in (2, 8):
+        monkeypatch.setattr(SE, "REPLAY_SHUFFLE_PARTITIONS", parts)
+        totals = {
+            tuple(r)
+            for r in SE.x134_stateful_totals(spark, sf_dir).collect()
+        }
+        lj = {
+            tuple(r)
+            for r in SE.x135_stream_left_join(spark, sf_dir).collect()
+        }
+        results[parts] = (totals, lj)
+    assert results[2] == results[8]
