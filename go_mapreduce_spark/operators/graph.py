@@ -186,3 +186,124 @@ def x69_triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("doc_id")
     )
+
+
+def pagerank_dangling(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    n_iter: int = PR_ITERS,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PageRank over a general directed edge list WITH dangling-mass
+    redistribution — the full formulation: per round, the rank held by
+    out-degree-0 nodes is collected and redistributed uniformly, so
+    total rank mass stays exactly 1 (``pagerank`` documents the lossy
+    simplification; this closes it).
+
+    r'(x) = (1-d)/n + d·(Σ_{u→x} r(u)/deg(u) + D/n),  D = Σ_{dangling} r(u)
+
+    Per round: the same one key-partitioned join + decimal aggregate
+    as ``pagerank``, plus a 1-row decimal aggregate for D (ranks
+    anti-joined against out-degree nodes) cross-joined back in-plan —
+    no driver collect inside the loop.  Decimal sums keep every round
+    partition-invariant and oracle-replayable.
+
+    ``ranks`` is referenced TWICE per round (D and the contribution
+    join), so it is localCheckpoint-ed every round by default —
+    without that the lineage doubles per iteration (2^k subplans; the
+    oracle needs MATERIALIZED CTEs for exactly the same reason).  The
+    checkpoint is node-sized, the cheapest thing in the loop.
+    """
+    ed = edges.select("u", "v").distinct().persist()
+    m = ed.count()
+    parts = iterative_shuffle_partitions(m)
+    spark = edges.sparkSession
+    with pinned_shuffle_partitions(spark, parts):
+        outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        ed_deg = ed.join(outd, "u").repartition(parts, "u").persist()
+        nodes = (
+            ed.select(F.col("u").alias("node"))
+            .union(ed.select(F.col("v").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n = nodes.count()
+        if n == 0:
+            ed_deg.unpersist()
+            ed.unpersist()
+            return nodes.withColumn("rank", F.lit(0.0))
+        teleport = (1.0 - damping) / n
+        out_nodes = outd.select(F.col("u").alias("node"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for i in range(n_iter):
+            dangling = (
+                ranks.join(out_nodes, "node", "left_anti")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast(_DEC)).cast("double"),
+                        F.lit(0.0),
+                    ).alias("dm")
+                )
+            )
+            contrib = ed_deg.join(
+                ranks.withColumnRenamed("node", "u"), "u"
+            ).select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            summed = contrib.groupBy("node").agg(
+                F.sum(F.col("c").cast(_DEC)).cast("double").alias("s")
+            )
+            ranks = (
+                nodes.join(summed, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("s", F.lit(0.0))
+                            + F.col("dm") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint()
+        if n_iter % checkpoint_every != 0:
+            ranks = ranks.localCheckpoint()
+        ed_deg.unpersist()
+        nodes.unpersist()
+    ed.unpersist()
+    return ranks
+
+
+SUPPLIER_NODE_OFFSET = 1_000_000
+
+
+def x143_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PageRank (dangling mass redistributed) over the directed
+    customer→supplier purchase graph: edge (cust → supplier) iff some
+    lineitem of the customer's order ships from that supplier.
+    Suppliers have no out-edges — every supplier is a dangling node,
+    the case the x59 near-dup graph (symmetric by construction)
+    cannot exercise; total rank mass stays 1 by construction here.
+
+    Supplier node ids are offset by ``SUPPLIER_NODE_OFFSET`` to keep
+    the two key spaces disjoint.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + SUPPLIER_NODE_OFFSET).alias("v"),
+        )
+        .distinct()
+    )
+    out = pagerank_dangling(edges)
+    return out.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

@@ -246,6 +246,7 @@ QUERIES: dict[str, QueryFn] = {
     "x140_robust_outliers": AN.x140_robust_outliers,
     "x141_split_manifest": C.x141_split_manifest,
     "x142_skipping_estimate": L.x142_skipping_estimate,
+    "x143_pagerank_dangling": G.x143_pagerank_dangling,
 }
 
 
@@ -2795,3 +2796,53 @@ ORACLE_SQL["x142_skipping_estimate"] = f"""
            CAST(SUM(n_rows) AS BIGINT) AS n_rows
     FROM verdicts GROUP BY 1, 2 ORDER BY layout, skippable
 """
+
+def _pagerank_dangling_oracle(
+    damping: float = G.PR_DAMPING, n_iter: int = G.PR_ITERS
+) -> str:
+    """x143's chained-CTE replay: same decimal/double expression shape
+    as _pagerank_oracle plus a per-round dangling-mass CTE (rank sum
+    over nodes with no out-edges, redistributed uniformly)."""
+    t = repr(1.0 - damping)
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""dg{i} AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(CAST(p.rank AS DECIMAL(38,18))),
+                             CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS dm
+        FROM pr{i - 1} p LEFT JOIN outd od ON od.u = p.node
+        WHERE od.u IS NULL
+    ), pr{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST({t} AS DOUBLE) / nn.n
+               + CAST({damping!r} AS DOUBLE)
+                 * (COALESCE(CAST(SUM(CAST(p.rank / od.deg AS DECIMAL(38,18)))
+                                  AS DOUBLE), CAST(0 AS DOUBLE))
+                    + dg{i}.dm / nn.n) AS rank
+        FROM nodes n
+        CROSS JOIN nn
+        CROSS JOIN dg{i}
+        LEFT JOIN edges e ON e.v = n.node
+        LEFT JOIN pr{i - 1} p ON p.node = e.u
+        LEFT JOIN outd od ON od.u = e.u
+        GROUP BY n.node, nn.n, dg{i}.dm
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS u,
+               l_suppkey + {G.SUPPLIER_NODE_OFFSET} AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outd AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+            FROM nodes CROSS JOIN nn),
+    {rounds_sql}
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM pr{n_iter}
+    ORDER BY node
+"""
+
+
+ORACLE_SQL["x143_pagerank_dangling"] = _pagerank_dangling_oracle()

@@ -177,3 +177,32 @@ def test_triangle_count_closed_triple(spark, sf_dir):
     by_doc = {r.doc_id: sizes[r.cluster_id] for r in clusters}
     for d in tri:
         assert by_doc.get(d, 0) >= 3
+
+
+def test_pagerank_dangling_conserves_mass(spark, sf_dir):
+    """With dangling-mass redistribution the rank vector must sum to
+    exactly 1 (the x59 simplification leaks mass; x143 must not)."""
+    import pyspark.sql.functions as F
+
+    from go_mapreduce_spark.operators.graph import (
+        SUPPLIER_NODE_OFFSET,
+        pagerank_dangling,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + SUPPLIER_NODE_OFFSET).alias("v"),
+        )
+        .distinct()
+    )
+    # UNROUNDED ranks (x143's 6-dp output rounding alone accounts for
+    # ~1e-4 of apparent drift over ~1600 nodes)
+    total = pagerank_dangling(edges).agg(
+        F.sum(F.col("rank").cast("decimal(38,18)")).cast("double")
+    ).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
