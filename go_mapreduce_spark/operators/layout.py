@@ -152,23 +152,108 @@ def x124_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# distributed exact-rank plan: number of range splits (≈ number of
+# concurrent window tasks; at 100 TB set ~ data_bytes / 1 GB)
+RN_SPLITS = 32
+
+
+def _global_row_number(
+    df: DataFrame,
+    sort_cols: list[str],
+    lead_key: Column,
+    n_splits: int = RN_SPLITS,
+    rn: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global ``row_number`` over ``sort_cols`` with NO
+    unpartitioned WindowExec — the round-3 scale-killer this replaces
+    funneled the whole fact table through ONE window task.
+
+    Plan (every stage deterministic, so recompute/retry-safe):
+
+    1. one mergeable-sketch aggregate computes ``n_splits - 1`` interior
+       ``approx_percentile`` split points of ``lead_key`` (a numeric
+       proxy of the leading sort column) — bounded driver collect of
+       ≤ ``n_splits`` scalars, same class as the k-means centroid pulls;
+    2. each row maps to a range bucket by counting split points below
+       its key — a static codegen sum, no shuffle;
+    3. ``row_number`` runs PARTITIONED by bucket: each window task holds
+       ~n/n_splits rows (sketch-balanced; AQE absorbs residual skew from
+       duplicate-heavy keys, which all share one bucket by construction);
+    4. per-bucket counts become cumulative offsets via a ≤ n_splits²-row
+       theta-join cumsum — metadata-sized, no window, no warning;
+    5. offsets broadcast back; ``rn = offset + local_rank``.
+
+    Ties on ``lead_key`` at a split point land in the same bucket, so
+    bucket assignment is monotone in the total order and the rank is
+    exact regardless of where the sketch puts the splits.  Returns
+    ``(df + rn column, total_row_count)`` — the count is read from the
+    same metadata-sized per-bucket counts (one scalar collect).
+    """
+    fracs = [i / n_splits for i in range(1, n_splits)]
+    row = df.select(
+        F.percentile_approx(lead_key, F.lit(fracs), F.lit(10_000)).alias("bs")
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+
+    bucket = F.lit(0)
+    for v in bounds:
+        bucket = bucket + (lead_key > F.lit(v)).cast("int")
+    bucketed = df.withColumn("_rb", bucket)
+
+    counts = bucketed.groupBy("_rb").agg(F.count(F.lit(1)).alias("_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._rb") < F.col("a._rb"), "left")
+        .groupBy(F.col("a._rb").alias("_rb"))
+        .agg(F.coalesce(F.sum(F.col("b._cnt")), F.lit(0)).alias("_off"))
+    )
+    total = counts.agg(F.sum("_cnt").alias("n")).first()["n"] or 0
+
+    w = Window.partitionBy("_rb").orderBy(*sort_cols)
+    ranked = (
+        bucketed.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_rb")
+        .withColumn(rn, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_rb", "_lrn", "_off")
+    )
+    return ranked, int(total)
+
+
 def x127_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-height) histogram of ``l_extendedprice`` in
     ``HIST_N_BUCKETS`` buckets — the CBO-statistics shape (selectivity
     estimation wants equal-mass buckets, not equal-width: x86 is the
     equal-width counterpart).
 
-    ``ntile`` over a UNIQUE total order (price, orderkey, linenumber)
-    makes bucket assignment deterministic and engine-portable — both
-    Spark and the oracle place the first ``n % k`` buckets one row
-    larger, but only a total order makes WHICH rows land there
-    well-defined.  One global sort (the cost any exact equi-depth
-    histogram pays; the approximate path is x26's sketch).
+    Bucket assignment is exact ``ntile`` over a UNIQUE total order
+    (price, orderkey, linenumber) — both Spark and the oracle place the
+    first ``n % k`` buckets one row larger, and the total order makes
+    WHICH rows land there well-defined.  The rank comes from
+    ``_global_row_number`` (range-bucketed, partitioned windows only —
+    no single-task stage), and ntile's closed form converts rank to
+    bucket: the first ``n % k`` buckets hold ``⌈n/k⌉`` rows, the rest
+    ``⌊n/k⌋``.  Integer ``DIV`` keeps the mapping exact past the 2^53
+    double-precision row-count cliff.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked, n = _global_row_number(
+        li,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        F.col("l_extendedprice"),
+    )
+    k = HIST_N_BUCKETS
+    big, small = n % k, n // k
+    if small == 0:  # fewer rows than buckets: ntile(k) gives row i bucket i
+        bucket = F.col("rn").cast("int")
+    else:
+        thr = big * (small + 1)
+        bucket = F.when(
+            F.col("rn") <= thr, F.expr(f"1 + (rn - 1) DIV {small + 1}")
+        ).otherwise(F.expr(f"{big} + 1 + (rn - 1 - {thr}) DIV {small}"))
     return (
-        li.select("l_extendedprice", F.ntile(HIST_N_BUCKETS).over(w).alias("bucket"))
+        ranked.select("l_extendedprice", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -206,12 +291,16 @@ def x142_skipping_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_orderkey") / COMPACT_FILE_GROUP).alias("file_id")
     ).agg(F.count(F.lit(1)).alias("n_rows"), F.max("l_shipdate").alias("max_ship"))
 
-    rn = F.row_number().over(
-        Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # exact shipdate rank via the range-bucketed distributed plan
+    # (partitioned windows only — no single-task stage; the numeric
+    # bucketing proxy is the epoch-seconds cast of the timestamp)
+    ranked, _ = _global_row_number(
+        li.select("l_shipdate", "l_orderkey", "l_linenumber"),
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        F.col("l_shipdate").cast("double"),
     )
     sorted_ = (
-        li.select("l_shipdate", "l_orderkey", "l_linenumber")
-        .withColumn("file_id", F.floor((rn - 1) / SKIP_ROWS_PER_FILE))
+        ranked.withColumn("file_id", F.expr(f"(rn - 1) DIV {SKIP_ROWS_PER_FILE}"))
         .groupBy("file_id")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.max("l_shipdate").alias("max_ship"))
     )

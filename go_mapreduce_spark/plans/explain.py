@@ -74,3 +74,27 @@ def wholestage_codegen_ids(df: DataFrame) -> list[int]:
 def has_take_ordered(df: DataFrame) -> bool:
     """True when top-k planned as TakeOrderedAndProject (no full sort)."""
     return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def window_lines(df: DataFrame) -> list[str]:
+    """Physical-plan lines containing a ``Window`` (WindowExec) node.
+
+    Uses the pre-execution sparkPlan — AQE never changes a window's
+    partition spec, so the shape check is valid without executing.
+    """
+    plan = df._jdf.queryExecution().sparkPlan().toString()  # type: ignore[attr-defined]
+    return [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec — the single-partition
+    scale-killer (WindowExec with no PARTITION BY moves every input row
+    to ONE task; Spark logs "No Partition Defined" and the stage cannot
+    scale past one core or one task's memory).
+
+    A partitioned node prints ``Window [exprs], [partSpec], [orderSpec]``
+    (two ``], [`` separators); an unpartitioned one omits the partition
+    group.  Any returned line is a plan bug unless the input is provably
+    metadata-sized (see operators/layout.py's inventory windows).
+    """
+    return [ln for ln in window_lines(df) if ln.count("], [") < 2]

@@ -44,6 +44,34 @@ def test_zorder_blocks_bounded_and_complete(spark, sf_dir):
     assert sum(r.n_rows for r in out) == total
 
 
+def test_global_row_number_matches_single_window(spark, sf_dir):
+    """The distributed exact-rank plan must agree row-for-row with the
+    reference single-window row_number, and report the right total —
+    on a key with heavy duplicates (l_quantity: 50 distinct values), so
+    split-point ties exercise the same-bucket monotonicity argument."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    cols = ["l_quantity", "l_orderkey", "l_linenumber"]
+    ranked, n = L._global_row_number(li, cols, F.col("l_quantity"), n_splits=8)
+    ref = li.withColumn(
+        "ref_rn", F.row_number().over(Window.orderBy(*cols)).cast("bigint")
+    )
+    assert n == li.count()
+    # the fixture has duplicate (orderkey, linenumber) pairs, so the
+    # sort key is not unique: within a tie group rank order is
+    # arbitrary on BOTH sides — compare the rank multiset per key
+    a = ranked.groupBy(cols).agg(F.sort_array(F.collect_list("rn")).alias("rns"))
+    b = ref.groupBy(cols).agg(F.sort_array(F.collect_list("ref_rn")).alias("ref_rns"))
+    mismatches = a.join(b, cols).where(F.col("rns") != F.col("ref_rns")).count()
+    assert mismatches == 0
+
+
 def test_equidepth_buckets_are_balanced(spark, sf_dir):
     rows = L.x127_equidepth_hist(spark, sf_dir).collect()
     assert len(rows) == L.HIST_N_BUCKETS

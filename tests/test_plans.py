@@ -248,6 +248,20 @@ def test_x97_topk_is_heap_based(spark, sf_dir):
     assert "c_mktsegment" in pf and "l_shipdate" in pf
 
 
+def test_x127_x142_windows_are_partitioned(spark, sf_dir):
+    """The exact-rank plans must never contain an unpartitioned
+    WindowExec over the fact table (the round-3 single-task
+    scale-killer): row numbering runs partitioned by range bucket,
+    offsets come from a metadata-sized cumsum."""
+    from go_mapreduce_spark.operators import layout as L
+    from go_mapreduce_spark.plans.explain import unpartitioned_windows, window_lines
+
+    for fn in (L.x127_equidepth_hist, L.x142_skipping_estimate):
+        df = fn(spark, sf_dir)
+        assert window_lines(df), f"{fn.__name__}: expected a window node"
+        assert not unpartitioned_windows(df), fn.__name__
+
+
 def test_x98_aggregates_before_customer_join(spark, sf_dir):
     """Q10-shape: the per-customer aggregate collapses the fact volume
     BEFORE the customer attribute join (aggregate below the join in
