@@ -231,6 +231,7 @@ def pagerank_dangling(
         if n == 0:
             ed_deg.unpersist()
             ed.unpersist()
+            nodes.unpersist()  # empty relation: the returned plan needs no cache
             return nodes.withColumn("rank", F.lit(0.0))
         teleport = (1.0 - damping) / n
         out_nodes = outd.select(F.col("u").alias("node"))

@@ -712,22 +712,54 @@ def x131_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a single sorted sweep: per price level take the max size, then
     a part survives iff its size equals its price-level max AND
     strictly exceeds the running max size over all STRICTLY cheaper
-    levels.  The sweep window runs over the aggregated (price →
-    max size) relation — cardinality = distinct prices, metadata-sized
-    next to the part table — so the frontier costs one aggregate, one
-    small window, one broadcast-able join back.  Exact ties on both
-    criteria all stay on the frontier (neither dominates).
+    levels.
+
+    The sweep's prefix-max is computed WITHOUT an unpartitioned
+    window (distinct-price cardinality is unbounded in principle, so
+    a global sweep would be a single-task stage at scale): price
+    levels range-bucket on ``approx_percentile`` split points, the
+    running max runs partitioned by bucket, and the cross-bucket
+    carry-in is a ≤ splits²-row theta-join max over strictly lower
+    buckets — every price in a lower bucket is strictly cheaper than
+    every price in a higher one, and equal prices share a bucket, so
+    ``run_cheaper = greatest(carry_in, within_bucket_prefix)``
+    reproduces the global sweep exactly.  Exact ties on both criteria
+    all stay on the frontier (neither dominates).
     """
     part = load_table(spark, sf_dir, "part")
     per_price = part.groupBy("p_retailprice").agg(
         F.max("p_size").alias("pmax")
     )
-    w = Window.orderBy("p_retailprice").rowsBetween(
+
+    n_splits = 32
+    fracs = [i / n_splits for i in range(1, n_splits)]
+    row = per_price.select(
+        F.percentile_approx("p_retailprice", F.lit(fracs), F.lit(10_000)).alias("bs")
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+    bucket = F.lit(0)
+    for v in bounds:
+        bucket = bucket + (F.col("p_retailprice") > F.lit(v)).cast("int")
+    lv = per_price.withColumn("_rb", bucket)
+
+    bmax = lv.groupBy("_rb").agg(F.max("pmax").alias("_bmax"))
+    a, b = bmax.alias("a"), bmax.alias("b")
+    carry = (
+        a.join(b, F.col("b._rb") < F.col("a._rb"), "left")
+        .groupBy(F.col("a._rb").alias("_rb"))
+        .agg(F.max(F.col("b._bmax")).alias("_carry"))
+    )
+    w = Window.partitionBy("_rb").orderBy("p_retailprice").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    levels = per_price.withColumn("run_cheaper", F.max("pmax").over(w))
+    levels = (
+        lv.join(F.broadcast(carry), "_rb")
+        .withColumn("_wmax", F.max("pmax").over(w))
+        .withColumn("run_cheaper", F.greatest("_carry", "_wmax"))
+        .drop("_rb", "_carry", "_wmax")
+    )
     return (
-        part.join(F.broadcast(levels), "p_retailprice")
+        part.join(levels, "p_retailprice")
         .filter(
             (F.col("p_size") == F.col("pmax"))
             & (
@@ -750,6 +782,14 @@ def x137_json_struct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Also counts parse failures (NULL struct) — the schema-drift canary
     a production ingest keeps next to every typed-JSON read.  Pure
     JVM expressions; one aggregate.
+
+    "Unparsed" is defined on BOTH engines as "not a JSON object":
+    Spark's ``from_json`` with a struct schema yields a NULL struct
+    for invalid JSON *and* for valid non-object JSON (``'5'``,
+    ``'[1]'``); the oracle mirrors that exactly with
+    ``json_valid(props) AND json_type(props) = 'OBJECT'`` — plain
+    ``json_valid`` alone would accept scalars/arrays and silently
+    diverge if the fixture ever emits them.
     """
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
@@ -776,11 +816,19 @@ def x138_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before publishing a snapshot.
 
     Each CHILD TABLE is scanned ONCE: its FK columns left-join the
-    (broadcast, key-only) parents, and one conditional aggregate
-    yields every per-FK orphan count simultaneously — 3 lineitem FKs
-    cost one lineitem pass, not three (the naive per-FK anti-join
-    runs 6 child scans; at 100 TB the child scan IS the cost).  The
-    stacked output is FK-count-sized regardless of volume.
+    key-only parents, and one conditional aggregate yields every
+    per-FK orphan count simultaneously — 3 lineitem FKs cost one
+    lineitem pass, not three (the naive per-FK anti-join runs 6 child
+    scans; at 100 TB the child scan IS the cost).  The stacked output
+    is FK-count-sized regardless of volume.
+
+    Join strategy is left to AQE: the orders/part/supplier/customer
+    key sets are DATA-sized (one key per parent row), so a forced
+    broadcast would collect them to the driver and OOM at scale — at
+    fixture scale AQE still picks broadcast from the observed sizes,
+    and at 100 TB the same plan degrades gracefully to a shuffle
+    join.  Only ``nation`` (25 rows by schema contract) keeps an
+    explicit broadcast hint.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -796,17 +844,17 @@ def x138_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_j = (
         li.select("l_orderkey", "l_partkey", "l_suppkey")
         .join(
-            F.broadcast(key_only(orders, "o_orderkey", "m_o")),
+            key_only(orders, "o_orderkey", "m_o"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
         .join(
-            F.broadcast(key_only(part, "p_partkey", "m_p")),
+            key_only(part, "p_partkey", "m_p"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left",
         )
         .join(
-            F.broadcast(key_only(sup, "s_suppkey", "m_s")),
+            key_only(sup, "s_suppkey", "m_s"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left",
         )
@@ -831,11 +879,12 @@ def x138_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def single(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
-        j = child.select(ckey).join(
-            F.broadcast(key_only(parent, pkey, "m")),
-            F.col(ckey) == F.col(pkey),
-            "left",
-        )
+        # nation is contract-bounded (25 rows): hint it; every other
+        # parent key set is data-sized — AQE chooses the strategy
+        keys = key_only(parent, pkey, "m")
+        if pkey == "n_nationkey":
+            keys = F.broadcast(keys)
+        j = child.select(ckey).join(keys, F.col(ckey) == F.col(pkey), "left")
         return j.agg(
             F.count(F.lit(1)).alias("n_child"),
             F.sum(F.col("m").isNull().cast("int")).alias("n_orphans"),

@@ -2667,7 +2667,8 @@ ORACLE_SQL["x136_event_paths"] = f"""
 ORACLE_SQL["x137_json_struct_stats"] = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+           CAST(SUM(CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+                         THEN 0 ELSE 1 END) AS BIGINT)
                AS n_unparsed,
            CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,

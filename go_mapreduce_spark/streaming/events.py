@@ -180,6 +180,13 @@ def streaming_dedup(docs: DataFrame, watermark_col: str = "ts", watermark: str =
 # _replay_to_parquet's docstring for the sizing rationale.
 REPLAY_SHUFFLE_PARTITIONS = 8
 
+# Final global watermark of the last drained replay, per query name
+# (ISO-8601 string from the query progress, or None when the query
+# carries no watermark).  Lets tests recompute expected finalization
+# sets from the watermark Spark ACTUALLY reached, independent of the
+# fitted cutoff formulas in the oracles.
+REPLAY_FINAL_WATERMARK: dict[str, str | None] = {}
+
 
 def _replay_base(sf_dir: str) -> str:
     """Deterministic per-sf scratch dir for stream replays: constant
@@ -266,6 +273,13 @@ def _replay_to_parquet(
             .start()
         )
         q.awaitTermination()
+        wm = None
+        for p in reversed(q.recentProgress):
+            et = (p or {}).get("eventTime") or {}
+            if et.get("watermark"):
+                wm = et["watermark"]
+                break
+        REPLAY_FINAL_WATERMARK[name] = wm
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
@@ -553,6 +567,11 @@ def x135_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     max) - 1 h`` (bracketed empirically at BOTH sf0.001 and sf0.01 —
     the first formula tried, global-max − watermark − gap, fit one
     sf and failed the other; the min-side rule fits both).  The
+    formula models pyspark 4.1.x watermark advancement under this
+    replay's trigger layout — a version bump that shifts it is caught
+    by the actual-watermark guard test (test_stream_joins.py), which
+    recomputes the expected null set from the final watermark in
+    ``REPLAY_FINAL_WATERMARK`` instead of the formula.  The
     oracle is the batch left join under that same finalization
     cutoff.  Matched rows are cutoff-free.  State stays bounded:
     both sides evict around the watermark, the non-optional property

@@ -256,7 +256,13 @@ def test_x127_x142_windows_are_partitioned(spark, sf_dir):
     from go_mapreduce_spark.operators import layout as L
     from go_mapreduce_spark.plans.explain import unpartitioned_windows, window_lines
 
-    for fn in (L.x127_equidepth_hist, L.x142_skipping_estimate):
+    from go_mapreduce_spark.operators import relational_ext as RX
+
+    for fn in (
+        L.x127_equidepth_hist,
+        L.x142_skipping_estimate,
+        RX.x131_pareto_frontier,
+    ):
         df = fn(spark, sf_dir)
         assert window_lines(df), f"{fn.__name__}: expected a window node"
         assert not unpartitioned_windows(df), fn.__name__

@@ -50,6 +50,66 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, stream_dir):
     assert got, "expected purchase-click pairs within 30 minutes"
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_x135_nulls_match_actual_watermark(spark, sf):
+    """Guard for the outer-null finalization semantics: recompute the
+    expected null-row set from the final global watermark Spark
+    ACTUALLY reported in the query progress — NOT the fitted
+    ``min-branch max − 1 h`` formula the oracle uses.  A Spark version
+    bump or trigger-size change that shifts watermark advancement
+    fails here with a clear set diff instead of silently diverging the
+    oracle (formula bracketed empirically on pyspark 4.1.x; three sfs
+    so a layout-dependent shift can't fit one fixture and slip by).
+
+    Contract under test: an unmatched purchase emits a null-click row
+    iff ``purchase_ts < final_watermark`` (a click matching it would
+    have ``click_ts <= purchase_ts < wm`` — provably late); matched
+    pairs are cutoff-free and equal the batch inner join.
+    """
+    import datetime as dt
+
+    from go_mapreduce_spark.streaming import events as SE
+
+    sf_dir = f"/root/testdata/{sf}"
+    out = SE.x135_stream_left_join(spark, sf_dir)
+    got_nulls = {
+        r.purchase_id for r in out.where(F.col("click_id").isNull()).collect()
+    }
+    got_matched = {
+        (r.purchase_id, r.click_id)
+        for r in out.where(F.col("click_id").isNotNull()).collect()
+    }
+    wm_s = SE.REPLAY_FINAL_WATERMARK["x135"]
+    assert wm_s, "replay must report a final watermark"
+    wm = dt.datetime.strptime(wm_s, "%Y-%m-%dT%H:%M:%S.%fZ")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
+    )
+    want_nulls = {
+        r.purchase_id
+        for r in p.join(c, cond, "left_anti")
+        .where(F.col("pts") < F.lit(wm))
+        .collect()
+    }
+    want_matched = {
+        (r.purchase_id, r.click_id) for r in p.join(c, cond, "inner").collect()
+    }
+    assert got_nulls == want_nulls
+    assert got_matched == want_matched
+
+
 def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
     """Planted duplicate texts inside the watermark horizon → one
     survivor each; uniques untouched."""
