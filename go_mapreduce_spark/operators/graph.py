@@ -164,28 +164,67 @@ def x69_triangle_count(
     mutual near-duplicates, a stronger dedup-keep candidate than one
     on a sparse path).
 
-    Plan: the classic 3-way edge self-join with the a<b<c canonical
-    orientation (each triangle counted once, no permutation blow-up);
-    edge lists are id-ordered pairs straight from x6, joins shuffle
-    on single node keys.  At 100 TB the standard refinement is
-    degree-ordered orientation (join fan-out bounded by max
-    out-degree in the orientation), noted here — the fixture graph's
-    degrees don't need it.
+    Plan: DEGREE-ORDERED orientation (the at-scale refinement the
+    round-3 docstring only promised): every undirected edge points
+    from its lower-(degree, id) endpoint to the higher, wedges open
+    only at a node's oriented OUT-neighbors, and the closing edge is
+    an equi-join.  Each triangle has a unique lowest-key vertex, so
+    it is counted exactly once — and per-node join fan-out is
+    C(out_deg, 2) where max oriented out-degree is O(√m) for ANY
+    graph (a hub with degree = 50% of edges has out-degree ~0: all
+    its edges point INTO it; the id-ordered orientation this replaces
+    exploded on exactly that shape).  See the skewed-hub cardinality
+    test in tests/test_graph.py.
     """
     from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
 
     pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tris = e1.join(e2, "b").join(e3, ["a", "c"])
-    nodes = tris.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
     return (
-        nodes.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        triangle_counts(e)
+        .select(F.col("node").alias("doc_id"), "n_triangles")
         .orderBy("doc_id")
     )
+
+
+def oriented_edges(e: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected edge list ``(u, v)``
+    (one row per edge, endpoints in either order, no duplicates):
+    each edge becomes ``s → t`` with ``(deg(s), s) < (deg(t), t)``
+    lexicographically — a total order (id tie-break), so exactly one
+    direction survives.  Returns ``(s, t, tkey)`` where ``tkey`` is
+    t's (degree, id) sort key, carried so wedge enumeration can order
+    endpoints without another degree join."""
+    und = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    keyed = (
+        e.join(deg.select(F.col("u").alias("_a"), F.col("d").alias("da")), F.col("u") == F.col("_a"))
+        .join(deg.select(F.col("u").alias("_b"), F.col("d").alias("db")), F.col("v") == F.col("_b"))
+    )
+    u_first = F.struct(F.col("da"), F.col("u")) < F.struct(F.col("db"), F.col("v"))
+    return keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.struct(F.col("db").alias("d"), F.col("v").alias("n")))
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("u").alias("n")))
+        .alias("tkey"),
+    )
+
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """Per-node triangle participation count of an undirected edge
+    list via degree-ordered orientation: wedges (s→b, s→c with
+    key(b) < key(c)) close against the oriented edge b→c.  All joins
+    are equi-joins on node keys; fan-out per wedge node is
+    C(out_deg, 2) with max out-degree O(√m) regardless of skew."""
+    oe = oriented_edges(e)
+    w1 = oe.select("s", F.col("t").alias("b"), F.col("tkey").alias("bkey"))
+    w2 = oe.select("s", F.col("t").alias("c"), F.col("tkey").alias("ckey"))
+    wedges = w1.join(w2, "s").where(F.col("bkey") < F.col("ckey"))
+    closing = oe.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    nodes = tris.select(F.explode(F.array("s", "b", "c")).alias("node"))
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def pagerank_dangling(

@@ -206,3 +206,40 @@ def test_pagerank_dangling_conserves_mass(spark, sf_dir):
         F.sum(F.col("rank").cast("decimal(38,18)")).cast("double")
     ).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_triangle_counts_skewed_hub(spark):
+    """Degree-ordered orientation on a graph where ONE node carries
+    50% of all edges: counts stay exact AND the hub's oriented
+    out-degree collapses to ~0 (all its edges point INTO it), so the
+    wedge join's per-node fan-out is bounded by the small spoke
+    degrees — the id-ordered orientation this replaced would open
+    C(hub_deg, 2) wedges at the hub."""
+    from itertools import combinations
+
+    from go_mapreduce_spark.operators.graph import oriented_edges, triangle_counts
+
+    n = 100
+    hub_edges = [(0, i) for i in range(1, n + 1)]                 # hub deg = n
+    ring_edges = [(i, i + 1) for i in range(1, n)]                # spokes deg ≤ 4
+    pairs = hub_edges + ring_edges                                # hub in n/(2n-1) ≈ 50%
+    e = spark.createDataFrame(pairs, "u long, v long")
+
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    adj = {frozenset(p) for p in pairs}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(range(n + 1), 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= adj:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    assert got == want
+    assert want[0] == n - 1  # hub sits in every (0, i, i+1) triangle
+
+    # cardinality contract: hub emits no wedges (out-degree 0); max
+    # oriented out-degree stays spoke-sized despite 50% edge skew
+    out_deg = {
+        r.s: r.cnt
+        for r in oriented_edges(e).groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert 0 not in out_deg
+    assert max(out_deg.values()) <= 3
