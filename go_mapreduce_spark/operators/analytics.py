@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_mapreduce_spark.sources.registry import load_table
@@ -781,4 +781,109 @@ def x140_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+def x144_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar revenue report: per ship month, gross revenue
+    (``Σ extendedprice·(1-discount)``, decimal-exact) and
+    month-over-month growth.
+
+    The MoM comparison is an EQUI-JOIN of the month relation against
+    itself shifted by one month (``add_months``) — never a ``lag``
+    over an unpartitioned window: the month relation is small today,
+    but a calendar join states the semantics without a single-task
+    stage at ANY cardinality, and the first month falls out naturally
+    as a null from the left join.  One fact-table scan, one
+    metadata-sized self-join.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.trunc(F.col("l_shipdate"), "month").alias("month")
+    ).agg(dsum_expr("l_extendedprice * (1 - l_discount)", "rev"))
+    prev = monthly.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("rev").alias("prev_rev"),
+    )
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month",
+            F.round("rev", 4).alias("revenue"),
+            F.round(
+                (F.col("rev") - F.col("prev_rev")) / F.col("prev_rev"), 6
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+def x148_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) marketing attribution: each user's
+    FIRST purchase distributes its value over the user's preceding
+    view/click touches — 40% to the first touch, 40% to the last,
+    20% split evenly across the middles (n=1 → 100%, n=2 → 50/50).
+    Output: attributed value and touch count per (touch type,
+    position class).
+
+    The first-/last-/middle credit split is the industry-standard
+    compromise between first-touch (x123) and last-touch bias; the
+    whole computation is two user-partitioned windows (touch rank +
+    touch count) over the pre-purchase touch set — one shuffle on
+    user_id, no self-joins, scale-safe by partitioning.  Weight
+    arithmetic is plain IEEE doubles (identical both engines); only
+    the final sums go through decimal.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("fp"),
+        )
+        .select(
+            "user_id",
+            F.col("fp.ts").alias("p_ts"),
+            F.col("fp.value").alias("p_value"),
+        )
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(first_purchase, "user_id")
+        .filter(F.col("ts") < F.col("p_ts"))
+        .select("user_id", "event_type", "ts", "event_id", "p_value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = touches.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    position = (
+        F.when(F.col("rn") == 1, F.lit("first"))
+        .when(F.col("rn") == F.col("n"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        ranked.select(
+            "event_type",
+            position.alias("position"),
+            (weight * F.col("p_value")).alias("attr"),
+        )
+        .groupBy("event_type", "position")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(dsum(F.col("attr"), "sv"), 4).alias("attributed_value"),
+        )
+        .orderBy("event_type", "position")
     )

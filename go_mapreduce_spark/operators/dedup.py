@@ -851,3 +851,68 @@ def x117_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def x145_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality calibration report: for every x117 band-candidate
+    pair, the MinHash-ESTIMATED Jaccard (fraction of the ``SIG_K``
+    signature components that agree — the unbiased MinHash estimator)
+    next to the EXACT shingle-set Jaccard and the absolute error.
+
+    This is the audit a pipeline owner runs before trusting LSH
+    thresholds on a new corpus: the estimator's error distribution
+    decides band/row settings.  Because the x116 hash family is
+    sha256-derived, the whole report — sketch AND truth — is exactly
+    SQL-replayable (unlike the seeded x4 path).
+
+    Cost shape: candidates come from the band join (bucket-occupancy
+    bound, never all-pairs); exact Jaccard is computed only for those
+    candidates via per-doc distinct-shingle sets — the x6 "verify only
+    candidates" discipline, so the exact pass is candidate-sized.
+    """
+    from go_mapreduce_spark.sources.registry import load_table as _lt
+
+    sigs = x116_minhash_signatures(spark, sf_dir)
+    pairs = x117_minhash_band_pairs(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{k}").alias(f"a_{k}") for k in range(SIG_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{k}").alias(f"b_{k}") for k in range(SIG_K)],
+    )
+    agree = sum(
+        (F.col(f"a_{k}") == F.col(f"b_{k}")).cast("int") for k in range(SIG_K)
+    )
+
+    docs = _lt(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sets_ = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
+    est = F.col("n_agree") / F.lit(float(SIG_K))
+    exact = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_agree", agree)
+        .join(sets_.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("s_a")), "doc_a")
+        .join(sets_.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("s_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.size(F.array_intersect("s_a", "s_b")).alias("inter"),
+            F.size("s_a").alias("n_a"),
+            F.size("s_b").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -102,6 +102,7 @@ def _pagerank_rounds(
     n = nodes.count()
     if n == 0:
         ed_deg.unpersist()
+        nodes.unpersist()  # empty relation: the returned plan needs no cache
         return nodes.withColumn("rank", F.lit(0.0))
 
     teleport = (1.0 - damping) / n
@@ -347,3 +348,60 @@ def x143_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank_dangling(edges)
     return out.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 5
+
+
+def kcore_edges(e: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Iterative k-core peeling of an undirected edge list ``(u, v)``
+    (one row per edge): ``rounds`` fixed rounds of "drop every node
+    with degree < k and its incident edges".  Fixed rounds (not
+    peel-to-fixpoint) keep the computation exactly replayable as
+    chained SQL CTEs — the pagerank/CC discipline; on fixture graphs
+    5 rounds reach the fixpoint (converged-ness is itself asserted in
+    tests, not assumed).
+
+    Per round: one metadata-bound degree aggregate + two semi-joins,
+    all key-partitioned; the edge relation is localCheckpoint-ed per
+    round so lineage stays flat across iterations (each round
+    references it three times — unchecked that's 3^R subplans).
+    """
+    cur = e.select("u", "v")
+    for _ in range(rounds):
+        und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        keep = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return cur
+
+
+def x146_kcore(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """2-core of the x6 near-dup graph: docs surviving iterative
+    removal of degree-<2 nodes, with their in-core degree — the
+    "tight cluster membership" signal (a 2-core member sits on a
+    cycle of mutual near-duplicates; tree-like appendages and
+    isolated pairs peel away), sharper than raw degree for choosing
+    canonical documents in dense dup families.
+    """
+    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    core = kcore_edges(e)
+    und = core.union(core.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        und.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("doc_id")
+    )

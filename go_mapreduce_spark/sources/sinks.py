@@ -136,3 +136,51 @@ def compact_parquet(
     return len(
         [p for p in _glob.glob(os.path.join(dst_dir, "*.parquet"))]
     )
+
+
+def x147_jsonl_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """JSONL wire-format roundtrip proof: write the events fact
+    columns as JSON-lines, read them back with an EXPLICIT schema (the
+    production contract — ``inferSchema`` on JSON is a full extra scan
+    plus type guessing), and aggregate per event type.
+
+    The oracle computes the identical aggregate from the parquet
+    table, so a hash match proves the JSONL encode→decode cycle is
+    lossless for longs, doubles and strings (doubles survive via
+    shortest-roundtrip rendering).  Timestamps are excluded by
+    design: JSON timestamp fidelity is format-option-dependent
+    (millisecond default), and shipping them as JSON is a lossy
+    contract this engine does not claim — parquet is the timestamp
+    carrier (sources/registry.py nanos handling).
+
+    Scale: the JSONL write/read is a distributed narrow pass (one
+    file per partition, no shuffle); only the final aggregate
+    exchanges K rows.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gms_jsonl_{tag}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_json(ev, path)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum(F.col("value"), "sv"), 4).alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -243,3 +243,20 @@ def test_triangle_counts_skewed_hub(spark):
     }
     assert 0 not in out_deg
     assert max(out_deg.values()) <= 3
+
+
+def test_kcore_peels_tails_and_converges(spark):
+    """Ring + dangling tail: the 2-core is exactly the ring (tails
+    peel away over successive rounds), and the fixed round count has
+    reached the fixpoint (one extra round changes nothing) — the
+    docstring's convergence claim, asserted."""
+    from go_mapreduce_spark.operators.graph import KCORE_ROUNDS, kcore_edges
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    # chain hanging off node 0: 6-7-8-9 (each peel round removes one)
+    tail = [(0, 7), (7, 8), (8, 9)]
+    e = spark.createDataFrame(ring + tail, "u long, v long")
+    core = {(r.u, r.v) for r in kcore_edges(e).collect()}
+    assert core == {(a, b) for a, b in ring}
+    more = {(r.u, r.v) for r in kcore_edges(e, rounds=KCORE_ROUNDS + 1).collect()}
+    assert more == core

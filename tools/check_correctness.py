@@ -20,8 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+OUT = None
+if "--out" in _args:
+    i = _args.index("--out")
+    OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2 :]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 
 def canon(v):
@@ -61,6 +67,7 @@ def main() -> int:
         )
 
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if ONLY and name not in ONLY:
             continue
@@ -72,10 +79,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {type(e).__name__}",
+            }
             continue
         if name not in ORACLE_SQL:
             print(f"ok   {name}: rows={len(srows)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             ores = con.execute(ORACLE_SQL[name])
@@ -84,23 +100,44 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb error: {type(e).__name__}",
+            }
             continue
         problems = []
-        if len(srows) != len(orows):
+        rows_match = len(srows) == len(orows)
+        schema_match = sorted(scols) == sorted(ocols)
+        hash_match = None
+        if not rows_match:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
+        if not schema_match:
             problems.append(f"columns spark={scols} oracle={ocols}")
         if not problems:
             ss, oo = row_set(scols, srows), row_set(ocols, orows)
-            if ss != oo:
+            hash_match = ss == oo
+            if not hash_match:
                 diff = [(a, b) for a, b in zip(ss, oo) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")
+        record[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": bool(hash_match) if hash_match is not None else False,
+            "spark_rows": len(srows), "oracle_rows": len(orows),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
+    if OUT:
+        import json
+
+        with open(OUT, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {OUT} ({len(record)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
