@@ -40,6 +40,16 @@ def main() -> None:
     # so this warms compilation for the measured runs — timings then
     # measure execution, not first-compile noise.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Host-noise calibration: a fixed pure-CPU job timed AFTER JIT
+    # warmup.  Round-over-round query walls can only be compared
+    # through this (same-HEAD full-bench runs have measured 196–270 s
+    # total purely from host/VM throttling variance); a round whose
+    # calib_sec is 1.4× another's is a slower machine, not a slower
+    # engine.
+    t0 = time.perf_counter()
+    spark.range(400_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    calib_sec = round(time.perf_counter() - t0, 3)
     if os.path.isdir(WARMUP_SF_DIR) and WARMUP_SF_DIR != SF_DIR:
         for name, fn in QUERIES.items():
             # stream-replay queries cost wall-clock in the streaming
@@ -127,6 +137,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(SF_DIR),
+        "calib_sec": calib_sec,
         "ann_recall": ann_recall,
         "ivf_recall": ivf_recall,
         "ivf_recall_clustered": ivf_recall_clustered,
@@ -148,6 +159,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_of(SF_DIR),
                 "n_queries": len(timings),
+                "calib_sec": calib_sec,
                 "queries": slowest,
                 "queries_file": "BENCH_FULL.json",
                 "ann_recall": ann_recall,

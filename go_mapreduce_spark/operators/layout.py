@@ -176,18 +176,20 @@ def _global_row_number(
        ≤ ``n_splits`` scalars, same class as the k-means centroid pulls;
     2. each row maps to a range bucket by counting split points below
        its key — a static codegen sum, no shuffle;
-    3. ``row_number`` runs PARTITIONED by bucket: each window task holds
+    3. one grouped count per bucket (map-side partial, ≤ ``n_splits``
+       rows to the driver) turns into cumulative offsets IN PYTHON and
+       re-enters the plan as a literal map — so the FINAL plan is just
+       scan → partitioned window → project: no second scan branch, no
+       offsets join;
+    4. ``row_number`` runs PARTITIONED by bucket: each window task holds
        ~n/n_splits rows (sketch-balanced; AQE absorbs residual skew from
        duplicate-heavy keys, which all share one bucket by construction);
-    4. per-bucket counts become cumulative offsets via a ≤ n_splits²-row
-       theta-join cumsum — metadata-sized, no window, no warning;
-    5. offsets broadcast back; ``rn = offset + local_rank``.
+       ``rn = offset_map[bucket] + local_rank``.
 
     Ties on ``lead_key`` at a split point land in the same bucket, so
     bucket assignment is monotone in the total order and the rank is
     exact regardless of where the sketch puts the splits.  Returns
-    ``(df + rn column, total_row_count)`` — the count is read from the
-    same metadata-sized per-bucket counts (one scalar collect).
+    ``(df + rn column, total_row_count)``.
     """
     fracs = [i / n_splits for i in range(1, n_splits)]
     row = df.select(
@@ -198,23 +200,43 @@ def _global_row_number(
     bucket = F.lit(0)
     for v in bounds:
         bucket = bucket + (lead_key > F.lit(v)).cast("int")
-    bucketed = df.withColumn("_rb", bucket)
 
-    counts = bucketed.groupBy("_rb").agg(F.count(F.lit(1)).alias("_cnt"))
-    a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
-        a.join(b, F.col("b._rb") < F.col("a._rb"), "left")
-        .groupBy(F.col("a._rb").alias("_rb"))
-        .agg(F.coalesce(F.sum(F.col("b._cnt")), F.lit(0)).alias("_off"))
+    counts = {
+        r["_rb"]: r["_cnt"]
+        for r in df.groupBy(bucket.alias("_rb"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    }
+    total, offsets = 0, {}
+    for rb in sorted(counts):
+        offsets[rb] = total
+        total += counts[rb]
+    # explicit key/value types: a mixed int/long literal map would
+    # fail to resolve once an offset crosses int32 (big-data certainty)
+    off_map = (
+        F.create_map(
+            *[
+                c
+                for rb in sorted(offsets)
+                for c in (
+                    F.lit(rb).cast("int"),
+                    F.lit(offsets[rb]).cast("bigint"),
+                )
+            ]
+        )
+        if offsets
+        else F.create_map(F.lit(0).cast("int"), F.lit(0).cast("bigint"))
     )
-    total = counts.agg(F.sum("_cnt").alias("n")).first()["n"] or 0
 
     w = Window.partitionBy("_rb").orderBy(*sort_cols)
     ranked = (
-        bucketed.withColumn("_lrn", F.row_number().over(w))
-        .join(F.broadcast(offsets), "_rb")
-        .withColumn(rn, (F.col("_off") + F.col("_lrn")).cast("bigint"))
-        .drop("_rb", "_lrn", "_off")
+        df.withColumn("_rb", bucket)
+        .withColumn("_lrn", F.row_number().over(w))
+        .withColumn(
+            rn,
+            (F.element_at(off_map, F.col("_rb")) + F.col("_lrn")).cast("bigint"),
+        )
+        .drop("_rb", "_lrn")
     )
     return ranked, int(total)
 

@@ -719,8 +719,9 @@ def x131_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sweep would be a single-task stage at scale): price
     levels range-bucket on ``approx_percentile`` split points, the
     running max runs partitioned by bucket, and the cross-bucket
-    carry-in is a ≤ splits²-row theta-join max over strictly lower
-    buckets — every price in a lower bucket is strictly cheaper than
+    carry-in is a prefix max over ≤ 32 per-bucket maxes — computed
+    driver-side from a bounded collect and embedded as a literal
+    map.  Every price in a lower bucket is strictly cheaper than
     every price in a higher one, and equal prices share a bucket, so
     ``run_cheaper = greatest(carry_in, within_bucket_prefix)``
     reproduces the global sweep exactly.  Exact ties on both criteria
@@ -740,23 +741,41 @@ def x131_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.lit(0)
     for v in bounds:
         bucket = bucket + (F.col("p_retailprice") > F.lit(v)).cast("int")
-    lv = per_price.withColumn("_rb", bucket)
 
-    bmax = lv.groupBy("_rb").agg(F.max("pmax").alias("_bmax"))
-    a, b = bmax.alias("a"), bmax.alias("b")
-    carry = (
-        a.join(b, F.col("b._rb") < F.col("a._rb"), "left")
-        .groupBy(F.col("a._rb").alias("_rb"))
-        .agg(F.max(F.col("b._bmax")).alias("_carry"))
+    # per-bucket maxes → cross-bucket carry-in computed driver-side
+    # (bounded: ≤ n_splits rows) and re-entered as a literal map, so
+    # the final plan is one aggregate + one partitioned window — no
+    # second aggregate branch, no carry join.  Buckets with no
+    # strictly-lower predecessor are simply absent (element_at → null).
+    bmax = {
+        r["_rb"]: r["_bmax"]
+        for r in per_price.groupBy(bucket.alias("_rb"))
+        .agg(F.max("pmax").alias("_bmax"))
+        .collect()
+    }
+    carry, run = {}, None
+    for rb in sorted(bmax):
+        if run is not None:
+            carry[rb] = run
+        run = max(run, bmax[rb]) if run is not None else bmax[rb]
+    carry_args = [
+        c
+        for rb in sorted(carry)
+        for c in (F.lit(rb).cast("int"), F.lit(carry[rb]).cast("int"))
+    ]
+    carry_col = (
+        F.element_at(F.create_map(*carry_args), F.col("_rb"))
+        if carry_args
+        else F.lit(None).cast("int")
     )
     w = Window.partitionBy("_rb").orderBy("p_retailprice").rowsBetween(
         Window.unboundedPreceding, -1
     )
     levels = (
-        lv.join(F.broadcast(carry), "_rb")
+        per_price.withColumn("_rb", bucket)
         .withColumn("_wmax", F.max("pmax").over(w))
-        .withColumn("run_cheaper", F.greatest("_carry", "_wmax"))
-        .drop("_rb", "_carry", "_wmax")
+        .withColumn("run_cheaper", F.greatest(carry_col, F.col("_wmax")))
+        .drop("_rb", "_wmax")
     )
     return (
         part.join(levels, "p_retailprice")
