@@ -55,7 +55,7 @@ def main() -> None:
             # stream-replay queries cost wall-clock in the streaming
             # machinery (temp write + triggers), not codegen — warming
             # them doubles bench time for no measurement benefit
-            if name.startswith(("x36_", "x43_", "x65_", "x89_", "x90_", "x118_", "x134_", "x135_")):
+            if name.startswith(("x36_", "x43_", "x65_", "x89_", "x90_", "x118_", "x134_", "x135_", "x151_")):
                 continue
             fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()

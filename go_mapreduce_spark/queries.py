@@ -3028,6 +3028,76 @@ ORACLE_SQL["x148_multitouch_attribution"] = """
 
 
 # ---------------------------------------------------------------------------
+# lakehouse (transactional MERGE target): x149/x150
+# ---------------------------------------------------------------------------
+
+from go_mapreduce_spark import lakehouse as LH  # noqa: E402
+
+QUERIES.update(
+    {
+        "x149_lakehouse_merge": LH.x149_lakehouse_merge,
+        "x150_lakehouse_time_travel": LH.x150_lakehouse_time_travel,
+        "x151_stream_lakehouse_upsert": LH.x151_stream_lakehouse_upsert,
+    }
+)
+
+# Demo CDC history is closed-form in o_orderkey arithmetic:
+#   v1: keys %4==0 at raw price
+#   v2: v1 with %8==0 at +1000, plus %4==1 inserted at raw price
+#   v3: v2 minus %16==0, with %4==1 moved to +500
+ORACLE_SQL["x149_lakehouse_merge"] = """
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 8 = 0
+                        THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                    WHEN o_orderkey % 4 = 1
+                        THEN o_totalprice + CAST(500.0 AS DOUBLE)
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE (o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0)
+           OR o_orderkey % 4 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_price
+    FROM final GROUP BY 1 ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["x150_lakehouse_time_travel"] = """
+    WITH v1 AS (
+        SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    v2 AS (
+        SELECT CASE WHEN o_orderkey % 8 = 0
+                        THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    ),
+    v3 AS (
+        SELECT CASE WHEN o_orderkey % 8 = 0
+                        THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                    WHEN o_orderkey % 4 = 1
+                        THEN o_totalprice + CAST(500.0 AS DOUBLE)
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE (o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0)
+           OR o_orderkey % 4 = 1
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_price FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 4) FROM v2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 4) FROM v3
+    ORDER BY version
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
@@ -3052,3 +3122,11 @@ QUERIES = {
     **{k: QUERIES[k] for k in _FLAGSHIP},
     **{k: QUERIES[k] for k in reversed(_rest)},
 }
+
+ORACLE_SQL["x151_stream_lakehouse_upsert"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -6,9 +6,11 @@ merge_upsert (operators/cdc.py).
 for sinks with merge semantics: each micro-batch arrives as a plain
 DataFrame and is applied transactionally-per-batch.  On a lakehouse
 the apply step is ``MERGE INTO`` on a Delta/Iceberg table (storage
-handles atomicity + file pruning); this container has bare parquet,
-so the apply is read-target → full-outer-join → write-stage →
-rename-based directory swap — same plan shape, driver-local commit.
+handles atomicity + file pruning); this module keeps the plain
+directory-swap variant for parity, and ``go_mapreduce_spark.
+lakehouse.x151_stream_lakehouse_upsert`` is the full transactional
+path: atomic manifest commits, batch-id ledger (replay = no-op),
+key-range file pruning, time travel.
 
 Scale notes: per batch, one key-partitioned full-outer join between
 the (small) batch aggregate and the target — the batch side is

@@ -1,0 +1,198 @@
+"""Transactional contract tests for the manifest-based lakehouse
+(go_mapreduce_spark/lakehouse.py): atomic commits, snapshot
+isolation, idempotent CDC apply, file pruning, time travel.
+
+The oracle gate (x149/x150) proves VALUE correctness of the demo
+history; these prove the TRANSACTIONAL properties a value hash can't
+see — what happens on crash, replay, conflict, and partial write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark import lakehouse as LH
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i) * 10.0) for i in range(1, 101)],
+        "k long, s string, v double",
+    )
+    LH.create_table(spark, df, root, key_col="k")
+    return root
+
+
+def _rows(spark, root, version=None):
+    return {
+        (r.k, r.s, r.v) for r in LH.read_table(spark, root, version).collect()
+    }
+
+
+def test_create_read_roundtrip(spark, table):
+    got = _rows(spark, table)
+    assert got == {(i, f"s{i % 3}", float(i) * 10.0) for i in range(1, 101)}
+    assert LH.current_version(table) == 1
+
+
+def test_merge_upsert_insert_delete(spark, table):
+    updates = spark.createDataFrame(
+        [
+            (5, "UP", 999.0, "upsert"),     # update existing
+            (200, "NEW", 1.0, "upsert"),    # insert new key
+            (7, "x", 0.0, "delete"),        # delete existing
+            (300, "x", 0.0, "delete"),      # delete missing → no-op
+        ],
+        "k long, s string, v double, _op string",
+    )
+    LH.merge_table(spark, updates, table, batch_id="m1")
+    got = _rows(spark, table)
+    want = {
+        (i, f"s{i % 3}", float(i) * 10.0)
+        for i in range(1, 101)
+        if i not in (5, 7)
+    } | {(5, "UP", 999.0), (200, "NEW", 1.0)}
+    assert got == want
+    assert LH.current_version(table) == 2
+
+
+def test_replay_is_version_preserving_noop(spark, table):
+    updates = spark.createDataFrame(
+        [(5, "UP", 999.0, "upsert")], "k long, s string, v double, _op string"
+    )
+    v2 = LH.merge_table(spark, updates, table, batch_id="b")
+    before = _rows(spark, table)
+    v_again = LH.merge_table(spark, updates, table, batch_id="b")
+    assert v_again == v2 == 2
+    assert _rows(spark, table) == before
+    assert LH.read_manifest(table)["batch_ids"] == ["b"]
+
+
+def test_orphan_data_files_are_invisible(spark, table):
+    """Crash between data write and manifest commit: the stray files
+    must not appear in any read — readers open only manifest-named
+    files, never directory listings."""
+    before = _rows(spark, table)
+    orphan = spark.createDataFrame([(999, "ORPHAN", 0.0)], "k long, s string, v double")
+    orphan.coalesce(1).write.mode("append").parquet(os.path.join(table, "data"))
+    assert _rows(spark, table) == before
+
+
+def test_commit_conflict_raises_and_preserves_log(spark, table):
+    """Optimistic concurrency at the commit point: two writers racing
+    from the same parent both stage version 2 — the loser gets
+    CommitConflict and the winner's manifest is byte-untouched (the
+    hard-link publish cannot overwrite)."""
+    base = LH.read_manifest(table)
+    winner = {**base, "version": 2, "parent": 1, "op": "append"}
+    loser = {**base, "version": 2, "parent": 1, "op": "merge"}
+    LH._commit(table, winner)
+    with pytest.raises(LH.CommitConflict):
+        LH._commit(table, loser)
+    with open(LH._manifest_path(table, 2)) as f:
+        assert json.load(f)["op"] == "append"
+    # a writer that re-reads the log lands on the NEXT version instead
+    updates = spark.createDataFrame(
+        [(1, "X", 0.0, "upsert")], "k long, s string, v double, _op string"
+    )
+    assert LH.merge_table(spark, updates, table) == 3
+
+
+def test_merge_prunes_nonoverlapping_files(spark, table):
+    """A batch touching a narrow key range must carry every
+    non-overlapping file into the new snapshot BY REFERENCE — same
+    path, no rewrite (the property that makes MERGE viable at
+    100 TB)."""
+    m1 = LH.read_manifest(table)
+    lo_files = {e["path"] for e in m1["files"] if e["max_key"] < 50}
+    assert lo_files, "fixture should produce multiple range files"
+    updates = spark.createDataFrame(
+        [(95, "UP", 1.0, "upsert"), (99, "UP", 2.0, "upsert")],
+        "k long, s string, v double, _op string",
+    )
+    LH.merge_table(spark, updates, table, batch_id="hi")
+    m2 = LH.read_manifest(table)
+    carried = {e["path"] for e in m2["files"]}
+    assert lo_files <= carried  # untouched low-key files ride along
+    rewritten = carried - {e["path"] for e in m1["files"]}
+    assert rewritten and all(p.startswith("data/v00002-") for p in rewritten)
+
+
+def test_time_travel_is_immutable(spark, table):
+    v1 = _rows(spark, table, version=1)
+    updates = spark.createDataFrame(
+        [(1, "X", -1.0, "upsert"), (2, "x", 0.0, "delete")],
+        "k long, s string, v double, _op string",
+    )
+    LH.merge_table(spark, updates, table)
+    assert _rows(spark, table, version=1) == v1  # history unchanged
+    assert _rows(spark, table) != v1
+
+
+def test_append_references_parent_files(spark, table):
+    m1 = LH.read_manifest(table)
+    extra = spark.createDataFrame(
+        [(1000, "A", 1.0)], "k long, s string, v double"
+    )
+    LH.append_table(spark, extra, table, batch_id="a1")
+    m2 = LH.read_manifest(table)
+    assert {e["path"] for e in m1["files"]} <= {e["path"] for e in m2["files"]}
+    assert (1000, "A", 1.0) in _rows(spark, table)
+    # replay of the append batch is a no-op too
+    assert LH.append_table(spark, extra, table, batch_id="a1") == 2
+
+
+def test_empty_batch_commits_only_the_batch_id(spark, table):
+    empty = spark.createDataFrame(
+        [], "k long, s string, v double, _op string"
+    )
+    before = _rows(spark, table)
+    v = LH.merge_table(spark, empty, table, batch_id="e1")
+    assert v == 2
+    assert _rows(spark, table) == before
+    assert LH.read_manifest(table)["batch_ids"] == ["e1"]
+
+
+def test_stream_upsert_batch_replay_is_exactly_once(spark, sf_dir):
+    """The streaming CDC apply must survive a foreachBatch REPLAY (the
+    crash-between-write-and-checkpoint case) without double-counting:
+    re-running the drained query's batches against the SAME table via
+    recorded batch ids leaves totals identical to the batch oracle."""
+    from go_mapreduce_spark.sources.registry import load_table
+
+    out = LH.x151_stream_lakehouse_upsert(spark, sf_dir)
+    got = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # simulate the crash-replay: re-apply a merge under batch 0's
+    # already-recorded id — version AND state must not move
+    from go_mapreduce_spark.streaming.events import _replay_base
+
+    root = os.path.join(_replay_base(sf_dir), "x151_table")
+    v = LH.current_version(root)
+    before = {tuple(r) for r in LH.read_table(spark, root).collect()}
+    replay = spark.createDataFrame(
+        [(1, 10, 999.0, "upsert")],
+        "user_id long, n_events long, total_value double, _op string",
+    ).withColumn("total_value", F.col("total_value").cast("decimal(38,6)"))
+    assert LH.merge_table(spark, replay, root, batch_id="b0") == v
+    assert {tuple(r) for r in LH.read_table(spark, root).collect()} == before
