@@ -3098,6 +3098,245 @@ ORACLE_SQL["x150_lakehouse_time_travel"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 14: TPC-H decorrelation suite (x152–x163) — correlated scalar
+# subqueries, HAVING-vs-global-total, disjunctive pushdown, nested
+# semi-join chains, left-join count distributions, star rollups
+# ---------------------------------------------------------------------------
+
+from go_mapreduce_spark.operators import tpch as TP  # noqa: E402
+
+QUERIES.update(
+    {
+        "x152_min_cost_supplier": TP.x152_min_cost_supplier,
+        "x153_important_part_value": TP.x153_important_part_value,
+        "x154_promo_revenue": TP.x154_promo_revenue,
+        "x155_small_qty_revenue": TP.x155_small_qty_revenue,
+        "x156_large_orders": TP.x156_large_orders,
+        "x157_disjunctive_revenue": TP.x157_disjunctive_revenue,
+        "x158_excess_shippers": TP.x158_excess_shippers,
+        "x159_top_supplier": TP.x159_top_supplier,
+        "x160_order_count_distribution": TP.x160_order_count_distribution,
+        "x161_nation_volume": TP.x161_nation_volume,
+        "x162_market_share": TP.x162_market_share,
+        "x163_product_profit": TP.x163_product_profit,
+    }
+)
+
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+
+ORACLE_SQL["x152_min_cost_supplier"] = """
+    WITH eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ), offers AS (
+        SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, e.s_acctbal,
+               ps.unit_cost
+        FROM ps
+        JOIN eur e ON ps.l_suppkey = e.s_suppkey
+        JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+    ), best AS (
+        SELECT p_partkey AS bk, MIN(unit_cost) AS min_cost
+        FROM offers GROUP BY 1
+    )
+    SELECT o.p_partkey, o.p_name, o.s_name, o.n_name, o.s_acctbal,
+           ROUND(o.unit_cost, 6) AS unit_cost
+    FROM offers o
+    JOIN best b ON o.p_partkey = b.bk AND o.unit_cost = b.min_cost
+    ORDER BY o.p_partkey, o.s_name
+"""
+
+ORACLE_SQL["x153_important_part_value"] = f"""
+    WITH v AS (
+        SELECT l_partkey, SUM({_REV_DEC}) AS value_dec
+        FROM lineitem
+        WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+        GROUP BY 1
+    ), t AS (SELECT SUM(value_dec) AS total_dec FROM v)
+    SELECT l_partkey AS partkey,
+           ROUND(CAST(value_dec AS DOUBLE), 4) AS value
+    FROM v CROSS JOIN t
+    WHERE value_dec * 2000 > total_dec
+    ORDER BY value DESC, partkey
+"""
+
+ORACLE_SQL["x154_promo_revenue"] = f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_DEC}
+                               ELSE CAST(0 AS DECIMAL(38,6)) END)
+                      AS DOUBLE), 4) AS promo_revenue,
+           ROUND(CAST(SUM({_REV_DEC}) AS DOUBLE), 4) AS total_revenue,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_DEC}
+                                       ELSE CAST(0 AS DECIMAL(38,6)) END)
+                              AS DOUBLE)
+                 / CAST(SUM({_REV_DEC}) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["x155_small_qty_revenue"] = """
+    WITH lib AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+    ), a AS (
+        SELECT l_partkey AS ak,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+        FROM lib GROUP BY 1
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                      AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lib JOIN a ON lib.l_partkey = a.ak
+    WHERE l_quantity < 0.5 * avg_qty
+"""
+
+ORACLE_SQL["x156_large_orders"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 180
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(qty_dec AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+ORACLE_SQL["x157_disjunctive_revenue"] = f"""
+    SELECT ROUND(CAST(SUM({_REV_DEC}) AS DOUBLE), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+"""
+
+ORACLE_SQL["x158_excess_shippers"] = """
+    WITH ex AS (
+        SELECT DISTINCT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1997
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 30
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (SELECT l_suppkey FROM ex)
+    ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["x159_top_supplier"] = f"""
+    WITH r AS (
+        SELECT l_suppkey, SUM({_REV_DEC}) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    ), m AS (SELECT MAX(rev_dec) AS max_dec FROM r)
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(rev_dec AS DOUBLE), 4) AS total_revenue
+    FROM r CROSS JOIN m
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_dec = max_dec
+    ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["x160_order_count_distribution"] = """
+    WITH pc AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM pc GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLE_SQL["x161_nation_volume"] = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(revenue, 4) AS revenue
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+            OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3)
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLE_SQL["x162_market_share"] = f"""
+    SELECT o_year,
+           ROUND(CAST(nat_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6)
+               AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV_DEC}
+                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS nat_dec,
+               SUM({_REV_DEC}) AS tot_dec
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_custkey IN (
+              SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'AMERICA')
+        GROUP BY 1)
+    ORDER BY o_year
+"""
+
+ORACLE_SQL["x163_product_profit"] = """
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(profit_dec) AS DOUBLE), 4) AS sum_profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount)
+                    - 0.1 * p_retailprice * l_quantity
+                    AS DECIMAL(38,6)) AS profit_dec
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%')
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
