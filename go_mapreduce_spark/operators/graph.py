@@ -405,3 +405,155 @@ def x146_kcore(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> Data
         .agg(F.count(F.lit(1)).alias("degree"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 15: traversal primitives over the purchase graph
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+
+
+def purchase_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer<->supplier purchase edges, supplier ids
+    offset into a disjoint key space (one fact shuffle, distinct'd)."""
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + SUPPLIER_NODE_OFFSET).alias("v"),
+        )
+        .distinct()
+    )
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _nation3_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_mapreduce_spark.sources.registry import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_3")),
+            sup.s_nationkey == nat.n_nationkey,
+        )
+        .select((F.col("s_suppkey") + SUPPLIER_NODE_OFFSET).alias("node"))
+    )
+
+
+def bfs_khop(edges_sym: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Minimum hop distance from ``seeds`` within ``rounds`` hops.
+
+    Frontier BFS: each round joins ONLY the previous frontier (not the
+    full visited set) against the edge list, anti-joins out already-
+    visited nodes, and appends the new frontier at distance r.  Fixed
+    round count keeps the plan deterministic (no data-dependent
+    convergence branch -> the oracle replays it as chained CTEs);
+    ``localCheckpoint`` per round bounds lineage exactly like the CC /
+    PageRank loops.  Per-round cost: one keyed join frontier x edges +
+    one anti-join against visited -- both shuffles keyed, never global.
+    """
+    dist = seeds.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint()
+    frontier = dist.select("node")
+    for r in range(1, rounds + 1):
+        nbrs = (
+            frontier.join(edges_sym, frontier.node == edges_sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(dist, "node", "left_anti").select(
+            "node", F.lit(r).alias("dist")
+        )
+        dist = dist.union(new).localCheckpoint()
+        frontier = new
+    return dist
+
+
+def x164_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability: minimum hop distance (<= 4) from NATION_3's
+    suppliers over the undirected customer<->supplier purchase graph.
+
+    The supply-chain blast-radius question ("which customers and
+    co-suppliers are within k relations of this supplier set") as a
+    fixed-round frontier BFS -- the traversal primitive the iterative
+    family (CC x27, PageRank x59/x143, k-core x146) did not yet cover.
+    Even hops land on suppliers, odd hops on customers (bipartite).
+    """
+    return (
+        bfs_khop(purchase_edges_sym(spark, sf_dir), _nation3_seeds(spark, sf_dir))
+        .orderBy("node")
+    )
+
+
+def cheapest_path(
+    edges_w: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS
+) -> DataFrame:
+    """Bellman-Ford relaxation, ``rounds`` fixed rounds: minimum total
+    edge weight from ``seeds`` using paths of <= rounds edges.
+
+    Per round: one keyed join (settled distances x edges) producing
+    candidates, then a min-aggregate over (old U candidates) -- the
+    relational relaxation step.  Costs stay raw IEEE doubles and are
+    still bit-deterministic at any partitioning: each candidate cost
+    is evaluated along ONE specific path (fixed left-to-right ``dist
+    + w``, no cross-partition accumulation), and ``min`` over a set
+    of doubles is order-independent -- unlike a floating SUM
+    aggregate, nothing here depends on reduction order.  (A decimal
+    detour would actually HURT parity: the double->decimal cast
+    rounds differently across engines -- exact-BigDecimal HALF_UP in
+    Spark vs double-multiply rounding in DuckDB -- measured 1-ulp
+    divergence on this data.)  Fixed rounds keep the plan
+    oracle-replayable as chained CTEs.
+    """
+    dist = seeds.select(
+        "node", F.lit(0.0).alias("cost")
+    ).distinct().localCheckpoint()
+    for _ in range(rounds):
+        cand = dist.join(edges_w, dist.node == edges_w.u).select(
+            F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def x165_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest procurement chain: minimum cumulative unit-cost path
+    (<= 4 edges) from NATION_3's suppliers over the purchase graph,
+    edge weight = cheapest observed unit price between the pair.
+
+    Bellman-Ford as iterated relational relaxation: the weighted twin
+    of x164's BFS.  Edge weights come from ONE fact aggregate
+    (min extendedprice/quantity per customer-supplier pair, symmetric
+    thereafter); the relaxation loop never touches lineitem again.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pair_w = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("cu"),
+            (F.col("l_suppkey") + SUPPLIER_NODE_OFFSET).alias("su"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("w"))
+    )
+    edges_w = pair_w.select(
+        F.col("cu").alias("u"), F.col("su").alias("v"), "w"
+    ).union(pair_w.select(F.col("su").alias("u"), F.col("cu").alias("v"), "w"))
+    out = cheapest_path(edges_w, _nation3_seeds(spark, sf_dir))
+    # cost is emitted RAW (no round): both engines hold the identical
+    # IEEE double, and output rounding is itself an engine-divergence
+    # source near decimal midpoints (the compare canonicalizes to 12
+    # significant digits).
+    return out.select("node", "cost").orderBy("node")

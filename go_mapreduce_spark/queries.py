@@ -3337,6 +3337,136 @@ ORACLE_SQL["x163_product_profit"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 15: traversal primitives + the full-outer streaming regime
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x164_khop_reachability": G.x164_khop_reachability,
+        "x165_cheapest_path": G.x165_cheapest_path,
+    }
+)
+
+
+def _bfs_oracle(rounds: int = G.BFS_ROUNDS) -> str:
+    """x164's chained-CTE replay: fixed frontier-expansion rounds
+    (d_r = d_{r-1} + newly reached at hop r), exactly the driver
+    loop's relational algebra."""
+    ctes = [
+        """e AS (
+        SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )""",
+        "es AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+        """d0 AS (
+        SELECT DISTINCT s_suppkey + 1000000 AS node, 0 AS dist
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    )""",
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""f{r} AS (
+        SELECT DISTINCT es.v AS node
+        FROM f{r-1} JOIN es ON es.u = f{r-1}.node
+        WHERE es.v NOT IN (SELECT node FROM d{r-1})
+    )"""
+        )
+        ctes.append(
+            f"d{r} AS (SELECT node, dist FROM d{r-1} "
+            f"UNION ALL SELECT node, {r} AS dist FROM f{r})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, dist FROM d{rounds} ORDER BY node"
+    )
+
+
+ORACLE_SQL["x164_khop_reachability"] = _bfs_oracle()
+
+
+def _cheapest_path_oracle(rounds: int = G.BFS_ROUNDS) -> str:
+    """x165's chained-CTE replay: Bellman-Ford relaxation rounds as
+    min-aggregates over (settled UNION candidates); raw IEEE doubles
+    — per-path evaluation order is fixed and min is order-independent,
+    so no decimal detour is needed (or safe: the double→decimal cast
+    rounds differently across engines)."""
+    ctes = [
+        """pw AS (
+        SELECT o_custkey AS cu, l_suppkey + 1000000 AS su,
+               MIN(l_extendedprice / l_quantity) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )""",
+        "ew AS (SELECT cu AS u, su AS v, w FROM pw "
+        "UNION ALL SELECT su AS u, cu AS v, w FROM pw)",
+        """d0 AS (
+        SELECT DISTINCT s_suppkey + 1000000 AS node,
+               CAST(0 AS DOUBLE) AS cost
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d{r-1}
+            UNION ALL
+            SELECT ew.v AS node, d{r-1}.cost + ew.w AS cost
+            FROM d{r-1} JOIN ew ON ew.u = d{r-1}.node
+        ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, cost FROM d{rounds} ORDER BY node"
+    )
+
+
+ORACLE_SQL["x165_cheapest_path"] = _cheapest_path_oracle()
+
+
+
+QUERIES.update({"x166_stream_full_join": SE.x166_stream_full_join})
+
+ORACLE_SQL["x166_stream_full_join"] = """
+    WITH mx AS (
+        SELECT least(
+            (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+              WHERE event_type = 'purchase'),
+            (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+              WHERE event_type = 'click')
+        ) - INTERVAL 1 HOUR AS cut
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT coalesce(p.user_id, c.c_user) AS user_id,
+               p.purchase_id, c.click_id, p.purchase_ts, c.click_ts
+        FROM p FULL OUTER JOIN c
+          ON c.c_user = p.user_id AND c.click_ts <= p.purchase_ts
+         AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+    )
+    SELECT user_id, purchase_id, click_id
+    FROM m CROSS JOIN mx
+    WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND purchase_ts < mx.cut)
+       OR (purchase_id IS NULL AND click_ts < mx.cut - INTERVAL 30 MINUTE)
+    ORDER BY purchase_id, click_id
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

@@ -611,3 +611,64 @@ def x135_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "purchase_id", "click_id")
     out = _replay_to_parquet(spark, sf_dir, "x135", joined)
     return out.orderBy("purchase_id", "click_id")
+
+
+def x166_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the third and last outer
+    regime next to inner (x65) and left-outer (x135): purchases
+    joined to same-user clicks in the preceding 30 minutes, with
+    null-click rows for provably unmatchable purchases AND
+    null-purchase rows for provably unmatchable clicks.
+
+    Both sides buffer; each side's unmatched rows emit once the
+    global watermark (min over both branches, 1 h delay) clears that
+    row's LAST possible match: a purchase is unmatchable when
+    ``wm > purchase_ts`` (its match window ends at its own
+    timestamp), a click when ``wm > click_ts + 30 min`` (it could
+    still match purchases up to 30 minutes after it).  The replayed
+    cutoffs are therefore asymmetric — ``purchase_ts < cut`` but
+    ``click_ts < cut − 30 min`` for the truncated-ms min-branch
+    ``cut`` x135 established — and the oracle encodes exactly that
+    (verified at sf0.001 AND sf0.01; the x135 version-bump guard test
+    pattern applies through REPLAY_FINAL_WATERMARK).  State stays
+    bounded on both sides by the same eviction rule that gates
+    emission.
+    """
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user_id AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 30 minutes
+            """
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x166", joined)
+    return out.orderBy("purchase_id", "click_id")

@@ -260,3 +260,43 @@ def test_kcore_peels_tails_and_converges(spark):
     assert core == {(a, b) for a, b in ring}
     more = {(r.u, r.v) for r in kcore_edges(e, rounds=KCORE_ROUNDS + 1).collect()}
     assert more == core
+
+
+# ---------------------------------------------------------------------------
+# wave 15: BFS k-hop + Bellman-Ford cheapest path
+# ---------------------------------------------------------------------------
+
+
+def test_x164_bipartite_parity_and_seed_distance(spark, sf_dir):
+    from go_mapreduce_spark.operators.graph import (
+        BFS_ROUNDS,
+        SUPPLIER_NODE_OFFSET,
+        x164_khop_reachability,
+    )
+
+    rows = x164_khop_reachability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dist <= BFS_ROUNDS
+        # bipartite: even hops land on suppliers, odd on customers
+        is_supplier = r.node >= SUPPLIER_NODE_OFFSET
+        assert (r.dist % 2 == 0) == is_supplier
+    assert any(r.dist == 0 for r in rows), "seed set present at distance 0"
+
+
+def test_x165_costs_consistent_with_bfs(spark, sf_dir):
+    from go_mapreduce_spark.operators.graph import (
+        x164_khop_reachability,
+        x165_cheapest_path,
+    )
+
+    bfs = {r.node: r.dist for r in x164_khop_reachability(spark, sf_dir).collect()}
+    cp = {r.node: r.cost for r in x165_cheapest_path(spark, sf_dir).collect()}
+    # same fixed round count over the same edges => identical reach set
+    assert set(bfs) == set(cp)
+    for node, cost in cp.items():
+        assert cost >= 0
+        if bfs[node] == 0:
+            assert cost == 0.0
+        else:
+            assert cost > 0

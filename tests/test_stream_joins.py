@@ -135,3 +135,89 @@ def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
     assert len(out) == 40, "exactly one survivor per distinct text"
     texts = [r.text for r in out]
     assert len(set(texts)) == 40
+
+
+def test_x166_full_outer_asymmetric_cutoffs(spark, tmp_path):
+    """Pin the full-outer null-emission rules on a hand-built stream:
+    purchases finalize at ``ts < wm`` but clicks only at
+    ``ts < wm - 30 min`` (a click can match purchases up to 30
+    minutes after it, so its state lives 30 minutes longer).  The
+    probe click inside (wm - 30 min, wm) must NOT emit."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from go_mapreduce_spark.streaming import events as SE
+
+    base = str(tmp_path / "x166_micro")
+    import os
+
+    os.makedirs(base)
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda i, h, m, u, t: dict(
+        event_id=i, ts=t0 + dt.timedelta(hours=h, minutes=m), user_id=u,
+        event_type=t, value=1.0, props="{}",
+    )
+    rows = [
+        mk(1, 0, 0, 1, "purchase"),   # < cut → null-click row
+        mk(2, 5, 0, 2, "click"),      # branch max; > cut → withheld
+        mk(3, 4, 45, 3, "click"),     # > cut → withheld
+        mk(4, 3, 45, 4, "purchase"),  # < cut → null-click row
+        mk(5, 5, 0, 5, "purchase"),   # branch max; ≥ cut → withheld
+        mk(6, 3, 40, 6, "click"),     # in (cut-30m, cut) → withheld
+        mk(7, 2, 0, 7, "click"),      # < cut-30m → null-purchase row
+    ]
+    pd.DataFrame(rows).to_parquet(os.path.join(base, "events.parquet"))
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in SE.x166_stream_full_join(spark, base).collect()
+    }
+    # cut = min-branch max (5h) - 1h watermark = t0+4h
+    assert got == {(1, 1, None), (4, 4, None), (7, None, 7)}
+    wm = SE.REPLAY_FINAL_WATERMARK["x166"]
+    assert wm == "2024-01-01T04:00:00.000Z"
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_x166_nulls_match_actual_watermark(spark, sf):
+    """Version-bump guard (x135 pattern): recompute both expected
+    null sets from the watermark the replay ACTUALLY reached rather
+    than the fitted min-branch cutoff formula."""
+    import datetime as dt
+
+    from go_mapreduce_spark.streaming import events as SE
+
+    sf_dir = f"/root/testdata/{sf}"
+    out = SE.x166_stream_full_join(spark, sf_dir).collect()
+    got_pnull = {r.purchase_id for r in out if r.click_id is None}
+    got_cnull = {r.click_id for r in out if r.purchase_id is None}
+    wm_s = SE.REPLAY_FINAL_WATERMARK["x166"]
+    assert wm_s
+    wm = dt.datetime.strptime(wm_s, "%Y-%m-%dT%H:%M:%S.%fZ")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
+    )
+    want_pnull = {
+        r.purchase_id
+        for r in p.join(c, cond, "left_anti").where(F.col("pts") < F.lit(wm)).collect()
+    }
+    want_cnull = {
+        r.click_id
+        for r in c.join(p, cond, "left_anti")
+        .where(F.col("cts") < F.lit(wm) - F.expr("INTERVAL 30 minutes"))
+        .collect()
+    }
+    assert got_pnull == want_pnull
+    assert got_cnull == want_cnull
