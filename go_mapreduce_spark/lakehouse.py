@@ -519,3 +519,159 @@ def x151_stream_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("total_value").cast("double"), 4).alias("total_value"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# wave 16: table services — CDC diff read, OPTIMIZE, VACUUM
+# ---------------------------------------------------------------------------
+
+
+def table_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level change feed between two retained snapshots:
+    ``(change ∈ insert|update|delete, key, old/new columns)``.
+
+    The table format is copy-on-write (no per-commit row deltas), so
+    the feed is derived the way Delta's ``table_changes`` falls back
+    for non-CDF tables: one full-outer join of the two snapshots on
+    the table key.  Unchanged rows — the overwhelming majority — are
+    dropped by a null-safe column comparison BEFORE anything leaves
+    the join, so the output is change-sized.  At 100 TB the join is
+    the honest cost of after-the-fact diffing; the streaming CDC path
+    (x151) is the forward-looking way to never need it.
+    """
+    from pyspark.sql.types import StructType
+
+    m = read_manifest(root, to_version)
+    key = m["key_col"]
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cols = [f.name for f in schema.fields]
+    old = read_table(spark, root, from_version).select(
+        F.col(key).alias("_ok"), *[F.col(c).alias(f"_o_{c}") for c in cols if c != key]
+    )
+    new = read_table(spark, root, to_version).select(
+        F.col(key).alias("_nk"), *[F.col(c).alias(f"_n_{c}") for c in cols if c != key]
+    )
+    j = old.join(new, old["_ok"] == new["_nk"], "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        if c != key:
+            same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_ok").isNull(), "insert")
+        .when(F.col("_nk").isNull(), "delete")
+        .when(~same, "update")
+    )
+    out = j.withColumn("change", change).where(F.col("change").isNotNull())
+    return out.select(
+        "change",
+        F.coalesce(F.col("_ok"), F.col("_nk")).alias(key),
+        *[F.col(f"_o_{c}").alias(f"old_{c}") for c in cols if c != key],
+        *[F.col(f"_n_{c}").alias(f"new_{c}") for c in cols if c != key],
+    )
+
+
+def optimize_table(
+    spark: SparkSession, root: str, target_rows: int = 100_000
+) -> int:
+    """Compact small data files (rows < target) into target-sized
+    ones; logical content is bit-identical, history is preserved.
+
+    Small files are compacted TOGETHER through the same
+    range-partition-and-sort writer every commit uses, so the new
+    files keep tight non-overlapping key bands and MERGE pruning
+    stays effective after compaction.  Files already at target carry
+    into the new snapshot by reference — OPTIMIZE never rewrites the
+    bulk of a 100 TB table, only its small-file tail (driver work is
+    manifest-sized; data work is small-file-sized).
+    """
+    import math
+
+    from pyspark.sql.types import StructType
+
+    m = read_manifest(root)
+    small = [e for e in m["files"] if e["rows"] < target_rows]
+    keep = [e for e in m["files"] if e["rows"] >= target_rows]
+    if len(small) <= 1:
+        return m["version"]  # nothing to compact
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(root, e["path"]) for e in small]
+    )
+    n_rows = sum(e["rows"] for e in small)
+    n_files = max(1, math.ceil(n_rows / target_rows))
+    version = m["version"] + 1
+    new_files = _write_data_files(
+        spark, df, root, version, m["key_col"], n_files=n_files
+    )
+    return _commit(
+        root,
+        {
+            "version": version,
+            "parent": m["version"],
+            "op": "optimize",
+            "key_col": m["key_col"],
+            "schema": m["schema"],
+            "files": keep + new_files,
+            "batch_ids": m["batch_ids"],
+        },
+    )
+
+
+def vacuum_table(root: str, keep_versions: int = 1) -> list[str]:
+    """Delete manifests older than the newest ``keep_versions`` and
+    every data file no retained snapshot references; returns the
+    deleted data-file paths.
+
+    Time travel to vacuumed versions stops working — that is the
+    retention trade every lakehouse makes; the commit log itself
+    stays append-only up to the horizon.  Deletion order is safe
+    under concurrent readers of RETAINED versions: manifests go
+    first, then files only referenced below the horizon.
+    """
+    cur = current_version(root)
+    horizon = max(1, cur - keep_versions + 1)
+    kept_refs: set[str] = set()
+    for v in range(horizon, cur + 1):
+        kept_refs |= {e["path"] for e in read_manifest(root, v)["files"]}
+    removed: list[str] = []
+    for v in range(1, horizon):
+        dead = read_manifest(root, v)
+        os.unlink(_manifest_path(root, v))
+        for e in dead["files"]:
+            if e["path"] not in kept_refs and e["path"] not in removed:
+                removed.append(e["path"])
+    for p in removed:
+        fp = os.path.join(root, p)
+        if os.path.exists(fp):
+            os.unlink(fp)
+    return removed
+
+
+def x167_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff of the demo history's last commit (v2 → v3): per
+    change type, row count and old/new value totals.
+
+    v3's batch deleted ``o_orderkey % 16 == 0`` (which v2 had priced
+    at +1000) and re-priced ``% 4 == 1`` by +500 — so the feed is
+    closed-form in key arithmetic and the oracle replays it from raw
+    orders without touching the table.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    root = ensure_demo_table(spark, sf_dir)
+    ch = table_changes(spark, root, 2, 3)
+    return (
+        ch.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("old_o_totalprice").cast(DECIMAL_T)).cast("double"), 4
+            ).alias("total_old"),
+            F.round(
+                F.sum(F.col("new_o_totalprice").cast(DECIMAL_T)).cast("double"), 4
+            ).alias("total_new"),
+        )
+        .orderBy("change")
+    )

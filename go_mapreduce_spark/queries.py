@@ -3466,6 +3466,62 @@ ORACLE_SQL["x166_stream_full_join"] = """
 
 
 
+QUERIES.update({"x167_table_changes": LH.x167_table_changes})
+
+ORACLE_SQL["x167_table_changes"] = """
+    WITH ch AS (
+        SELECT 'delete' AS change,
+               o_totalprice + 1000.0 AS old_price,
+               CAST(NULL AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 16 = 0
+        UNION ALL
+        SELECT 'update', o_totalprice, o_totalprice + 500.0
+        FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT change,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(old_price AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_old,
+           ROUND(CAST(SUM(CAST(new_price AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_new
+    FROM ch GROUP BY change ORDER BY change
+"""
+
+
+
+QUERIES.update(
+    {"x168_stream_attributed_windows": SE.x168_stream_attributed_windows}
+)
+
+ORACLE_SQL["x168_stream_attributed_windows"] = """
+    WITH mx AS (
+        SELECT least(
+            (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+              WHERE event_type = 'purchase'),
+            (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+              WHERE event_type = 'click')
+        ) - INTERVAL 1 HOUR AS cut
+    ),
+    p AS (
+        SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT pts FROM p JOIN c ON cu = user_id AND cts <= pts
+                       AND cts >= pts - INTERVAL 30 MINUTE
+    )
+    SELECT date_trunc('hour', pts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM j CROSS JOIN mx
+    WHERE date_trunc('hour', pts) + INTERVAL 1 HOUR
+          <= mx.cut - INTERVAL 30 MINUTE
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -672,3 +672,37 @@ def x166_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _replay_to_parquet(spark, sf_dir, "x166", joined)
     return out.orderBy("purchase_id", "click_id")
+
+
+def x168_stream_attributed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators: stream-stream inner join (x65's
+    purchase←click attribution) feeding a downstream tumbling-window
+    aggregate — two stateful stages in one continuous query, the
+    composition Spark only supports for time-window aggregates over
+    watermarked join output (append mode).
+
+    Per hour of purchase time: how many purchases had an attributing
+    click in the preceding 30 minutes.  Join matches emit eagerly,
+    but the watermark the join PROPAGATES downstream is delayed by
+    its state-retention bound: a purchase row can leave the join as
+    late as 30 minutes (the condition's click-lookback) after its
+    event time clears the input watermark, so the aggregate sees
+    ``wm − 30 min`` and finalizes exactly the windows with
+    ``window_end ≤ cut − 30 min`` (``cut`` = the truncated-ms
+    min-branch watermark x135/x166 established; verified at sf0.001
+    AND sf0.01 — the naive ``window_end ≤ cut`` rule over-emits by
+    one borderline window).  Later windows hold in state and drop at
+    replay end.  State is bounded at BOTH stages: the join evicts
+    around the watermark, the aggregate holds only open windows.
+    """
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    attributed = purchases_with_recent_click(stream)
+    agg = (
+        attributed.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .select(F.col("w.start").alias("window_start"), "n_attributed")
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x168", agg)
+    return out.orderBy("window_start")

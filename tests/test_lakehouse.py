@@ -196,3 +196,83 @@ def test_stream_upsert_batch_replay_is_exactly_once(spark, sf_dir):
     ).withColumn("total_value", F.col("total_value").cast("decimal(38,6)"))
     assert LH.merge_table(spark, replay, root, batch_id="b0") == v
     assert {tuple(r) for r in LH.read_table(spark, root).collect()} == before
+
+
+# ---------------------------------------------------------------------------
+# wave 16: table services — CDC diff, OPTIMIZE, VACUUM
+# ---------------------------------------------------------------------------
+
+
+def test_table_changes_classifies_all_three(spark, table):
+    updates = spark.createDataFrame(
+        [
+            (5, "UP", 999.0, "upsert"),
+            (200, "NEW", 1.0, "upsert"),
+            (7, "x", 0.0, "delete"),
+        ],
+        "k long, s string, v double, _op string",
+    )
+    LH.merge_table(spark, updates, table, batch_id="c1")
+    got = {
+        (r.change, r.k): (r.old_v, r.new_v)
+        for r in LH.table_changes(spark, table, 1, 2).collect()
+    }
+    assert got == {
+        ("update", 5): (50.0, 999.0),
+        ("insert", 200): (None, 1.0),
+        ("delete", 7): (70.0, None),
+    }
+    # unchanged rows never appear
+    assert len(got) == 3
+
+
+def test_optimize_compacts_preserving_content_and_history(spark, table):
+    before = _rows(spark, table)
+    m1 = LH.read_manifest(table)
+    assert len(m1["files"]) > 1
+    v = LH.optimize_table(spark, table, target_rows=1000)
+    assert v == 2
+    m2 = LH.read_manifest(table)
+    assert len(m2["files"]) == 1  # 100 rows « target → one file
+    assert m2["op"] == "optimize"
+    assert _rows(spark, table) == before
+    # time travel to the pre-OPTIMIZE layout still works
+    assert _rows(spark, table, version=1) == before
+    # key-range stats survive (MERGE pruning stays effective)
+    e = m2["files"][0]
+    assert e["min_key"] == 1 and e["max_key"] == 100 and e["rows"] == 100
+
+
+def test_optimize_carries_large_files_by_reference(spark, table):
+    m1 = LH.read_manifest(table)
+    # every existing file is "large" under a tiny target → no-op
+    v = LH.optimize_table(spark, table, target_rows=1)
+    assert v == 1
+    assert LH.read_manifest(table)["files"] == m1["files"]
+
+
+def test_vacuum_drops_old_versions_keeps_current(spark, table):
+    before = _rows(spark, table)
+    LH.optimize_table(spark, table, target_rows=1000)  # v2 rewrites all
+    removed = LH.vacuum_table(table, keep_versions=1)
+    assert removed, "v1's files are unreferenced by v2 and must go"
+    for p in removed:
+        assert not os.path.exists(os.path.join(table, p))
+    # current snapshot intact
+    assert _rows(spark, table) == before
+    # vacuumed history is gone
+    with pytest.raises(FileNotFoundError):
+        LH.read_manifest(table, 1)
+
+
+def test_vacuum_never_touches_files_referenced_by_retained_versions(
+    spark, table
+):
+    # append shares v1's files with v2; vacuuming to keep only v2 must
+    # delete v1's manifest but none of its (still referenced) files
+    extra = spark.createDataFrame([(500, "a", 1.0)], "k long, s string, v double")
+    LH.append_table(spark, extra, table)
+    before = _rows(spark, table)
+    removed = LH.vacuum_table(table, keep_versions=1)
+    assert removed == []
+    assert _rows(spark, table) == before

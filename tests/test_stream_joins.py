@@ -221,3 +221,48 @@ def test_x166_nulls_match_actual_watermark(spark, sf):
     }
     assert got_pnull == want_pnull
     assert got_cnull == want_cnull
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_x168_windows_match_actual_watermark(spark, sf):
+    """Chained-stateful guard: the join propagates ``wm − 30 min``
+    downstream, so finalized windows are exactly those ending at or
+    before that — recomputed from the watermark the replay ACTUALLY
+    reached, not the fitted formula."""
+    import datetime as dt
+
+    from go_mapreduce_spark.streaming import events as SE
+
+    sf_dir = f"/root/testdata/{sf}"
+    got = {
+        (r.window_start, r.n_attributed)
+        for r in SE.x168_stream_attributed_windows(spark, sf_dir).collect()
+    }
+    wm_s = SE.REPLAY_FINAL_WATERMARK["x168"]
+    assert wm_s
+    wm = dt.datetime.strptime(wm_s, "%Y-%m-%dT%H:%M:%S.%fZ")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")),
+    )
+    want = {
+        (r.window_start, r.n_attributed)
+        for r in j.groupBy(F.date_trunc("hour", "pts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .where(
+            F.col("window_start") + F.expr("INTERVAL 1 hour")
+            <= F.lit(wm) - F.expr("INTERVAL 30 minutes")
+        )
+        .collect()
+    }
+    assert got == want
