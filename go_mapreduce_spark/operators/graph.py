@@ -457,20 +457,36 @@ def bfs_khop(edges_sym: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS) -
     ``localCheckpoint`` per round bounds lineage exactly like the CC /
     PageRank loops.  Per-round cost: one keyed join frontier x edges +
     one anti-join against visited -- both shuffles keyed, never global.
+    The edge relation is persisted for the loop (and released after)
+    so rounds never re-derive it from its fact-table lineage, and
+    shuffle partitions are pinned to the graph's volume for the
+    loop's lifetime (``iterative_shuffle_partitions`` -- the same
+    sizing the PageRank/CC loops use: per-round relations are
+    node-sized, and at fixture scale scheduling overhead, not data,
+    dominates a 32-partition shuffle; measured ~2x on the loop).
     """
-    dist = seeds.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint()
-    frontier = dist.select("node")
-    for r in range(1, rounds + 1):
-        nbrs = (
-            frontier.join(edges_sym, frontier.node == edges_sym.u)
-            .select(F.col("v").alias("node"))
+    edges_sym = edges_sym.persist()
+    m = edges_sym.count()
+    spark = edges_sym.sparkSession
+    with pinned_shuffle_partitions(spark, iterative_shuffle_partitions(m)):
+        dist = (
+            seeds.select("node", F.lit(0).alias("dist"))
             .distinct()
+            .localCheckpoint()
         )
-        new = nbrs.join(dist, "node", "left_anti").select(
-            "node", F.lit(r).alias("dist")
-        )
-        dist = dist.union(new).localCheckpoint()
-        frontier = new
+        frontier = dist.select("node")
+        for r in range(1, rounds + 1):
+            nbrs = (
+                frontier.join(edges_sym, frontier.node == edges_sym.u)
+                .select(F.col("v").alias("node"))
+                .distinct()
+            )
+            new = nbrs.join(dist, "node", "left_anti").select(
+                "node", F.lit(r).alias("dist")
+            )
+            dist = dist.union(new).localCheckpoint()
+            frontier = new
+    edges_sym.unpersist()
     return dist
 
 
@@ -508,21 +524,31 @@ def cheapest_path(
     rounds differently across engines -- exact-BigDecimal HALF_UP in
     Spark vs double-multiply rounding in DuckDB -- measured 1-ulp
     divergence on this data.)  Fixed rounds keep the plan
-    oracle-replayable as chained CTEs.
+    oracle-replayable as chained CTEs.  The weighted edge relation is
+    persisted for the loop (released after) and shuffle partitions
+    are pinned to graph volume -- same rationale as :func:`bfs_khop`.
     """
-    dist = seeds.select(
-        "node", F.lit(0.0).alias("cost")
-    ).distinct().localCheckpoint()
-    for _ in range(rounds):
-        cand = dist.join(edges_w, dist.node == edges_w.u).select(
-            F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
-        )
+    edges_w = edges_w.persist()
+    m = edges_w.count()
+    spark = edges_w.sparkSession
+    with pinned_shuffle_partitions(spark, iterative_shuffle_partitions(m)):
         dist = (
-            dist.unionByName(cand)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
+            seeds.select("node", F.lit(0.0).alias("cost"))
+            .distinct()
             .localCheckpoint()
         )
+        for _ in range(rounds):
+            cand = dist.join(edges_w, dist.node == edges_w.u).select(
+                F.col("v").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            dist = (
+                dist.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint()
+            )
+    edges_w.unpersist()
     return dist
 
 
