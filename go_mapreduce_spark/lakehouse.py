@@ -675,3 +675,87 @@ def x167_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+def refresh_mv_incremental(
+    spark: SparkSession,
+    mv: DataFrame,
+    changes: DataFrame,
+    group_col: str = "o_orderstatus",
+    val_col: str = "o_totalprice",
+) -> DataFrame:
+    """One incremental-view-maintenance step for a ``(group, count,
+    decimal-sum)`` MV: apply a CDC change feed WITHOUT touching the
+    base table.
+
+    Each change row contributes a signed delta — the new side +1/+new
+    value under its new group, the old side −1/−old value under its
+    old group — so updates that MOVE a row between groups maintain
+    both.  The delta relation is change-sized; the merge is one
+    full-outer join on the group key against the (group-cardinality-
+    sized) MV.  Groups whose count reaches zero drop out, matching a
+    recompute exactly.  This is the standard counting-algorithm IVM
+    for distributive aggregates; at 100 TB it turns an MV refresh
+    from a full-table aggregate into work proportional to the day's
+    churn.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    news = changes.where(F.col("change").isin("insert", "update")).select(
+        F.col(f"new_{group_col}").alias(group_col),
+        F.lit(1).alias("d_n"),
+        F.col(f"new_{val_col}").cast(DECIMAL_T).alias("d_v"),
+    )
+    olds = changes.where(F.col("change").isin("delete", "update")).select(
+        F.col(f"old_{group_col}").alias(group_col),
+        F.lit(-1).alias("d_n"),
+        (-F.col(f"old_{val_col}").cast(DECIMAL_T)).alias("d_v"),
+    )
+    delta = (
+        news.unionByName(olds)
+        .groupBy(group_col)
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").alias("d_v"))
+    )
+    merged = mv.join(delta, group_col, "full_outer").select(
+        group_col,
+        (
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("total_dec"), F.lit(0).cast(DECIMAL_T))
+            + F.coalesce(F.col("d_v"), F.lit(0).cast(DECIMAL_T))
+        ).cast(DECIMAL_T).alias("total_dec"),
+    )
+    return merged.where(F.col("n_orders") > 0)
+
+
+def _mv_of(t: DataFrame, group_col: str = "o_orderstatus", val_col: str = "o_totalprice") -> DataFrame:
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    return t.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col(val_col).cast(DECIMAL_T)).alias("total_dec"),
+    )
+
+
+def x169_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the demo CDC
+    history: build the per-status (count, total) MV at version 1,
+    then roll it to version 3 purely from ``table_changes`` deltas —
+    the base table is aggregated ONCE, at MV creation.
+
+    Decimal addition is exact and associative, so the incrementally
+    maintained totals are bit-identical to a full recompute (the
+    pytest asserts equality at every step; the oracle recomputes v3's
+    closed-form state from raw orders).
+    """
+    root = ensure_demo_table(spark, sf_dir)
+    mv = _mv_of(read_table(spark, root, 1))
+    for a, b in ((1, 2), (2, 3)):
+        mv = refresh_mv_incremental(spark, mv, table_changes(spark, root, a, b))
+    return mv.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.col("total_dec").cast("double"), 4).alias("total_price"),
+    ).orderBy("o_orderstatus")

@@ -3522,6 +3522,31 @@ ORACLE_SQL["x168_stream_attributed_windows"] = """
 
 
 
+QUERIES.update({"x169_incremental_mv": LH.x169_incremental_mv})
+
+# v3's closed-form state (demo history key arithmetic): keys %4==0
+# minus %16==0, priced +1000 where %8==0; plus %4==1 priced +500.
+ORACLE_SQL["x169_incremental_mv"] = """
+    WITH v3 AS (
+        SELECT o_orderstatus,
+               o_totalprice
+               + CASE WHEN o_orderkey % 8 = 0 THEN 1000.0 ELSE 0.0 END
+                   AS price
+        FROM orders
+        WHERE o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 500.0
+        FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_price
+    FROM v3 GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -276,3 +276,47 @@ def test_vacuum_never_touches_files_referenced_by_retained_versions(
     removed = LH.vacuum_table(table, keep_versions=1)
     assert removed == []
     assert _rows(spark, table) == before
+
+
+def test_incremental_mv_equals_recompute_each_step(spark, sf_dir):
+    root = LH.ensure_demo_table(spark, sf_dir)
+    mv = LH._mv_of(LH.read_table(spark, root, 1))
+    for a, b in ((1, 2), (2, 3)):
+        mv = LH.refresh_mv_incremental(
+            spark, mv, LH.table_changes(spark, root, a, b)
+        )
+        want = {
+            (r.o_orderstatus, r.n_orders, r.total_dec)
+            for r in LH._mv_of(LH.read_table(spark, root, b)).collect()
+        }
+        got = {(r.o_orderstatus, r.n_orders, r.total_dec) for r in mv.collect()}
+        assert got == want, f"incremental != recompute at v{b}"
+
+
+def test_incremental_mv_handles_group_moves_and_zero_groups(spark, table):
+    # k=5 moves group s2 → UP; all of s0's rows (k%3==0) get deleted →
+    # the s0 group must vanish from the MV entirely
+    deletes = [(k, "x", 0.0, "delete") for k in range(3, 101, 3)]
+    updates = spark.createDataFrame(
+        [(5, "UP", 999.0, "upsert")] + deletes,
+        "k long, s string, v double, _op string",
+    )
+    LH.merge_table(spark, updates, table, batch_id="mv1")
+    mv0 = LH._mv_of(LH.read_table(spark, table, 1), group_col="s", val_col="v")
+    mv1 = LH.refresh_mv_incremental(
+        spark,
+        mv0,
+        LH.table_changes(spark, table, 1, 2),
+        group_col="s",
+        val_col="v",
+    )
+    want = {
+        (r.s, r.n_orders, r.total_dec)
+        for r in LH._mv_of(
+            LH.read_table(spark, table, 2), group_col="s", val_col="v"
+        ).collect()
+    }
+    got = {(r.s, r.n_orders, r.total_dec) for r in mv1.collect()}
+    assert got == want
+    groups = {g for g, _, _ in got}
+    assert "UP" in groups and "s0" not in groups
