@@ -759,3 +759,108 @@ def x169_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("total_dec").cast("double"), 4).alias("total_price"),
     ).orderBy("o_orderstatus")
+
+
+def read_appends(
+    spark: SparkSession, root: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental read: exactly the rows ADDED to the table after
+    ``from_version``, up to ``to_version`` (default: current) — the
+    batch form of consuming a lakehouse table as a stream source.
+
+    Walks the commit log version by version.  ``append`` commits
+    contribute their new files (file-level provenance is exact for
+    appends: a file belongs to the commit that introduced it);
+    ``optimize`` commits are SKIPPED — they rewrite bytes, not rows,
+    and a naive two-manifest file diff would double-count every
+    compacted row; ``create`` precedes the window by definition.
+    ``merge`` commits change rows in place, which file provenance
+    cannot attribute — callers needing row-level deltas across a
+    MERGE use :func:`table_changes`; this function raises rather
+    than silently miscounting.
+
+    Cost is proportional to the appended data, never the table:
+    manifest walking is driver-side JSON, and only the new files are
+    opened.
+    """
+    from pyspark.sql.types import StructType
+
+    to_v = to_version if to_version is not None else current_version(root)
+    new_paths: list[str] = []
+    for v in range(from_version + 1, to_v + 1):
+        m = read_manifest(root, v)
+        if m["op"] == "optimize":
+            continue
+        if m["op"] != "append":
+            raise ValueError(
+                f"version {v} is op={m['op']!r}; incremental append read "
+                "is only defined across append/optimize commits — use "
+                "table_changes() for row-level deltas across a MERGE"
+            )
+        parent_paths = {e["path"] for e in read_manifest(root, m["parent"])["files"]}
+        new_paths += [e["path"] for e in m["files"] if e["path"] not in parent_paths]
+    m_to = read_manifest(root, to_v)
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+    if not new_paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, p) for p in new_paths]
+    )
+
+
+_APPEND_DEMO_BATCHES = 3
+
+
+def ensure_append_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Append-only demo table: the events table committed in 3 daily
+    batches (day-of-month mod 3), exactly once each."""
+    import tempfile
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"gms_lakehouse_app_{tag}")
+    try:
+        m = read_manifest(root)
+        if m["version"] == _APPEND_DEMO_BATCHES and m["batch_ids"] == ["a2", "a3"]:
+            return root
+    except FileNotFoundError:
+        pass
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.dayofmonth("ts").alias("dom")
+    )
+    create_table(
+        spark, ev.filter(F.col("dom") % 3 == 0), root, key_col="event_id"
+    )
+    for i, batch in ((2, "a2"), (3, "a3")):
+        append_table(
+            spark, ev.filter(F.col("dom") % 3 == i - 1), root, batch_id=batch
+        )
+    return root
+
+
+def x170_incremental_append_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume the append-only demo table incrementally: aggregate
+    ONLY the rows versions 2–3 added (events with day-of-month
+    % 3 ∈ {1, 2}), never re-reading version 1's bulk.
+
+    The oracle recomputes the same slice from raw events — a
+    provenance bug (double-counted compaction rewrite, missed file,
+    bleed-through from v1) changes counts and hash-mismatches.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    root = ensure_append_demo(spark, sf_dir)
+    inc = read_appends(spark, root, from_version=1)
+    return (
+        inc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast(DECIMAL_T)).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -3547,6 +3547,20 @@ ORACLE_SQL["x169_incremental_mv"] = """
 
 
 
+QUERIES.update({"x170_incremental_append_read": LH.x170_incremental_append_read})
+
+ORACLE_SQL["x170_incremental_append_read"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_value
+    FROM events
+    WHERE dayofmonth(ts) % 3 IN (1, 2)
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -320,3 +320,32 @@ def test_incremental_mv_handles_group_moves_and_zero_groups(spark, table):
     assert got == want
     groups = {g for g, _, _ in got}
     assert "UP" in groups and "s0" not in groups
+
+
+def test_read_appends_skips_optimize_and_never_double_counts(spark, table):
+    b1 = spark.createDataFrame(
+        [(200 + i, "a", float(i)) for i in range(10)], "k long, s string, v double"
+    )
+    LH.append_table(spark, b1, table, batch_id="r1")        # v2
+    LH.optimize_table(spark, table, target_rows=10_000)     # v3 rewrites all
+    b2 = spark.createDataFrame(
+        [(300 + i, "b", float(i)) for i in range(5)], "k long, s string, v double"
+    )
+    LH.append_table(spark, b2, table, batch_id="r2")        # v4
+    got = {r.k for r in LH.read_appends(spark, table, from_version=1).collect()}
+    # exactly the 15 appended keys — v1's 100 rows (rewritten by the
+    # OPTIMIZE between the appends) must not bleed in
+    assert got == {200 + i for i in range(10)} | {300 + i for i in range(5)}
+
+
+def test_read_appends_refuses_merge_windows(spark, table):
+    upd = spark.createDataFrame(
+        [(5, "UP", 1.0, "upsert")], "k long, s string, v double, _op string"
+    )
+    LH.merge_table(spark, upd, table, batch_id="m1")
+    with pytest.raises(ValueError, match="table_changes"):
+        LH.read_appends(spark, table, from_version=1)
+
+
+def test_read_appends_empty_window(spark, table):
+    assert LH.read_appends(spark, table, from_version=1).count() == 0
