@@ -122,6 +122,7 @@ def _write_data_files(
     version: int,
     key_col: str,
     n_files: int = 4,
+    order_expr=None,
 ) -> list[dict]:
     """Write ``df`` as immutable data files for ``version``; return
     manifest file entries with key-range stats.
@@ -129,18 +130,28 @@ def _write_data_files(
     Files are range-partitioned and sorted on the key so each file
     covers a tight key band — that is what makes the min/max pruning
     in :func:`merge_table` effective (a random layout would overlap
-    every file with every batch).  Stats come from ONE aggregate over
-    the just-written files, grouped by ``input_file_name``.
+    every file with every batch).  ``order_expr`` overrides the
+    physical clustering column (e.g. a Morton code for z-ordered
+    OPTIMIZE); key-range STATS always stay on ``key_col``, honestly
+    reflecting whatever banding the chosen order gives it.  Stats
+    come from ONE aggregate over the just-written files, grouped by
+    ``input_file_name``.
     """
     stage = os.path.join(root, _TMP, f"v{version:05d}")
     if os.path.isdir(stage):
         shutil.rmtree(stage)
-    (
-        df.repartitionByRange(n_files, key_col)
-        .sortWithinPartitions(key_col)
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
+    if order_expr is not None:
+        clustered = (
+            df.withColumn("_gms_order", order_expr)
+            .repartitionByRange(n_files, "_gms_order")
+            .sortWithinPartitions("_gms_order")
+            .drop("_gms_order")
+        )
+    else:
+        clustered = df.repartitionByRange(n_files, key_col).sortWithinPartitions(
+            key_col
+        )
+    clustered.write.mode("overwrite").parquet(stage)
     data_dir = os.path.join(root, _DATA)
     os.makedirs(data_dir, exist_ok=True)
     entries: list[dict] = []
@@ -218,12 +229,46 @@ def read_table(
 
 
 def append_table(
-    spark: SparkSession, df: DataFrame, root: str, batch_id: str | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    batch_id: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
-    """Append-only commit: new files + every parent file by reference."""
+    """Append-only commit: new files + every parent file by reference.
+
+    Schema evolution is ADDITIVE and opt-in: with ``merge_schema``,
+    columns ``df`` carries beyond the table schema widen the manifest
+    schema (appended at the end); existing data files are untouched —
+    schema-on-read fills the new columns with NULL for old files, the
+    same mechanism Delta/Iceberg use.  Without it, any column-set
+    mismatch raises instead of silently dropping data at read time
+    (the failure mode of writing mismatched parquet under a fixed
+    read schema).  Dropping or retyping columns is not supported —
+    that is a rewrite, not an append.
+    """
+    from pyspark.sql.types import StructType
+
     m = read_manifest(root)
     if batch_id is not None and batch_id in m["batch_ids"]:
         return m["version"]
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    table_cols = {f.name for f in schema.fields}
+    df_cols = {f.name for f in df.schema.fields}
+    out_schema_json = m["schema"]
+    if df_cols != table_cols:
+        extra, missing = df_cols - table_cols, table_cols - df_cols
+        if not merge_schema or missing:
+            raise ValueError(
+                f"append schema mismatch (extra={sorted(extra)}, "
+                f"missing={sorted(missing)}); pass merge_schema=True to "
+                "add new columns (additive evolution only)"
+            )
+        widened = StructType(
+            schema.fields
+            + [f for f in df.schema.fields if f.name in extra]
+        )
+        out_schema_json = widened.json()
     version = m["version"] + 1
     files = _write_data_files(spark, df, root, version, m["key_col"])
     return _commit(
@@ -233,7 +278,7 @@ def append_table(
             "parent": m["version"],
             "op": "append",
             "key_col": m["key_col"],
-            "schema": m["schema"],
+            "schema": out_schema_json,
             "files": m["files"] + files,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id else []),
         },
@@ -573,7 +618,10 @@ def table_changes(
 
 
 def optimize_table(
-    spark: SparkSession, root: str, target_rows: int = 100_000
+    spark: SparkSession,
+    root: str,
+    target_rows: int = 100_000,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Compact small data files (rows < target) into target-sized
     ones; logical content is bit-identical, history is preserved.
@@ -585,15 +633,29 @@ def optimize_table(
     into the new snapshot by reference — OPTIMIZE never rewrites the
     bulk of a 100 TB table, only its small-file tail (driver work is
     manifest-sized; data work is small-file-sized).
+
+    ``zorder_cols`` (exactly two int columns) switches the rewrite to
+    Morton-order clustering — and rewrites EVERY file, because
+    z-order is a whole-layout decision, not a tail repair.  The trade
+    is explicit: per-file ranges TIGHTEN on both z-dimensions (multi-
+    column skipping — the win x142 quantifies) while the key column's
+    per-file bands LOOSEN, degrading single-key MERGE pruning; the
+    manifest's key stats record whatever banding remains, so pruning
+    stays CORRECT, just less selective.
     """
     import math
 
     from pyspark.sql.types import StructType
 
     m = read_manifest(root)
-    small = [e for e in m["files"] if e["rows"] < target_rows]
-    keep = [e for e in m["files"] if e["rows"] >= target_rows]
-    if len(small) <= 1:
+    if zorder_cols is not None:
+        if len(zorder_cols) != 2:
+            raise ValueError("zorder_cols must name exactly two columns")
+        small, keep = list(m["files"]), []
+    else:
+        small = [e for e in m["files"] if e["rows"] < target_rows]
+        keep = [e for e in m["files"] if e["rows"] >= target_rows]
+    if len(small) <= 1 and zorder_cols is None:
         return m["version"]  # nothing to compact
     schema = StructType.fromJson(json.loads(m["schema"]))
     df = spark.read.schema(schema).parquet(
@@ -602,8 +664,17 @@ def optimize_table(
     n_rows = sum(e["rows"] for e in small)
     n_files = max(1, math.ceil(n_rows / target_rows))
     version = m["version"] + 1
+    order_expr = None
+    if zorder_cols is not None:
+        from go_mapreduce_spark.operators.layout import _interleave
+
+        a, b = zorder_cols
+        order_expr = _interleave(
+            F.col(a).cast("bigint"), F.col(b).cast("bigint")
+        )
     new_files = _write_data_files(
-        spark, df, root, version, m["key_col"], n_files=n_files
+        spark, df, root, version, m["key_col"], n_files=n_files,
+        order_expr=order_expr,
     )
     return _commit(
         root,

@@ -349,3 +349,55 @@ def test_read_appends_refuses_merge_windows(spark, table):
 
 def test_read_appends_empty_window(spark, table):
     assert LH.read_appends(spark, table, from_version=1).count() == 0
+
+
+def test_append_schema_evolution_additive(spark, table):
+    evolved = spark.createDataFrame(
+        [(500, "n", 5.0, "tag1")], "k long, s string, v double, tag string"
+    )
+    # without opt-in: refuse rather than silently drop at read time
+    with pytest.raises(ValueError, match="merge_schema"):
+        LH.append_table(spark, evolved, table, batch_id="e0")
+    LH.append_table(spark, evolved, table, batch_id="e1", merge_schema=True)
+    t = LH.read_table(spark, table)
+    assert "tag" in t.columns
+    rows = {r.k: r.tag for r in t.collect()}
+    assert rows[500] == "tag1"
+    assert rows[1] is None  # old files read with NULL backfill
+    # dropping columns is a rewrite, not an append
+    narrower = spark.createDataFrame([(600, "n")], "k long, s string")
+    with pytest.raises(ValueError, match="missing"):
+        LH.append_table(spark, narrower, table, batch_id="e2", merge_schema=True)
+
+
+def test_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
+    root = str(tmp_path / "z")
+    # a cycles fast, b slow: key-sorted files span ALL of a
+    df = spark.createDataFrame(
+        [(k, k % 32, (k // 32) % 32) for k in range(1024)],
+        "k long, a int, b int",
+    )
+    LH.create_table(spark, df, root, key_col="k")
+
+    def spreads(version):
+        m = LH.read_manifest(root, version)
+        out = []
+        for e in m["files"]:
+            f = spark.read.parquet(os.path.join(root, e["path"]))
+            r = f.agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            ).first()
+            out.append((r.sa, r.sb))
+        return out
+
+    key_spreads = spreads(1)
+    assert all(sa == 31 for sa, _ in key_spreads), "key layout spans all of a"
+    before = {(r.k, r.a, r.b) for r in LH.read_table(spark, root).collect()}
+    LH.optimize_table(spark, root, target_rows=256, zorder_cols=["a", "b"])
+    z_spreads = spreads(2)
+    # both dimensions bounded strictly below full range in every file
+    assert all(sa < 31 and sb < 31 for sa, sb in z_spreads), z_spreads
+    # content identical, history preserved
+    assert {(r.k, r.a, r.b) for r in LH.read_table(spark, root).collect()} == before
+    assert {(r.k, r.a, r.b) for r in LH.read_table(spark, root, 1).collect()} == before
