@@ -3561,6 +3561,25 @@ ORACLE_SQL["x170_incremental_append_read"] = """
 
 
 
+from go_mapreduce_spark.sources import pydatasource as PDS  # noqa: E402
+
+QUERIES.update(
+    {"x171_custom_source_roundtrip": PDS.x171_custom_source_roundtrip}
+)
+
+# same contract as x2: the connector cycle must be lossless
+ORACLE_SQL["x171_custom_source_roundtrip"] = """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word ASC
+    LIMIT 20
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

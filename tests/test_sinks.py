@@ -184,3 +184,39 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
                     sort_within_by=["ts"])
     rows = spark.read.parquet(dst2).select("ts").collect()
     assert [r.ts for r in rows] == sorted(r.ts for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# custom Python Data Source connector (sources/pydatasource.py)
+# ---------------------------------------------------------------------------
+
+
+def test_custom_tsv_source_partition_per_shard_and_lossless(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.operators.wordcount import word_counts
+    from go_mapreduce_spark.sources import pydatasource as PDS
+    from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.sources.sinks import write_sorted_tsv
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wc = word_counts(docs)
+    out = str(tmp_path / "wc_tsv")
+    write_sorted_tsv(wc, out, key_cols=["word"])
+    import os
+
+    n_shards = sum(1 for f in os.listdir(out) if f.startswith("part-"))
+    PDS.register(spark)
+    back = (
+        spark.read.format("gms_tsv")
+        .schema("word string, cnt bigint")
+        .option("path", out)
+        .load()
+    )
+    # one scheduled task per shard file (the reference's R1 contract)
+    assert back.rdd.getNumPartitions() == n_shards
+    want = {(r.word, r.cnt) for r in wc.collect()}
+    got = {(r.word, r.cnt) for r in back.collect()}
+    assert got == want
+    # re-registration in the same session is a no-op, not an error
+    PDS.register(spark)
