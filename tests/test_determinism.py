@@ -100,3 +100,53 @@ def test_stream_replays_invariant_to_state_partitioning(spark, sf_dir, monkeypat
         }
         results[parts] = (totals, lj)
     assert results[2] == results[8]
+
+
+@pytest.mark.parametrize("parts", [3, 16])
+def test_round4_queries_invariant_to_partitioning(spark, sf_dir, parts):
+    """Wave 14–16 additions under the same invariance bar: decimal
+    thresholds (x153), decimal-equality ties (x159), traversal loops
+    (x164/x165 — internally pinned, so the SESSION partition count
+    must be irrelevant by construction), and the incrementally
+    maintained MV (x169)."""
+    from go_mapreduce_spark.queries import QUERIES
+
+    names = [
+        "x153_important_part_value",
+        "x159_top_supplier",
+        "x164_khop_reachability",
+        "x165_cheapest_path",
+        "x169_incremental_mv",
+    ]
+    refs = {}
+    for n in names:
+        df = QUERIES[n](spark, sf_dir)
+        refs[n] = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        for n in names:
+            df = QUERIES[n](spark, sf_dir)
+            got = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+            assert got == refs[n], f"{n} varies with shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_new_stream_replays_invariant_to_state_partitioning(
+    spark, sf_dir, monkeypatch
+):
+    """x166 (full-outer) and x168 (chained join→window) must drain to
+    identical results at any state-store fan-out."""
+    from go_mapreduce_spark.streaming import events as SE
+
+    results = {}
+    for parts in (2, 8):
+        monkeypatch.setattr(SE, "REPLAY_SHUFFLE_PARTITIONS", parts)
+        fo = {tuple(r) for r in SE.x166_stream_full_join(spark, sf_dir).collect()}
+        ch = {
+            tuple(r)
+            for r in SE.x168_stream_attributed_windows(spark, sf_dir).collect()
+        }
+        results[parts] = (fo, ch)
+    assert results[2] == results[8]
