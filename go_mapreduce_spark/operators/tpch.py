@@ -531,3 +531,102 @@ def x163_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+def x172_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority census of 1996-Q3 orders with at
+    least one late-shipped lineitem (EXISTS -> leftsemi).
+
+    The fixture has no l_commitdate, so "late" is ``l_shipdate >
+    o_orderdate + 60 days`` -- the decorrelation is identical: the
+    correlated EXISTS becomes a leftsemi join against the (date-
+    filtered) orders relation, evaluated ONCE, never per outer row.
+    The date filter lands on the orders scan; the semi join keeps
+    lineitem attributes out of the aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    oq = orders.filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = li.join(
+        oq.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        oq.join(
+            late.select("l_orderkey").distinct(),
+            oq.o_orderkey == F.col("l_orderkey"),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def x173_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status, how many late-shipped items
+    came from high- vs low-priority orders.
+
+    The two-level CASE census after one lineitem-orders join: both
+    counts come out of the SAME grouped aggregate (no second pass),
+    the date-range filter prunes the lineitem scan, and the priority
+    classification is a broadcastless in-row expression.  The fixture
+    lacks l_shipmode, so l_linestatus stands in as the grouping
+    dimension; the plan shape is Q12's exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def x174_parts_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: per (brand, type, size) of qualifying parts,
+    how many DISTINCT suppliers ship them — excluding blacklisted
+    suppliers via NOT IN (anti-join).
+
+    The supplier exclusion (negative-balance stand-in for Q16's
+    complaint suppliers) is a leftsemi-complement: the supplier key
+    set is filtered BEFORE the distinct-count aggregate, so excluded
+    suppliers never inflate partial aggregates.  The part-side
+    disjunction (brand <>, size IN) pushes to the part scan; the
+    part-supplier relation derives from lineitem (no partsupp in the
+    fixture) with one fact shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    pq = part.filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (
+        li.join(pq, li.l_partkey == pq.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ps.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

@@ -3580,6 +3580,57 @@ ORACLE_SQL["x171_custom_source_roundtrip"] = """
 
 
 
+QUERIES.update(
+    {
+        "x172_late_order_priority": TP.x172_late_order_priority,
+        "x173_priority_shipping": TP.x173_priority_shipping,
+        "x174_parts_supplier_census": TP.x174_parts_supplier_census,
+    }
+)
+
+ORACLE_SQL["x172_late_order_priority"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["x173_priority_shipping"] = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+ORACLE_SQL["x174_parts_supplier_census"] = """
+    WITH ps AS (
+        SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#9'
+          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+    FROM ps GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

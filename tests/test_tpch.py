@@ -119,3 +119,33 @@ def test_x163_star_joins_small_dims_broadcast(spark, sf_dir):
     assert rows
     years = [r.o_year for r in rows if r.nation == rows[0].nation]
     assert years == sorted(years, reverse=True)
+
+
+def test_x172_semi_join_not_exists_rescan(spark, sf_dir):
+    df = TP.x172_late_order_priority(spark, sf_dir)
+    # decorrelated EXISTS: one lineitem scan + orders on both sides of
+    # the semi join (outer + late-flag derivation) — never a per-row
+    # correlated re-scan
+    assert count_nodes(df, "Scan parquet") <= 3
+    rows = df.collect()
+    assert sum(r.order_count for r in rows) >= 0
+
+
+def test_x173_counts_partition_the_join(spark, sf_dir, duck):
+    rows = TP.x173_priority_shipping(spark, sf_dir).collect()
+    (want,) = duck.execute(
+        """SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY"""
+    ).fetchone()
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == want
+
+
+def test_x174_excluded_suppliers_never_counted(spark, sf_dir, duck):
+    rows = TP.x174_parts_supplier_census(spark, sf_dir).collect()
+    (n_bad,) = duck.execute(
+        "SELECT COUNT(*) FROM supplier WHERE s_acctbal < 0"
+    ).fetchone()
+    (n_sup,) = duck.execute("SELECT COUNT(*) FROM supplier").fetchone()
+    assert all(r.supplier_cnt <= n_sup - n_bad for r in rows)
