@@ -103,15 +103,20 @@ def x152_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x153_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose NATION_3-supplied value exceeds
-    1/2000 of the nation's total supplied value.
+    TWICE the mean per-part share of the nation's total.
 
-    The scalar subquery ``HAVING value > 0.0005 * (SELECT sum ...)``
+    The scalar subquery ``HAVING value > f * (SELECT sum ...)``
     becomes a 1-row aggregate OVER THE PER-PART RELATION cross-joined
     back in-plan -- the fact table is scanned and shuffled exactly
     once, and decimal addition's associativity makes the re-aggregated
-    total bit-identical to a direct global sum.  The threshold compare
-    runs in exact decimal (``value * 2000 > total``) so no engine's
-    float rounding can flip a boundary row.
+    total bit-identical to a direct global sum.  TPC-H fixes
+    ``f = 0.0001/SF`` precisely because a constant fraction
+    degenerates as the part count grows (a fixed 1/2000 returned 0
+    rows at sf0.1); the scale-free form used here -- ``value *
+    n_parts > 2 * total`` -- keeps the result population meaningful
+    at every SF, and the compare runs entirely in exact
+    integer-decimal arithmetic so no engine's float rounding can
+    flip a boundary row.
     """
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
@@ -126,10 +131,16 @@ def x153_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_rev_dec()).alias("value_dec"))
     )
-    total = val.agg(F.sum("value_dec").alias("total_dec"))
+    total = val.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") * 2000 > F.col("total_dec"))
+        .filter(
+            F.col("value_dec") * F.col("n_parts")
+            > F.col("total_dec") * 2
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round(F.col("value_dec").cast("double"), 4).alias("value"),

@@ -3162,11 +3162,11 @@ ORACLE_SQL["x153_important_part_value"] = f"""
             JOIN nation ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_3')
         GROUP BY 1
-    ), t AS (SELECT SUM(value_dec) AS total_dec FROM v)
+    ), t AS (SELECT SUM(value_dec) AS total_dec, COUNT(*) AS n_parts FROM v)
     SELECT l_partkey AS partkey,
            ROUND(CAST(value_dec AS DOUBLE), 4) AS value
     FROM v CROSS JOIN t
-    WHERE value_dec * 2000 > total_dec
+    WHERE value_dec * n_parts > total_dec * 2
     ORDER BY value DESC, partkey
 """
 
