@@ -384,3 +384,120 @@ def x130_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_i", "dim_j")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 17: dominant principal component by in-plan power iteration
+# ---------------------------------------------------------------------------
+
+POWER_ITER_ROUNDS = 8
+EMB_DIM = 64
+
+
+def _ordered_sum(arr):
+    """Left fold of a double array in index order — first element as
+    seed, then ``(...((x1+x2)+x3)...)``.  Matches DuckDB's
+    ``list_reduce`` exactly, so both engines produce bit-identical
+    IEEE sums regardless of partitioning (a plain SUM aggregates in
+    partition order and is NOT engine- or run-invariant on doubles).
+    """
+    return F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: acc + x,
+    )
+
+
+def x179_pca_power_iteration(
+    spark: SparkSession, sf_dir: str, rounds: int = POWER_ITER_ROUNDS
+) -> DataFrame:
+    """Dominant principal component of the embedding covariance by
+    ``rounds`` fixed power-iteration steps — the first stage of PCA
+    whitening / low-rank compression over a training-embedding
+    corpus: v ← C·v / ‖C·v‖ from a uniform start, eigenvalue
+    estimated as the final pre-normalization norm.
+
+    Scale split: the ONLY corpus-sized work is x130's covariance
+    aggregate (one scan, in-row pair products, decimal partial sums);
+    the iteration itself runs on the d×d matrix held as a d-row
+    ``(dim_i, carr)`` relation — metadata-sized for d=64, and the
+    same row-per-dimension plan distributes unchanged when d is
+    large.  The mat-vec stays IN-PLAN: the current vector is a 1-row
+    array relation broadcast into a per-row ordered fold; no
+    driver-side numpy, no collect.
+
+    Float determinism (the reason this has an exact oracle): the
+    covariance enters pre-rounded to 8 decimals (identical doubles
+    both engines), and every subsequent reduction — dot products and
+    the squared norm — is an ORDERED left fold via
+    :func:`_ordered_sum` ≡ DuckDB ``list_reduce``, so all
+    ``rounds`` iterations evaluate the identical IEEE expression
+    tree on both sides; sqrt and division are correctly rounded and
+    deterministic.  Output rounds to 6 decimals.
+    """
+    from go_mapreduce_spark.operators.clustering import x130_covariance_matrix
+
+    upper = x130_covariance_matrix(spark, sf_dir)
+    full = upper.union(
+        upper.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"),
+            F.col("dim_i").alias("dim_j"),
+            "cov",
+        )
+    )
+    crow = (
+        full.groupBy("dim_i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_j", "cov"))),
+                lambda s: s["cov"],
+            ).alias("carr")
+        )
+        .localCheckpoint()
+    )
+    seed = 1.0 / EMB_DIM  # uniform non-negative start, exactly 2^-6
+    v = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)), lambda _: F.lit(seed)
+        ).alias("varr"),
+        F.lit(0.0).alias("nrm"),
+    )
+    for _ in range(rounds):
+        u = crow.crossJoin(F.broadcast(v.select("varr"))).select(
+            "dim_i",
+            _ordered_sum(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(EMB_DIM)),
+                    lambda k: F.element_at(F.col("carr"), k)
+                    * F.element_at(F.col("varr"), k),
+                )
+            ).alias("dot"),
+        )
+        g = u.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_i", "dot"))),
+                lambda s: s["dot"],
+            ).alias("uarr")
+        )
+        v = (
+            g.select(
+                "uarr",
+                F.sqrt(
+                    _ordered_sum(F.transform(F.col("uarr"), lambda x: x * x))
+                ).alias("nrm"),
+            )
+            .select(
+                F.transform(
+                    F.col("uarr"), lambda x: x / F.col("nrm")
+                ).alias("varr"),
+                "nrm",
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        F.posexplode("varr").alias("dim", "loading"), "nrm"
+    ).select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigenvalue"),
+    ).orderBy("dim")

@@ -601,3 +601,73 @@ def x141_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 17: temperature-resampled corpus mixture
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_ALPHA_DENOM = 2  # temperature alpha = 1/2 (sqrt scaling)
+TEMP_MIX_BUDGET_TOKENS = 20_000
+
+
+def x176_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled mixture weights per (lang, source)
+    stream: sampling weight ∝ (stream token count)^α with α = 0.5 —
+    the standard multilingual-training rebalance (up-samples small
+    streams, down-samples dominant ones; α=1 is proportional, α=0
+    uniform).  Output per stream: size, normalized share, the token
+    target under TEMP_MIX_BUDGET_TOKENS, and the within-stream
+    sampling rate that achieves it.
+
+    One corpus scan collapses to ~|lang×source| rows (metadata-sized
+    at any corpus scale); everything after is arithmetic on that tiny
+    relation with a 1-row broadcast total.  Determinism discipline:
+    each weight is rounded to 9 decimals and summed as
+    DECIMAL(38,9) — the normalizing total is then exact and
+    engine-invariant (no float-summation-order dependence); the final
+    shares divide as identical doubles on both sides.
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    docs = load_table(spark, sf_dir, "documents")
+    streams = (
+        docs.select(
+            "lang",
+            "source",
+            F.size(_tokens_ascii(F.col("text"))).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")), 9).cast(
+                "decimal(38,9)"
+            ),
+        )
+    )
+    total = streams.groupBy().agg(F.sum("weight").alias("total_w"))
+    share = (
+        F.col("weight").cast("double") / F.col("total_w").cast("double")
+    )
+    target = F.round(share * F.lit(TEMP_MIX_BUDGET_TOKENS), 2)
+    return (
+        streams.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("weight").cast("double").alias("weight"),
+            F.round(share, 6).alias("share"),
+            target.alias("target_tokens"),
+            F.round(
+                F.least(F.lit(1.0), target / F.col("n_tokens").cast("double")),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang", "source")
+    )

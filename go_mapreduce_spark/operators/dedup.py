@@ -916,3 +916,94 @@ def x145_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 17: exact shared-substring spans (Lee et al. 2022 dedup mode)
+# ---------------------------------------------------------------------------
+
+SPAN_SHINGLE_N = 5
+SPAN_MAX_DF = 50
+SPAN_TOP_PAIRS = 20
+
+
+def x178_longest_shared_span(
+    spark: SparkSession, sf_dir: str, max_df: int = SPAN_MAX_DF
+) -> DataFrame:
+    """Longest exactly-shared token span per document pair: the
+    "substring dedup" mode of Lee et al. (2022), *Deduplicating
+    Training Data Makes Language Models Better* — near-dup scoring
+    (x6 Jaccard) misses long verbatim quotes inside otherwise-
+    different documents; this finds them exactly.
+
+    Method: positional 5-gram shingles ``(doc, pos, sh)``; equal
+    shingles across a doc pair are matches at offset
+    ``diff = pos_a − pos_b``; a RUN of consecutive matching
+    positions at constant offset is one shared span, recovered with
+    the gaps-and-islands trick (``pos − row_number`` constant within
+    a run) — so span length = run length + 4 tokens, no quadratic
+    character alignment anywhere.
+
+    Scale posture: identical to x6 — the self-join is bounded by the
+    ``max_df`` posting cap (a shingle in d docs yields O(d²) pairs;
+    capped shingles bound candidates by max_df·|postings|); windows
+    partition by (doc_a, doc_b, diff), never globally.  Recall
+    contract: a span is missed only if EVERY 5-gram in it is
+    corpus-hot — verbatim duplicated passages are precisely the
+    spans made of rare shingles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", lower_tokens(F.col("text")).alias("toks")
+    )
+    pos_sh = toks.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("toks"), SPAN_SHINGLE_N)).alias(
+            "pos", "sh"
+        ),
+    )
+    hot = (
+        pos_sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    posting = pos_sh.join(hot, "sh", "left_anti")
+    a, b = posting.alias("a"), posting.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diff"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    runs = (
+        matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg(
+            (F.count(F.lit(1)) + SPAN_SHINGLE_N - 1).alias("span_tokens"),
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+        )
+    )
+    best = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("span_tokens").desc(), F.col("start_a").asc(), F.col("start_b").asc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+            F.col("start_a").cast("bigint").alias("start_a"),
+            F.col("start_b").cast("bigint").alias("start_b"),
+        )
+        .orderBy(F.col("span_tokens").desc(), "doc_a", "doc_b")
+        .limit(SPAN_TOP_PAIRS)
+    )

@@ -899,3 +899,181 @@ def x133_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 17: tokenizer-training primitives
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 6
+
+
+def x175_bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """Full BPE tokenizer-training loop (Sennrich et al. 2016): the
+    merge table learned by ``n_merges`` greedy rounds of "count all
+    adjacent symbol pairs over the corpus, merge the most frequent
+    one everywhere".  x133 shows the inner pair-count aggregate once;
+    this is the actual trainer: output row r is the pair merged at
+    round r with its corpus-weighted count.
+
+    Scale shape — the reason real BPE trainers work at 100 TB: the
+    corpus is scanned ONCE, into the word-frequency vocabulary
+    ``(word, freq)``; every subsequent round runs over that
+    vocabulary relation only (|vocab| ≪ corpus, Heaps' law), so the
+    loop costs ``n_merges`` vocabulary-sized aggregates, zero
+    further corpus scans.  Words are held in the classic
+    spaced-symbol encoding (``'key'`` → ``' k e y '``) so applying a
+    merge is a single left-to-right non-overlapping ``replace`` —
+    identical semantics in Spark and ANSI SQL, which is what makes
+    the whole training loop exactly replayable as chained CTEs for
+    the DuckDB oracle.  The winning pair is selected IN-PLAN (1-row
+    ``limit(1)`` relation broadcast into the merge step) — no
+    driver-side collect; the vocabulary is ``localCheckpoint``-ed per
+    round to keep lineage flat (the PageRank/CC loop discipline).
+
+    Determinism: pair counts are exact integers (sum of bigint word
+    frequencies); ties break on pair text ascending.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(lower_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            # 'key' -> ' k e y ' (every symbol space-delimited, with
+            # leading/trailing sentinels so replace() can only match
+            # whole symbols, never a suffix of a longer one)
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+            "f",
+        )
+        .localCheckpoint()
+    )
+    tops: list[DataFrame] = []
+    for r in range(1, n_merges + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            vocab.select(F.explode(pairs).alias("pair"), "f")
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(F.lit(r).alias("round"), "pair", "cnt")
+            .localCheckpoint()
+        )
+        tops.append(top)
+        vocab = (
+            vocab.crossJoin(F.broadcast(top.select("pair")))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ).alias("s"),
+                "f",
+            )
+            .localCheckpoint()
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.union(t)
+    return out.orderBy("round")
+
+
+VOCAB_COVERAGE_PCTS = (50, 90, 95, 99)
+
+
+def x177_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each target percentage of total
+    token mass, the minimum vocabulary size (most-frequent-first,
+    ties on token text ascending) that covers it — the
+    tokenizer-design question "how many types cover 99% of the
+    corpus" (Zipf economics of vocab size).
+
+    Scale shape: NO token-level ranking anywhere.  The token-count
+    relation (one shuffle) is collapsed to the FREQUENCY SPECTRUM
+    ``(cnt, n_tokens, mass)`` — its cardinality is the number of
+    distinct frequency values, bounded by O(√total_tokens) (distinct
+    positive integers summing to N), i.e. metadata-sized even at
+    100 TB — and the cumulative window runs over that spectrum only.
+    Inside the marginal frequency level, every token contributes
+    exactly ``cnt``, so the number needed is the integer ceiling
+    ``⌈(pct·total − 100·cum_before) / (100·cnt)⌉`` — pure bigint
+    arithmetic (exact past the 2^53 double cliff), and tokens within
+    the level are interchangeable for SIZE (the tie-break order only
+    decides which tokens, never how many).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokcnt = (
+        docs.select(F.explode(_tokens_ascii(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spectrum = tokcnt.groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        (F.count(F.lit(1)) * F.col("cnt")).alias("mass"),
+    )
+    # cumulative sums over the spectrum, most-frequent level first;
+    # unpartitioned window is safe here BY CONSTRUCTION (spectrum
+    # cardinality ≤ O(√N) — see docstring), the x131 discipline
+    w = (
+        Window.orderBy(F.col("cnt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = spectrum.select(
+        "cnt",
+        "n_toks",
+        "mass",
+        F.coalesce(F.sum("mass").over(w), F.lit(0)).alias("cum_mass"),
+        F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("cum_toks"),
+    )
+    total = spectrum.groupBy().agg(F.sum("mass").alias("total_cnt"))
+    pcts = spark.createDataFrame(
+        [(p,) for p in VOCAB_COVERAGE_PCTS], "pct int"
+    )
+    marginal = (
+        cum.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(pcts),
+            (F.col("cum_mass") * 100 < F.col("pct") * F.col("total_cnt"))
+            & (
+                (F.col("cum_mass") + F.col("mass")) * 100
+                >= F.col("pct") * F.col("total_cnt")
+            ),
+        )
+        .select(
+            "pct",
+            "total_cnt",
+            F.expr(
+                "cum_toks + (pct * total_cnt - 100 * cum_mass + 100 * cnt - 1)"
+                " DIV (100 * cnt)"
+            ).alias("vocab_size"),
+            F.expr(
+                "cum_mass + cnt * ((pct * total_cnt - 100 * cum_mass"
+                " + 100 * cnt - 1) DIV (100 * cnt))"
+            ).alias("covered_cnt"),
+        )
+    )
+    return marginal.select(
+        "pct",
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("covered_cnt").cast("bigint").alias("covered_cnt"),
+        F.col("total_cnt").cast("bigint").alias("total_cnt"),
+        F.round(
+            F.col("covered_cnt").cast("double") / F.col("total_cnt"), 6
+        ).alias("covered_share"),
+    ).orderBy("pct")

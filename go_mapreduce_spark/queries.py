@@ -3632,6 +3632,231 @@ ORACLE_SQL["x174_parts_supplier_census"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 17: tokenizer/embedding training prep — full BPE trainer loop,
+# temperature-resampled mixture, vocab coverage curve, exact shared-
+# substring spans, dominant-PC power iteration
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x175_bpe_train": T.x175_bpe_train,
+        "x176_temperature_mix": C.x176_temperature_mix,
+        "x177_vocab_coverage": T.x177_vocab_coverage,
+        "x178_longest_shared_span": D.x178_longest_shared_span,
+        "x179_pca_power_iteration": CL.x179_pca_power_iteration,
+    }
+)
+
+
+def _bpe_train_oracle(n_merges: int = T.BPE_TRAIN_MERGES) -> str:
+    """The x175 training loop as chained CTEs: per round, a pair-count
+    aggregate over the spaced-symbol vocabulary, a LIMIT-1 winner, and
+    a boundary-guarded ``replace`` merge — replace() is left-to-right
+    non-overlapping in both engines, so the greedy merge semantics
+    agree exactly."""
+    parts = [
+        """toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS w
+        FROM documents
+    ), vocab0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks GROUP BY 1
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""pc{r} AS (
+        SELECT l[i] || ' ' || l[i+1] AS pair, SUM(f) AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS l, f,
+                     unnest(generate_series(
+                         1, len(string_split(trim(s), ' ')) - 1)) AS i
+              FROM vocab{r - 1})
+        GROUP BY 1
+    ), m{r} AS (
+        SELECT CAST({r} AS INTEGER) AS round, pair, CAST(cnt AS BIGINT) AS cnt
+        FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), vocab{r} AS (
+        SELECT replace(s, ' ' || (SELECT pair FROM m{r}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' ')
+                   AS s, f
+        FROM vocab{r - 1}
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f" {unions} ORDER BY round"
+
+
+ORACLE_SQL["x175_bpe_train"] = _bpe_train_oracle()
+
+ORACLE_SQL["x176_temperature_mix"] = f"""
+    WITH streams AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(
+                   regexp_split_to_array(text, '[^A-Za-z]+'),
+                   t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    ), weighted AS (
+        SELECT *, CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 9)
+                       AS DECIMAL(38,9)) AS w
+        FROM streams
+    ), tot AS (SELECT SUM(w) AS total_w FROM weighted)
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(w AS DOUBLE) AS weight,
+           ROUND(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE), 6) AS share,
+           ROUND(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)
+                 * {C.TEMP_MIX_BUDGET_TOKENS}, 2) AS target_tokens,
+           ROUND(LEAST(1.0,
+                 ROUND(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)
+                       * {C.TEMP_MIX_BUDGET_TOKENS}, 2)
+                 / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate
+    FROM weighted CROSS JOIN tot
+    ORDER BY lang, source
+"""
+
+_VC_K = "(pct * total_cnt - 100 * cum_mass + 100 * cnt - 1) // (100 * cnt)"
+ORACLE_SQL["x177_vocab_coverage"] = f"""
+    WITH tokcnt AS (
+        SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+              FROM documents)
+        WHERE t <> '' GROUP BY 1
+    ), spectrum AS (
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(COUNT(*) * cnt AS BIGINT) AS mass
+        FROM tokcnt GROUP BY cnt
+    ), cum AS (
+        SELECT cnt, n_toks, mass,
+               COALESCE(SUM(mass) OVER (ORDER BY cnt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_mass,
+               COALESCE(SUM(n_toks) OVER (ORDER BY cnt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_toks
+        FROM spectrum
+    ), tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS total_cnt FROM spectrum),
+    pcts AS (SELECT unnest({list(T.VOCAB_COVERAGE_PCTS)}) AS pct)
+    SELECT CAST(pct AS INTEGER) AS pct,
+           CAST(cum_toks + {_VC_K} AS BIGINT) AS vocab_size,
+           CAST(cum_mass + cnt * ({_VC_K}) AS BIGINT) AS covered_cnt,
+           total_cnt,
+           ROUND(CAST(cum_mass + cnt * ({_VC_K}) AS DOUBLE) / total_cnt, 6)
+               AS covered_share
+    FROM cum CROSS JOIN tot JOIN pcts
+      ON cum_mass * 100 < pct * total_cnt
+     AND (cum_mass + mass) * 100 >= pct * total_cnt
+    ORDER BY pct
+"""
+
+ORACLE_SQL["x178_longest_shared_span"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), pos_sh AS (
+        SELECT doc_id, i - 1 AS pos,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                       || toks[i+3] || ' ' || toks[i+4] AS sh
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS i
+              FROM toks)
+    ), hot AS (
+        SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df
+                        FROM pos_sh GROUP BY sh)
+        WHERE df > {D.SPAN_MAX_DF}
+    ), matches AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diff
+        FROM (SELECT * FROM pos_sh WHERE sh NOT IN (SELECT sh FROM hot)) a
+        JOIN (SELECT * FROM pos_sh WHERE sh NOT IN (SELECT sh FROM hot)) b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b, diff, grp,
+               CAST(COUNT(*) + {D.SPAN_SHINGLE_N - 1} AS BIGINT) AS span_tokens,
+               CAST(MIN(pa) AS BIGINT) AS start_a,
+               CAST(MIN(pb) AS BIGINT) AS start_b
+        FROM (SELECT *, pa - ROW_NUMBER() OVER (
+                  PARTITION BY doc_a, doc_b, diff ORDER BY pa) AS grp
+              FROM matches)
+        GROUP BY doc_a, doc_b, diff, grp
+    ), best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                  ORDER BY span_tokens DESC, start_a, start_b) AS rn
+        FROM runs
+    )
+    SELECT doc_a, doc_b, span_tokens, start_a, start_b
+    FROM best WHERE rn = 1
+    ORDER BY span_tokens DESC, doc_a, doc_b
+    LIMIT {D.SPAN_TOP_PAIRS}
+"""
+
+
+def _power_iter_oracle(
+    rounds: int = CL.POWER_ITER_ROUNDS, d: int = CL.EMB_DIM
+) -> str:
+    """x179 as chained CTEs.  The covariance enters pre-rounded to 8
+    decimals (the x130 contract), and every reduction is DuckDB
+    ``list_reduce`` ≡ the engine's ordered left fold, so all rounds
+    evaluate the identical IEEE expression tree on both sides."""
+    seed = repr(1.0 / d)
+    parts = [
+        f"""ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), upperc AS (
+        SELECT a.dim AS di, b.dim AS dj,
+               ROUND((CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE)
+                      - CAST(SUM(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE)
+                        * CAST(SUM(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE)
+                        / COUNT(*))
+                     / COUNT(*), 8) AS cov
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ), fullc AS (
+        SELECT di, dj, cov FROM upperc
+        UNION ALL
+        SELECT dj AS di, di AS dj, cov FROM upperc WHERE di <> dj
+    ), crow AS (
+        SELECT di, list(cov ORDER BY dj) AS carr FROM fullc GROUP BY di
+    ), v0 AS (
+        SELECT list_transform(generate_series(1, {d}),
+                              k -> CAST({seed} AS DOUBLE)) AS varr,
+               CAST(0 AS DOUBLE) AS nrm
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""u{r} AS (
+        SELECT di, list_reduce(list_transform(generate_series(1, {d}),
+                   k -> carr[k] * varr[k]), (a, b) -> a + b) AS dot
+        FROM crow CROSS JOIN v{r - 1}
+    ), g{r} AS (
+        SELECT list(dot ORDER BY di) AS uarr FROM u{r}
+    ), v{r} AS (
+        SELECT list_transform(uarr, x -> x / nrm) AS varr, nrm
+        FROM (SELECT uarr,
+                     sqrt(list_reduce(list_transform(uarr, x -> x * x),
+                                      (a, b) -> a + b)) AS nrm
+              FROM g{r})
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(k - 1 AS INTEGER) AS dim,
+           ROUND(varr[k], 6) AS loading,
+           ROUND(nrm, 6) AS eigenvalue
+    FROM v{rounds}, (SELECT unnest(generate_series(1, {d})) AS k)
+    ORDER BY dim
+"""
+    )
+
+
+ORACLE_SQL["x179_pca_power_iteration"] = _power_iter_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
