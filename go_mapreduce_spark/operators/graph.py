@@ -583,3 +583,79 @@ def x165_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source near decimal midpoints (the compare canonicalizes to 12
     # significant digits).
     return out.select("node", "cost").orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# x181: recursive CTE surface (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+CHAIN_MAX_STEPS = 5
+
+
+def x181_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-chain walk via ``WITH RECURSIVE`` — Spark 4's
+    recursive-CTE surface, exercised on a fan-out-1 successor graph.
+
+    Each user's events (ordered by ``ts, event_id``) form a linked
+    list through ``lead()`` pointers; the recursion starts at the
+    earliest event and follows ``next_id`` for at most
+    ``CHAIN_MAX_STEPS`` hops, accumulating a decimal running value.
+    Output: the deepest node reached per user with its step count and
+    accumulated value — semantically a window cumsum (and that is the
+    right 100 TB plan; see below), but executed through the iterative
+    UnionLoop operator so the declared surface covers genuine
+    linear-recursive SQL, the shape hierarchies/bill-of-materials
+    queries take when levels are data-dependent.
+
+    Spark restricts recursive CTEs to UNION ALL (no dedup between
+    iterations), so termination must come from the data: the
+    successor relation has fan-out exactly 1 per (user, event) and
+    the explicit ``step`` guard bounds depth, keeping the iterated
+    row count at |users| per round — never combinatorial.  Per round
+    the loop joins the frontier against the lead-pointer relation on
+    (user_id, event_id): a keyed shuffle join, node-sized state, the
+    same posture as the bfs_khop loop.  The DuckDB oracle runs the
+    IDENTICAL statement (both engines implement SQL:1999 linear
+    recursion); the decimal accumulator keeps cross-engine addition
+    exact.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(RECURSIVE_CHAIN_SQL)
+
+
+RECURSIVE_CHAIN_SQL = f"""
+    WITH RECURSIVE walk(user_id, event_id, step, cum_value) AS (
+        SELECT user_id, event_id, 0 AS step,
+               CAST(CAST(value AS DECIMAL(38,6)) AS DECIMAL(38,6)) AS cum_value
+        FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT w.user_id, n.next_id, w.step + 1,
+               CAST(w.cum_value + CAST(n.next_value AS DECIMAL(38,6))
+                    AS DECIMAL(38,6))
+        FROM walk w
+        JOIN (
+            SELECT user_id, event_id,
+                   lead(event_id) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_id,
+                   lead(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS next_value
+            FROM events
+        ) n ON n.user_id = w.user_id AND n.event_id = w.event_id
+        WHERE n.next_id IS NOT NULL AND w.step < {CHAIN_MAX_STEPS}
+    )
+    SELECT user_id, event_id AS final_event_id, step AS n_steps,
+           CAST(cum_value AS DOUBLE) AS chain_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY step DESC) AS rk
+        FROM walk
+    ) WHERE rk = 1
+    ORDER BY user_id
+"""

@@ -918,3 +918,95 @@ def x138_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# x182: VARIANT semi-structured analytics (Spark 4 VARIANT type)
+# ---------------------------------------------------------------------------
+
+
+def x182_variant_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    ``props`` JSON string is wrapped into a nested envelope in-plan
+    (string concat of already-serialized parts — no float formatting,
+    so both engines see byte-identical JSON), parsed ONCE with
+    ``parse_json`` into a VARIANT, and read back with typed
+    ``variant_get`` paths ('$.meta.k' as int, '$.type' as string).
+
+    VARIANT is the schema-on-read path for ingest pipelines whose
+    payloads drift: unlike ``from_json`` it needs no declared struct,
+    and unlike per-path ``get_json_object`` (x15) it parses once per
+    row however many paths are read — at 100 TB the parse, not the
+    extraction, is the cost.  The binary encoding keeps typed access
+    O(path) instead of re-tokenizing.  Aggregate: per extracted type,
+    event count, sum/max of the extracted k, and the count of rows
+    whose k survived a parity filter — all on the VARIANT-decoded
+    values.  Oracle: DuckDB JSON functions over the identical
+    envelope string.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    envelope = F.concat(
+        F.lit('{"meta":'),
+        F.col("props"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    v = F.parse_json(envelope)
+    k = F.try_variant_get(v, "$.meta.k", "int")
+    typ = F.try_variant_get(v, "$.type", "string")
+    return (
+        ev.select(typ.alias("vtype"), k.alias("k"))
+        .groupBy("vtype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_even_k"),
+        )
+        .orderBy("vtype")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x183: higher-order array lambdas over embeddings
+# ---------------------------------------------------------------------------
+
+
+def x183_array_lambda_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector statistics computed entirely with higher-order array
+    functions — transform / filter / aggregate (fold) / zip_with —
+    the lambda surface that keeps array math inside Catalyst
+    expressions (whole-stage codegen, zero Python) instead of
+    exploding 64x rows or shipping to a UDF.
+
+    Columns: l2 norm via an ordered left fold of squares, positive
+    count via filter+size, max |x| via transform+array_max, and the
+    palindrome dot product <x, reverse(x)> via zip_with+fold.  Floats
+    are cast float->double BEFORE any arithmetic and folded in index
+    order, so every intermediate is the same IEEE double in DuckDB's
+    list lambdas (list_transform / list_filter / list_reduce) — the
+    x179 determinism discipline.  One scan, no shuffle until the
+    final sort.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    arrd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    em = em.select("vec_id", arrd.alias("a"))
+    a = F.col("a")
+    l2 = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    n_pos = F.size(F.filter(a, lambda x: x > 0))
+    max_abs = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    rev_dot = F.aggregate(
+        F.zip_with(a, F.reverse(a), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return em.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2_norm"),
+        n_pos.cast("int").alias("n_positive"),
+        F.round(max_abs, 6).alias("max_abs"),
+        F.round(rev_dot, 6).alias("rev_dot"),
+    ).orderBy("vec_id")

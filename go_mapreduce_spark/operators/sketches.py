@@ -127,3 +127,93 @@ def x112_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "cnt", F.col("n_total").cast("bigint").alias("n_total"))
         .orderBy(F.col("cnt").desc(), F.col("tok").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# x180: ORACLE-CHECKED count-min sketch — sha256-derived hash rows
+# ---------------------------------------------------------------------------
+
+CM_ROWS = 4          # depth d: independent hash rows
+CM_WIDTH_HEX = 2     # bucket key = first 2 sha256 hex chars -> w = 256
+CM_TOPK = 20         # audited keys: the exact top-20 tokens
+
+
+def x180_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy audit over the document token stream:
+    for the exact top-``CM_TOPK`` tokens, the CM estimate (min over
+    ``CM_ROWS`` hashed counters of width 256) next to the exact count
+    and the overestimate (always >= 0 — CM never undercounts).
+
+    The hash family is sha256 of ``"<row>:" || token`` truncated to
+    its first two hex chars, so the ENTIRE sketch — cell counts and
+    min-estimates — is exactly reproducible in ANSI SQL (same trick
+    as the x116 MinHash family): the approximate-aggregation operator
+    rides the exact hash gate, like x112's Misra-Gries.
+
+    Plan: the sketch is ONE map-side-combinable aggregate over the
+    d x N exploded (row, bucket) stream — d*1024 cells max regardless
+    of corpus size, then broadcast into the top-k probe.  At 100 TB
+    the token explode dominates and the sketch state stays 4 KB per
+    task: this is the fixed-memory frequency monitor for unbounded
+    key domains (URLs, user-ids), with the audit quantifying the
+    collision error the width choice buys.
+    """
+    from go_mapreduce_spark.operators.dedup import lower_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(lower_tokens(F.col("text"))).alias("tok"))
+
+    def bucket(row: int, col=F.col("tok")):
+        return F.substring(
+            F.sha2(F.concat(F.lit(f"{row}:"), col), 256), 1, CM_WIDTH_HEX
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), bucket(r).alias("c")
+                        )
+                        for r in range(CM_ROWS)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(CM_TOPK)
+    )
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("c"))
+                    for r in range(CM_ROWS)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "exact_cnt", "rc.r", "rc.c")
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cm_estimate"))
+        .select(
+            "tok",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+    )

@@ -1077,3 +1077,72 @@ def x177_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_cnt").cast("double") / F.col("total_cnt"), 6
         ).alias("covered_share"),
     ).orderBy("pct")
+
+
+# ---------------------------------------------------------------------------
+# x184: rank-based AUC of a quality signal (classifier-eval primitive)
+# ---------------------------------------------------------------------------
+
+
+def x184_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of the English-stopword ratio as a detector of
+    ``lang = 'en'`` — the Mann-Whitney formulation, the metric every
+    learned quality/language filter is judged by before it gates a
+    corpus.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie).  Computed WITHOUT
+    ranking individual rows: scores are rounded to 6 dp, so the
+    per-score histogram ``(score, n_pos_s, n_neg_s)`` has AT MOST
+    1,000,001 rows BY CONSTRUCTION regardless of corpus size.  The
+    doc-level relation collapses in one map-side-combinable
+    aggregate; the running negative count then needs only an ordered
+    window over that provably metadata-sized histogram (the x131
+    bounded-sweep discipline — never a global rank over the corpus,
+    which is the x127-class plan this query deliberately avoids).
+    Everything stays integer until the final division:
+    2*contribution(s) = n_pos_s * (2*cum_neg_below + n_neg_s),
+    AUC = sum / (2 * np * nn) — bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lower_tokens(F.col("text"))
+    n_toks = F.size(toks)
+    sw = _stopword_count(toks, EN_STOPWORDS)
+    score = F.round(
+        F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0), 6
+    )
+    hist = (
+        docs.select(
+            score.alias("score"),
+            (F.col("lang") == "en").cast("long").alias("label"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("label").alias("np_s"),
+            F.sum(F.lit(1) - F.col("label")).alias("nn_s"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = hist.select(
+        "np_s",
+        "nn_s",
+        (F.sum("nn_s").over(w) - F.col("nn_s")).alias("nn_below"),
+    )
+    agg = swept.agg(
+        F.sum(
+            F.col("np_s") * (F.lit(2) * F.col("nn_below") + F.col("nn_s"))
+        ).alias("s2"),
+        F.sum("np_s").alias("np"),
+        F.sum("nn_s").alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(
+            F.col("s2") / (F.lit(2.0) * F.col("np") * F.col("nn")), 6
+        ).alias("auc"),
+    )

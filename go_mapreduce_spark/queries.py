@@ -3857,6 +3857,131 @@ ORACLE_SQL["x179_pca_power_iteration"] = _power_iter_oracle()
 
 
 # ---------------------------------------------------------------------------
+# wave 18: oracle-checked count-min sketch, recursive-CTE traversal,
+# VARIANT semi-structured analytics, higher-order array lambdas,
+# rank-based AUC — new Spark-4 surfaces + classifier-eval primitives
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x180_countmin_error": SK.x180_countmin_error,
+        "x181_recursive_chain": G.x181_recursive_chain,
+        "x182_variant_analytics": RX.x182_variant_analytics,
+        "x183_array_lambda_stats": RX.x183_array_lambda_stats,
+        "x184_quality_auc": T.x184_quality_auc,
+    }
+)
+
+ORACLE_SQL["x180_countmin_error"] = f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), rows_ AS (
+        SELECT unnest(range({SK.CM_ROWS})) AS r
+    ), cells AS (
+        SELECT r, substr(sha256(r || ':' || tok), 1, {SK.CM_WIDTH_HEX}) AS c,
+               COUNT(*) AS cell_cnt
+        FROM toks, rows_
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
+        ORDER BY exact_cnt DESC, tok ASC LIMIT {SK.CM_TOPK}
+    ), probes AS (
+        SELECT tok, exact_cnt, r,
+               substr(sha256(r || ':' || tok), 1, {SK.CM_WIDTH_HEX}) AS c
+        FROM top, rows_
+    )
+    SELECT p.tok,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(cell_cnt) AS BIGINT) AS cm_estimate,
+           CAST(MIN(cell_cnt) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p JOIN cells USING (r, c)
+    GROUP BY p.tok, p.exact_cnt
+    ORDER BY exact_cnt DESC, tok
+"""
+
+# x181: both engines run the IDENTICAL SQL:1999 linear recursion.
+ORACLE_SQL["x181_recursive_chain"] = G.RECURSIVE_CHAIN_SQL
+
+ORACLE_SQL["x182_variant_analytics"] = """
+    WITH v AS (
+        SELECT json('{"meta":' || props || ',"type":"' || event_type || '"}') AS j
+        FROM events
+    ), e AS (
+        SELECT json_extract_string(j, '$.type') AS vtype,
+               CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS k
+        FROM v
+    )
+    SELECT vtype,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS INTEGER) AS max_k,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+    FROM e GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["x183_array_lambda_stats"] = """
+    WITH lt AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(list_prepend(0.0, a),
+                                  (acc, x) -> acc + x * x)), 6) AS l2_norm,
+           CAST(len(list_filter(a, x -> x > 0)) AS INTEGER) AS n_positive,
+           ROUND(list_max(list_transform(a, x -> abs(x))), 6) AS max_abs,
+           ROUND(list_reduce(
+                     list_prepend(0.0,
+                         list_transform(range(1, len(a) + 1),
+                                        i -> a[i] * a[len(a) + 1 - i])),
+                     (acc, x) -> acc + x), 6) AS rev_dot
+    FROM lt ORDER BY vec_id
+"""
+
+
+def _auc_oracle() -> str:
+    from go_mapreduce_spark.operators.text import EN_STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+    WITH t AS (
+        SELECT CASE WHEN nt > 0 THEN ROUND(CAST(sw AS DOUBLE) / nt, 6)
+                    ELSE 0.0 END AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM (
+            SELECT lang, len(toks) AS nt,
+                   len(list_filter(toks, x -> list_contains({sw}, x))) AS sw
+            FROM (
+                SELECT lang,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> len(x) > 0) AS toks
+                FROM documents
+            )
+        )
+    ), h AS (
+        SELECT score, SUM(label) AS np_s, SUM(1 - label) AS nn_s
+        FROM t GROUP BY 1
+    ), s AS (
+        SELECT np_s, nn_s,
+               SUM(nn_s) OVER (ORDER BY score
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - nn_s AS nn_below
+        FROM h
+    )
+    SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
+           CAST(SUM(nn_s) AS BIGINT) AS n_neg,
+           ROUND(SUM(np_s * (2 * nn_below + nn_s))
+                 / (2.0 * SUM(np_s) * SUM(nn_s)), 6) AS auc
+    FROM s
+"""
+
+
+ORACLE_SQL["x184_quality_auc"] = _auc_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
