@@ -887,3 +887,104 @@ def x148_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "position")
     )
+
+
+# ---------------------------------------------------------------------------
+# x188: time-weighted average value (TWAP) per user
+# ---------------------------------------------------------------------------
+
+
+def x188_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` over the user's
+    event span — the TWAP/step-integral primitive (each value holds
+    until the next observation), the correct aggregate for
+    irregularly-sampled series where plain ``avg`` over-weights
+    bursts.
+
+    One user-keyed shuffle: ``lead(ts)`` supplies each step's
+    duration; the integral accumulates value(DECIMAL) x duration(µs
+    BIGINT) exactly, and the only divisions happen once per user on
+    the final pair of scalars.  Users with a single event have no
+    span and are excluded (matches the oracle's HAVING).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t_next_us"),
+        F.col("value").cast("decimal(38,6)").alias("v"),
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("t_next_us").isNotNull(),
+                    F.col("v") * (F.col("t_next_us") - F.col("t_us")),
+                )
+            ).alias("area"),
+            (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("span_us") / F.lit(1e6), 6).alias("span_seconds"),
+            F.round(
+                F.col("area").cast("double") / F.col("span_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x189: revenue concentration — exact Gini coefficient
+# ---------------------------------------------------------------------------
+
+
+def x189_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer order revenue — the
+    concentration audit behind every "whales vs long tail" question
+    (and, in corpus terms, the inequality of per-source token mass).
+
+    Gini = 2·Σ(i·x_i) / (n·Σx_i) − (n+1)/n over revenues sorted
+    ascending; ties contribute identically under any permutation, so
+    the (rev, custkey) tie-break is for rank determinism only.  The
+    global rank comes from the range-bucketed exact-rank machinery
+    (``layout._global_row_number``) — sketch split points +
+    partitioned row_number + literal offsets — so NOTHING funnels
+    through a single window task (the x127-class fix applied at
+    design time).  Σ(i·x_i) multiplies BIGINT rank into DECIMAL
+    revenue and sums exactly; the two final divisions are scalar.
+    """
+    from go_mapreduce_spark.operators.layout import _global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    ranked, n = _global_row_number(
+        rev,
+        ["rev", "o_custkey"],
+        F.col("rev").cast("double"),
+        rn="rnk",
+    )
+    agg = ranked.agg(
+        F.sum(F.col("rnk") * F.col("rev")).alias("weighted"),
+        F.sum("rev").alias("total"),
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.round(F.col("total").cast("double"), 4).alias("total_revenue"),
+        F.round(
+            F.lit(2.0)
+            * F.col("weighted").cast("double")
+            / (F.lit(float(n)) * F.col("total").cast("double"))
+            - F.lit(float(n + 1)) / F.lit(float(n)),
+            6,
+        ).alias("gini"),
+    )

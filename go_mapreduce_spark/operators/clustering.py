@@ -501,3 +501,129 @@ def x179_pca_power_iteration(
         F.round("loading", 6).alias("loading"),
         F.round("nrm", 6).alias("eigenvalue"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# x185: in-plan logistic-style classifier trainer (fixed-round GD)
+# ---------------------------------------------------------------------------
+
+LOGREG_ROUNDS = 4
+LOGREG_LR = 1.0
+
+
+def _fast_sigmoid(z):
+    """0.5 + 0.5 * z / (1 + |z|) — a rational squashing link built
+    ONLY from +,*,/,abs, so every evaluation is a fixed sequence of
+    IEEE-754 ops that is bit-identical across engines.  The classic
+    exp() sigmoid is NOT: JVM Math.exp and libm exp may differ in the
+    last ulp, and a 1-ulp wobble inside a trainer compounds over
+    rounds (the same reason x165 keeps path costs raw and x179 folds
+    in fixed order)."""
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def x185_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trains a 2-feature logistic-style classifier IN-PLAN — the
+    quality-filter training step (predict ``lang = 'en'`` from
+    alpha-ratio and stopword-ratio) expressed as ``LOGREG_ROUNDS``
+    of full-batch gradient descent with no driver-side state.
+
+    Each round: broadcast the 1-row weight relation into the feature
+    scan (the PageRank dangling-mass trick), compute the rational
+    squashing link per row (see ``_fast_sigmoid``), round each
+    per-row gradient contribution to 12 dp and sum it as
+    DECIMAL(38,12) — the ONLY cross-row reduction, made
+    order-independent by the decimal detour — then fold the sums
+    into the next 1-row weight relation with pure IEEE scalar ops.
+    The whole trainer is one lazy plan: scan → (per round) broadcast
+    join + partial-agg → 1-row relation, so N rows stream through
+    R rounds with R map-side aggregates and zero corpus shuffles —
+    at 100 TB this is R passes over the data (or one pass if the
+    feature relation is cached), never a collect.  The DuckDB oracle
+    replays the identical recursion as chained CTEs; decimal
+    addition's associativity + fixed IEEE scalar sequence make the
+    final weights bit-identical.
+
+    Output: one row — final weights, bias, and the decimal-exact
+    mean squared residual of the final model (train MSE).
+    """
+    from go_mapreduce_spark.operators.dedup import lower_tokens
+    from go_mapreduce_spark.operators.text import EN_STOPWORDS, _stopword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lower_tokens(F.col("text"))
+    text_len = F.length("text")
+    alpha_len = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_toks = F.size(toks)
+    swc = _stopword_count(toks, EN_STOPWORDS)
+    feats = docs.select(
+        F.round(
+            F.when(text_len > 0, alpha_len.cast("double") / text_len).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("f_alpha"),
+        F.round(
+            F.when(n_toks > 0, swc.cast("double") / n_toks).otherwise(0.0), 6
+        ).alias("f_stop"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+
+    n = feats.count()  # bounded scalar; reused as an exact literal
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("b")
+    )
+    dec = "decimal(38,12)"
+    for _ in range(LOGREG_ROUNDS):
+        z = (
+            F.col("w1") * F.col("f_alpha")
+            + F.col("w2") * F.col("f_stop")
+            + F.col("b")
+        )
+        d = _fast_sigmoid(z) - F.col("y")
+        g = feats.crossJoin(F.broadcast(w)).select(
+            F.round(d * F.col("f_alpha"), 12).cast(dec).alias("g1"),
+            F.round(d * F.col("f_stop"), 12).cast(dec).alias("g2"),
+            F.round(d, 12).cast(dec).alias("gb"),
+            "w1",
+            "w2",
+            "b",
+        )
+        sums = g.groupBy("w1", "w2", "b").agg(
+            F.sum("g1").alias("s1"), F.sum("g2").alias("s2"), F.sum("gb").alias("sb")
+        )
+        w = sums.select(
+            (
+                F.col("w1")
+                - F.lit(LOGREG_LR) * F.col("s1").cast("double") / F.lit(float(n))
+            ).alias("w1"),
+            (
+                F.col("w2")
+                - F.lit(LOGREG_LR) * F.col("s2").cast("double") / F.lit(float(n))
+            ).alias("w2"),
+            (
+                F.col("b")
+                - F.lit(LOGREG_LR) * F.col("sb").cast("double") / F.lit(float(n))
+            ).alias("b"),
+        )
+    z = (
+        F.col("w1") * F.col("f_alpha")
+        + F.col("w2") * F.col("f_stop")
+        + F.col("b")
+    )
+    resid = _fast_sigmoid(z) - F.col("y")
+    final = (
+        feats.crossJoin(F.broadcast(w))
+        .groupBy("w1", "w2", "b")
+        .agg(
+            F.sum(F.round(resid * resid, 12).cast(dec)).alias("sse"),
+        )
+    )
+    return final.select(
+        F.round("w1", 8).alias("w1"),
+        F.round("w2", 8).alias("w2"),
+        F.round("b", 8).alias("bias"),
+        F.round(F.col("sse").cast("double") / F.lit(float(n)), 8).alias(
+            "train_mse"
+        ),
+    )

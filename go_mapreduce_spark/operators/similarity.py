@@ -404,3 +404,96 @@ def ann_lsh_topk(
             "query_id", "neighbor_id", F.round("similarity_raw", 6).alias("similarity")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x187: Johnson-Lindenstrauss sign-projection distortion audit
+# ---------------------------------------------------------------------------
+
+JL_DIM = 8  # projected dimensionality
+
+
+def _jl_sign(j: int, i) -> Column:
+    """±1 from the parity class of sha256("<j>:<i>")'s first hex char
+    — a deterministic Rademacher matrix both engines can rebuild
+    exactly (the x116/x180 hash-family trick applied to JL)."""
+    h = F.substring(
+        F.sha2(F.concat(F.lit(f"{j}:"), i.cast("string")), 256), 1, 1
+    )
+    return F.when(h.isin(*"01234567"), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _jl_project(a: Column) -> Column:
+    """array<double> of JL_DIM signed sums, each an index-ordered fold
+    (bit-identical cross-engine; scaling by 1/sqrt(k) is omitted —
+    cosine is scale-invariant)."""
+    def fold(j: int):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.size(a) - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + _jl_sign(j, i) * F.get(a, i),
+        )
+
+    return F.array(*[fold(j) for j in range(JL_DIM)])
+
+
+def x187_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much cosine structure survives a 64→8 Rademacher random
+    projection: for every exact top-5 pair from x3 (queries 1..5),
+    the original cosine, the projected-space cosine, and the
+    absolute distortion — the audit run before committing an ANN
+    index to a reduced dimensionality.
+
+    The projection matrix is sha256-derived (deterministic ±1), so
+    the full report has an exact SQL oracle.  Projections are
+    computed once per referenced vector on the 30-vector slice that
+    x3's pair set touches (broadcast join onto the pair relation) —
+    at corpus scale the projection is a per-row map (64k ops/row,
+    in-codegen), and the audit stays bounded by the declared pair
+    budget, never pairwise in corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = x3_knn_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("similarity").alias("orig_cos")
+    )
+    # materialize the double-cast array in its own projection first:
+    # lambda-captured expressions re-evaluate per fold element (the
+    # shingles_from_tokens O(d^2) trap)
+    proj = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ad"),
+    ).select("vec_id", _jl_project(F.col("ad")).alias("p"))
+    qp = proj.select(F.col("vec_id").alias("query_id"), F.col("p").alias("qp"))
+    np_ = proj.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("p").alias("np")
+    )
+    dot_ = F.aggregate(
+        F.zip_with(F.col("qp"), F.col("np"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        pairs.join(F.broadcast(qp), "query_id")
+        .join(F.broadcast(np_), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "orig_cos",
+            F.round(dot_ / (nrm(F.col("qp")) * nrm(F.col("np"))), 6).alias(
+                "proj_cos"
+            ),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "orig_cos",
+            "proj_cos",
+            F.round(F.abs(F.col("proj_cos") - F.col("orig_cos")), 6).alias(
+                "distortion"
+            ),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )

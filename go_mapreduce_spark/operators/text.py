@@ -1146,3 +1146,80 @@ def x184_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2") / (F.lit(2.0) * F.col("np") * F.col("nn")), 6
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x186: calibration (reliability diagram) + Brier decomposition bins
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+def x186_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the x9 composite quality score as
+    a predictor of ``lang = 'en'``: per equal-width score bin, the
+    document count, mean score, observed positive rate, and the
+    bin's mean squared error (the per-bin Brier term) — the
+    calibration audit run before any learned filter's threshold is
+    trusted.
+
+    One map-side-combinable aggregate over the doc scan: the binned
+    histogram is ≤ ``CALIB_BINS`` rows regardless of corpus size (the
+    x184 discipline — never a corpus-sized ordered relation).  Scores
+    are rounded to 6 dp before any cross-row reduction; mean score
+    and Brier sums ride DECIMAL(38,12) so the report is bit-identical
+    across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lower_tokens(F.col("text"))
+    text_len = F.length("text")
+    alpha_len = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_toks = F.size(toks)
+    sw = _stopword_count(toks, EN_STOPWORDS)
+    alpha_ratio = F.when(text_len > 0, alpha_len.cast("double") / text_len).otherwise(0.0)
+    sw_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    quality = F.round(
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * sw_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / 50),
+        6,
+    )
+    dec = "decimal(38,12)"
+    scored = docs.select(
+        quality.alias("q"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    ).select(
+        F.least(
+            F.floor(F.col("q") * CALIB_BINS).cast("int"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+        "q",
+        "y",
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("q").cast(dec)).alias("sq"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum(
+                F.round(
+                    (F.col("q") - F.col("y")) * (F.col("q") - F.col("y")), 12
+                ).cast(dec)
+            ).alias("sb"),
+        )
+        .select(
+            "bin",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("sq").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.col("sy").cast("double") / F.col("n_docs"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(F.col("sb").cast("double") / F.col("n_docs"), 6).alias(
+                "bin_brier"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -3982,6 +3982,240 @@ ORACLE_SQL["x184_quality_auc"] = _auc_oracle()
 
 
 # ---------------------------------------------------------------------------
+# wave 19: in-plan logistic trainer, calibration bins, JL distortion,
+# TWAP, exact Gini — model-training/eval primitives + OLAP integrals
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x185_logreg_train": CL.x185_logreg_train,
+        "x186_quality_calibration": T.x186_quality_calibration,
+        "x187_jl_distortion": S.x187_jl_distortion,
+        "x188_time_weighted_avg": AN.x188_time_weighted_avg,
+        "x189_revenue_gini": AN.x189_revenue_gini,
+    }
+)
+
+_FEAT_CTE_TMPL = """f AS (
+        SELECT ROUND(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl
+                          ELSE 0.0 END, 6) AS fa,
+               ROUND(CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE)/nt
+                          ELSE 0.0 END, 6) AS fs,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM (
+            SELECT lang, len(text) AS tl,
+                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
+                   len(toks) AS nt,
+                   len(list_filter(toks, x -> list_contains({sw}, x))) AS sw
+            FROM (
+                SELECT lang, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> len(x) > 0) AS toks
+                FROM documents
+            )
+        )
+    )"""
+
+
+def _logreg_oracle() -> str:
+    """x185's training recursion as chained CTEs — same feature
+    rounding, same rational link, same 12-dp-decimal gradient sums,
+    same IEEE scalar update sequence."""
+    from go_mapreduce_spark.operators.clustering import (
+        LOGREG_LR,
+        LOGREG_ROUNDS,
+    )
+    from go_mapreduce_spark.operators.text import EN_STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    z = "(w.w1*f.fa + w.w2*f.fs + w.b)"
+    d = f"((0.5 + 0.5*{z}/(1.0 + abs({z}))) - f.y)"
+
+    def gsum(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(ROUND({expr}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+        )
+
+    parts = [
+        _FEAT_CTE_TMPL.format(sw=sw),
+        "nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)",
+        "w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b)",
+    ]
+    for r in range(1, LOGREG_ROUNDS + 1):
+        parts.append(
+            f"""w{r} AS (
+        SELECT w.w1 - {LOGREG_LR} * {gsum(d + ' * f.fa')} / n.n AS w1,
+               w.w2 - {LOGREG_LR} * {gsum(d + ' * f.fs')} / n.n AS w2,
+               w.b - {LOGREG_LR} * {gsum(d)} / n.n AS b
+        FROM f, w{r-1} w, nrow n
+        GROUP BY w.w1, w.w2, w.b, n.n
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT ROUND(w.w1, 8) AS w1, ROUND(w.w2, 8) AS w2,
+           ROUND(w.b, 8) AS bias,
+           ROUND({gsum(d + ' * ' + d)} / n.n, 8) AS train_mse
+    FROM f, w{LOGREG_ROUNDS} w, nrow n
+    GROUP BY w.w1, w.w2, w.b, n.n
+"""
+    )
+
+
+ORACLE_SQL["x185_logreg_train"] = _logreg_oracle()
+
+
+def _calibration_oracle() -> str:
+    from go_mapreduce_spark.operators.text import CALIB_BINS, EN_STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+    WITH m AS (
+        SELECT ROUND(0.4*(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl ELSE 0.0 END)
+                   + 0.3*(CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE)/nt ELSE 0.0 END)
+                   + 0.3*least(1.0, CAST(nt AS DOUBLE)/50), 6) AS q,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM (
+            SELECT lang, len(text) AS tl,
+                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
+                   len(toks) AS nt,
+                   len(list_filter(toks, x -> list_contains({sw}, x))) AS sw
+            FROM (
+                SELECT lang, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> len(x) > 0) AS toks
+                FROM documents
+            )
+        )
+    ), b AS (
+        SELECT LEAST(CAST(FLOOR(q * {CALIB_BINS}) AS INTEGER),
+                     {CALIB_BINS - 1}) AS bin, q, y
+        FROM m
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS pos_rate,
+           ROUND(CAST(SUM(CAST(ROUND((q - y) * (q - y), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS bin_brier
+    FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_SQL["x186_quality_calibration"] = _calibration_oracle()
+
+
+def _jl_oracle() -> str:
+    from go_mapreduce_spark.operators.similarity import JL_DIM
+
+    sign = (
+        "(CASE WHEN substr(sha256(j || ':' || i), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)"
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT query_id, neighbor_id, ROUND(similarity, 6) AS orig_cos
+        FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])) AS similarity,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(n.embedding AS DOUBLE[])) DESC,
+                                n.vec_id ASC) AS rnk
+            FROM embeddings q
+            JOIN embeddings n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id BETWEEN 1 AND 5
+        ) t WHERE rnk <= 5
+    ), proj AS (
+        SELECT vec_id,
+               list_transform(range(0, {JL_DIM}), j ->
+                   list_reduce(
+                       list_prepend(0.0,
+                           list_transform(range(0, len(a)),
+                               i -> {sign} * a[i + 1])),
+                       (acc, x) -> acc + x)) AS p
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+              FROM embeddings)
+    ), joined AS (
+        SELECT pr.query_id, pr.neighbor_id, pr.orig_cos,
+               ROUND(
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(0, {JL_DIM}),
+                                      m -> qp.p[m + 1] * np.p[m + 1])),
+                       (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(range(0, {JL_DIM}),
+                                         m -> qp.p[m + 1] * qp.p[m + 1])),
+                          (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(range(0, {JL_DIM}),
+                                         m -> np.p[m + 1] * np.p[m + 1])),
+                          (acc, x) -> acc + x))), 6) AS proj_cos
+        FROM pairs pr
+        JOIN proj qp ON qp.vec_id = pr.query_id
+        JOIN proj np ON np.vec_id = pr.neighbor_id
+    )
+    SELECT query_id, neighbor_id, orig_cos, proj_cos,
+           ROUND(ABS(proj_cos - orig_cos), 6) AS distortion
+    FROM joined
+    ORDER BY query_id, neighbor_id
+"""
+
+
+ORACLE_SQL["x187_jl_distortion"] = _jl_oracle()
+
+ORACLE_SQL["x188_time_weighted_avg"] = """
+    WITH s AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t_next_us,
+               CAST(value AS DECIMAL(38,6)) AS v
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND((MAX(t_us) - MIN(t_us)) / 1e6, 6) AS span_seconds,
+           ROUND(CAST(SUM(CASE WHEN t_next_us IS NOT NULL
+                               THEN v * (t_next_us - t_us) END) AS DOUBLE)
+                 / CAST(MAX(t_us) - MIN(t_us) AS DOUBLE), 6) AS twap
+    FROM s GROUP BY user_id
+    HAVING MAX(t_us) - MIN(t_us) > 0
+    ORDER BY user_id
+"""
+
+ORACLE_SQL["x189_revenue_gini"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev, o_custkey) AS rnk
+        FROM rev
+    ), t AS (
+        SELECT COUNT(*) AS n, SUM(rnk * rev) AS wgt, SUM(rev) AS tot
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(tot AS DOUBLE), 4) AS total_revenue,
+           ROUND(2.0 * CAST(wgt AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
