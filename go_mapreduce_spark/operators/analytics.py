@@ -988,3 +988,104 @@ def x189_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x190: peak concurrency via hierarchical (two-level) prefix-max
+# ---------------------------------------------------------------------------
+
+PEAK_SESSION_MINUTES = 30
+PEAK_N_BUCKETS = 32
+
+
+def x190_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per event type — each event opens a
+    half-open interval ``[ts, ts + 30 min)``; the answer is the max
+    of the sweep-line running sum over +1/−1 boundary deltas, plus
+    the first instant the peak is reached.
+
+    A running sum is inherently sequential, but it DECOMPOSES: this
+    plan range-buckets the deltas on time (approx_percentile split
+    points — same machinery as layout's exact rank), computes each
+    bucket's (net sum, max prefix, first argmax) independently under
+    a partitioned window, then combines across each type's ≤ 32
+    bucket summaries: global max = max over buckets of
+    (prefix-offset + local max).  No window task ever sees more than
+    ~1/32 of one type's deltas — the x127-class single-partition
+    funnel is avoided BY DESIGN, which is the whole point: at 100 TB
+    "max concurrency" is exactly the query people write as one
+    giant unpartitioned running sum.
+
+    Tie semantics: at equal timestamps the −1 sorts before the +1
+    (delta ascending), so a session ending exactly when another
+    starts never counts as overlap — and within a block of equal
+    (t, delta) rows the attained prefix set is permutation-invariant
+    (all steps are the same sign), so peak and first-peak time are
+    deterministic.  Split points land whole (t, delta)-blocks in one
+    bucket (strictly-below comparison), preserving the total order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    half = F.expr(f"INTERVAL {PEAK_SESSION_MINUTES} MINUTES")
+    d = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + half).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    d = d.select("event_type", "t", "delta", F.unix_micros("t").alias("t_us"))
+
+    fracs = [i / PEAK_N_BUCKETS for i in range(1, PEAK_N_BUCKETS)]
+    row = d.select(
+        F.percentile_approx("t_us", F.lit(fracs), F.lit(10_000)).alias("bs")
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+    bucket = F.lit(0)
+    for v in bounds:
+        bucket = bucket + (F.col("t_us") > F.lit(v)).cast("int")
+
+    part = ["event_type", "_rb"]
+    w_run = (
+        Window.partitionBy(*part)
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = d.withColumn("_rb", bucket).withColumn(
+        "run", F.sum("delta").over(w_run)
+    )
+    w_part = Window.partitionBy(*part)
+    with_lmax = with_run.withColumn("lmax", F.max("run").over(w_part))
+    buckets = with_lmax.groupBy(*part).agg(
+        F.sum("delta").alias("s"),
+        F.max("run").alias("lmax"),
+        F.min(F.when(F.col("run") == F.col("lmax"), F.col("t"))).alias(
+            "first_t"
+        ),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("n_open"),
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    combined = buckets.select(
+        "event_type",
+        "n_open",
+        (F.sum("s").over(w_off) - F.col("s") + F.col("lmax")).alias("cand"),
+        "first_t",
+    )
+    w_type = Window.partitionBy("event_type")
+    final = combined.withColumn("mx", F.max("cand").over(w_type))
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.max("cand").cast("int").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("cand") == F.col("mx"), F.col("first_t"))
+            ).alias("first_peak_ts"),
+            F.sum("n_open").cast("bigint").alias("n_sessions"),
+        )
+        .orderBy("event_type")
+    )

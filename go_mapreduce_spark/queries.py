@@ -4216,6 +4216,61 @@ ORACLE_SQL["x189_revenue_gini"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 20: hierarchical sweep-line peak concurrency + ORC roundtrip
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x190_peak_concurrency": AN.x190_peak_concurrency,
+        "x191_orc_roundtrip": SNK.x191_orc_roundtrip,
+    }
+)
+
+ORACLE_SQL["x190_peak_concurrency"] = f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS delta
+        FROM events
+        UNION ALL
+        SELECT event_type,
+               CAST(ts AS TIMESTAMP)
+                   + INTERVAL {AN.PEAK_SESSION_MINUTES} MINUTE,
+               -1
+        FROM events
+    ), r AS (
+        SELECT event_type, t, delta,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run
+        FROM d
+    ), m AS (
+        SELECT event_type, MAX(run) AS mx FROM r GROUP BY 1
+    )
+    SELECT r.event_type,
+           CAST(m.mx AS INTEGER) AS peak_concurrency,
+           MIN(CASE WHEN r.run = m.mx THEN r.t END) AS first_peak_ts,
+           CAST(SUM(CASE WHEN r.delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions
+    FROM r JOIN m USING (event_type)
+    GROUP BY r.event_type, m.mx
+    ORDER BY r.event_type
+"""
+
+ORACLE_SQL["x191_orc_roundtrip"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS sum_price,
+           MIN(l_orderkey) AS min_orderkey,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

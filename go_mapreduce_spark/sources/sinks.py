@@ -184,3 +184,54 @@ def x147_jsonl_roundtrip(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def x191_orc_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """ORC columnar-format roundtrip proof — the second columnar
+    container Spark ships natively (the warehouse-interchange format
+    next to parquet): write the lineitem pricing columns as ORC
+    (zlib, dictionary + RLE encodings), read them back, and compute
+    the TPC-H-Q1-shaped decimal aggregate.
+
+    The oracle computes the identical aggregate from the parquet
+    table, so a hash match proves the ORC encode→decode cycle is
+    lossless for longs, doubles and strings — including the
+    decimal-exact sums, which would expose any value-level
+    perturbation at full precision.  Timestamps ride too (ORC stores
+    nanos natively).  Scale posture: narrow distributed write (one
+    file per partition, no shuffle), predicate/column pushdown on
+    read-back is the same DataSource V1 path parquet uses.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gms_orc_{tag}")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    li.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(dsum(F.col("l_quantity"), "sq"), 4).alias("sum_qty"),
+            F.round(dsum(F.col("l_extendedprice"), "sp"), 4).alias(
+                "sum_price"
+            ),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
