@@ -1007,3 +1007,94 @@ def x178_longest_shared_span(
         .orderBy(F.col("span_tokens").desc(), "doc_a", "doc_b")
         .limit(SPAN_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# x192: content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+CDC_B = 31            # polynomial base
+CDC_WINDOW = 8        # rolling window (chars)
+CDC_MOD = 1 << 20     # hash modulus
+CDC_MASK = 64         # boundary when h % CDC_MASK == 0 -> ~64-char chunks
+
+
+def x192_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split each document at positions
+    where the 8-char polynomial rolling hash lands in the boundary
+    class (h % 64 == 0), then count how many of each doc's chunks are
+    shared with ANY other document — the rsync/LBFS storage-dedup
+    primitive whose whole point is robustness to shifted content:
+    inserting a prefix re-chunks only the first boundary's
+    neighborhood, so shared-suffix documents keep identical chunk
+    hashes where fixed-width blocks would all shift (pinned by a
+    prefix-insertion pytest).
+
+    All integer arithmetic: char codes x B^k stay < 2^53, so both
+    engines compute identical BIGINT hashes — the chunk report is
+    exactly SQL-replayable.  The boundary scan is per-row expression
+    work (8 multiply-adds per char, in-codegen, zero Python); the
+    cross-doc sharing count is the standard inverted-index shape —
+    explode chunk hashes, one grouped distinct-doc count, join back
+    — never pairwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    d = docs.select("doc_id", "text", n.alias("n"), codes.alias("codes"))
+
+    pw = [CDC_B**k for k in range(CDC_WINDOW)]  # pw[k] = B^k
+
+    def roll(i):  # 1-based char position i >= CDC_WINDOW
+        h = F.lit(0).cast("long")
+        for k in range(CDC_WINDOW):
+            # oldest char gets the highest power; the code must widen
+            # to long BEFORE the multiply (B^6 fits int32, so its
+            # literal is IntegerType and int*int overflows under ANSI)
+            h = h + F.element_at(F.col("codes"), i - (CDC_WINDOW - 1) + k).cast(
+                "long"
+            ) * F.lit(pw[CDC_WINDOW - 1 - k])
+        return F.pmod(h, F.lit(CDC_MOD))
+
+    bpos = F.filter(
+        F.sequence(F.lit(CDC_WINDOW), F.col("n")),
+        lambda i: F.pmod(roll(i), F.lit(CDC_MASK)) == 0,
+    )
+    d = d.select(
+        "doc_id",
+        "text",
+        "n",
+        F.when(F.col("n") >= CDC_WINDOW, bpos)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("bpos"),
+    )
+    starts = F.concat(F.array(F.lit(0)), F.col("bpos"))
+    ends = F.concat(F.col("bpos"), F.array(F.col("n")))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.substr(F.col("text"), s + 1, e - s),
+    )
+    ch = (
+        d.select(
+            "doc_id",
+            F.explode(F.filter(chunks, lambda c: F.length(c) > 0)).alias(
+                "chunk"
+            ),
+        )
+        .select("doc_id", F.sha2(F.col("chunk"), 256).alias("h"))
+    )
+    sharing = ch.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        ch.join(sharing, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )

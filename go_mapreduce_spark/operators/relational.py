@@ -187,3 +187,66 @@ def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x194: dynamic partition pruning over a partitioned-on-disk fact copy
+# ---------------------------------------------------------------------------
+
+
+def x194_dpp_join(spark, sf_dir: str):
+    """Dynamic partition pruning, demonstrated end-to-end: the
+    lineitem fact is laid out hive-partitioned by ship year (written
+    once per scale factor, cached on disk like the streaming replay
+    inputs), then joined to a dimension relation that only a runtime
+    filter defines — the distinct order years of URGENT orders.
+    Catalyst turns the dim side into a pruning subquery on the fact's
+    partition column (``dynamicpruningexpression`` in the plan,
+    pytest-asserted), so only the matching year directories are read.
+
+    This is THE partition-layout payoff at 100 TB: a static filter
+    cannot prune what only the dim join determines, and without DPP
+    the fact scan reads every year.  The aggregate itself reuses the
+    join's year key, so the report adds no extra shuffle.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gms_dpp_lineitem_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .withColumn("ship_year", F.year("l_shipdate"))
+            .write.mode("overwrite")
+            .partitionBy("ship_year")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    years = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("ship_year"))
+        .distinct()
+    )
+    return (
+        fact.join(years, "ship_year")
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                dsum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    "rev",
+                ),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("ship_year")
+    )

@@ -1010,3 +1010,43 @@ def x183_array_lambda_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(max_abs, 6).alias("max_abs"),
         F.round(rev_dot, 6).alias("rev_dot"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# x193: SQL session variables (Spark 4 DECLARE / SET VAR surface)
+# ---------------------------------------------------------------------------
+
+
+def x193_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step parameterized SQL through session variables — Spark
+    4's DECLARE VARIABLE / SET VAR surface, the scripting primitive
+    that replaces driver-side string formatting of thresholds into
+    query text: step 1 computes the exact median order price into a
+    typed variable; step 2 uses it as a scalar predicate.
+
+    The variable is rounded to 6 dp on BOTH engines before the
+    comparison (the x40 exact-percentile parity plus rounding makes
+    the threshold bit-identical, so the > predicate partitions rows
+    identically).  Plan-wise the variable is a resolved literal by
+    optimization time — the filter pushes to the scan exactly as a
+    hand-written constant would; at 100 TB the two steps are one
+    metadata-sized aggregate plus one pruned scan.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE median_price DOUBLE")
+    spark.sql(
+        "SET VAR median_price = "
+        "(SELECT ROUND(percentile(o_totalprice, 0.5), 6) FROM orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_above,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                          AS DOUBLE), 4) AS rev_above
+        FROM orders
+        WHERE o_totalprice > median_price
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

@@ -4271,6 +4271,102 @@ ORACLE_SQL["x191_orc_roundtrip"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 21: content-defined chunking, SQL session variables, dynamic
+# partition pruning
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x192_cdc_chunks": D.x192_cdc_chunks,
+        "x193_sql_variables": RX.x193_sql_variables,
+        "x194_dpp_join": R.x194_dpp_join,
+    }
+)
+
+
+def _cdc_oracle() -> str:
+    from go_mapreduce_spark.operators.dedup import (
+        CDC_B,
+        CDC_MASK,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    # codes must widen to BIGINT before the multiply (B^6 fits INT32,
+    # so the literal is int and int*int overflows) — mirrors the
+    # Spark-side cast
+    poly = " + ".join(
+        f"CAST(codes[i - {CDC_WINDOW - 1 - k}] AS BIGINT) * {CDC_B ** k}"
+        for k in range(CDC_WINDOW - 1, -1, -1)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, len(text) AS n,
+               list_transform(range(1, len(text) + 1),
+                              i -> ascii(substr(text, i, 1))) AS codes
+        FROM documents
+    ), b AS (
+        SELECT doc_id, text, n,
+               list_filter(range({CDC_WINDOW}, n + 1),
+                           i -> (({poly}) % {CDC_MOD}) % {CDC_MASK} = 0) AS bpos
+        FROM d
+    ), c AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   list_transform(range(1, len(bpos) + 2), j ->
+                       substr(text,
+                              (CASE WHEN j = 1 THEN 0
+                                    ELSE bpos[j - 1] END) + 1,
+                              (CASE WHEN j = len(bpos) + 1 THEN n
+                                    ELSE bpos[j] END)
+                              - (CASE WHEN j = 1 THEN 0
+                                      ELSE bpos[j - 1] END))),
+                   x -> len(x) > 0)) AS chunk
+        FROM b
+    ), h AS (
+        SELECT doc_id, sha256(chunk) AS h FROM c
+    ), s AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY 1
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks
+    FROM h JOIN s USING (h)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_SQL["x192_cdc_chunks"] = _cdc_oracle()
+
+ORACLE_SQL["x193_sql_variables"] = """
+    WITH m AS (
+        SELECT ROUND(quantile_cont(o_totalprice, 0.5), 6) AS mp FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS rev_above
+    FROM orders, m
+    WHERE o_totalprice > m.mp
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["x194_dpp_join"] = """
+    WITH y AS (
+        SELECT DISTINCT year(o_orderdate) AS ship_year
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT year(l_shipdate) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem JOIN y ON year(l_shipdate) = y.ship_year
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
