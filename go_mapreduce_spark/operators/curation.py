@@ -671,3 +671,70 @@ def x176_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x195: cross-split n-gram leakage census (train -> test contamination)
+# ---------------------------------------------------------------------------
+
+
+def x195_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination census over the x141 split rule: for
+    every TEST document, the fraction of its distinct word-3-gram
+    shingles that also occur anywhere in the TRAIN split — the
+    leakage number a held-out eval set must report before its scores
+    mean anything (x52 audits the train side against a benchmark;
+    this audits the split itself).
+
+    Splits are sha256-prefix-deterministic (x141), so the census is
+    exactly replayable.  Shape: both shingle relations are DISTINCT
+    (doc,·)/(·) projections of one corpus scan each; the probe is a
+    left-semi join keyed on the shingle — output bounded by the test
+    side's shingle count, and a hot shingle multiplies nothing (set
+    membership, not pair generation).  At 100 TB the test split is
+    the small side by construction (eval sets are fixed-size), so
+    AQE broadcasts it; the train side only ever streams through the
+    join.
+    """
+    from go_mapreduce_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    tagged = docs.withColumn(
+        "split",
+        F.when(pfx < F.lit(SPLIT_TRAIN_LT), "train")
+        .when(pfx < F.lit(SPLIT_VAL_LT), "val")
+        .otherwise("test"),
+    )
+    train_sh = (
+        doc_shingles(tagged.filter(F.col("split") == "train"))
+        .select("sh")
+        .distinct()
+    )
+    test_sh = doc_shingles(tagged.filter(F.col("split") == "test"))  # already distinct
+    sizes = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    leaked = (
+        test_sh.join(train_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        tagged.filter(F.col("split") == "test")
+        .select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(leaked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.round(
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) > 0,
+                    F.coalesce("n_leaked", F.lit(0)).cast("double")
+                    / F.col("n_shingles"),
+                ).otherwise(0.0),
+                6,
+            ).alias("leak_frac"),
+        )
+        .orderBy("doc_id")
+    )

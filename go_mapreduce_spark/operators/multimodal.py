@@ -329,3 +329,82 @@ def x122_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x196: payload byte-frequency audit (corruption / randomness signal)
+# ---------------------------------------------------------------------------
+
+
+def x196_byte_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte-frequency profile: total bytes, distinct byte
+    values, the dominant byte and its share — the cheap first-pass
+    corruption/randomness screen for opaque media columns (an
+    all-one-byte payload is padding, a near-uniform histogram at high
+    distinct count is ciphertext/noise, text-like payloads sit in
+    between).
+
+    Everything is IN-ROW expression work on the hex rendering of the
+    binary column: byte list → distinct values → per-value counts
+    (nested filter lambda) → max count, with ties broken toward the
+    smallest byte via an explicit filter+array_min — no explode, no
+    shuffle beyond the final sort, so the audit costs one codegen
+    pass however wide the corpus gets (the 256x row-explosion a
+    naive groupBy-per-byte plan would pay is avoided BY SHAPE).
+    Payload bytes never reach Python; DuckDB replays the identical
+    list pipeline on ``hex(payload)``.
+    """
+    media = spark.read.parquet(FIXTURE_PATH)
+    n = F.length("payload")
+    hx = F.hex(F.col("payload"))
+    d = media.select(
+        "media_id",
+        "kind",
+        n.alias("n_bytes"),
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substr(hx, i * 2 - 1, F.lit(2))
+        ).alias("bytes"),
+    )
+    d = d.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "bytes",
+        F.array_distinct("bytes").alias("db"),
+    )
+    cnts = F.transform(
+        F.col("db"),
+        lambda b: F.size(F.filter(F.col("bytes"), lambda x: x == b)),
+    )
+    d = d.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "bytes",
+        "db",
+        cnts.alias("cnts"),
+        F.array_max(cnts).alias("mc"),
+    )
+    top = F.array_min(
+        F.transform(
+            F.filter(
+                F.zip_with(
+                    F.col("db"),
+                    F.col("cnts"),
+                    lambda b, c: F.struct(b.alias("b"), c.alias("c")),
+                ),
+                lambda p: p["c"] == F.col("mc"),
+            ),
+            lambda p: p["b"],
+        )
+    )
+    return d.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.size("db").cast("int").alias("n_distinct_bytes"),
+        top.alias("top_byte"),
+        F.round(F.col("mc").cast("double") / F.col("n_bytes"), 6).alias(
+            "top_share"
+        ),
+    ).orderBy("media_id")

@@ -4367,6 +4367,92 @@ ORACLE_SQL["x194_dpp_join"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 22: cross-split leakage census + media byte-frequency audit
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x195_split_leakage": C.x195_split_leakage,
+        "x196_byte_frequency_audit": MM.x196_byte_frequency_audit,
+    }
+)
+
+ORACLE_SQL["x195_split_leakage"] = f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{C.SPLIT_TRAIN_LT}' THEN 'train'
+                    WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{C.SPLIT_VAL_LT}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, split, sh FROM (
+            SELECT doc_id, split,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS sh
+            FROM (
+                SELECT doc_id, split,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> len(x) > 0) AS toks
+                FROM tagged
+            )
+        )
+    ), tr AS (
+        SELECT DISTINCT sh FROM sh WHERE split = 'train'
+    ), te AS (
+        SELECT doc_id, sh FROM sh WHERE split = 'test'
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM te GROUP BY 1
+    ), lk AS (
+        SELECT doc_id, COUNT(*) AS n_leaked
+        FROM te WHERE sh IN (SELECT sh FROM tr) GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+           ROUND(CASE WHEN COALESCE(s.n_shingles, 0) > 0
+                      THEN CAST(COALESCE(l.n_leaked, 0) AS DOUBLE)
+                           / s.n_shingles
+                      ELSE 0.0 END, 6) AS leak_frac
+    FROM (SELECT doc_id FROM tagged WHERE split = 'test') t
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN lk l USING (doc_id)
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x196_byte_frequency_audit"] = f"""
+    WITH h AS (
+        SELECT media_id, kind,
+               octet_length(payload) AS n_bytes,
+               hex(payload) AS hx
+        FROM read_parquet('{MM.FIXTURE_PATH}/*.parquet')
+    ), b AS (
+        SELECT media_id, kind, n_bytes,
+               list_transform(range(1, n_bytes + 1),
+                              i -> substr(hx, i * 2 - 1, 2)) AS bytes
+        FROM h
+    ), e AS (
+        SELECT *, list_distinct(bytes) AS db FROM b
+    ), m AS (
+        SELECT *,
+               list_max(list_transform(db,
+                   bb -> len(list_filter(bytes, x -> x = bb)))) AS mc
+        FROM e
+    )
+    SELECT media_id, kind,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(len(db) AS INTEGER) AS n_distinct_bytes,
+           list_min(list_filter(db,
+               bb -> len(list_filter(bytes, x -> x = bb)) = mc)) AS top_byte,
+           ROUND(CAST(mc AS DOUBLE) / n_bytes, 6) AS top_share
+    FROM m
+    ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
