@@ -225,7 +225,18 @@ def read_table(
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
+    dels = m.get("deletes", [])
+    if dels:
+        # merge-on-read: subtract the snapshot's deletion-vector keys
+        # (an anti-join on the table key — delete files are key-only
+        # and tiny relative to data, so AQE broadcasts them)
+        key = m["key_col"]
+        dkeys = spark.read.parquet(
+            *[os.path.join(root, e["path"]) for e in dels]
+        ).select(key)
+        df = df.join(dkeys, key, "left_anti")
+    return df
 
 
 def append_table(
@@ -280,6 +291,7 @@ def append_table(
             "key_col": m["key_col"],
             "schema": out_schema_json,
             "files": m["files"] + files,
+            "deletes": m.get("deletes", []),
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id else []),
         },
     )
@@ -306,6 +318,13 @@ def merge_table(
     m = read_manifest(root)
     if batch_id is not None and batch_id in m["batch_ids"]:
         return m["version"]
+    if m.get("deletes"):
+        raise ValueError(
+            "table has pending deletion vectors; run optimize_table() to "
+            "materialize them before MERGE (copy-on-write MERGE carries "
+            "non-overlapping files by reference and would resurrect "
+            "DV-deleted rows in them)"
+        )
     key = m["key_col"]
     version = m["version"] + 1
 
@@ -372,6 +391,57 @@ def merge_table(
             "schema": m["schema"],
             "files": carried + new_files,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id else []),
+        },
+    )
+
+
+def delete_table(spark: SparkSession, root: str, condition) -> int:
+    """Merge-on-read DELETE: rows matching ``condition`` are removed
+    from subsequent reads WITHOUT rewriting any data file — the
+    deletion-vector mechanism (Delta DVs / Iceberg equality deletes).
+
+    The commit writes only a key-list file (the keys of currently
+    live rows matching the predicate) and records it under the
+    manifest's ``deletes``; ``read_table`` subtracts it with an
+    anti-join.  The trade vs copy-on-write MERGE is the classic one:
+    deletes become O(matched keys) instead of O(rewritten files) —
+    the right shape for small scattered deletes (GDPR erasure across
+    a 100 TB table touches every file's key range) — while reads pay
+    the anti-join until ``optimize_table`` materializes the vectors.
+    MERGE refuses to run over pending vectors (it would carry
+    unpruned files by reference and resurrect their deleted rows);
+    ``read_appends`` already refuses non-append commits.
+    """
+    m = read_manifest(root)
+    key = m["key_col"]
+    version = m["version"] + 1
+    keys = read_table(spark, root).where(condition).select(key)
+    stage = os.path.join(root, _TMP, f"v{version:05d}_del")
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    keys.coalesce(1).write.mode("overwrite").parquet(stage)
+    data_dir = os.path.join(root, _DATA)
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    for fn in sorted(os.listdir(stage)):
+        if fn.endswith(".parquet"):
+            dst = f"v{version:05d}_del_00000.parquet"
+            os.rename(os.path.join(stage, fn), os.path.join(data_dir, dst))
+            rows = spark.read.parquet(os.path.join(data_dir, dst)).count()
+            entries.append({"path": f"{_DATA}/{dst}", "rows": rows})
+            break
+    shutil.rmtree(stage)
+    return _commit(
+        root,
+        {
+            "version": version,
+            "parent": m["version"],
+            "op": "delete",
+            "key_col": key,
+            "schema": m["schema"],
+            "files": m["files"],
+            "deletes": m.get("deletes", []) + entries,
+            "batch_ids": m["batch_ids"],
         },
     )
 
@@ -648,20 +718,33 @@ def optimize_table(
     from pyspark.sql.types import StructType
 
     m = read_manifest(root)
+    dels = m.get("deletes", [])
     if zorder_cols is not None:
         if len(zorder_cols) != 2:
             raise ValueError("zorder_cols must name exactly two columns")
         small, keep = list(m["files"]), []
+    elif dels:
+        # pending deletion vectors: materialize them — EVERY file is
+        # rewritten DV-applied (carrying any file by reference would
+        # keep its deleted rows), and the vectors drop from the new
+        # snapshot.  This is the read-debt repayment OPTIMIZE owes
+        # after merge-on-read deletes.
+        small, keep = list(m["files"]), []
     else:
         small = [e for e in m["files"] if e["rows"] < target_rows]
         keep = [e for e in m["files"] if e["rows"] >= target_rows]
-    if len(small) <= 1 and zorder_cols is None:
+    if len(small) <= 1 and zorder_cols is None and not dels:
         return m["version"]  # nothing to compact
     schema = StructType.fromJson(json.loads(m["schema"]))
     df = spark.read.schema(schema).parquet(
         *[os.path.join(root, e["path"]) for e in small]
     )
-    n_rows = sum(e["rows"] for e in small)
+    if dels:
+        dkeys = spark.read.parquet(
+            *[os.path.join(root, e["path"]) for e in dels]
+        ).select(m["key_col"])
+        df = df.join(dkeys, m["key_col"], "left_anti")
+    n_rows = sum(e["rows"] for e in small) - sum(e["rows"] for e in dels)
     n_files = max(1, math.ceil(n_rows / target_rows))
     version = m["version"] + 1
     order_expr = None
@@ -705,12 +788,15 @@ def vacuum_table(root: str, keep_versions: int = 1) -> list[str]:
     horizon = max(1, cur - keep_versions + 1)
     kept_refs: set[str] = set()
     for v in range(horizon, cur + 1):
-        kept_refs |= {e["path"] for e in read_manifest(root, v)["files"]}
+        mv = read_manifest(root, v)
+        kept_refs |= {e["path"] for e in mv["files"] + mv.get("deletes", [])}
     removed: list[str] = []
     for v in range(1, horizon):
+        if not os.path.exists(_manifest_path(root, v)):
+            continue  # already reaped by an earlier vacuum
         dead = read_manifest(root, v)
         os.unlink(_manifest_path(root, v))
-        for e in dead["files"]:
+        for e in dead["files"] + dead.get("deletes", []):
             if e["path"] not in kept_refs and e["path"] not in removed:
                 removed.append(e["path"])
     for p in removed:
@@ -934,4 +1020,76 @@ def x170_incremental_append_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x197: merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def _dv_demo_root(sf_dir: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"gms_lakehouse_dv_{tag}")
+
+
+def ensure_dv_demo(spark: SparkSession, sf_dir: str) -> str:
+    """v1 create (orders with o_orderkey % 4 == 0), v2 merge-on-read
+    DELETE of finished orders with o_orderkey % 3 == 0 — a scattered
+    predicate whose key range overlaps EVERY data file, i.e. exactly
+    the delete copy-on-write handles worst (it would rewrite the
+    whole table) and deletion vectors handle best (one key-list
+    file)."""
+    from go_mapreduce_spark.sources.registry import load_table
+
+    root = _dv_demo_root(sf_dir)
+    try:
+        m = read_manifest(root)
+        if m["version"] == 2 and m["op"] == "delete":
+            return root
+    except FileNotFoundError:
+        pass
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    orders = load_table(spark, sf_dir, "orders").select(*_DEMO_COLS)
+    k = F.col("o_orderkey")
+    create_table(spark, orders.filter(k % 4 == 0), root, key_col="o_orderkey")
+    delete_table(
+        spark,
+        root,
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0),
+    )
+    return root
+
+
+def x197_lakehouse_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read over pending deletion vectors: per order status,
+    row count and decimal-exact revenue of the DV demo table — the
+    deleted slice must be invisible even though NO data file was
+    rewritten (the manifest still lists every v1 file; only a
+    key-list file was added).
+
+    The oracle is closed-form key arithmetic over raw orders.  The
+    full DV lifecycle — vectors invisible to reads, OPTIMIZE
+    materializing them back to a vector-free snapshot with identical
+    content, MERGE refusing to run over pending vectors, VACUUM
+    retaining/reaping key-list files — is pytest-covered in
+    tests/test_lakehouse.py.
+    """
+    root = ensure_dv_demo(spark, sf_dir)
+    t = read_table(spark, root)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
     )

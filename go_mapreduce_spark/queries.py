@@ -4453,6 +4453,26 @@ ORACLE_SQL["x196_byte_frequency_audit"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 23: merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+from go_mapreduce_spark import lakehouse as LH2  # noqa: E402
+
+QUERIES.update({"x197_lakehouse_delete": LH2.x197_lakehouse_delete})
+
+ORACLE_SQL["x197_lakehouse_delete"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_price
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

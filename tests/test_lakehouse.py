@@ -401,3 +401,112 @@ def test_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
     # content identical, history preserved
     assert {(r.k, r.a, r.b) for r in LH.read_table(spark, root).collect()} == before
     assert {(r.k, r.a, r.b) for r in LH.read_table(spark, root, 1).collect()} == before
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (merge-on-read DELETE)
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path):
+    import go_mapreduce_spark.lakehouse as lh
+
+    root = str(tmp_path / "dv_tbl")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i * 10)) for i in range(1, 21)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    lh.create_table(spark, df, root, key_col="o_orderkey")
+    return lh, root
+
+
+def test_dv_delete_hides_rows_without_rewriting_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    lh, root = _dv_table(spark, tmp_path)
+    files_v1 = {e["path"] for e in lh.read_manifest(root)["files"]}
+    lh.delete_table(spark, root, F.col("o_orderkey") % 5 == 0)
+    m = lh.read_manifest(root)
+    assert m["op"] == "delete"
+    # data files untouched — only a key-list file was added
+    assert {e["path"] for e in m["files"]} == files_v1
+    assert len(m["deletes"]) == 1 and m["deletes"][0]["rows"] == 4
+    keys = {r.o_orderkey for r in lh.read_table(spark, root).collect()}
+    assert keys == {i for i in range(1, 21) if i % 5 != 0}
+    # time travel to v1 still sees everything
+    assert lh.read_table(spark, root, version=1).count() == 20
+
+
+def test_dv_optimize_materializes_and_clears_vectors(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    lh, root = _dv_table(spark, tmp_path)
+    lh.delete_table(spark, root, F.col("o_orderkey") <= 3)
+    before = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in lh.read_table(spark, root).collect()
+    }
+    v = lh.optimize_table(spark, root, target_rows=1000)
+    m = lh.read_manifest(root)
+    assert v == 3 and m.get("deletes", []) == []
+    after = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in lh.read_table(spark, root).collect()
+    }
+    assert after == before
+    # materialized files genuinely exclude the deleted keys
+    assert sum(e["rows"] for e in m["files"]) == 17
+
+
+def test_dv_merge_refuses_pending_vectors(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    lh, root = _dv_table(spark, tmp_path)
+    lh.delete_table(spark, root, F.col("o_orderkey") == 1)
+    batch = spark.createDataFrame(
+        [(2, "A", 999.0, "upsert")],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, _op string",
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        lh.merge_table(spark, batch, root, batch_id="bx")
+    # after materialization the merge goes through
+    lh.optimize_table(spark, root, target_rows=1000)
+    lh.merge_table(spark, batch, root, batch_id="bx")
+    rows = {r.o_orderkey: r.o_totalprice for r in lh.read_table(spark, root).collect()}
+    assert rows[2] == 999.0 and 1 not in rows
+
+
+def test_dv_vacuum_respects_delete_files(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    lh, root = _dv_table(spark, tmp_path)
+    lh.delete_table(spark, root, F.col("o_orderkey") % 2 == 0)  # v2
+    dv_path = lh.read_manifest(root)["deletes"][0]["path"]
+    # retain v2 only: its delete file must survive vacuum
+    lh.vacuum_table(root, keep_versions=1)
+    assert os.path.exists(os.path.join(root, dv_path))
+    assert lh.read_table(spark, root).count() == 10
+    # materialize, then vacuum to the DV-free snapshot: the key-list
+    # file is no longer referenced and gets reaped
+    lh.optimize_table(spark, root, target_rows=1000)  # v3
+    removed = lh.vacuum_table(root, keep_versions=1)
+    assert dv_path in removed
+    assert not os.path.exists(os.path.join(root, dv_path))
+    assert lh.read_table(spark, root).count() == 10
+
+
+def test_dv_append_carries_vectors_forward(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    lh, root = _dv_table(spark, tmp_path)
+    lh.delete_table(spark, root, F.col("o_orderkey") == 7)
+    extra = spark.createDataFrame(
+        [(100, "C", 1.0)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    lh.append_table(spark, extra, root)
+    keys = {r.o_orderkey for r in lh.read_table(spark, root).collect()}
+    assert 7 not in keys and 100 in keys and len(keys) == 20
