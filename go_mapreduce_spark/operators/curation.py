@@ -738,3 +738,84 @@ def x195_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x200: the end-to-end curation pipeline, one declared plan
+# ---------------------------------------------------------------------------
+
+PIPE_QUALITY_MIN = 0.5
+
+
+def x200_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — the full LLM-data curation pipeline
+    as ONE lazy plan: exact dedup (sha256, keep min doc_id per hash)
+    → quality gate (the x9 composite ≥ 0.5) → deterministic
+    train/val/test split (x141 sha-prefix rule) → per-(split, lang)
+    shard accounting with an order-independent corpus fingerprint
+    (sum of per-doc hash prefixes, the x109 device) that certifies
+    WHICH documents survived, not just how many.
+
+    Every stage is a previously-declared, individually-oracle-checked
+    operator; composing them costs: one doc scan + one hash-keyed
+    dedup shuffle + map-side-combinable final aggregate.  Nothing
+    else — the quality features and the split tag are per-row
+    expressions that FUSE into the dedup output in a single codegen
+    stage (no extra pass per stage, which is the entire argument for
+    declaring pipelines lazily instead of materializing between
+    steps).  At 100 TB this plan is: scan, one shuffle on a uniform
+    64-hex key, aggregate of ≤ |splits|x|langs| rows.
+    """
+    from go_mapreduce_spark.operators.dedup import lower_tokens
+    from go_mapreduce_spark.operators.text import EN_STOPWORDS, _stopword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    surv = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    toks = lower_tokens(F.col("text"))
+    text_len = F.length("text")
+    alpha_len = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_toks = F.size(toks)
+    sw = _stopword_count(toks, EN_STOPWORDS)
+    alpha_ratio = F.when(text_len > 0, alpha_len.cast("double") / text_len).otherwise(0.0)
+    sw_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    quality = F.round(
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * sw_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / 50),
+        6,
+    )
+    pfx = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    split = (
+        F.when(pfx < F.lit(SPLIT_TRAIN_LT), "train")
+        .when(pfx < F.lit(SPLIT_VAL_LT), "val")
+        .otherwise("test")
+    )
+    fp_piece = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":pipe")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    kept = surv.filter(quality >= PIPE_QUALITY_MIN).select(
+        split.alias("split"),
+        "lang",
+        "n_chars",
+        fp_piece.alias("fp"),
+    )
+    return (
+        kept.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("fp").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -1050,3 +1050,51 @@ def x193_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# x199: map higher-order functions (map_from_entries / map_filter /
+# transform_values)
+# ---------------------------------------------------------------------------
+
+
+def x199_map_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type profiles through the MAP lambda surface:
+    build a ``map<event_type, count>`` per user with
+    ``map_from_entries`` over sorted entries, drop rare types with
+    ``map_filter`` (count >= 2), rescale with ``transform_values``,
+    and explode back to rows for the ordered relational contract.
+
+    The map type is the natural carrier for per-entity feature
+    bundles at serving time (one row per user, not one per
+    (user, feature)); the lambdas run in codegen like the array
+    family (x183).  The oracle checks SEMANTICS, not mechanism —
+    plain GROUP BY + HAVING + arithmetic produce the identical
+    relation, which is exactly the point: the map pipeline is a
+    row-layout choice, not a different answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "cnt"))
+            )
+        ).alias("profile")
+    )
+    adjusted = as_map.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter(F.col("profile"), lambda k, v: v >= 2),
+            lambda k, v: v * 2,
+        ).alias("profile"),
+    )
+    return (
+        adjusted.select("user_id", F.explode("profile").alias("event_type", "adj"))
+        .select(
+            "user_id", "event_type", F.col("adj").cast("bigint").alias("adj_count")
+        )
+        .orderBy("user_id", "event_type")
+    )

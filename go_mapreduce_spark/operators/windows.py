@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from go_mapreduce_spark.functions.numeric import dsum
 from go_mapreduce_spark.sources.registry import load_table
@@ -280,4 +281,42 @@ def x110_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_1h"),
         )
         .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x198: window-function completeness (first/nth_value, cume_dist)
+# ---------------------------------------------------------------------------
+
+
+def x198_window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ANSI window functions in one customer-partitioned
+    pass: first order, second order (``nth_value``), each order's
+    ``cume_dist`` within the customer's history, and the partition
+    count — completing the surface next to x8/x58's
+    row_number/rank/lag/ntile family.
+
+    Frames are EXPLICIT (rows unbounded-to-unbounded for first/nth):
+    the default frame stops at CURRENT ROW, which silently turns
+    nth_value(2) into NULL for each customer's first row — the
+    classic cross-engine gotcha, pinned here by spelling the frame
+    out identically in both engines.  One customer-keyed shuffle
+    serves all four functions (a single Window operator in the
+    plan).
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first_value("o_orderkey").over(wfull).alias("first_order"),
+            F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.count(F.lit(1)).over(wfull).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
     )

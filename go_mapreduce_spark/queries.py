@@ -4473,6 +4473,106 @@ ORACLE_SQL["x197_lakehouse_delete"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 24: window completeness, map lambdas, and the x200 capstone
+# pipeline
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x198_window_completeness": WIN.x198_window_completeness,
+        "x199_map_lambdas": RX.x199_map_lambdas,
+        "x200_curation_pipeline": C.x200_curation_pipeline,
+    }
+)
+
+ORACLE_SQL["x198_window_completeness"] = """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_order,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_order,
+           ROUND(cume_dist() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)
+               AS cume_dist,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+"""
+
+ORACLE_SQL["x199_map_lambdas"] = """
+    SELECT user_id, event_type, CAST(cnt * 2 AS BIGINT) AS adj_count
+    FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    WHERE cnt >= 2
+    ORDER BY user_id, event_type
+"""
+
+
+def _pipeline_oracle() -> str:
+    from go_mapreduce_spark.operators.curation import (
+        PIPE_QUALITY_MIN,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+    from go_mapreduce_spark.operators.text import EN_STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+    WITH surv AS (
+        SELECT doc_id, text, lang, n_chars FROM (
+            SELECT doc_id, text, lang, n_chars,
+                   row_number() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ), m AS (
+        SELECT doc_id, lang, n_chars,
+               len(text) AS tl,
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
+               len(toks) AS nt,
+               len(list_filter(toks, x -> list_contains({sw}, x))) AS sw
+        FROM (
+            SELECT *,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> len(x) > 0) AS toks
+            FROM surv
+        )
+    ), k AS (
+        SELECT CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{SPLIT_TRAIN_LT}' THEN 'train'
+                    WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{SPLIT_VAL_LT}' THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, n_chars,
+               CAST(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                               || ':pipe'), 1, 8) AS BIGINT)
+                    AS DECIMAL(38,0)) AS fp
+        FROM m
+        WHERE ROUND(0.4*(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl
+                              ELSE 0.0 END)
+                  + 0.3*(CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE)/nt
+                              ELSE 0.0 END)
+                  + 0.3*least(1.0, CAST(nt AS DOUBLE)/50), 6)
+              >= {PIPE_QUALITY_MIN}
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(fp) AS BIGINT) AS fingerprint
+    FROM k GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLE_SQL["x200_curation_pipeline"] = _pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
