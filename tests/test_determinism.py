@@ -150,3 +150,39 @@ def test_new_stream_replays_invariant_to_state_partitioning(
         }
         results[parts] = (fo, ch)
     assert results[2] == results[8]
+
+
+@pytest.mark.parametrize("parts", [3, 16])
+def test_session_waves_invariant_to_partitioning(spark, sf_dir, parts):
+    """Waves 18–24 under the same invariance bar — the queries whose
+    determinism rests on an explicit discipline: decimal gradient
+    sums (x185), histogram sweeps (x184/x186), bucketed exact rank
+    (x189), bucket-decomposed running sums (x190), integer rolling
+    hashes (x192), split-point thresholds (x193), and the fused
+    pipeline (x200)."""
+    from go_mapreduce_spark.queries import QUERIES
+
+    names = [
+        "x180_countmin_error",
+        "x184_quality_auc",
+        "x185_logreg_train",
+        "x186_quality_calibration",
+        "x189_revenue_gini",
+        "x190_peak_concurrency",
+        "x192_cdc_chunks",
+        "x193_sql_variables",
+        "x200_curation_pipeline",
+    ]
+    refs = {}
+    for n in names:
+        df = QUERIES[n](spark, sf_dir)
+        refs[n] = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        for n in names:
+            df = QUERIES[n](spark, sf_dir)
+            got = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+            assert got == refs[n], f"{n} varies with shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
