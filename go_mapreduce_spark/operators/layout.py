@@ -343,3 +343,39 @@ def x142_skipping_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(verdict(sorted_, "shipdate_sorted"))
         .orderBy("layout", "skippable")
     )
+
+
+# ---------------------------------------------------------------------------
+# x205: exact quantile normalization via the range-bucketed rank
+# ---------------------------------------------------------------------------
+
+
+def x205_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-quantile normalization of document length:
+    each doc's ``n_chars`` mapped to its empirical percentile
+    ``(rank − 1) / (n − 1)`` — the feature-scaling step that makes
+    heavy-tailed raw features comparable across corpora (quantile
+    transforms are what length/quality thresholds should be stated
+    in, so they survive distribution drift).
+
+    Third reuse of the ``_global_row_number`` machinery: the global
+    rank comes from sketch split points + PARTITIONED windows +
+    literal offsets — exact at any scale with no single-task stage.
+    Ties break by doc_id for rank determinism; the percentile is an
+    integer ratio evaluated in one double division.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, n = _global_row_number(
+        docs,
+        ["n_chars", "doc_id"],
+        F.col("n_chars").cast("double"),
+        rn="rnk",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            (F.col("rnk") - 1).cast("double") / F.lit(float(max(n - 1, 1))),
+            6,
+        ).alias("length_pct"),
+    ).orderBy("doc_id")

@@ -1098,3 +1098,118 @@ def x199_map_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x201: argmax aggregates (max_by / min_by)
+# ---------------------------------------------------------------------------
+
+
+def x201_argmax_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the user with the highest decimal-exact total
+    value (and the lowest-spending user), through the ``max_by`` /
+    ``min_by`` argmax aggregates — one grouped pass instead of the
+    window + filter detour (at scale: map-side combinable, no second
+    shuffle, no rank materialization).
+
+    Ties are pinned IN the ordering key: the comparator is
+    ``struct(total, -user_id)``, so equal totals resolve to the
+    smallest user id deterministically — max_by with a bare value
+    column leaves ties engine-defined, which would break the hash
+    gate.  The oracle takes the window formulation; same relation,
+    which is the point.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.max_by(
+                "user_id", F.struct(F.col("total"), (-F.col("user_id")).alias("nu"))
+            ).alias("top_user"),
+            F.max("total").alias("top_total_d"),
+            F.min_by(
+                "user_id", F.struct(F.col("total"), F.col("user_id"))
+            ).alias("bottom_user"),
+            F.min("total").alias("bottom_total_d"),
+        )
+        .select(
+            "event_type",
+            "top_user",
+            F.round(F.col("top_total_d").cast("double"), 4).alias("top_total"),
+            "bottom_user",
+            F.round(F.col("bottom_total_d").cast("double"), 4).alias(
+                "bottom_total"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x202: null-preserving fan-out (explode_outer)
+# ---------------------------------------------------------------------------
+
+
+def x202_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle fan-out that KEEPS empty documents: ``explode_outer``
+    emits one null row for a doc with no 3-gram shingles, so the
+    per-doc aggregate covers the whole corpus — the null-preserving
+    explode an ingest pipeline needs when "no features" must stay a
+    row, not silently vanish (the plain ``explode``'s inner-join
+    semantics).  ``count(sh)`` counts only non-null shingles, so
+    empty docs report 0 without a separate anti-join branch.
+    """
+    from go_mapreduce_spark.operators.dedup import lower_tokens, shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode_outer(shingles_from_tokens(F.col("toks"))).alias("sh"),
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("sh").cast("bigint").alias("n_shingle_occurrences"),
+            F.count_distinct("sh").cast("bigint").alias("n_distinct_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x203: schema-drift union (unionByName + allowMissingColumns)
+# ---------------------------------------------------------------------------
+
+
+def x203_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time schema drift: an old feed without ``value`` and a
+    new feed with it, combined via ``unionByName(allowMissingColumns
+    =True)`` — positional UNION would silently misalign columns; the
+    by-name union fills the missing column with NULL, which the
+    aggregate then reports honestly (n_with_value < n_events for the
+    drifted slice).  The standard first step of every multi-source
+    ingest with evolving producers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    old_feed = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "user_id"
+    )
+    new_feed = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    unified = old_feed.unionByName(new_feed, allowMissingColumns=True)
+    return (
+        unified.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("value").cast("bigint").alias("n_with_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

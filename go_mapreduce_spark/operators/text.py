@@ -1223,3 +1223,48 @@ def x186_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# x204: sentence segmentation stats
+# ---------------------------------------------------------------------------
+
+
+def x204_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence segmentation: split on terminal-punctuation
+    runs, drop whitespace-only fragments, report sentence count and
+    mean words per sentence — the doc-structure signal (wall-of-text
+    vs choppy listicle) quality filters threshold on.
+
+    Pure array expressions; the mean is exact-integer words / exact
+    count in one double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), "[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    d = docs.select("doc_id", sents.alias("sents"))
+    words_per = F.transform(
+        F.col("sents"),
+        lambda s: F.size(
+            F.filter(F.split(s, "[^A-Za-z]+"), lambda w: F.length(w) > 0)
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("sents").alias("n_sentences"),
+        F.aggregate(words_per, F.lit(0), lambda a, x: a + x).alias("n_words"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.when(
+                F.col("n_sentences") > 0,
+                F.col("n_words").cast("double") / F.col("n_sentences"),
+            ).otherwise(0.0),
+            6,
+        ).alias("avg_words_per_sentence"),
+    ).orderBy("doc_id")

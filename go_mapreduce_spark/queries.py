@@ -4573,6 +4573,109 @@ ORACLE_SQL["x200_curation_pipeline"] = _pipeline_oracle()
 
 
 # ---------------------------------------------------------------------------
+# wave 25: argmax aggregates, null-preserving fan-out, schema-drift
+# union, sentence stats, exact quantile normalization
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x201_argmax_user": RX.x201_argmax_user,
+        "x202_explode_outer": RX.x202_explode_outer,
+        "x203_union_by_name": RX.x203_union_by_name,
+        "x204_sentence_stats": T.x204_sentence_stats,
+        "x205_quantile_normalize": L.x205_quantile_normalize,
+    }
+)
+
+ORACLE_SQL["x201_argmax_user"] = """
+    WITH pu AS (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(38,6))) AS total
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT event_type, user_id, total,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY total DESC, user_id ASC) AS rt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY total ASC, user_id ASC) AS rb
+        FROM pu
+    )
+    SELECT t.event_type,
+           t.user_id AS top_user,
+           ROUND(CAST(t.total AS DOUBLE), 4) AS top_total,
+           b.user_id AS bottom_user,
+           ROUND(CAST(b.total AS DOUBLE), 4) AS bottom_total
+    FROM (SELECT * FROM r WHERE rt = 1) t
+    JOIN (SELECT * FROM r WHERE rb = 1) b USING (event_type)
+    ORDER BY event_type
+"""
+
+ORACLE_SQL["x202_explode_outer"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   AS shs
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(shs) AS BIGINT) AS n_shingle_occurrences,
+           CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct_shingles
+    FROM s ORDER BY doc_id
+"""
+
+ORACLE_SQL["x203_union_by_name"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_value,
+           ROUND(CAST(SUM(CASE WHEN event_id % 2 = 1
+                               THEN CAST(value AS DECIMAL(38,6)) END)
+                      AS DOUBLE), 4) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["x204_sentence_stats"] = """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[.!?]+'),
+                           x -> len(trim(x)) > 0) AS sents
+        FROM documents
+    ), w AS (
+        SELECT doc_id, len(sents) AS n_sentences,
+               list_reduce(
+                   list_prepend(0,
+                       list_transform(sents,
+                           x -> len(list_filter(
+                                    regexp_split_to_array(x, '[^A-Za-z]+'),
+                                    t -> len(t) > 0)))),
+                   (a, b) -> a + b) AS n_words
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CASE WHEN n_sentences > 0
+                      THEN CAST(n_words AS DOUBLE) / n_sentences
+                      ELSE 0.0 END, 6) AS avg_words_per_sentence
+    FROM w ORDER BY doc_id
+"""
+
+ORACLE_SQL["x205_quantile_normalize"] = """
+    SELECT doc_id, n_chars,
+           ROUND(CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                      AS DOUBLE)
+                 / (COUNT(*) OVER () - 1), 6) AS length_pct
+    FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
