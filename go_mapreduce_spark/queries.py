@@ -4676,6 +4676,32 @@ ORACLE_SQL["x205_quantile_normalize"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 26: RocksDB state store
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x206_rocksdb_stateful": SE.x206_rocksdb_stateful})
+
+ORACLE_SQL["x206_rocksdb_stateful"] = """
+    -- same append-mode finalization rule as x36: emitted windows are
+    -- those with window_end <= ms-truncated max(ts) - 2h
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+        FROM events
+    ), agg AS (
+        SELECT time_bucket(INTERVAL '2 hours', ts) AS window_start,
+               user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT agg.* FROM agg, wm
+    WHERE agg.window_start + INTERVAL 2 HOUR <= wm.w
+    ORDER BY window_start, user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

@@ -706,3 +706,86 @@ def x168_stream_attributed_windows(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = _replay_to_parquet(spark, sf_dir, "x168", agg)
     return out.orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# x206: stateful replay on the RocksDB state store provider
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def x206_rocksdb_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user tumbling totals replayed on the **RocksDB state store
+    provider** — the state backend production stateful jobs run on:
+    the default HDFS-backed store keeps every key in executor heap
+    (state volume is bounded by memory), while RocksDB spills keyed
+    state to local SSD with changelog checkpointing, which is what
+    makes 10^9-key state (per-user aggregates over a 100 TB stream)
+    operable at all.
+
+    Results must be bit-identical to the default-provider replays —
+    the provider is an operational choice, not a semantics change —
+    so this query rides the same append-mode watermark-finalization
+    oracle as the rest of the streaming family (windows with
+    ``window_end <= max(ts) − 2 h``).  The provider is bound at query
+    start from session conf; set for the replay and restored after.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_changelog = spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        None,
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        out = _replay_to_parquet(spark, sf_dir, "x206", agg)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        if prev_changelog is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                prev_changelog,
+            )
+    return out.select(
+        "window_start", "user_id", "n_events", "total_value"
+    ).orderBy("window_start", "user_id")
