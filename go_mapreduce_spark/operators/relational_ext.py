@@ -1213,3 +1213,117 @@ def x203_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x207: calendar dimension build (date-function breadth)
+# ---------------------------------------------------------------------------
+
+
+def x207_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar dimension every warehouse derives once and joins
+    everywhere: for each distinct order date — year, quarter, month,
+    day, ISO weekday, month-end date, same-day-next-quarter
+    (``add_months`` with its month-end clamp), and days to month end.
+
+    Cross-engine date-function parity is the minefield here, so each
+    column is pinned to a definition both engines share exactly:
+    weekday normalized to ISO (Mon=1 — Spark ``weekday()+1``, DuckDB
+    ``isodow``), ``last_day`` (identical clamp), and ``add_months``
+    vs ``+ INTERVAL 3 MONTH`` (both clamp day-of-month into the
+    target month).  Dimension cardinality is |distinct dates| —
+    metadata-sized forever.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    return (
+        d.select(
+            "d",
+            F.year("d").cast("int").alias("yr"),
+            F.quarter("d").cast("int").alias("qtr"),
+            F.month("d").cast("int").alias("mon"),
+            F.dayofmonth("d").cast("int").alias("dom"),
+            (F.weekday("d") + 1).cast("int").alias("iso_dow"),
+            F.last_day("d").alias("month_end"),
+            F.add_months("d", 3).alias("next_qtr_day"),
+            F.datediff(F.last_day("d"), F.col("d"))
+            .cast("int")
+            .alias("days_to_month_end"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x208: array set algebra (collect_set + intersect/except)
+# ---------------------------------------------------------------------------
+
+
+def x208_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioural coverage through array set algebra: the
+    sorted set of event types the user produced (``collect_set``),
+    the types they are MISSING vs the global catalogue
+    (``array_except``), and the overlap count with the
+    purchase-funnel types (``array_intersect``) — the in-row set
+    operations that replace per-(user,type) pivot tables when the
+    universe is small.
+
+    ``collect_set`` order is engine-internal, so every emitted array
+    is ``array_sort``-ed before leaving the plan — the same
+    determinism rule the hash gate forces everywhere else.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    all_types = F.array(
+        *[F.lit(t) for t in ("click", "purchase", "signup", "view", "error")]
+    )
+    funnel = F.array(F.lit("click"), F.lit("purchase"), F.lit("signup"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    return (
+        per_user.select(
+            "user_id",
+            F.size("types").cast("int").alias("n_types"),
+            F.array_sort(F.array_except(all_types, F.col("types"))).alias(
+                "missing_types"
+            ),
+            F.size(F.array_intersect(F.col("types"), funnel))
+            .cast("int")
+            .alias("n_funnel_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x209: bitmap flag aggregation (bit_or / bit_and / bit_count)
+# ---------------------------------------------------------------------------
+
+_TYPE_BITS = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+
+
+def x209_bitmap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type presence as BITMAPS: each event contributes
+    ``1 << type_bit``; ``bit_or`` folds a user's events into one
+    presence mask, ``bit_count`` reads the coverage, and a second
+    ``bit_and`` across each type's user masks answers "which types
+    does EVERY user of this type also produce" — the bitmap-index
+    idiom that turns set questions into integer ops (5 bytes of state
+    per user instead of a (user,type) relation; at 10^9 users this is
+    the difference between a bitmap join and a shuffle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mask = F.lit(0).cast("long")
+    for t, b in _TYPE_BITS.items():
+        mask = F.when(F.col("event_type") == t, F.lit(1 << b)).otherwise(mask)
+    per_user = ev.select("user_id", mask.alias("m")).groupBy("user_id").agg(
+        F.bit_or("m").alias("presence_mask")
+    )
+    return (
+        per_user.select(
+            "user_id",
+            F.col("presence_mask").cast("int").alias("presence_mask"),
+            F.bit_count("presence_mask").cast("int").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )

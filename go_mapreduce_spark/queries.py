@@ -4702,6 +4702,68 @@ ORACLE_SQL["x206_rocksdb_stateful"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 27: calendar dimension, array set algebra, bitmap flags
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x207_calendar_dim": RX.x207_calendar_dim,
+        "x208_array_set_ops": RX.x208_array_set_ops,
+        "x209_bitmap_flags": RX.x209_bitmap_flags,
+    }
+)
+
+ORACLE_SQL["x207_calendar_dim"] = """
+    WITH d AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    )
+    SELECT d,
+           CAST(year(d) AS INTEGER) AS yr,
+           CAST(quarter(d) AS INTEGER) AS qtr,
+           CAST(month(d) AS INTEGER) AS mon,
+           CAST(day(d) AS INTEGER) AS dom,
+           CAST(isodow(d) AS INTEGER) AS iso_dow,
+           last_day(d) AS month_end,
+           CAST(d + INTERVAL 3 MONTH AS DATE) AS next_qtr_day,
+           CAST(last_day(d) - d AS INTEGER) AS days_to_month_end
+    FROM d ORDER BY d
+"""
+
+ORACLE_SQL["x208_array_set_ops"] = """
+    WITH pu AS (
+        SELECT user_id,
+               list_sort(list_distinct(list(event_type))) AS types
+        FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(types) AS INTEGER) AS n_types,
+           list_sort(list_filter(
+               ['click', 'error', 'purchase', 'signup', 'view'],
+               t -> NOT list_contains(types, t))) AS missing_types,
+           CAST(len(list_filter(types,
+               t -> list_contains(['click', 'purchase', 'signup'], t)))
+               AS INTEGER) AS n_funnel_types
+    FROM pu ORDER BY user_id
+"""
+
+ORACLE_SQL["x209_bitmap_flags"] = """
+    WITH m AS (
+        SELECT user_id,
+               CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                    WHEN 'view' THEN 16 ELSE 0 END AS m
+        FROM events
+    ), pu AS (
+        SELECT user_id, bit_or(m) AS pm FROM m GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(pm AS INTEGER) AS presence_mask,
+           CAST(bit_count(CAST(pm AS BIGINT)) AS INTEGER) AS n_types
+    FROM pu ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
