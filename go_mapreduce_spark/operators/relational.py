@@ -250,3 +250,60 @@ def x194_dpp_join(spark, sf_dir: str):
         )
         .orderBy("ship_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# x210: inline data-quality metrics via observe()
+# ---------------------------------------------------------------------------
+
+
+def x210_observed_metrics(spark, sf_dir: str):
+    """Data-quality metrics harvested with ``observe()`` — aggregates
+    computed ON THE SAME PASS as a real scan, via Spark's
+    Observation listener, instead of a second job: row count, exact
+    decimal quantity total, orderkey bounds, and an
+    out-of-domain-discount violation counter.
+
+    This is how production pipelines attach DQ counters to every
+    write without doubling I/O — at 100 TB a separate metrics scan
+    IS the cost of the pipeline again.  The observed row is returned
+    as the declared relation (``createDataFrame`` of one bounded
+    row); determinism holds because every observed aggregate is
+    order-independent (count / decimal sum / min / max / conditional
+    count).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("n_bad_discount"),
+    )
+    # drive the observed scan with a cheap action (noop-style count)
+    observed.select("l_orderkey").write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                round(float(m["sum_qty"]), 4),
+                int(m["min_orderkey"]),
+                int(m["max_orderkey"]),
+                int(m["n_bad_discount"]),
+            )
+        ],
+        "n_rows bigint, sum_qty double, min_orderkey bigint, "
+        "max_orderkey bigint, n_bad_discount bigint",
+    )

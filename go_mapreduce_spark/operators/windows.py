@@ -320,3 +320,80 @@ def x198_window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x211: linear-interpolation gap fill (the LOCF twin for continuous
+# signals)
+# ---------------------------------------------------------------------------
+
+
+def x211_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with LINEAR interpolation: per event type,
+    the dense hourly grid (x51's spine) where empty hours take the
+    straight line between the surrounding observed hourly means —
+    the right fill for continuous signals (sensor readings, prices),
+    where LOCF's step function (x51) systematically lags trends.
+
+    Same plan as x51 plus one backward-looking and one forward-
+    looking window (both PARTITIONED by type): previous/next
+    observed value and timestamp via ``last/first(ignorenulls)``.
+    The interpolation weight is an exact integer µs ratio evaluated
+    in one double expression — identical IEEE sequence in the
+    oracle.  Grid points outside the observed range keep NULL
+    (extrapolation is a modelling choice, not a fill).
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_value")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    g = spine.join(hourly, ["event_type", "h"], "left")
+    wb = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_t = F.when(F.col("mean_value").isNotNull(), F.col("h"))
+    g = g.select(
+        "event_type",
+        "h",
+        "mean_value",
+        F.last("mean_value", ignorenulls=True).over(wb).alias("pv"),
+        F.unix_micros(F.last(obs_t, ignorenulls=True).over(wb)).alias("pt"),
+        F.first("mean_value", ignorenulls=True).over(wf).alias("nv"),
+        F.unix_micros(F.first(obs_t, ignorenulls=True).over(wf)).alias("nt"),
+    )
+    t = F.unix_micros("h")
+    interp = F.when(F.col("mean_value").isNotNull(), F.col("mean_value")).otherwise(
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((t - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double")),
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        (F.col("mean_value").isNotNull()).alias("observed"),
+        F.round(interp, 6).alias("filled_value"),
+    ).orderBy("event_type", "hour")

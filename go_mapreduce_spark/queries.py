@@ -4764,6 +4764,70 @@ ORACLE_SQL["x209_bitmap_flags"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 28: observe() DQ metrics + linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x210_observed_metrics": R.x210_observed_metrics,
+        "x211_gapfill_linear": WIN.x211_gapfill_linear,
+    }
+)
+
+ORACLE_SQL["x210_observed_metrics"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS sum_qty,
+           MIN(l_orderkey) AS min_orderkey,
+           MAX(l_orderkey) AS max_orderkey,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_discount
+    FROM lineitem
+"""
+
+ORACLE_SQL["x211_gapfill_linear"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_value
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+              FROM hourly GROUP BY 1)
+    ), g AS (
+        SELECT s.event_type, s.h, m.mean_value,
+               last_value(m.mean_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               epoch_us(last_value(CASE WHEN m.mean_value IS NOT NULL
+                                        THEN s.h END IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pt,
+               first_value(m.mean_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               epoch_us(first_value(CASE WHEN m.mean_value IS NOT NULL
+                                         THEN s.h END IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS nt
+        FROM spine s
+        LEFT JOIN hourly m ON m.event_type = s.event_type AND m.h = s.h
+    )
+    SELECT event_type, h AS hour,
+           (mean_value IS NOT NULL) AS observed,
+           ROUND(CASE WHEN mean_value IS NOT NULL THEN mean_value
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv)
+                           * (CAST(epoch_us(h) - pt AS DOUBLE)
+                              / CAST(nt - pt AS DOUBLE))
+                 END, 6) AS filled_value
+    FROM g ORDER BY event_type, hour
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
