@@ -1327,3 +1327,41 @@ def x209_bitmap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x212: parameterized SQL (named-argument binding)
+# ---------------------------------------------------------------------------
+
+PARAM_SEGMENT = "BUILDING"
+PARAM_MIN_ORDERS = 2
+
+
+def x212_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL — ``spark.sql(query, args={...})`` binds
+    typed values into ``:name`` markers server-side, the
+    injection-safe alternative to f-string query assembly (the
+    parameter is a literal to Catalyst, so it folds, pushes down and
+    prunes exactly like hand-written SQL; with a string-assembled
+    query a hostile segment value would be parsed as SQL).
+
+    Per market segment: customers with at least ``:min_orders``
+    orders, their order count and decimal revenue — the segment and
+    threshold arrive ONLY through the args map.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                          AS DOUBLE), 4) AS revenue
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = :segment
+        GROUP BY c.c_custkey
+        HAVING COUNT(*) >= :min_orders
+        ORDER BY c.c_custkey
+        """,
+        args={"segment": PARAM_SEGMENT, "min_orders": PARAM_MIN_ORDERS},
+    )

@@ -4828,6 +4828,39 @@ ORACLE_SQL["x211_gapfill_linear"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 29: parameterized SQL
+# ---------------------------------------------------------------------------
+
+from go_mapreduce_spark.sources import pydatasource as PDS  # noqa: E402
+
+QUERIES.update(
+    {
+        "x212_parameterized_sql": RX.x212_parameterized_sql,
+        "x213_custom_stream_source": PDS.x213_custom_stream_source,
+    }
+)
+
+ORACLE_SQL["x213_custom_stream_source"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["x212_parameterized_sql"] = f"""
+    SELECT c.c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = '{RX.PARAM_SEGMENT}'
+    GROUP BY 1 HAVING COUNT(*) >= {RX.PARAM_MIN_ORDERS}
+    ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

@@ -133,3 +133,212 @@ def x171_custom_source_roundtrip(spark, sf_dir: str):
         .load()
     )
     return df.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# x213: custom STREAMING source via the Python Data Source API
+# ---------------------------------------------------------------------------
+
+STREAM_FILES_PER_BATCH = 2
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, paths: list):
+        self.paths = paths
+
+
+class TsvStreamDataSource(DataSource):
+    """``spark.readStream.format("gms_tsv_stream")`` — serves the TSV
+    shards under ``path`` as an ordered micro-batch stream: offset =
+    number of files already ingested, each trigger advances by at
+    most ``STREAM_FILES_PER_BATCH`` files.  The Python analogue of
+    the file-stream source, demonstrating the full streaming
+    extension point: monotonic offsets, offset-range partitions,
+    replayable reads, checkpoint-committed progress (exactly-once on
+    restart)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gms_tsv_stream"
+
+    def schema(self):
+        return "value string"
+
+    def streamReader(self, schema: StructType):
+        return TsvStreamReader(schema, self.options)
+
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class TsvStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self.path = options["path"]
+
+    def _files(self):
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        # bounded advance: at most STREAM_FILES_PER_BATCH new files
+        # per trigger, so a backlog becomes multiple micro-batches
+        # (the rate-limit contract maxFilesPerTrigger provides for the
+        # built-in file source)
+        n = len(self._files())
+        cur = getattr(self, "_last", 0)
+        nxt = min(cur + STREAM_FILES_PER_BATCH, n)
+        self._last = nxt
+        return {"index": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["index"] : end["index"]]
+        return [
+            _RangePartition([os.path.join(self.path, f)]) for f in files
+        ]
+
+    def read(self, partition: _RangePartition):
+        import pyarrow as pa
+        from pyarrow import csv as pacsv
+
+        arrow_types = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "bigint": pa.int64(),
+            "integer": pa.int32(),
+            "double": pa.float64(),
+        }
+        names = [f.name for f in self._schema.fields]
+        types = {
+            f.name: arrow_types[f.dataType.simpleString()]
+            for f in self._schema.fields
+        }
+        for p in partition.paths:
+            if os.path.getsize(p) == 0:
+                continue
+            table = pacsv.read_csv(
+                p,
+                read_options=pacsv.ReadOptions(column_names=names),
+                parse_options=pacsv.ParseOptions(delimiter="\t"),
+                convert_options=pacsv.ConvertOptions(column_types=types),
+            )
+            for batch in table.to_batches():
+                for row in batch.to_pylist():
+                    yield tuple(row[n] for n in names)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is durable in the streaming checkpoint
+
+
+_STREAM_REGISTERED: set[str] = set()
+
+
+def register_stream(spark) -> None:
+    key = spark.sparkContext.applicationId
+    if key in _STREAM_REGISTERED:
+        return
+    spark.dataSource.register(TsvStreamDataSource)
+    _STREAM_REGISTERED.add(key)
+
+
+def x213_custom_stream_source(spark, sf_dir: str):
+    """Structured Streaming through the CUSTOM Python source: the
+    events table staged as sorted TSV shards, streamed shard-by-shard
+    (2 files per trigger) through ``gms_tsv_stream``, aggregated to
+    per-type counts + decimal-exact totals, drained with
+    availableNow.  The oracle is the closed-form batch aggregate —
+    any dropped/duplicated file, offset skew, or TSV type-loss in
+    the source hash-mismatches.
+
+    The sink here is a complete-mode memory table (the OUTPUT is
+    5 rows; the append-parquet backfill shape is the rest of the
+    streaming family's job) — the declared surface is the SOURCE
+    extension point: monotonic offsets, bounded per-trigger advance,
+    partition-per-file reads, checkpointed commits.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    staged = os.path.join(tempfile.gettempdir(), f"gms_ev_tsv_{tag}")
+    if not os.path.isdir(staged) or not any(
+        f.startswith("part-") for f in os.listdir(staged)
+    ):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        (
+            ev.repartitionByRange(8, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .csv(staged)
+        )
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("gms_tsv_stream")
+        .schema("event_id bigint, user_id bigint, event_type string, value double")
+        .option("path", staged)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    qname = f"x213_{tag.replace('.', '_')}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"gms_x213_ckpt_{tag}")
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    n_files = len(
+        [f for f in os.listdir(staged) if f.startswith("part-")]
+    )
+    # processingTime trigger, NOT availableNow: the rate-limited
+    # latestOffset is consulted once per trigger, so the 8-shard
+    # backlog genuinely drains as 4 micro-batches; the loop below
+    # waits until a COMPLETED batch's endOffset covers every file
+    # (lastProgress reports only committed batches, so the memory
+    # sink already holds that batch's output when we stop).
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import re as _re
+    import time as _time
+
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p:
+                srcs = p.get("sources") or []
+                eo = srcs[0].get("endOffset") if srcs else None
+                # the python-source offset serializes with repr-style
+                # quoting — extract the index numerically
+                m = _re.search(r"index\D+(\d+)", str(eo) or "")
+                if m and int(m.group(1)) >= n_files:
+                    break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError("x213 stream did not drain in 120s")
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT event_type, n_events, total_value FROM {qname} "
+        "ORDER BY event_type"
+    )

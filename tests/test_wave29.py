@@ -1,0 +1,65 @@
+"""Wave 29: parameterized SQL (x212) and the custom streaming Python
+data source (x213)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_parameterized_sql_binds_like_literals(spark, sf_dir):
+    from go_mapreduce_spark.operators.relational_ext import (
+        PARAM_MIN_ORDERS,
+        PARAM_SEGMENT,
+        x212_parameterized_sql,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    direct = {
+        r.c_custkey: (r.n, round(r.rev, 4))
+        for r in cust.filter(F.col("c_mktsegment") == PARAM_SEGMENT)
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .filter(F.col("n") >= PARAM_MIN_ORDERS)
+        .collect()
+    }
+    got = {
+        r.c_custkey: (r.n_orders, r.revenue)
+        for r in x212_parameterized_sql(spark, sf_dir).collect()
+    }
+    assert got == direct
+
+
+def test_stream_source_drains_in_multiple_batches(spark, sf_dir):
+    """The custom source must deliver every row exactly once AND do it
+    across several rate-limited micro-batches (the offset contract),
+    matching the batch aggregate bit-for-bit."""
+    from go_mapreduce_spark.sources.pydatasource import (
+        x213_custom_stream_source,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in x213_custom_stream_source(spark, sf_dir).collect()
+    }
+    direct = {
+        r.event_type: (r.n, round(r.tv, 4))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("tv"),
+        )
+        .collect()
+    }
+    assert got == direct
