@@ -1365,3 +1365,51 @@ def x212_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": PARAM_SEGMENT, "min_orders": PARAM_MIN_ORDERS},
     )
+
+
+# ---------------------------------------------------------------------------
+# x214: XML ingestion surface (from_xml)
+# ---------------------------------------------------------------------------
+
+
+def x214_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion through Spark 4's native ``from_xml``: each event
+    is serialized to an XML envelope in-plan (string concat of
+    already-serialized integer/string parts — no float formatting)
+    and parsed back through a declared schema, proving the
+    encode→decode cycle lossless; the aggregate runs on the
+    DECODED struct fields only.
+
+    XML is the remaining legacy wire format in enterprise feeds
+    (SOAP, financial messaging); ``from_xml`` keeps the parse
+    JVM-side like ``from_json``/``parse_json`` (x137/x182 complete
+    the semi-structured trio).  DuckDB has no XML reader, so the
+    oracle is the closed-form aggregate over the raw table — exactly
+    the x147/x191 roundtrip-proof pattern: any parse loss
+    hash-mismatches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k></e>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "id BIGINT, u BIGINT, t STRING, k BIGINT").alias("x")
+    )
+    return (
+        parsed.groupBy(F.col("x.t").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("x.k").cast("bigint").alias("sum_k"),
+            F.count_distinct("x.u").cast("bigint").alias("n_users"),
+            F.min("x.id").cast("bigint").alias("min_event_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -4848,6 +4848,18 @@ ORACLE_SQL["x213_custom_stream_source"] = """
     FROM events GROUP BY 1 ORDER BY 1
 """
 
+QUERIES.update({"x214_xml_roundtrip": RX.x214_xml_roundtrip})
+
+ORACLE_SQL["x214_xml_roundtrip"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE_SQL["x212_parameterized_sql"] = f"""
     SELECT c.c_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,

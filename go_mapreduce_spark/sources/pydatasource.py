@@ -198,6 +198,13 @@ class TsvStreamReader(DataSourceStreamReader):
         return {"index": nxt}
 
     def partitions(self, start: dict, end: dict):
+        # restart safety: a fresh reader's advance counter starts at 0,
+        # but the engine resumes from the CHECKPOINTED start offset —
+        # fold it into the counter so latestOffset continues forward
+        # instead of re-advancing through already-committed ranges
+        self._last = max(getattr(self, "_last", 0), start["index"])
+        if end["index"] <= start["index"]:
+            return []
         files = self._files()[start["index"] : end["index"]]
         return [
             _RangePartition([os.path.join(self.path, f)]) for f in files

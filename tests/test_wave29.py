@@ -63,3 +63,28 @@ def test_stream_source_drains_in_multiple_batches(spark, sf_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_xml_roundtrip_matches_raw_aggregate(spark, sf_dir):
+    from go_mapreduce_spark.operators.relational_ext import x214_xml_roundtrip
+    from go_mapreduce_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r.event_type: (r.n, r.sk, r.nu, r.mn)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("bigint")
+            ).alias("sk"),
+            F.count_distinct("user_id").alias("nu"),
+            F.min("event_id").alias("mn"),
+        )
+        .collect()
+    }
+    got = {
+        r.event_type: (r.n_events, r.sum_k, r.n_users, r.min_event_id)
+        for r in x214_xml_roundtrip(spark, sf_dir).collect()
+    }
+    assert got == direct
