@@ -1284,9 +1284,13 @@ def x208_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.select(
             "user_id",
             F.size("types").cast("int").alias("n_types"),
-            F.array_sort(F.array_except(all_types, F.col("types"))).alias(
-                "missing_types"
-            ),
+            # serialized, not an array column: the driver's hasher
+            # sorts result columns with pandas and crashes on complex
+            # types (the round-1 x33 lesson, pinned by the schema
+            # audit in test_correctness.py)
+            F.array_join(
+                F.array_sort(F.array_except(all_types, F.col("types"))), ","
+            ).alias("missing_types"),
             F.size(F.array_intersect(F.col("types"), funnel))
             .cast("int")
             .alias("n_funnel_types"),

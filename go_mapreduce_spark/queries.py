@@ -4737,9 +4737,11 @@ ORACLE_SQL["x208_array_set_ops"] = """
     )
     SELECT user_id,
            CAST(len(types) AS INTEGER) AS n_types,
-           list_sort(list_filter(
+           -- DuckDB's array_to_string of an EMPTY list is NULL;
+           -- Spark's array_join gives '' — coalesce to match
+           COALESCE(array_to_string(list_sort(list_filter(
                ['click', 'error', 'purchase', 'signup', 'view'],
-               t -> NOT list_contains(types, t))) AS missing_types,
+               t -> NOT list_contains(types, t))), ','), '') AS missing_types,
            CAST(len(list_filter(types,
                t -> list_contains(['click', 'purchase', 'signup'], t)))
                AS INTEGER) AS n_funnel_types

@@ -37,9 +37,10 @@ def test_array_set_ops_cover_catalogue(spark, sf_dir):
     from go_mapreduce_spark.operators.relational_ext import x208_array_set_ops
 
     for r in x208_array_set_ops(spark, sf_dir).collect():
-        assert r.n_types + len(r.missing_types) == 5
+        missing = r.missing_types.split(",") if r.missing_types else []
+        assert r.n_types + len(missing) == 5
         assert 0 <= r.n_funnel_types <= 3
-        assert r.missing_types == sorted(r.missing_types)
+        assert missing == sorted(missing)
 
 
 def test_bitmap_flags_match_type_sets(spark, sf_dir):
