@@ -4850,7 +4850,20 @@ ORACLE_SQL["x213_custom_stream_source"] = """
     FROM events GROUP BY 1 ORDER BY 1
 """
 
-QUERIES.update({"x214_xml_roundtrip": RX.x214_xml_roundtrip})
+QUERIES.update(
+    {
+        "x214_xml_roundtrip": RX.x214_xml_roundtrip,
+        "x215_lakehouse_stream_source": PDS.x215_lakehouse_stream_source,
+    }
+)
+
+ORACLE_SQL["x215_lakehouse_stream_source"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+"""
 
 ORACLE_SQL["x214_xml_roundtrip"] = """
     SELECT event_type,

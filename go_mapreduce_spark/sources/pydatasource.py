@@ -349,3 +349,174 @@ def x213_custom_stream_source(spark, sf_dir: str):
         f"SELECT event_type, n_events, total_value FROM {qname} "
         "ORDER BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# x215: the lakehouse table as a STREAMING source (version offsets)
+# ---------------------------------------------------------------------------
+
+
+class LakehouseStreamDataSource(DataSource):
+    """``spark.readStream.format("gms_lakehouse_stream")`` — consumes
+    a lakehouse table's commit log as a micro-batch stream: offset =
+    table VERSION, one version per trigger.  Each batch reads exactly
+    the files its version INTRODUCED (file provenance is exact for
+    ``create``/``append``), skips ``optimize`` (byte rewrites, not
+    rows — reading them would double-count every compacted row, the
+    x170 rule), and REFUSES ``merge``/``delete`` versions (in-place
+    row changes have no file-level provenance; those windows belong
+    to ``table_changes``).  The streaming face of x170's batch
+    incremental read — Delta's streaming-source contract rebuilt on
+    the manifest log."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gms_lakehouse_stream"
+
+    def schema(self):
+        return "value string"
+
+    def streamReader(self, schema: StructType):
+        return LakehouseStreamReader(schema, self.options)
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self.root = options["path"]
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def latestOffset(self):
+        from go_mapreduce_spark.lakehouse import current_version
+
+        cur = getattr(self, "_last", 0)
+        nxt = min(cur + 1, current_version(self.root))  # 1 version/trigger
+        self._last = nxt
+        return {"version": nxt}
+
+    def _new_paths(self, v: int) -> list:
+        from go_mapreduce_spark.lakehouse import read_manifest
+
+        m = read_manifest(self.root, v)
+        if m["op"] == "optimize":
+            return []
+        if m["op"] not in ("create", "append"):
+            raise ValueError(
+                f"version {v} is op={m['op']!r}: file provenance cannot "
+                "attribute in-place row changes — use table_changes()"
+            )
+        parent = (
+            {e["path"] for e in read_manifest(self.root, m["parent"])["files"]}
+            if m["parent"]
+            else set()
+        )
+        return [e["path"] for e in m["files"] if e["path"] not in parent]
+
+    def partitions(self, start: dict, end: dict):
+        self._last = max(getattr(self, "_last", 0), start["version"])
+        paths = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            paths += self._new_paths(v)
+        if not paths:
+            return []
+        return [
+            _RangePartition([os.path.join(self.root, p)]) for p in paths
+        ]
+
+    def read(self, partition: _RangePartition):
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self._schema.fields]
+        for p in partition.paths:
+            table = pq.read_table(p, columns=names)
+            for row in table.to_pylist():
+                yield tuple(row[n] for n in names)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+_LH_STREAM_REGISTERED: set[str] = set()
+
+
+def register_lakehouse_stream(spark) -> None:
+    key = spark.sparkContext.applicationId
+    if key in _LH_STREAM_REGISTERED:
+        return
+    spark.dataSource.register(LakehouseStreamDataSource)
+    _LH_STREAM_REGISTERED.add(key)
+
+
+def x215_lakehouse_stream_source(spark, sf_dir: str):
+    """Stream the append-only lakehouse demo table (x170's 3-version
+    history) version-by-version through the custom source and
+    aggregate everything ever appended — per event type, count and
+    decimal-exact total.  Three micro-batches (one per commit), each
+    reading only its version's new files; the oracle is the
+    closed-form aggregate over ALL events, so a skipped file,
+    re-read parent file, or version-ordering error hash-mismatches.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.lakehouse import ensure_append_demo
+
+    root = ensure_append_demo(spark, sf_dir)
+    register_lakehouse_stream(spark)
+    stream = (
+        spark.readStream.format("gms_lakehouse_stream")
+        .schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, dom int"
+        )
+        .option("path", root)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    qname = f"x215_{tag.replace('.', '_')}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"gms_x215_ckpt_{tag}")
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    from go_mapreduce_spark.lakehouse import current_version
+
+    n_versions = current_version(root)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import re as _re
+    import time as _time
+
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p:
+                srcs = p.get("sources") or []
+                eo = srcs[0].get("endOffset") if srcs else None
+                m = _re.search(r"version\D+(\d+)", str(eo) or "")
+                if m and int(m.group(1)) >= n_versions:
+                    break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError("x215 stream did not drain in 120s")
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT event_type, n_events, total_value FROM {qname} "
+        "ORDER BY event_type"
+    )

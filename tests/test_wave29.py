@@ -88,3 +88,52 @@ def test_xml_roundtrip_matches_raw_aggregate(spark, sf_dir):
         for r in x214_xml_roundtrip(spark, sf_dir).collect()
     }
     assert got == direct
+
+
+def test_lakehouse_stream_refuses_merge_versions(spark, sf_dir, tmp_path):
+    """A merge commit inside the streamed window must raise — file
+    provenance cannot attribute in-place row changes (the x170 rule,
+    enforced on the streaming path too)."""
+    import pytest
+
+    import go_mapreduce_spark.lakehouse as lh
+    from go_mapreduce_spark.sources.pydatasource import LakehouseStreamReader
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, v double"
+    )
+    lh.create_table(spark, df, root, key_col="k")
+    batch = spark.createDataFrame([(1, 99.0, "upsert")], "k bigint, v double, _op string")
+    lh.merge_table(spark, batch, root, batch_id="m1")
+
+    rdr = LakehouseStreamReader.__new__(LakehouseStreamReader)
+    rdr.root = root
+    assert rdr._new_paths(1)  # create version has provenance
+    with pytest.raises(ValueError, match="table_changes"):
+        rdr._new_paths(2)  # merge version refuses
+
+
+def test_lakehouse_stream_matches_batch_totals(spark, sf_dir):
+    from go_mapreduce_spark.sources.pydatasource import (
+        x215_lakehouse_stream_source,
+    )
+    from go_mapreduce_spark.sources.registry import load_table
+
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in x215_lakehouse_stream_source(spark, sf_dir).collect()
+    }
+    direct = {
+        r.event_type: (r.n, round(r.tv, 4))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("tv"),
+        )
+        .collect()
+    }
+    assert got == direct
