@@ -1089,3 +1089,145 @@ def x190_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x216: in-row sequence-pattern match (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+FUNNEL_PATTERN = ("click", "view", "purchase")
+
+
+def x216_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered subsequence matching per user: does the user's event
+    stream contain click → view → purchase IN ORDER (other events
+    may interleave)?  The MATCH_RECOGNIZE-class question answered
+    with array machinery Spark actually has: collect each user's
+    time-ordered type sequence in-row (sort_array over
+    (ts, event_id, type) structs — collect_list order is
+    partition-dependent, the sort is what makes it deterministic),
+    then run the greedy two-pointer automaton as an ordered fold:
+    state = pattern progress, advanced when the current element
+    matches the next pattern symbol.  Greedy-leftmost is optimal for
+    subsequence containment, so the fold IS the matcher, and both
+    engines fold in index order — exactly replayable.
+
+    One user-keyed shuffle; per-row work is O(events-per-user).  The
+    output reports progress (0..3) so partial funnels are visible,
+    not just the binary match.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.col("event_type").alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        ).alias("seq")
+    )
+    pat = F.array(*[F.lit(p) for p in FUNNEL_PATTERN])
+    progress = F.aggregate(
+        F.col("seq"),
+        F.lit(0),
+        lambda acc, t: F.when(
+            (acc < F.size(pat)) & (t == F.element_at(pat, acc + 1)), acc + 1
+        ).otherwise(acc),
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("bigint").alias("n_events"),
+        progress.cast("int").alias("funnel_progress"),
+        (progress == F.size(pat)).alias("matched"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# x217: longest same-type streak per user (run-length encoding)
+# ---------------------------------------------------------------------------
+
+
+def x217_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length structure of each user's event stream: the longest
+    consecutive run of a single event type, and which type it was —
+    the engagement-pattern signal (doom-scrolling vs mixed sessions),
+    and the classic gaps-and-islands shape applied to VALUE changes
+    instead of time gaps (x80's sessionizer cuts on time, this cuts
+    on ``type != lag(type)``).
+
+    One user shuffle serves the lag window, the running island id,
+    and the final aggregates; ties on streak length resolve to the
+    earliest island (min island id) so the reported type is
+    deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    ).withColumn("island", F.sum("new_run").over(run))
+    islands = marked.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("event_type").alias("t"),  # constant within an island
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("island").asc()
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak"),
+            F.col("t").alias("streak_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x218: inter-event latency spectrum (exact log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+def x218_latency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of inter-event gaps per event type on a
+    power-of-two (log2) scale — the latency-histogram idiom, with
+    the bucket computed EXACTLY as the bit length of the gap in
+    microseconds (``length(conv(gap, 10, 2))`` ≡ floor(log2)+1 —
+    pure integer/string ops, no float log whose last-ulp behavior
+    differs across engines).  Zero gaps (same-µs events) land in
+    bucket 0.
+
+    One user-keyed window for the lag, then a map-side-combinable
+    (type, bucket) aggregate — the histogram is ≤ types × 64 rows
+    at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("gap_us").cast("string"), 10, 2))
+    )
+    return (
+        gaps.select("event_type", bucket.cast("int").alias("log2_bucket"))
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+        .orderBy("event_type", "log2_bucket")
+    )

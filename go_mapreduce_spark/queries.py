@@ -4888,6 +4888,106 @@ ORACLE_SQL["x212_parameterized_sql"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 30: sequence-pattern match, longest streaks, log2 latency
+# spectrum
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x216_sequence_match": AN.x216_sequence_match,
+        "x217_longest_streak": AN.x217_longest_streak,
+        "x218_latency_spectrum": AN.x218_latency_spectrum,
+    }
+)
+
+
+def _seq_match_oracle() -> str:
+    pat = "[" + ", ".join(f"'{p}'" for p in AN.FUNNEL_PATTERN) + "]"
+    n = len(AN.FUNNEL_PATTERN)
+    return f"""
+    WITH seq AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list({{'ts': CAST(ts AS TIMESTAMP),
+                                    'id': event_id,
+                                    't': event_type}})),
+                   s -> s.t) AS types
+        FROM events GROUP BY user_id
+    ), m AS (
+        -- DuckDB 1.0's list_reduce has no initial-value form, so the
+        -- int accumulator threads through as a string digit (the
+        -- fold's element type): prepend '0', parse per step
+        SELECT user_id, len(types) AS n_events,
+               CAST(list_reduce(
+                   list_prepend('0', types),
+                   (acc, t) -> CASE WHEN CAST(acc AS INTEGER) < {n}
+                                     AND t = ({pat})[CAST(acc AS INTEGER) + 1]
+                                    THEN CAST(CAST(acc AS INTEGER) + 1
+                                              AS VARCHAR)
+                                    ELSE acc END) AS INTEGER) AS prog
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(prog AS INTEGER) AS funnel_progress,
+           (prog = {n}) AS matched
+    FROM m ORDER BY user_id
+"""
+
+
+ORACLE_SQL["x216_sequence_match"] = _seq_match_oracle()
+
+ORACLE_SQL["x217_longest_streak"] = """
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ), m AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), i AS (
+        SELECT user_id, event_type,
+               SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS island
+        FROM m
+    ), isl AS (
+        SELECT user_id, island, COUNT(*) AS len, MIN(event_type) AS t
+        FROM i GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id, len, t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, island ASC) AS rn
+        FROM isl
+    )
+    SELECT user_id,
+           CAST(len AS BIGINT) AS longest_streak,
+           t AS streak_type
+    FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+ORACLE_SQL["x218_latency_spectrum"] = """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                         PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(CASE WHEN gap_us <= 0 THEN 0
+                     ELSE length(bin(gap_us)) END AS INTEGER) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
