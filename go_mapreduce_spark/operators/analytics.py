@@ -1231,3 +1231,108 @@ def x218_latency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
         .orderBy("event_type", "log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# x219: exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+def x219_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per (returnflag,
+    linestatus): the smallest price whose cumulative quantity weight
+    reaches half the group's total — the inventory-weighted "typical
+    price" plain median misstates when line sizes vary.
+
+    The classic lower weighted median (2·cumw ≥ W).  All weight
+    arithmetic is integer-exact (quantities are whole units in the
+    fixture, summed as decimal), and every window is PARTITIONED by
+    the group key — per-group sorted sweeps, never a global one.
+    One shuffle serves the sort, the running sum, and the pick.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = ["l_returnflag", "l_linestatus"]
+    w = Window.partitionBy(*g).orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy(*g)
+    ranked = li.select(
+        *g,
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(run).alias("cumw"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(tot).alias("W"),
+    )
+    hit = ranked.filter(F.lit(2) * F.col("cumw") >= F.col("W"))
+    w2 = Window.partitionBy(*g).orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            *g,
+            F.round("l_extendedprice", 4).alias("weighted_median_price"),
+            F.col("W").cast("double").alias("total_weight"),
+        )
+        .orderBy(*g)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x220: month-over-month waterfall decomposition
+# ---------------------------------------------------------------------------
+
+
+def x220_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfall decomposition of month-over-month revenue change:
+    per (month, market segment) — the segment's revenue, its delta
+    vs the previous month, and its SHARE of the total monthly change
+    — the report that turns "revenue moved X" into "because segment
+    S contributed Y of it".
+
+    Two exactly-keyed passes: one (month, segment) decimal aggregate
+    (map-side combinable), then a lag window PARTITIONED by segment
+    over the month-level relation (cardinality = months × segments —
+    metadata-sized forever) plus a month-total window for the share.
+    Deltas stay decimal end-to-end; the share is one double division
+    with a zero-total guard.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("month")
+    with_delta = monthly.withColumn(
+        "delta", F.col("rev") - F.lag("rev").over(w)
+    )
+    wm = Window.partitionBy("month")
+    return (
+        with_delta.withColumn(
+            "month_delta", F.sum("delta").over(wm)
+        )
+        .filter(F.col("delta").isNotNull())
+        .select(
+            "month",
+            "segment",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            F.round(F.col("delta").cast("double"), 4).alias("delta"),
+            F.round(
+                F.when(
+                    F.col("month_delta") != 0,
+                    F.col("delta").cast("double")
+                    / F.col("month_delta").cast("double"),
+                ),
+                6,
+            ).alias("share_of_change"),
+        )
+        .orderBy("month", "segment")
+    )

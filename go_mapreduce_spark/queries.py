@@ -4988,6 +4988,70 @@ ORACLE_SQL["x218_latency_spectrum"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 31: weighted median + waterfall decomposition
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x219_weighted_median": AN.x219_weighted_median,
+        "x220_revenue_waterfall": AN.x220_revenue_waterfall,
+    }
+)
+
+ORACLE_SQL["x219_weighted_median"] = """
+    WITH r AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice,
+               l_orderkey, l_linenumber,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+                   PARTITION BY l_returnflag, l_linestatus) AS W
+        FROM lineitem
+    ), hit AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        FROM r WHERE 2 * cumw >= W
+    )
+    SELECT l_returnflag, l_linestatus,
+           ROUND(l_extendedprice, 4) AS weighted_median_price,
+           CAST(W AS DOUBLE) AS total_weight
+    FROM hit WHERE rn = 1
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["x220_revenue_waterfall"] = """
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               c_mktsegment AS segment,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), d AS (
+        SELECT month, segment, rev,
+               rev - lag(rev) OVER (PARTITION BY segment
+                                    ORDER BY month) AS delta
+        FROM monthly
+    ), t AS (
+        SELECT *, SUM(delta) OVER (PARTITION BY month) AS month_delta
+        FROM d
+    )
+    SELECT month, segment,
+           ROUND(CAST(rev AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(delta AS DOUBLE), 4) AS delta,
+           ROUND(CASE WHEN month_delta <> 0
+                      THEN CAST(delta AS DOUBLE)
+                           / CAST(month_delta AS DOUBLE) END, 6)
+               AS share_of_change
+    FROM t WHERE delta IS NOT NULL
+    ORDER BY month, segment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
