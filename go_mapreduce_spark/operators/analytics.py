@@ -1336,3 +1336,141 @@ def x220_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# x221b/x222: user survival curve (activity-span retention)
+# ---------------------------------------------------------------------------
+
+
+def x222_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-span survival curve: for each day offset k, the
+    fraction of users whose first→last event span reaches at least k
+    days — the retention-decay summary behind every "day-N
+    retention" metric, computed EXACTLY from two per-user scalars.
+
+    Shape: one user aggregate (min/max ts → span days), collapse to
+    a span histogram (≤ observation-window days — bounded), then a
+    reversed cumulative sum over that metadata-sized relation gives
+    survivors-at-k in one ordered sweep.  Division happens once per
+    output row; everything upstream is integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.max("ts")), F.to_date(F.min("ts"))
+        ).alias("span_days")
+    )
+    hist = spans.groupBy("span_days").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy(F.col("span_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy()
+    return (
+        hist.select(
+            F.col("span_days").cast("int").alias("day_k"),
+            F.sum("c").over(w).cast("bigint").alias("surviving_users"),
+            F.sum("c").over(tot).alias("n_users"),
+        )
+        .select(
+            "day_k",
+            "surviving_users",
+            F.round(
+                F.col("surviving_users") / F.col("n_users").cast("double"), 6
+            ).alias("survival"),
+        )
+        .orderBy("day_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x223: ABC (Pareto-class) customer classification via bucketed
+# global cumulative share
+# ---------------------------------------------------------------------------
+
+ABC_A = 0.5   # top classes by cumulative revenue share
+ABC_B = 0.8
+ABC_N_BUCKETS = 32
+
+
+def x223_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC customer classification: customers sorted by revenue
+    DESCENDING, classed A while the running revenue share is ≤ 50%,
+    B to 80%, C after — the Pareto question ("how few whales carry
+    half the revenue") answered EXACTLY with no single-task stage.
+
+    The global ordered cumulative sum — the x127-class trap when
+    written as one unpartitioned window — decomposes exactly like
+    the exact-rank machinery, applied to SUMS: range-bucket on the
+    sort key (approx_percentile split points, whole tie-blocks per
+    bucket), per-bucket DECIMAL revenue totals fold back as literal
+    offsets (≤ 32 scalars through the driver, the same class as the
+    rank offsets), and each row's cumulative revenue = its bucket's
+    offset + a PARTITIONED running decimal sum.  Decimal offsets
+    re-enter as string literals so no precision is lost in transit.
+    Class boundaries compare decimal·total exactly; the declared
+    output is the 3-row class summary.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    key = (-F.col("rev")).cast("double")
+    fracs = [i / ABC_N_BUCKETS for i in range(1, ABC_N_BUCKETS)]
+    row = rev.select(
+        F.percentile_approx(key, F.lit(fracs), F.lit(10_000)).alias("bs")
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+    bucket = F.lit(0)
+    for v in bounds:
+        bucket = bucket + (key > F.lit(v)).cast("int")
+    b = rev.withColumn("_rb", bucket)
+    per_bucket = {
+        r["_rb"]: r["s"]
+        for r in b.groupBy("_rb").agg(F.sum("rev").alias("s")).collect()
+    }
+    total = sum(per_bucket.values())
+    offsets, acc = {}, 0
+    for rb in sorted(per_bucket):
+        offsets[rb] = acc
+        acc += per_bucket[rb]
+    off_map = F.create_map(
+        *[
+            c
+            for rb in sorted(offsets)
+            for c in (
+                F.lit(rb).cast("int"),
+                F.lit(str(offsets[rb])).cast("decimal(38,6)"),
+            )
+        ]
+    )
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # boundary compares stay EXACT by clearing the fractions:
+    # cum <= 0.5*T  <=>  2*cum <= T ; cum <= 0.8*T  <=>  5*cum <= 4*T
+    # (decimal x small-int preserves scale; decimal x decimal would
+    # round at the scale limit and could flip a knife-edge row)
+    T = F.lit(str(total)).cast("decimal(38,6)")
+    classed = b.withColumn(
+        "cum", F.element_at(off_map, F.col("_rb")) + F.sum("rev").over(w)
+    ).withColumn(
+        "cls",
+        F.when(F.col("cum") * 2 <= T, "A")
+        .when(F.col("cum") * 5 <= T * 4, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("rev").cast("double"), 4).alias("class_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.lit(float(total)), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("cls")
+    )

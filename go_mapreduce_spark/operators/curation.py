@@ -819,3 +819,68 @@ def x200_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x221: exact proportional allocation (largest-remainder method)
+# ---------------------------------------------------------------------------
+
+ALLOC_TOTAL = 100  # sampled docs to allocate across languages
+
+
+def x221_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional sample allocation across languages — the
+    largest-remainder (Hamilton) method: each stratum gets
+    floor(total · share) seats, and the leftover seats go to the
+    largest fractional remainders (ties to the smaller language code
+    for determinism).  The survey-sampling step before any stratified
+    draw (x85 samples WITHIN strata; this decides HOW MANY each
+    stratum gets so the sample hits an exact global budget).
+
+    All integer arithmetic: quota numerators are doc_count ×
+    ALLOC_TOTAL, floors and remainders are exact bigints, and the
+    leftover count is a 1-row broadcast — no floating shares
+    anywhere.  The stratum relation is |langs|-sized; every window is
+    over that metadata relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # "ntot", not "N": Spark resolves case-insensitively, so a column
+    # named N collides with n
+    tot = counts.agg(F.sum("n").alias("ntot"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "ntot",
+        (F.col("n") * ALLOC_TOTAL).alias("num"),
+    )
+    q = q.select(
+        "lang",
+        "n",
+        F.expr("num div ntot").cast("long").alias("base"),  # exact int div
+        F.pmod(F.col("num"), F.col("ntot")).alias("rem"),
+        "ntot",
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    wsum = Window.partitionBy()
+    ranked = q.select(
+        "lang",
+        "n",
+        "base",
+        "rem",
+        F.row_number().over(w).alias("pr"),
+        (F.lit(ALLOC_TOTAL) - F.sum("base").over(wsum)).alias("leftover"),
+    )
+    return (
+        ranked.select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            (
+                F.col("base")
+                + F.when(F.col("pr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocated"),
+        )
+        .orderBy("lang")
+    )

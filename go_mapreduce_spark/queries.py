@@ -5052,6 +5052,92 @@ ORACLE_SQL["x220_revenue_waterfall"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 32: proportional allocation, survival curve, ABC classes
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x221_proportional_allocation": C.x221_proportional_allocation,
+        "x222_survival_curve": AN.x222_survival_curve,
+        "x223_abc_classification": AN.x223_abc_classification,
+    }
+)
+
+ORACLE_SQL["x221_proportional_allocation"] = f"""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+    ), t AS (
+        SELECT SUM(n) AS ntot FROM c
+    ), q AS (
+        SELECT lang, c.n AS n,
+               (c.n * {C.ALLOC_TOTAL}) // ntot AS base,
+               (c.n * {C.ALLOC_TOTAL}) % ntot AS rem
+        FROM c, t
+    ), r AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, lang ASC) AS pr,
+               {C.ALLOC_TOTAL} - SUM(base) OVER () AS leftover
+        FROM q
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(base + CASE WHEN pr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated
+    FROM r ORDER BY lang
+"""
+
+ORACLE_SQL["x222_survival_curve"] = """
+    WITH s AS (
+        SELECT user_id,
+               date_diff('day', CAST(MIN(ts) AS DATE),
+                         CAST(MAX(ts) AS DATE)) AS span_days
+        FROM events GROUP BY 1
+    ), h AS (
+        SELECT span_days, COUNT(*) AS c FROM s GROUP BY 1
+    ), r AS (
+        SELECT span_days,
+               SUM(c) OVER (ORDER BY span_days DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS surv,
+               SUM(c) OVER () AS n
+        FROM h
+    )
+    SELECT CAST(span_days AS INTEGER) AS day_k,
+           CAST(surv AS BIGINT) AS surviving_users,
+           ROUND(surv / CAST(n AS DOUBLE), 6) AS survival
+    FROM r ORDER BY day_k
+"""
+
+ORACLE_SQL["x223_abc_classification"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT SUM(rev) AS T FROM rev
+    ), c AS (
+        SELECT rev, T,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM rev, t
+    ), k AS (
+        SELECT rev, T,
+               CASE WHEN cum * 2 <= T THEN 'A'
+                    WHEN cum * 5 <= T * 4 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM c
+    )
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS class_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(T) AS DOUBLE), 6)
+               AS revenue_share
+    FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
