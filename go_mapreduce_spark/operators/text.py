@@ -1268,3 +1268,90 @@ def x204_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_words_per_sentence"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x224: greedy decode from the corpus trigram LM (in-plan generation)
+# ---------------------------------------------------------------------------
+
+DECODE_STEPS = 8
+
+
+def x224_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy text generation INSIDE the engine: starting from the
+    corpus's most frequent word bigram, take ``DECODE_STEPS`` argmax
+    steps through the (unfiltered) trigram counts — at each step the
+    continuation with the highest count, ties to the
+    lexicographically smallest word — emitting (step, context,
+    token).  Deterministic end to end, so the whole decode has an
+    exact chained-CTE oracle: the language-model INFERENCE loop
+    (x70 built the counts, x91 scored with them; this one decodes),
+    expressed the same way every other fixed-round loop here is.
+
+    Plan: the trigram relation builds once (scan-bound, the x70
+    shape, no min-count filter so every context can continue) and is
+    cached; each step is ONE keyed lookup against it — the current
+    context lives in a broadcast 1-row relation (the x185 weights
+    trick), so the loop is 8 broadcast-pruned aggregates, no driver
+    state beyond plan construction.  A context with no continuation
+    emits nothing from that step on (greedy decode halts).
+    """
+    from go_mapreduce_spark.operators.dedup import (
+        lower_tokens,
+        shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+    tris = (
+        toks.select(
+            F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .select(
+            F.regexp_replace(F.col("sh"), " [a-z]+$", "").alias("ctx"),
+            F.regexp_extract(F.col("sh"), "([a-z]+)$", 1).alias("w3"),
+            "c3",
+        )
+        .localCheckpoint()  # eager, vocabulary-sized; 8 steps reuse it
+    )
+    bis = (
+        toks.select(
+            F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seed = (
+        bis.orderBy(F.col("c").desc(), F.col("bg").asc())
+        .limit(1)
+        .select(F.col("bg").alias("ctx"))
+    )
+
+    out = None
+    cur = seed
+    for step in range(1, DECODE_STEPS + 1):
+        nxt = (
+            tris.join(F.broadcast(cur), "ctx")
+            .orderBy(F.col("c3").desc(), F.col("w3").asc())
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "ctx",
+                F.col("w3").alias("token"),
+                "c3",
+            )
+        )
+        out = nxt if out is None else out.unionAll(nxt)
+        # next context: drop the first word, append the chosen token
+        cur = nxt.select(
+            F.concat(
+                F.regexp_extract(F.col("ctx"), " ([a-z]+)$", 1),
+                F.lit(" "),
+                F.col("token"),
+            ).alias("ctx")
+        )
+    return out.select(
+        "step", "ctx", "token", F.col("c3").cast("bigint").alias("c3")
+    ).orderBy("step")

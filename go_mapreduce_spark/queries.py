@@ -5138,6 +5138,73 @@ ORACLE_SQL["x223_abc_classification"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 33: greedy LM decode
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x224_greedy_decode": T.x224_greedy_decode})
+
+
+def _decode_oracle() -> str:
+    from go_mapreduce_spark.operators.text import DECODE_STEPS
+
+    parts = [
+        """toks AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+    )""",
+        """tri AS (
+        SELECT regexp_replace(sh, ' [a-z]+$', '') AS ctx,
+               regexp_extract(sh, '([a-z]+)$', 1) AS w3,
+               COUNT(*) AS c3
+        FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks
+        ) GROUP BY 1, 2
+    )""",
+        """s0 AS (
+        SELECT bg AS ctx FROM (
+            SELECT bg, COUNT(*) AS c FROM (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM toks
+            ) GROUP BY 1
+        ) ORDER BY c DESC, bg ASC LIMIT 1
+    )""",
+    ]
+    for k in range(1, DECODE_STEPS + 1):
+        parts.append(
+            f"""p{k} AS (
+        SELECT {k} AS step, t.ctx, t.w3 AS token, t.c3
+        FROM tri t JOIN s{k-1} s ON t.ctx = s.ctx
+        ORDER BY t.c3 DESC, t.w3 ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""s{k} AS (
+        SELECT regexp_extract(ctx, ' ([a-z]+)$', 1) || ' ' || token AS ctx
+        FROM p{k}
+    )"""
+        )
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM p{k}" for k in range(1, DECODE_STEPS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT step, ctx, token, CAST(c3 AS BIGINT) AS c3
+    FROM ({union})
+    ORDER BY step
+"""
+    )
+
+
+ORACLE_SQL["x224_greedy_decode"] = _decode_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
