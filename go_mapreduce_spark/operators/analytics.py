@@ -1238,41 +1238,106 @@ def x218_latency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# weighted-median price-range splits: bounds every window task to
+# ~N/(groups × WM_N_SPLITS) rows; at 100 TB raise like layout.RN_SPLITS
+WM_N_SPLITS = 32
+
+
 def x219_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median price per (returnflag,
     linestatus): the smallest price whose cumulative quantity weight
     reaches half the group's total — the inventory-weighted "typical
     price" plain median misstates when line sizes vary.
 
-    The classic lower weighted median (2·cumw ≥ W).  All weight
-    arithmetic is integer-exact (quantities are whole units in the
-    fixture, summed as decimal), and every window is PARTITIONED by
-    the group key — per-group sorted sweeps, never a global one.
-    One shuffle serves the sort, the running sum, and the pick.
+    The classic lower weighted median (2·cumw ≥ W), computed with the
+    range-bucket + literal-offset discipline (`layout._global_row_number`,
+    x223): the (returnflag, linestatus) group key has ≤ 6 values — a
+    window partitioned on it alone funnels ~N/6 of the fact table
+    through one task, which does NOT survive a 100× scale-up.  Instead:
+
+    1. one sketch aggregate yields ``WM_N_SPLITS - 1`` global price
+       splits (ties share a bucket, so bucketing is monotone in the
+       per-group sort order);
+    2. one grouped decimal aggregate gives per-(group, bucket) weight
+       sums — a ≤ groups×splits collect (schema-bounded: flag×status
+       is 3×2) from which Python derives, EXACTLY (decimal.Decimal
+       end-to-end), each group's total W, its crossing bucket (the
+       first whose cumulative weight reaches W/2), and the weight
+       offset before it;
+    3. the scan re-filters to crossing buckets only (~N/splits of the
+       data), the running weight sum runs PARTITIONED by
+       (group, bucket) — every window task bucket-sized — and the
+       pick is a map-side-combinable min(struct) aggregate, no
+       second window at all.
     """
     li = load_table(spark, sf_dir, "lineitem")
     g = ["l_returnflag", "l_linestatus"]
-    w = Window.partitionBy(*g).orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = Window.partitionBy(*g)
-    ranked = li.select(
-        *g,
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
-        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(run).alias("cumw"),
-        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(tot).alias("W"),
+    order_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    key = F.col("l_extendedprice").cast("double")
+    fracs = [i / WM_N_SPLITS for i in range(1, WM_N_SPLITS)]
+    row = li.select(
+        F.percentile_approx(key, F.lit(fracs), F.lit(10_000)).alias("bs")
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+    bucket = F.lit(0)
+    for v in bounds:
+        bucket = bucket + (key > F.lit(v)).cast("int")
+
+    gk = F.concat_ws("|", *g)
+    per = (
+        li.groupBy(gk.alias("_gk"), bucket.alias("_rb"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("s"))
+        .collect()
+    )  # ≤ 6 groups × WM_N_SPLITS buckets — schema-bounded collect
+    sums: dict[str, dict[int, object]] = {}
+    for r in per:
+        sums.setdefault(r["_gk"], {})[r["_rb"]] = r["s"]
+    cb_py: dict[str, int] = {}
+    off_py: dict[str, object] = {}
+    w_py: dict[str, object] = {}
+    for gkey, by_rb in sums.items():
+        W = sum(by_rb.values())  # exact: decimal.Decimal + int start
+        w_py[gkey] = W
+        acc = 0
+        for rb in sorted(by_rb):
+            nxt = acc + by_rb[rb]
+            if 2 * nxt >= W:
+                cb_py[gkey], off_py[gkey] = rb, acc
+                break
+            acc = nxt
+
+    def _lit_map(d: dict, cast: str):
+        # decimals re-enter as string literals so no precision is lost
+        return F.create_map(
+            *[c for k in sorted(d) for c in (F.lit(k), F.lit(str(d[k])).cast(cast))]
+        )
+
+    cb_m = _lit_map(cb_py, "int")
+    off_m = _lit_map(off_py, "decimal(38,6)")
+    w_m = _lit_map(w_py, "decimal(38,6)")
+    run = (
+        Window.partitionBy(*g, "_rb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    hit = ranked.filter(F.lit(2) * F.col("cumw") >= F.col("W"))
-    w2 = Window.partitionBy(*g).orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    cand = (
+        li.withColumn("_gk", gk)
+        .withColumn("_rb", bucket)
+        .filter(F.col("_rb") == F.element_at(cb_m, F.col("_gk")))
+        .withColumn(
+            "cumw",
+            F.element_at(off_m, F.col("_gk"))
+            + F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(run),
+        )
+        .withColumn("W", F.element_at(w_m, F.col("_gk")))
     )
+    hit = cand.filter(F.lit(2) * F.col("cumw") >= F.col("W"))
     return (
-        hit.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
+        hit.groupBy(*g)
+        .agg(F.min(F.struct(*order_cols)).alias("m"), F.min("W").alias("W"))
         .select(
             *g,
-            F.round("l_extendedprice", 4).alias("weighted_median_price"),
+            F.round(F.col("m.l_extendedprice"), 4).alias("weighted_median_price"),
             F.col("W").cast("double").alias("total_weight"),
         )
         .orderBy(*g)
@@ -1299,9 +1364,13 @@ def x220_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a zero-total guard.
     """
     orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    # customer is data-sized (one row per customer) — no broadcast
+    # hint: a forced broadcast would collect it to the driver and OOM
+    # at scale (the x138 standard); AQE picks broadcast at fixture
+    # scale on its own and shuffled-hash beyond the threshold
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     monthly = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
             F.col("c_mktsegment").alias("segment"),

@@ -71,6 +71,9 @@ def x119_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("size_bytes")
         )
     )
+    # unpartitioned window safe BY CONSTRUCTION: the input is the file
+    # MANIFEST, not data — cardinality = file count (100 TB at 1 GB/file
+    # ≈ 1e5 rows), metadata-sized at any data scale (tests pin this)
     w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, 0)
     return (
         files.withColumn("csum", F.sum("size_bytes").over(w))

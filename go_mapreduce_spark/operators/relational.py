@@ -87,15 +87,17 @@ def q4_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem → revenue by region.
 
-    Join order: start from lineitem (largest), broadcast every
-    dimension — the fact table streams through four broadcast hash
-    joins without a single shuffle; the only shuffle is the final
-    5-group aggregate.  This is the plan shape that survives 100×
-    scale-up (dimension sizes grow far slower than facts).
+    Join order: start from lineitem (largest), broadcast the
+    contract-bounded dimensions (region 5 rows, nation 25 rows —
+    hinted, safe at any scale).  customer is data-sized, so it gets
+    NO hint: AQE broadcasts it at fixture scale and switches to a
+    shuffled join once it outgrows the threshold — a forced broadcast
+    would collect ~1e9 rows to the driver at 100 TB.  Only the
+    customer join and the final 5-group aggregate ever shuffle.
     """
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
-    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"

@@ -540,7 +540,10 @@ def x97_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     group + top-k, the other canonical warehouse benchmark shape.
 
     Both date predicates and the segment filter push to their scans;
-    customer (filtered to one segment) broadcasts; revenue goes
+    customer (filtered to one segment) is still data-sized (~1/5 of
+    customers), so it carries no broadcast hint — the planner's size
+    statistics pick broadcast at fixture scale (the plan test pins
+    that) and a shuffled join beyond the threshold; revenue goes
     through exact decimal so the top-k ordering is deterministic at
     any parallelism (ties broken by orderkey), and the final
     ``orderBy + limit`` plans as TakeOrderedAndProject — per-partition
@@ -554,7 +557,7 @@ def x97_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
@@ -651,7 +654,9 @@ def x125_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         culprits.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is data-sized: no hint — the culprit aggregate is
+        # the small side and AQE broadcasts it, not the base table
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("s_name").alias("supplier"), "n_orders")
         .orderBy(F.col("n_orders").desc(), F.col("supplier").asc())
         .limit(20)

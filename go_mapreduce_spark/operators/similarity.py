@@ -476,8 +476,11 @@ def x187_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
     )
     return (
-        pairs.join(F.broadcast(qp), "query_id")
-        .join(F.broadcast(np_), "neighbor_id")
+        # qp/np_ are corpus-sized projections: no broadcast hint —
+        # the tiny pairs relation (5 queries × k) is the correct
+        # build side and AQE/statistics pick it on their own
+        pairs.join(qp, "query_id")
+        .join(np_, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

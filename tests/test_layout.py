@@ -25,6 +25,11 @@ def test_compaction_bins_are_contiguous_and_ordered(spark, sf_dir):
         per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.size_bytes
     max_file = max(r.size_bytes for r in rows)
     assert all(v <= L.COMPACT_TARGET_BYTES + max_file for v in per_bin.values())
+    # the unpartitioned cumulative window is safe BY CONSTRUCTION only
+    # because its input is the file MANIFEST: inventory cardinality is
+    # data_rows / COMPACT_FILE_GROUP, metadata-sized at any data scale
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert len(rows) <= n_orders / L.COMPACT_FILE_GROUP + 1
 
 
 def test_range_boundaries_are_monotone(spark, sf_dir):

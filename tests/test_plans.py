@@ -268,6 +268,25 @@ def test_x127_x142_windows_are_partitioned(spark, sf_dir):
         assert not unpartitioned_windows(df), fn.__name__
 
 
+def test_x219_window_is_range_bucketed(spark, sf_dir):
+    """The weighted-median running sum must never partition on the
+    ~6-value (returnflag, linestatus) pair alone — that funnels ~N/6
+    of lineitem through one window task.  Every window spec must carry
+    the price-range bucket `_rb` in its partition key, and the final
+    pick must be an aggregate, not a second window (exactly one
+    window node in the plan)."""
+    from go_mapreduce_spark.operators import analytics as AN
+    from go_mapreduce_spark.plans.explain import unpartitioned_windows, window_lines
+
+    df = AN.x219_weighted_median(spark, sf_dir)
+    lines = window_lines(df)
+    assert lines, "expected the running-weight window"
+    assert len(lines) == 1, "the median pick must be an aggregate, not a window"
+    for ln in lines:
+        assert "_rb" in ln, f"window not range-bucketed: {ln.strip()[:160]}"
+    assert not unpartitioned_windows(df)
+
+
 def test_x98_aggregates_before_customer_join(spark, sf_dir):
     """Q10-shape: the per-customer aggregate collapses the fact volume
     BEFORE the customer attribute join (aggregate below the join in
