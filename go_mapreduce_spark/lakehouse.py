@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -213,6 +214,17 @@ def create_table(
     )
 
 
+_FILE_VERSION_RE = re.compile(r"^v(\d{5})")
+
+
+def _file_version(path: str) -> int:
+    """The commit version that introduced a data file (encoded in its
+    name by ``_write_data_files``) — the sequence number equality
+    deletes are scoped by."""
+    mt = _FILE_VERSION_RE.match(os.path.basename(path))
+    return int(mt.group(1)) if mt else 0
+
+
 def read_table(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -225,17 +237,41 @@ def read_table(
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not paths:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*paths)
-    dels = m.get("deletes", [])
-    if dels:
-        # merge-on-read: subtract the snapshot's deletion-vector keys
-        # (an anti-join on the table key — delete files are key-only
-        # and tiny relative to data, so AQE broadcasts them)
-        key = m["key_col"]
-        dkeys = spark.read.parquet(
-            *[os.path.join(root, e["path"]) for e in dels]
-        ).select(key)
-        df = df.join(dkeys, key, "left_anti")
+    dels = [d for d in m.get("deletes", []) if d.get("rows", 1) > 0]
+    if not dels:
+        return spark.read.schema(schema).parquet(*paths)
+    # merge-on-read with Iceberg equality-delete SEQUENCE semantics: a
+    # vector applies only to rows in files introduced at or before the
+    # snapshot it was computed against (``applies_to_version``) — a key
+    # legitimately RE-INSERTED by a later append is live, not hidden.
+    # Files group by their applicable-vector set (few groups: delete
+    # count × append count is manifest-sized); each group anti-joins
+    # its own key lists (key-only files, tiny vs data — AQE broadcasts)
+    key = m["key_col"]
+    groups: dict[tuple, list[str]] = {}
+    for e in m["files"]:
+        vf = _file_version(e["path"])
+        applicable = tuple(
+            d["path"]
+            for d in dels
+            # legacy entries without the field keep the old global scope
+            if vf <= d.get("applies_to_version", 10**9)
+        )
+        groups.setdefault(applicable, []).append(e["path"])
+    parts = []
+    for applicable, gpaths in sorted(groups.items()):
+        part = spark.read.schema(schema).parquet(
+            *[os.path.join(root, p) for p in gpaths]
+        )
+        if applicable:
+            dkeys = spark.read.parquet(
+                *[os.path.join(root, p) for p in applicable]
+            ).select(key)
+            part = part.join(dkeys, key, "left_anti")
+        parts.append(part)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     return df
 
 
@@ -411,6 +447,14 @@ def delete_table(spark: SparkSession, root: str, condition) -> int:
     MERGE refuses to run over pending vectors (it would carry
     unpruned files by reference and resurrect their deleted rows);
     ``read_appends`` already refuses non-append commits.
+
+    Each vector records ``applies_to_version`` — the snapshot it was
+    computed against — so it only ever hides rows in files that
+    existed THEN (Iceberg sequence-number semantics): a key appended
+    after the delete is a legitimate re-insert and stays live.  A
+    predicate matching no live rows is a version-preserving no-op —
+    committing a zero-row vector would tax every later read with the
+    anti-join and make OPTIMIZE rewrite every file for nothing.
     """
     m = read_manifest(root)
     key = m["key_col"]
@@ -428,9 +472,19 @@ def delete_table(spark: SparkSession, root: str, condition) -> int:
             dst = f"v{version:05d}_del_00000.parquet"
             os.rename(os.path.join(stage, fn), os.path.join(data_dir, dst))
             rows = spark.read.parquet(os.path.join(data_dir, dst)).count()
-            entries.append({"path": f"{_DATA}/{dst}", "rows": rows})
+            entries.append(
+                {
+                    "path": f"{_DATA}/{dst}",
+                    "rows": rows,
+                    "applies_to_version": m["version"],
+                }
+            )
             break
     shutil.rmtree(stage)
+    if not entries or entries[0]["rows"] == 0:
+        for e in entries:
+            os.remove(os.path.join(root, e["path"]))
+        return m["version"]  # no-op delete: no commit, no read debt
     return _commit(
         root,
         {
@@ -718,7 +772,8 @@ def optimize_table(
     from pyspark.sql.types import StructType
 
     m = read_manifest(root)
-    dels = m.get("deletes", [])
+    # zero-row vectors (legacy manifests) are dropped, not materialized
+    dels = [d for d in m.get("deletes", []) if d.get("rows", 1) > 0]
     if zorder_cols is not None:
         if len(zorder_cols) != 2:
             raise ValueError("zorder_cols must name exactly two columns")
@@ -736,14 +791,16 @@ def optimize_table(
     if len(small) <= 1 and zorder_cols is None and not dels:
         return m["version"]  # nothing to compact
     schema = StructType.fromJson(json.loads(m["schema"]))
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(root, e["path"]) for e in small]
-    )
     if dels:
-        dkeys = spark.read.parquet(
-            *[os.path.join(root, e["path"]) for e in dels]
-        ).select(m["key_col"])
-        df = df.join(dkeys, m["key_col"], "left_anti")
+        # with pending vectors, both branches rewrite EVERY file
+        # (small == m["files"]); the snapshot read applies each vector
+        # with its version scoping, so keys re-inserted after a delete
+        # survive materialization exactly as they survive reads
+        df = read_table(spark, root)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, e["path"]) for e in small]
+        )
     n_rows = sum(e["rows"] for e in small) - sum(e["rows"] for e in dels)
     n_files = max(1, math.ceil(n_rows / target_rows))
     version = m["version"] + 1

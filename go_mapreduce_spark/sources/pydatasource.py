@@ -20,10 +20,26 @@ for systems Spark has no reader for.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
+
+# The TSV wire contract, pinned on BOTH sides (write with Spark's CSV
+# sink, read with pyarrow): Spark's writer defaults escape embedded
+# quotes with a backslash while pyarrow's parser expects RFC-4180
+# doubled quotes — alphanumeric fixtures can't catch the mismatch, a
+# value containing a tab/quote/newline silently round-trips wrong.
+# Writers therefore set escape='"' (doubling, pyarrow's double_quote
+# default) and readers allow quoted newlines.
+TSV_WRITE_OPTIONS = {"sep": "\t", "escape": '"'}
+
+
+def _tsv_parse_options():
+    from pyarrow import csv as pacsv
+
+    return pacsv.ParseOptions(delimiter="\t", newlines_in_values=True)
 
 
 class _ShardPartition(InputPartition):
@@ -82,7 +98,7 @@ class TsvReader(DataSourceReader):
         table = pacsv.read_csv(
             partition.path,
             read_options=pacsv.ReadOptions(column_names=names),
-            parse_options=pacsv.ParseOptions(delimiter="\t"),
+            parse_options=_tsv_parse_options(),
             convert_options=pacsv.ConvertOptions(column_types=types),
         )
         yield from table.to_batches()
@@ -171,10 +187,43 @@ class TsvStreamDataSource(DataSource):
 from pyspark.sql.datasource import DataSourceStreamReader
 
 
+def _read_marker(path: str | None, key: str) -> int:
+    if not path or not os.path.isfile(path):
+        return 0
+    try:
+        with open(path) as fh:
+            return int(json.load(fh).get(key, 0))
+    except (ValueError, OSError):
+        return 0
+
+
+def _write_marker(path: str | None, key: str, value: int) -> None:
+    if not path:
+        return
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({key: value}, fh)
+    os.replace(tmp, path)  # atomic: a reader never sees a torn marker
+
+
 class TsvStreamReader(DataSourceStreamReader):
+    """Rate-limited file-backlog stream reader.
+
+    Restart contract: on recovery the engine calls ``latestOffset()``
+    BEFORE ``partitions()``, so an advance counter that restarts at 0
+    would return an offset BELOW the committed one and the next batch
+    would re-read already-committed files (duplicates).  The committed
+    offset is therefore made DURABLE in ``commit(end)`` via an atomic
+    marker file (option ``commitMarker``; the caller scopes it to the
+    checkpoint's lifetime) and a fresh reader recovers its floor from
+    it lazily — ``latestOffset`` can never regress below a committed
+    offset, which is what "exactly-once on restart" requires.
+    """
+
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self.path = options["path"]
+        self.marker = options.get("commitmarker") or options.get("commitMarker")
 
     def _files(self):
         return sorted(
@@ -192,17 +241,18 @@ class TsvStreamReader(DataSourceStreamReader):
         # (the rate-limit contract maxFilesPerTrigger provides for the
         # built-in file source)
         n = len(self._files())
-        cur = getattr(self, "_last", 0)
+        cur = getattr(self, "_last", None)
+        if cur is None:
+            cur = _read_marker(self.marker, "index")  # restart floor
         nxt = min(cur + STREAM_FILES_PER_BATCH, n)
         self._last = nxt
         return {"index": nxt}
 
     def partitions(self, start: dict, end: dict):
-        # restart safety: a fresh reader's advance counter starts at 0,
-        # but the engine resumes from the CHECKPOINTED start offset —
-        # fold it into the counter so latestOffset continues forward
-        # instead of re-advancing through already-committed ranges
-        self._last = max(getattr(self, "_last", 0), start["index"])
+        # second restart guard: even markerless readers fold the
+        # checkpointed start offset into the counter so latestOffset
+        # continues forward after the first (regressed) empty batch
+        self._last = max(getattr(self, "_last", 0) or 0, start["index"])
         if end["index"] <= start["index"]:
             return []
         files = self._files()[start["index"] : end["index"]]
@@ -232,7 +282,7 @@ class TsvStreamReader(DataSourceStreamReader):
             table = pacsv.read_csv(
                 p,
                 read_options=pacsv.ReadOptions(column_names=names),
-                parse_options=pacsv.ParseOptions(delimiter="\t"),
+                parse_options=_tsv_parse_options(),
                 convert_options=pacsv.ConvertOptions(column_types=types),
             )
             for batch in table.to_batches():
@@ -240,7 +290,11 @@ class TsvStreamReader(DataSourceStreamReader):
                     yield tuple(row[n] for n in names)
 
     def commit(self, end: dict) -> None:
-        pass  # progress is durable in the streaming checkpoint
+        # engine progress is durable in the streaming checkpoint; the
+        # marker duplicates just the committed INDEX so a fresh
+        # reader's latestOffset never regresses below it (see class
+        # docstring)
+        _write_marker(self.marker, "index", end["index"])
 
 
 _STREAM_REGISTERED: set[str] = set()
@@ -257,17 +311,25 @@ def register_stream(spark) -> None:
 def x213_custom_stream_source(spark, sf_dir: str):
     """Structured Streaming through the CUSTOM Python source: the
     events table staged as sorted TSV shards, streamed shard-by-shard
-    (2 files per trigger) through ``gms_tsv_stream``, aggregated to
-    per-type counts + decimal-exact totals, drained with
-    availableNow.  The oracle is the closed-form batch aggregate —
-    any dropped/duplicated file, offset skew, or TSV type-loss in
-    the source hash-mismatches.
+    (2 files per trigger) through ``gms_tsv_stream`` into an
+    APPEND-mode parquet sink — the same 100 TB backfill shape the
+    rest of the streaming family uses (x36/x90: finalized rows go to
+    distributed storage, driver memory stays flat) — then aggregated
+    BATCH-side to per-type counts + decimal-exact totals.  The oracle
+    is the closed-form batch aggregate — any dropped/duplicated file,
+    offset skew, or TSV type-loss in the source hash-mismatches.
 
-    The sink here is a complete-mode memory table (the OUTPUT is
-    5 rows; the append-parquet backfill shape is the rest of the
-    streaming family's job) — the declared surface is the SOURCE
-    extension point: monotonic offsets, bounded per-trigger advance,
-    partition-per-file reads, checkpointed commits.
+    The declared surface is the SOURCE extension point: monotonic
+    offsets, bounded per-trigger advance, partition-per-file reads,
+    checkpointed commits with a durable restart floor (the
+    ``commitMarker`` is scoped to the checkpoint: both are recreated
+    together, so the floor dies exactly when the offsets it mirrors
+    do).  A processingTime trigger, NOT availableNow: the rate-limited
+    latestOffset is consulted once per trigger, so the 8-shard backlog
+    genuinely drains as 4 micro-batches; the loop below waits until a
+    COMMITTED batch's endOffset covers every file (lastProgress
+    reports only committed batches, so the parquet sink already holds
+    that batch's files when we stop).
     """
     import shutil
     import tempfile
@@ -284,44 +346,38 @@ def x213_custom_stream_source(spark, sf_dir: str):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
-        (
+        w = (
             ev.repartitionByRange(8, "event_id")
             .sortWithinPartitions("event_id")
             .write.mode("overwrite")
-            .option("sep", "\t")
-            .csv(staged)
         )
+        for k, v in TSV_WRITE_OPTIONS.items():
+            w = w.option(k, v)
+        w.csv(staged)
     register_stream(spark)
+    ckpt = os.path.join(tempfile.gettempdir(), f"gms_x213_ckpt_{tag}")
+    out_dir = os.path.join(tempfile.gettempdir(), f"gms_x213_out_{tag}")
+    marker = os.path.join(tempfile.gettempdir(), f"gms_x213_marker_{tag}.json")
+    for d in (ckpt, out_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    if os.path.isfile(marker):
+        os.remove(marker)
     stream = (
         spark.readStream.format("gms_tsv_stream")
         .schema("event_id bigint, user_id bigint, event_type string, value double")
         .option("path", staged)
+        .option("commitMarker", marker)
         .load()
     )
-    agg = stream.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
-        ).alias("total_value"),
-    )
-    qname = f"x213_{tag.replace('.', '_')}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"gms_x213_ckpt_{tag}")
-    if os.path.isdir(ckpt):
-        shutil.rmtree(ckpt)
     n_files = len(
         [f for f in os.listdir(staged) if f.startswith("part-")]
     )
-    # processingTime trigger, NOT availableNow: the rate-limited
-    # latestOffset is consulted once per trigger, so the 8-shard
-    # backlog genuinely drains as 4 micro-batches; the loop below
-    # waits until a COMPLETED batch's endOffset covers every file
-    # (lastProgress reports only committed batches, so the memory
-    # sink already holds that batch's output when we stop).
     q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", ckpt)
+        .outputMode("append")
         .trigger(processingTime="200 milliseconds")
         .start()
     )
@@ -345,9 +401,16 @@ def x213_custom_stream_source(spark, sf_dir: str):
             raise TimeoutError("x213 stream did not drain in 120s")
     finally:
         q.stop()
-    return spark.sql(
-        f"SELECT event_type, n_events, total_value FROM {qname} "
-        "ORDER BY event_type"
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -384,6 +447,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self.root = options["path"]
+        self.marker = options.get("commitmarker") or options.get("commitMarker")
 
     def initialOffset(self):
         return {"version": 0}
@@ -391,7 +455,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         from go_mapreduce_spark.lakehouse import current_version
 
-        cur = getattr(self, "_last", 0)
+        cur = getattr(self, "_last", None)
+        if cur is None:
+            # restart floor: never regress below a committed version
+            # (same duplicate-on-restart contract as TsvStreamReader)
+            cur = _read_marker(self.marker, "version")
         nxt = min(cur + 1, current_version(self.root))  # 1 version/trigger
         self._last = nxt
         return {"version": nxt}
@@ -415,7 +483,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return [e["path"] for e in m["files"] if e["path"] not in parent]
 
     def partitions(self, start: dict, end: dict):
-        self._last = max(getattr(self, "_last", 0), start["version"])
+        self._last = max(getattr(self, "_last", 0) or 0, start["version"])
         paths = []
         for v in range(start["version"] + 1, end["version"] + 1):
             paths += self._new_paths(v)
@@ -435,7 +503,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 yield tuple(row[n] for n in names)
 
     def commit(self, end: dict) -> None:
-        pass
+        _write_marker(self.marker, "version", end["version"])
 
 
 _LH_STREAM_REGISTERED: set[str] = set()
@@ -451,12 +519,15 @@ def register_lakehouse_stream(spark) -> None:
 
 def x215_lakehouse_stream_source(spark, sf_dir: str):
     """Stream the append-only lakehouse demo table (x170's 3-version
-    history) version-by-version through the custom source and
-    aggregate everything ever appended — per event type, count and
-    decimal-exact total.  Three micro-batches (one per commit), each
-    reading only its version's new files; the oracle is the
-    closed-form aggregate over ALL events, so a skipped file,
-    re-read parent file, or version-ordering error hash-mismatches.
+    history) version-by-version through the custom source into an
+    APPEND-mode parquet sink (the family's 100 TB backfill shape),
+    then aggregate everything ever appended batch-side — per event
+    type, count and decimal-exact total.  Three micro-batches (one
+    per commit), each reading only its version's new files; the
+    oracle is the closed-form aggregate over ALL events, so a skipped
+    file, re-read parent file, or version-ordering error
+    hash-mismatches.  The ``commitMarker`` restart floor is scoped to
+    the checkpoint (both recreated together).
     """
     import shutil
     import tempfile
@@ -467,6 +538,15 @@ def x215_lakehouse_stream_source(spark, sf_dir: str):
 
     root = ensure_append_demo(spark, sf_dir)
     register_lakehouse_stream(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ckpt = os.path.join(tempfile.gettempdir(), f"gms_x215_ckpt_{tag}")
+    out_dir = os.path.join(tempfile.gettempdir(), f"gms_x215_out_{tag}")
+    marker = os.path.join(tempfile.gettempdir(), f"gms_x215_marker_{tag}.json")
+    for d in (ckpt, out_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    if os.path.isfile(marker):
+        os.remove(marker)
     stream = (
         spark.readStream.format("gms_lakehouse_stream")
         .schema(
@@ -474,27 +554,17 @@ def x215_lakehouse_stream_source(spark, sf_dir: str):
             "value double, dom int"
         )
         .option("path", root)
+        .option("commitMarker", marker)
         .load()
     )
-    agg = stream.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
-        ).alias("total_value"),
-    )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    qname = f"x215_{tag.replace('.', '_')}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"gms_x215_ckpt_{tag}")
-    if os.path.isdir(ckpt):
-        shutil.rmtree(ckpt)
     from go_mapreduce_spark.lakehouse import current_version
 
     n_versions = current_version(root)
     q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", ckpt)
+        .outputMode("append")
         .trigger(processingTime="200 milliseconds")
         .start()
     )
@@ -516,7 +586,14 @@ def x215_lakehouse_stream_source(spark, sf_dir: str):
             raise TimeoutError("x215 stream did not drain in 120s")
     finally:
         q.stop()
-    return spark.sql(
-        f"SELECT event_type, n_events, total_value FROM {qname} "
-        "ORDER BY event_type"
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
     )

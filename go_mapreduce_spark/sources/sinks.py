@@ -85,7 +85,17 @@ def write_sorted_tsv(
     out = df.orderBy(*key_cols)
     if single_file:
         out = out.coalesce(1)
-    out.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(path)
+    # escape='"' pins the quoting contract to RFC-4180 doubled quotes
+    # (pyarrow's parser default) — Spark's backslash-escape default
+    # would corrupt values containing tabs/quotes/newlines when the
+    # shards are read back through the gms_tsv connector
+    (
+        out.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("escape", '"')
+        .option("header", "false")
+        .csv(path)
+    )
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

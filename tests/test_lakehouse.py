@@ -510,3 +510,48 @@ def test_dv_append_carries_vectors_forward(spark, tmp_path):
     lh.append_table(spark, extra, root)
     keys = {r.o_orderkey for r in lh.read_table(spark, root).collect()}
     assert 7 not in keys and 100 in keys and len(keys) == 20
+
+
+def test_dv_reinserted_key_is_live(spark, tmp_path):
+    """Iceberg sequence-number semantics: a vector only hides rows in
+    files that existed when the delete was committed.  A key appended
+    AFTERWARDS is a legitimate re-insert and must be visible — both in
+    merge-on-read snapshots and after OPTIMIZE materializes the
+    vectors."""
+    from pyspark.sql import functions as F
+
+    lh, root = _dv_table(spark, tmp_path)
+    lh.delete_table(spark, root, F.col("o_orderkey") == 7)  # v2
+    reinsert = spark.createDataFrame(
+        [(7, "C", 77.0)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    lh.append_table(spark, reinsert, root)  # v3: re-inserts key 7
+    rows = {r.o_orderkey: r.o_totalprice for r in lh.read_table(spark, root).collect()}
+    assert rows.get(7) == 77.0, "re-inserted key hidden by a stale vector"
+    assert len(rows) == 20
+    # the OLD row stays deleted: exactly one row for key 7
+    assert lh.read_table(spark, root).where("o_orderkey = 7").count() == 1
+    # materialization preserves the same snapshot
+    lh.optimize_table(spark, root, target_rows=1000)
+    m = lh.read_manifest(root)
+    assert m.get("deletes", []) == []
+    rows2 = {r.o_orderkey: r.o_totalprice for r in lh.read_table(spark, root).collect()}
+    assert rows2 == rows
+
+
+def test_dv_empty_delete_is_noop(spark, tmp_path):
+    """A predicate matching no live rows must not commit: a zero-row
+    vector would tax every later read with the anti-join and make
+    OPTIMIZE rewrite every file for a no-op."""
+    from pyspark.sql import functions as F
+
+    lh, root = _dv_table(spark, tmp_path)
+    v_before = lh.read_manifest(root)["version"]
+    v = lh.delete_table(spark, root, F.col("o_orderkey") > 10_000)
+    m = lh.read_manifest(root)
+    assert v == v_before and m["version"] == v_before
+    assert m.get("deletes", []) == []
+    assert lh.read_table(spark, root).count() == 20
+    # and optimize over the unchanged table stays a cheap tail repair
+    assert lh.optimize_table(spark, root, target_rows=1) == v_before

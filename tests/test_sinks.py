@@ -220,3 +220,86 @@ def test_custom_tsv_source_partition_per_shard_and_lossless(spark, sf_dir, tmp_p
     assert got == want
     # re-registration in the same session is a no-op, not an error
     PDS.register(spark)
+
+
+def test_tsv_contract_quotes_tabs_newlines(spark, tmp_path):
+    """The write/read quoting contract must round-trip values
+    containing the delimiter, quotes, and embedded newlines — the
+    alphanumeric fixtures can't catch a writer-escape vs
+    parser-quoting mismatch (Spark's backslash-escape default vs
+    pyarrow's RFC-4180 doubled quotes)."""
+    from go_mapreduce_spark.sources import pydatasource as PDS
+    from go_mapreduce_spark.sources.sinks import write_sorted_tsv
+
+    nasty = [
+        ("a", 'plain'),
+        ("b", 'tab\there'),
+        ("c", 'quote "inner" end'),
+        ("d", 'line1\nline2'),
+        ("e", 'mix\t"q"\nend'),
+    ]
+    df = spark.createDataFrame(nasty, "k string, v string")
+    out = str(tmp_path / "nasty_tsv")
+    write_sorted_tsv(df, out, key_cols=["k"])
+    PDS.register(spark)
+    back = (
+        spark.read.format("gms_tsv")
+        .schema("k string, v string")
+        .option("path", out)
+        .load()
+    )
+    assert {(r.k, r.v) for r in back.collect()} == set(nasty)
+
+
+def test_custom_stream_source_restart_floor(spark, sf_dir, tmp_path):
+    """Restart contract: the engine calls latestOffset() on a FRESH
+    reader before partitions() — without a durable floor the counter
+    restarts at 0, the offset regresses below the committed one, and
+    the next batch re-reads committed files (duplicates).  With the
+    commitMarker the recovered latestOffset never regresses."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.sources import pydatasource as PDS
+    from go_mapreduce_spark.sources.registry import load_table
+
+    staged = str(tmp_path / "ev_tsv")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    w = ev.repartitionByRange(6, "event_id").write.mode("overwrite")
+    for k, v in PDS.TSV_WRITE_OPTIONS.items():
+        w = w.option(k, v)
+    w.csv(staged)
+    marker = str(tmp_path / "marker.json")
+    schema = spark.createDataFrame(
+        [], "event_id bigint, event_type string"
+    ).schema
+    opts = {"path": staged, "commitMarker": marker}
+
+    r1 = PDS.TsvStreamReader(schema, opts)
+    o1 = r1.latestOffset()
+    assert o1["index"] == PDS.STREAM_FILES_PER_BATCH
+    o2 = r1.latestOffset()
+    r1.commit(o2)
+    assert os.path.isfile(marker)
+
+    # fresh reader (simulated restart): latestOffset consulted FIRST
+    r2 = PDS.TsvStreamReader(schema, opts)
+    o3 = r2.latestOffset()
+    assert o3["index"] >= o2["index"], "offset regressed below committed"
+    # the recovered batch starts at the committed offset: the files it
+    # reads are disjoint from every committed range
+    parts = r2.partitions(o2, o3)
+    committed = {
+        p
+        for part in r1.partitions({"index": 0}, o2)
+        for p in part.paths
+    }
+    fresh = {p for part in parts for p in part.paths}
+    assert not committed & fresh, "restart re-read committed files"
+
+    # markerless readers (legacy) still converge after the first empty
+    # batch via the partitions() fold-in guard
+    r3 = PDS.TsvStreamReader(schema, {"path": staged})
+    r3.partitions(o2, o2)
+    assert r3.latestOffset()["index"] >= o2["index"]
