@@ -1543,3 +1543,101 @@ def x223_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# x226 — multi-touch conversion attribution (wave 34)
+# ---------------------------------------------------------------------------
+
+
+def x226_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution per touch event type: for every user
+    who purchased, the view/click touches STRICTLY before their first
+    purchase split one unit of conversion credit two ways — LINEAR
+    (1/n each) and U-SHAPED (40% first touch, 40% last, 20% spread
+    over the middle; degenerate paths get 100% / 50-50) — the two
+    standard marketing-attribution baselines.
+
+    Shape: one per-user min-aggregate for the conversion instant
+    (filter pushed to the scan), an equi join back to touches, ONE
+    user-partitioned window pass for (rank, count), then a map-side
+    combinable per-type aggregate.  No per-user replay, no skew
+    beyond the user key the sessionize family already stresses.
+    Credit sums are exact integer ratios summed as doubles and
+    rounded to 6 — both engines agree at that precision.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(first_purchase, "user_id")
+        .filter(F.col("ts") < F.col("p_ts"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    ushape = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum(F.lit(1.0) / F.col("n")), 6).alias("linear_credit"),
+            F.round(F.sum(ushape), 6).alias("ushaped_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x230 — session transition matrix (wave 34)
+# ---------------------------------------------------------------------------
+
+
+def x230_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts
+    and conditional probabilities of consecutive event-type pairs in
+    each user's timeline (ordered by ts, event_id) — the "what do
+    users do after X" table behind every journey analysis.
+
+    One user-partitioned lag window (the x80 shuffle, same skew
+    posture), then a (from, to) aggregate whose output is bounded by
+    |event_type|² — metadata-sized forever.  The row probability
+    divides two exact counts once per OUTPUT row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.col("n") / F.sum("n").over(wt).cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

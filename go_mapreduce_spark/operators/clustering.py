@@ -627,3 +627,64 @@ def x185_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_mse"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x231 — label-centroid cosine audit (wave 34)
+# ---------------------------------------------------------------------------
+
+
+def x231_centroid_cosine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label hygiene: per label, every vector's cosine
+    to its label CENTROID (the mean embedding), reported as count /
+    mean / min — low min-cosine flags mislabeled or outlier vectors,
+    the audit run before using labels as supervision.
+
+    Scale shape: centroids come from one posexplode aggregate whose
+    output is |labels| × d (contract-bounded — label domain × 64),
+    re-assembled into per-label arrays IN-PLAN (array_sort over
+    (dim, value) structs) and joined back by label — a broadcast of
+    a schema-bounded relation, never a corpus shuffle.  The cosine is
+    an ordered zip_with/aggregate fold (bit-deterministic); the
+    corpus is touched exactly twice (centroid pass + audit pass),
+    each a single scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cen = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("c")))
+                ),
+                lambda s: s.getField("c"),
+            ).alias("cvec")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nrm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, t: acc + t * t)
+    )
+    cos = dot / (nrm(F.col("v")) * nrm(F.col("cvec")))
+    return (
+        emb.join(F.broadcast(cen), "label")  # |labels| rows: contract-bounded
+        .select("label", cos.alias("cs"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("cs"), 6).alias("avg_cos"),
+            F.round(F.min("cs"), 6).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

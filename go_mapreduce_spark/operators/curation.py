@@ -884,3 +884,52 @@ def x221_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x225 — weighted sampling without replacement (wave 34)
+# ---------------------------------------------------------------------------
+
+WS_K = 50
+_WS_DENOM = float(16**12) + 1.0
+
+
+def x225_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``WS_K``
+    documents, probability proportional to length (``n_chars``) — the
+    Efraimidis–Spirakis A-ES scheme: each row draws a hash-derived
+    uniform u and the sample is the top-k by key u^(1/w), computed in
+    log space as ln(u)/w (same ordering, no float pow).
+
+    This is THE distributed weighted-sampling algorithm: one pass, no
+    coordination, exact top-k semantics — at 100 TB it is a
+    TakeOrderedAndProject (per-partition k-heaps, only k rows per
+    partition reach the driver-side merge), never a sort.  u comes
+    from sha256(doc_id), so the "random" draw is a pure row function
+    both engines replay bit-identically (the x37 discipline); +1 in
+    the numerator dodges ln(0) on an all-zero hash prefix.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_WS_DENOM)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col("doc_id"))
+        .limit(WS_K)
+        .select(
+            "doc_id", "lang", "n_chars", F.round("_k", 10).alias("sample_key")
+        )
+        .orderBy("doc_id")
+    )

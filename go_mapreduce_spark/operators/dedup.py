@@ -1098,3 +1098,159 @@ def x192_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x227 — PassJoin edit-distance similarity join (wave 34)
+# ---------------------------------------------------------------------------
+
+# edit-distance threshold and prefix geometry: 15-char prefixes split
+# into D+1 = 3 segments of 5 — pigeonhole guarantees completeness
+PASSJOIN_D = 2
+PASSJOIN_L = 15
+_PJ_SEG = PASSJOIN_L // (PASSJOIN_D + 1)
+
+
+def x227_passjoin_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-language doc pairs whose 15-char lowercase text
+    prefixes are within edit distance 2 — the PassJoin string
+    similarity join (Li/Deng/Feng, ICDE'11 family), the exact
+    complement to the token-level families (x6 Jaccard, x4 MinHash):
+    it catches char-level mutations (typos, OCR noise) tokens miss.
+
+    Scale shape — never the O(N²) verify a naive engine runs:
+
+    1. each doc's prefix is partitioned into D+1 = 3 fixed segments
+       (pigeonhole: ed ≤ D ⟹ the other string contains ≥ 1 segment
+       EXACTLY, shifted by at most D positions);
+    2. the probe side enumerates, per segment slot, the substrings at
+       the ±D shifted positions — a constant 3·(2D+1) rows per doc,
+       columnar codegen only;
+    3. candidates come from an equi-join on (slot, gram) + language —
+       an inverted-index join exactly like x6's, with the same skew
+       calculus (a hot segment is a capped posting at 100 TB);
+    4. only candidates pay the levenshtein verify (JVM built-in).
+
+    Oracle: the definitional all-pairs levenshtein filter — any lost
+    candidate (a shift-window or segmentation bug) hash-mismatches.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring(F.lower("text"), 1, PASSJOIN_L).alias("pfx")
+    )
+    segs = docs.select(
+        "doc_id",
+        "lang",
+        "pfx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("slot"),
+                        F.substring("pfx", 1 + j * _PJ_SEG, _PJ_SEG).alias("gram"),
+                    )
+                    for j in range(PASSJOIN_D + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "lang", "pfx", "s.slot", "s.gram")
+    probes = docs.select(
+        "doc_id",
+        "lang",
+        "pfx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("slot"),
+                        F.substring(
+                            "pfx", 1 + j * _PJ_SEG + d, _PJ_SEG
+                        ).alias("gram"),
+                    )
+                    for j in range(PASSJOIN_D + 1)
+                    for d in range(-PASSJOIN_D, PASSJOIN_D + 1)
+                    if 1 + j * _PJ_SEG + d >= 1
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "pfx", "p.slot", "p.gram")
+    a, b = segs.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pfx").alias("pa"),
+            F.col("b.pfx").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("ed", F.levenshtein("pa", "pb"))
+        .filter(F.col("ed") <= PASSJOIN_D)
+        .select("doc_a", "doc_b", F.col("ed").cast("int").alias("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x228 — shingle containment (sub-document / quote detection, wave 34)
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def x228_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered doc pairs where containment C(A→B) = |sh(A) ∩ sh(B)|
+    / |sh(A)| ≥ 0.5: "at least half of A's 3-gram shingles appear in
+    B" — the ASYMMETRIC near-dup measure that catches quotes and
+    sub-documents Jaccard dilutes (a paragraph quoted inside a long
+    doc has high containment but tiny Jaccard).
+
+    Same inverted-index shape as x6 — intersections come from one
+    posting self-join grouped by pair (only co-occurring pairs exist,
+    never a cross join; at 100 TB the x6 ``max_df`` posting-cap
+    calculus applies verbatim), and the ordered pair is emitted in
+    BOTH directions from one undirected join output (A⊂B and B⊂A are
+    different questions with the same intersection).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    directed = inter.selectExpr("lo AS doc_a", "hi AS doc_b", "inter").unionAll(
+        inter.selectExpr("hi AS doc_a", "lo AS doc_b", "inter")
+    )
+    return (
+        directed.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("n_a")
+        )
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("shared_shingles"),
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

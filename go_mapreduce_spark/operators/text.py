@@ -1355,3 +1355,47 @@ def x224_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "step", "ctx", "token", F.col("c3").cast("bigint").alias("c3")
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# x229 — trigram novelty score (wave 34)
+# ---------------------------------------------------------------------------
+
+
+def x229_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its DISTINCT word
+    trigrams whose first corpus occurrence (lowest doc_id) is this
+    document — the streaming-ingest "how much of this doc is new
+    text" signal dedup pipelines use to rank near-dups for removal
+    (a doc that introduces nothing is the safe one to drop).
+
+    One inverted-index shuffle: shingles → min(doc_id) per shingle
+    (map-side combinable), joined back to the postings and collapsed
+    per doc.  The first-occurrence relation is |distinct shingles| —
+    the same cardinality class as every posting list here, and the
+    join key is the shingle, so the x6 hot-posting calculus applies.
+    """
+    from go_mapreduce_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_trigrams").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

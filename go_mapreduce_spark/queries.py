@@ -5205,6 +5205,149 @@ ORACLE_SQL["x224_greedy_decode"] = _decode_oracle()
 
 
 # ---------------------------------------------------------------------------
+# wave 34 (round 5): weighted sampling, attribution, PassJoin,
+# containment, novelty, transition matrix, centroid audit
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x225_weighted_sample": C.x225_weighted_sample,
+        "x226_attribution": AN.x226_attribution,
+        "x227_passjoin_editdist": D.x227_passjoin_editdist,
+        "x228_containment": D.x228_containment,
+        "x229_trigram_novelty": T.x229_trigram_novelty,
+        "x230_transition_matrix": AN.x230_transition_matrix,
+        "x231_centroid_cosine_audit": CL.x231_centroid_cosine_audit,
+    }
+)
+
+ORACLE_SQL["x225_weighted_sample"] = """
+    WITH keyed AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               ln((('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+                    + 1) / 281474976710657.0)
+                 / CAST(n_chars AS DOUBLE) AS k
+        FROM documents)
+    SELECT doc_id, lang, n_chars, ROUND(k, 10) AS sample_key
+    FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x226_attribution"] = """
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.event_type IN ('view', 'click') AND e.ts < fp.p_ts
+    ), ranked AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM touches)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(1.0 / n), 6) AS linear_credit,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1.0
+                          WHEN n = 2 THEN 0.5
+                          WHEN rn = 1 OR rn = n THEN 0.4
+                          ELSE 0.2 / (n - 2) END), 6) AS ushaped_credit
+    FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["x227_passjoin_editdist"] = """
+    WITH p AS (
+        SELECT doc_id, lang, substr(lower(text), 1, 15) AS pfx FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist
+    FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 2
+    ORDER BY doc_a, doc_b
+"""
+
+_SHINGLE_CTE = """toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    )"""
+
+ORACLE_SQL["x228_containment"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), directed AS (
+        SELECT lo AS doc_a, hi AS doc_b, i FROM inter
+        UNION ALL SELECT hi, lo, i FROM inter)
+    SELECT d.doc_a, d.doc_b,
+           CAST(d.i AS BIGINT) AS shared_shingles,
+           ROUND(d.i * 1.0 / s.n_sh, 6) AS containment
+    FROM directed d JOIN sizes s ON s.doc_id = d.doc_a
+    WHERE d.i * 1.0 / s.n_sh >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLE_SQL["x229_trigram_novelty"] = f"""
+    WITH {_SHINGLE_CTE},
+    first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM sh s JOIN first f ON s.sh = f.sh
+    GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+ORACLE_SQL["x230_transition_matrix"] = """
+    WITH pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS from_type,
+               event_type AS to_type
+        FROM events
+    ), counted AS (
+        SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+    FROM counted ORDER BY from_type, to_type
+"""
+
+ORACLE_SQL["x231_centroid_cosine_audit"] = """
+    WITH ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), cen AS (
+        SELECT label, dim, AVG(x) AS c FROM ex GROUP BY label, dim
+    ), dots AS (
+        SELECT e.vec_id, e.label,
+               SUM(e.x * c.c) AS dot,
+               SUM(e.x * e.x) AS nx,
+               SUM(c.c * c.c) AS nc
+        FROM ex e JOIN cen c ON e.label = c.label AND e.dim = c.dim
+        GROUP BY e.vec_id, e.label
+    ), cs AS (
+        SELECT label, dot / (sqrt(nx) * sqrt(nc)) AS c FROM dots)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(c), 6) AS avg_cos,
+           ROUND(MIN(c), 6) AS min_cos
+    FROM cs GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

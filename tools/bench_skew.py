@@ -7,12 +7,21 @@ round-3 verdict asked for and records whether walls stay bounded:
 
 - events: ONE user rewritten onto ~20% of all rows (hash-chosen rows,
   deterministic) — stresses the user_id shuffle in x80 sessionize and
-  x123 first-touch.
+  x123 first-touch; a DISJOINT ~20% of rows get ONE shared timestamp —
+  a giant tie-block stressing x190's time-range sweep buckets (ties
+  share a bucket by construction).
 - documents: one shared 3-token phrase appended to ~20% of docs — a
   posting (shingle) hot key covering 20% of the corpus, stressing the
   x6/x27 inverted-index self-join (the ``max_df`` posting cap is the
-  designed defense: a hot shingle is evidence-free for dedup and gets
-  dropped, bounding candidate pairs).
+  designed defense) and x192's chunk-sharing inverted index (same
+  cap class: a chunk shared by 20% of docs is a hot posting).
+- lineitem: ~20% of rows get ONE shared l_extendedprice — the
+  weighted-median (x219) worst case, a tie-block pinned to one range
+  bucket.
+- lakehouse MERGE: a CDC batch whose keys all land in ONE narrow key
+  range vs the same-sized batch spread uniformly — the file-pruning
+  defense should make the hot-range merge no worse (it rewrites fewer
+  files).
 
 Usage::
 
@@ -40,12 +49,21 @@ HOT_USER = 1
 HOT_FRACTION_MOD = 5  # 1-in-5 rows → 20%
 HOT_PHRASE = " skewstress alpha omega"
 
-SKEW_QUERIES = ["x6_dedup_ngram_jaccard", "x27_dedup_clusters", "x80_sessionize", "x123_first_touch"]
+SKEW_QUERIES = [
+    "x6_dedup_ngram_jaccard",
+    "x27_dedup_clusters",
+    "x80_sessionize",
+    "x123_first_touch",
+    "x190_peak_concurrency",
+    "x192_cdc_chunks",
+    "x219_weighted_median",
+]
+SKEW_FIXTURE_VERSION = 2  # bump when the injection recipe changes
 
 
 def build_skew_dir(spark, sf_dir: str) -> str:
-    """Materialize the skewed twin fixture (events + documents only —
-    the four stressed queries read nothing else)."""
+    """Materialize the skewed twin fixture (events + documents +
+    lineitem — the stressed queries read nothing else)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -54,18 +72,24 @@ def build_skew_dir(spark, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(tempfile.gettempdir(), f"gms_skew_{tag}")
-    marker = os.path.join(out, "_BUILT")
+    marker = os.path.join(out, f"_BUILT_v{SKEW_FIXTURE_VERSION}")
     if os.path.isfile(marker):
         return out
     os.makedirs(out, exist_ok=True)
 
     ev = load_table(spark, sf_dir, "events")
+    hot_slot = F.pmod(F.xxhash64(F.col("event_id")), F.lit(HOT_FRACTION_MOD))
+    hot_ts = ev.agg(F.min("ts")).first()[0]
     skew_ev = ev.withColumn(
         "user_id",
-        F.when(
-            F.pmod(F.xxhash64(F.col("event_id")), F.lit(HOT_FRACTION_MOD)) == 0,
-            F.lit(HOT_USER).cast("long"),
-        ).otherwise(F.col("user_id")),
+        F.when(hot_slot == 0, F.lit(HOT_USER).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    ).withColumn(
+        # disjoint 20%: one shared timestamp (tie-block for x190's
+        # time buckets) without touching the hot user's rows
+        "ts",
+        F.when(hot_slot == 1, F.lit(hot_ts)).otherwise(F.col("ts")),
     )
     skew_ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
 
@@ -78,9 +102,78 @@ def build_skew_dir(spark, sf_dir: str) -> str:
         ).otherwise(F.col("text")),
     )
     skew_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot_price = li.agg(
+        F.percentile_approx(F.col("l_extendedprice").cast("double"), F.lit(0.5))
+    ).first()[0]
+    skew_li = li.withColumn(
+        "l_extendedprice",
+        F.when(
+            F.pmod(
+                F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+                F.lit(HOT_FRACTION_MOD),
+            )
+            == 0,
+            F.lit(hot_price).cast(li.schema["l_extendedprice"].dataType),
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    skew_li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
+
+
+def bench_merge(spark, sf_dir: str, n_runs: int) -> dict:
+    """Lakehouse MERGE under a hot key-range: a CDC batch whose keys
+    all land in one narrow o_orderkey band vs the same-SIZED batch
+    spread uniformly.  File pruning is the designed defense — the
+    hot-range merge rewrites only the overlapping files, so the ratio
+    should sit at or below 1."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.lakehouse import create_table, merge_table
+    from go_mapreduce_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    uniform = orders.where(F.pmod(F.col("o_orderkey"), F.lit(97)) == 0)
+    n = uniform.count()
+    hot = orders.orderBy("o_orderkey").limit(n)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    walls = {}
+    for label, batch_src in (("uniform", uniform), ("skewed", hot)):
+        batch = batch_src.select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+            F.lit("upsert").alias("_op"),
+        ).localCheckpoint()  # batch build excluded from the timed merge
+        best = None
+        for i in range(n_runs):
+            root = os.path.join(
+                tempfile.gettempdir(), f"gms_skew_merge_{tag}_{label}_{i}"
+            )
+            if os.path.isdir(root):
+                shutil.rmtree(root)
+            create_table(spark, orders, root, key_col="o_orderkey")
+            t0 = time.perf_counter()
+            merge_table(spark, batch, root, batch_id=f"b_{label}_{i}")
+            w = time.perf_counter() - t0
+            best = w if best is None else min(best, w)
+            shutil.rmtree(root)
+        walls[label] = round(best, 3)
+    ratio = round(walls["skewed"] / walls["uniform"], 3)
+    print(
+        f"  lakehouse_merge_hot_range: uniform={walls['uniform']}s "
+        f"skewed={walls['skewed']}s ratio={ratio}",
+        file=sys.stderr,
+    )
+    return {**walls, "ratio": ratio}
 
 
 def main() -> int:
@@ -108,6 +201,9 @@ def main() -> int:
         worst = max(worst, ratio)
         results[name] = {**walls, "ratio": ratio}
         print(f"  {name}: uniform={walls['uniform']}s skewed={walls['skewed']}s ratio={ratio}", file=sys.stderr)
+
+    results["lakehouse_merge_hot_range"] = bench_merge(spark, SF_DIR, N_RUNS)
+    worst = max(worst, results["lakehouse_merge_hot_range"]["ratio"])
 
     out = {
         "metric": "skew_stress_ratio_max",
