@@ -150,6 +150,35 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
+
+    # Round-over-round drift, host-noise corrected: compare against
+    # the PREVIOUS round's committed per-query detail
+    # (BENCH_FULL_PREV.json, refreshed each round) on the common query
+    # set, normalizing by the calib_sec ratio so a slower VM doesn't
+    # read as a slower engine.  common_ratio_calib_norm ≈ 1.0 means
+    # flat real performance regardless of host throttling.
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PREV",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_PREV.json"),
+    )
+    common_ratio = common_ratio_norm = None
+    if os.path.isfile(prev_path):
+        try:
+            prev = json.load(open(prev_path))
+            pq = prev.get("queries", {})
+            common = set(pq) & set(timings)
+            tot_prev = sum(pq[k] for k in common)
+            tot_now = sum(timings[k] for k in common)
+            if tot_prev > 0:
+                common_ratio = round(tot_now / tot_prev, 3)
+                pc = prev.get("calib_sec")
+                if pc and calib_sec:
+                    common_ratio_norm = round(
+                        (tot_now / calib_sec) / (tot_prev / pc), 3
+                    )
+        except (ValueError, KeyError, ZeroDivisionError):
+            pass
+
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
@@ -160,6 +189,8 @@ def main() -> None:
                 "sf": sf_of(SF_DIR),
                 "n_queries": len(timings),
                 "calib_sec": calib_sec,
+                "common_ratio_vs_prev": common_ratio,
+                "common_ratio_calib_norm": common_ratio_norm,
                 "queries": slowest,
                 "queries_file": "BENCH_FULL.json",
                 "ann_recall": ann_recall,

@@ -1641,3 +1641,93 @@ def x230_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x232 — bounded-lookback EWMA (wave 35)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA_POW = 0.5  # dyadic decay: every weight is exact in binary
+EWMA_LOOKBACK = 8
+
+
+def x232_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, event type): the exponentially weighted moving
+    average of ``value`` over the user's LAST ``EWMA_LOOKBACK`` events
+    of that type (decay ½ per step, normalized by the realized weight
+    mass — pandas' ``adjust=True`` convention) — the smoothed
+    "current level" signal behind rate limiting and anomaly baselines.
+
+    A naive EWMA is a sequential recurrence; the bounded-lookback form
+    is CLOSED: weight of the i-th most recent event is 0.5^i, so one
+    user-keyed window (reverse row_number), a ≤ lookback filter, and a
+    map-side-combinable weighted aggregate compute it exactly — no
+    recursion, no per-user replay.  The ½ decay makes every weight a
+    dyadic rational: POWER(0.5, i) is EXACT in IEEE double on every
+    engine, so the only float rounding is the final ≤ 8-term sum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rix"),
+    ).filter(F.col("rix") <= EWMA_LOOKBACK)
+    wgt = F.pow(F.lit(EWMA_ALPHA_POW), F.col("rix") - 1)
+    return (
+        recent.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_used"),
+            F.round(
+                F.sum(F.col("value") * wgt) / F.sum(wgt), 6
+            ).alias("ewma"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x234 — time-weighted average (wave 35)
+# ---------------------------------------------------------------------------
+
+
+def x234_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the TIME-weighted average of ``value`` — each event's
+    value holds until the user's next event, weighted by that holding
+    duration (microseconds) — the correct "average level" for
+    irregular telemetry, where the plain mean over-counts bursts.
+
+    One user-keyed lead window (the sessionize shuffle), then exact
+    DECIMAL value×duration products summed map-side: micros × value
+    exceeds double's 2^53 integer range on long-lived users, so the
+    numerator must NOT be a float sum.  The single division happens
+    once per output row.  Users with one event (no holding interval)
+    are excluded — their TWA is undefined.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(38,6)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("span_us"),
+            F.round(
+                (
+                    F.sum(F.col("v") * F.col("dur_us"))
+                    / F.sum("dur_us").cast("decimal(38,6)")
+                ).cast("double"),
+                6,
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -688,3 +688,68 @@ def x231_centroid_cosine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# x235 — quantile normalization (wave 35)
+# ---------------------------------------------------------------------------
+
+QN_TOP_N = 20
+
+
+def x235_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize embedding dims 0 and 1 across the corpus:
+    each value is replaced by the MEAN of the rank-equivalent values
+    of the two dims (the bioinformatics/feature-prep transform that
+    forces identical marginal distributions), reported for the first
+    ``QN_TOP_N`` vec_ids.
+
+    The whole operator is exact global RANKING — the x127-class trap —
+    so both per-dim ranks come from the range-bucketed exact-rank
+    machinery (``layout._global_row_number``): sketch splits, bucket
+    windows, literal offsets; no unpartitioned window anywhere.  The
+    rank-equality join keys on a dense unique rank (row_number with
+    vec_id tiebreak), so it is 1:1 and shuffle-bounded by N.
+    """
+    from go_mapreduce_spark.operators.layout import _global_row_number
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x0"),
+        F.element_at("embedding", 2).cast("double").alias("x1"),
+    )
+    d0, _ = _global_row_number(
+        emb.select("vec_id", F.col("x0").alias("x")),
+        ["x", "vec_id"],
+        F.col("x"),
+        rn="rn",
+    )
+    d1, _ = _global_row_number(
+        emb.select("vec_id", F.col("x1").alias("x")),
+        ["x", "vec_id"],
+        F.col("x"),
+        rn="rn",
+    )
+    means = (
+        d0.select("rn", F.col("x").alias("x0r"))
+        .join(d1.select("rn", F.col("x").alias("x1r")), "rn")
+        .select("rn", ((F.col("x0r") + F.col("x1r")) / 2).alias("qn"))
+    )
+    out = (
+        d0.select(F.col("vec_id").alias("v0"), F.col("rn").alias("r0"))
+        .join(means.select(F.col("rn").alias("r0"), F.col("qn").alias("qn0")), "r0")
+        .join(
+            d1.select(F.col("vec_id").alias("v0"), F.col("rn").alias("r1")),
+            "v0",
+        )
+        .join(means.select(F.col("rn").alias("r1"), F.col("qn").alias("qn1")), "r1")
+    )
+    return (
+        out.filter(F.col("v0") < QN_TOP_N)
+        .select(
+            F.col("v0").alias("vec_id"),
+            F.round("qn0", 6).alias("dim0_norm"),
+            F.round("qn1", 6).alias("dim1_norm"),
+        )
+        .orderBy("vec_id")
+    )

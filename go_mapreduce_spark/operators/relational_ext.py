@@ -1422,3 +1422,60 @@ def x214_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x237 — ordered LISTAGG leaderboard (wave 35)
+# ---------------------------------------------------------------------------
+
+LEADER_TOP_N = 3
+
+
+def x237_listagg_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: the top-3 customer nations by exact decimal
+    order revenue, emitted as ONE ordered comma-joined string — the
+    LISTAGG/STRING_AGG reporting surface (deterministic: revenue desc,
+    nation asc tiebreak).
+
+    Aggregate-before-join discipline: revenue collapses to
+    (segment, nation) — a contract-bounded relation (segments ×
+    nations) — BEFORE any string work; the ranking window and the
+    ordered array_sort/array_join run on that metadata-sized relation.
+    Spark has no ordered-collect aggregate, so determinism comes from
+    sorting (rank, nation) STRUCTS, not from collect order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rev").desc(), F.col("n_name").asc()
+    )
+    ranked = rev.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= LEADER_TOP_N
+    )
+    return (
+        ranked.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rk"), F.col("n_name")))
+                    ),
+                    lambda s: s.getField("n_name"),
+                ),
+                ",",
+            ).alias("top_nations"),
+            F.round(F.sum(F.col("rev")).cast("double"), 4).alias("top3_revenue"),
+        )
+        .orderBy("segment")
+    )

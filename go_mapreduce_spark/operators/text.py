@@ -1399,3 +1399,45 @@ def x229_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x233 — per-language KL divergence from the corpus (wave 35)
+# ---------------------------------------------------------------------------
+
+
+def x233_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: KL(P_lang ‖ P_corpus) over the unigram token
+    distribution — the information-theoretic drift score curation
+    uses to spot a language slice whose token mix diverges from the
+    blend (vocabulary skew, contamination, genre imbalance).
+
+    Two map-side-combinable aggregates — (lang, token) counts and a
+    1-row corpus total — then arithmetic on the |langs|×|vocab|
+    relation (Heaps-bounded, ≪ corpus).  Every lang token is by
+    construction a corpus token, so q > 0 and the log is total.  The
+    output is |langs| rows; logs are the only float step, rounded
+    to 6 where both engines agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(lower_tokens(F.col("text"))).alias("tok")
+    )
+    lt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    lang_tot = lt.groupBy("lang").agg(F.sum("c_lt").alias("n_lang"))
+    total = corpus.agg(F.sum("c_t").alias("n_all"))
+    p = F.col("c_lt") / F.col("n_lang")
+    q = F.col("c_t") / F.col("n_all")
+    return (
+        lt.join(corpus, "tok")
+        .join(lang_tot, "lang")
+        .crossJoin(F.broadcast(total))
+        .groupBy("lang")
+        .agg(
+            F.max("n_lang").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_bits_nat"),
+        )
+        .orderBy("lang")
+    )

@@ -5348,6 +5348,126 @@ ORACLE_SQL["x231_centroid_cosine_audit"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 35 (round 5): EWMA, KL divergence, time-weighted average,
+# quantile normalization, multi-sink stream, LISTAGG leaderboard
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x232_ewma": AN.x232_ewma,
+        "x233_kl_divergence": T.x233_kl_divergence,
+        "x234_time_weighted_avg": AN.x234_time_weighted_avg,
+        "x235_quantile_normalization": CL.x235_quantile_normalization,
+        "x236_multisink_stream": SE.x236_multisink_stream,
+        "x237_listagg_leaderboard": RX.x237_listagg_leaderboard,
+    }
+)
+
+ORACLE_SQL["x232_ewma"] = """
+    WITH recent AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rix
+        FROM events)
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           ROUND(SUM(value * POWER(0.5, rix - 1))
+                 / SUM(POWER(0.5, rix - 1)), 6) AS ewma
+    FROM recent WHERE rix <= 8
+    GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+ORACLE_SQL["x233_kl_divergence"] = """
+    WITH toks AS (
+        SELECT lang, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   t -> len(t) > 0)) AS tok
+        FROM documents
+    ), lt AS (
+        SELECT lang, tok, COUNT(*) AS c_lt FROM toks GROUP BY 1, 2
+    ), corpus AS (
+        SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY 1
+    ), lang_tot AS (
+        SELECT lang, SUM(c_lt) AS n_lang FROM lt GROUP BY 1
+    ), total AS (SELECT SUM(c_t) AS n_all FROM corpus)
+    SELECT lang,
+           CAST(MAX(n_lang) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           ROUND(SUM((c_lt * 1.0 / n_lang)
+                     * ln((c_lt * 1.0 / n_lang) / (c_t * 1.0 / n_all))), 6)
+               AS kl_bits_nat
+    FROM lt JOIN corpus USING (tok) JOIN lang_tot USING (lang)
+    CROSS JOIN total
+    GROUP BY lang ORDER BY lang
+"""
+
+ORACLE_SQL["x234_time_weighted_avg"] = """
+    WITH held AS (
+        SELECT user_id, CAST(value AS DECIMAL(38,6)) AS v,
+               epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                   - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+        FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS span_us,
+           ROUND(CAST(SUM(v * dur_us) / CAST(SUM(dur_us) AS DECIMAL(38,6))
+                      AS DOUBLE), 6) AS twa_value
+    FROM held WHERE dur_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["x235_quantile_normalization"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x0,
+               CAST(embedding[2] AS DOUBLE) AS x1
+        FROM embeddings
+    ), d0 AS (
+        SELECT vec_id, x0 AS x,
+               ROW_NUMBER() OVER (ORDER BY x0, vec_id) AS rn FROM e
+    ), d1 AS (
+        SELECT vec_id, x1 AS x,
+               ROW_NUMBER() OVER (ORDER BY x1, vec_id) AS rn FROM e
+    ), m AS (
+        SELECT d0.rn, (d0.x + d1.x) / 2 AS qn FROM d0 JOIN d1 USING (rn))
+    SELECT e.vec_id,
+           ROUND(m0.qn, 6) AS dim0_norm,
+           ROUND(m1.qn, 6) AS dim1_norm
+    FROM e
+    JOIN d0 ON d0.vec_id = e.vec_id JOIN m m0 ON m0.rn = d0.rn
+    JOIN d1 ON d1.vec_id = e.vec_id JOIN m m1 ON m1.rn = d1.rn
+    WHERE e.vec_id < 20 ORDER BY e.vec_id
+"""
+
+ORACLE_SQL["x236_multisink_stream"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["x237_listagg_leaderboard"] = """
+    WITH rev AS (
+        SELECT c.c_mktsegment, c.c_nationkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), named AS (
+        SELECT r.c_mktsegment, n.n_name, r.rev,
+               ROW_NUMBER() OVER (PARTITION BY r.c_mktsegment
+                                  ORDER BY r.rev DESC, n.n_name ASC) AS rk
+        FROM rev r JOIN nation n ON r.c_nationkey = n.n_nationkey)
+    SELECT c_mktsegment AS segment,
+           string_agg(n_name, ',' ORDER BY rk) AS top_nations,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS top3_revenue
+    FROM named WHERE rk <= 3 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

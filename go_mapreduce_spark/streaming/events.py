@@ -789,3 +789,78 @@ def x206_rocksdb_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "window_start", "user_id", "n_events", "total_value"
     ).orderBy("window_start", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# x236 — multi-sink exactly-once fan-out via foreachBatch (wave 35)
+# ---------------------------------------------------------------------------
+
+
+def x236_multisink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, TWO sinks, exactly-once: each micro-batch writes
+    (a) the raw events and (b) a per-batch (event_type, count, decimal
+    value total) summary through ``foreachBatch`` — the canonical
+    pattern when a pipeline must land both an archive and a rollup
+    from a single read.
+
+    ``foreachBatch`` alone is at-least-once per sink (the checkpoint
+    commits AFTER the function returns; a crash between two sink
+    writes replays the batch).  Idempotence comes from batch-id-keyed
+    subdirectories written with mode=overwrite — a replayed batch
+    overwrites its own output instead of duplicating it, the
+    documented recipe for transactional-enough file sinks.  The
+    declared result re-aggregates sink (b), so a dropped, duplicated,
+    or partially-written batch hash-mismatches the closed-form oracle.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = _ensure_replay_events(spark, sf_dir)
+    base = _replay_base(sf_dir)
+    raw_dir = os.path.join(base, "x236_raw")
+    agg_dir = os.path.join(base, "x236_agg")
+    ckpt = os.path.join(base, "x236_ckpt")
+    for d in (raw_dir, agg_dir, ckpt):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+
+    def write_both(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.select("event_id", "event_type", "value")
+                .write.mode("overwrite")
+                .parquet(os.path.join(raw_dir, f"batch={batch_id}"))
+            )
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(agg_dir, f"batch={batch_id}"))
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg = spark.read.option("basePath", agg_dir).parquet(agg_dir)
+    return (
+        agg.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("v").cast("double"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
