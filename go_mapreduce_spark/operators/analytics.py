@@ -1731,3 +1731,137 @@ def x234_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x239 — SCD Type-2 dimension historization (wave 36)
+# ---------------------------------------------------------------------------
+
+
+def x239_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: treat each user's event
+    stream as a change feed of their "current activity state" (the
+    event type) and emit the versioned dimension — one row per state
+    RUN with valid_from / valid_to / version / is_current — the
+    standard warehouse historization every dimension load performs.
+
+    Gaps-and-islands under the hood: consecutive same-type events
+    collapse into one validity interval (lag window + cumulative
+    change counter), so the output is one row per CHANGE, not per
+    event.  One user-keyed shuffle serves the lag, the run id, and
+    the interval aggregate; valid_to is the next run's valid_from
+    (open interval for the current row) via one more lead on the
+    collapsed (metadata-per-user) relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn(
+        "run",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = marked.groupBy("user_id", "run").agg(
+        F.min("event_type").alias("state"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run")
+    return (
+        runs.select(
+            "user_id",
+            F.col("run").cast("bigint").alias("version"),
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x240 — time-bounded conversion funnel (wave 36)
+# ---------------------------------------------------------------------------
+
+FUNNEL_CLICK_WINDOW_H = 24
+FUNNEL_PURCHASE_WINDOW_H = 72
+
+
+def x240_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: view → click within 24 h → purchase
+    within 72 h of that click; reports per-stage user counts and
+    conversion rates.  The bounded variant is what product analytics
+    actually runs — an unbounded funnel (x62) credits conversions
+    months later.
+
+    Same scale shape as x62: per-stage min-aggregates chained by
+    equi joins on user_id, each stage relation shrinking; the time
+    bounds are plain filters on the joined pair, never an interval
+    join.  Rates divide two exact counts at output time.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("view_ts"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("view_ts")
+                <= FUNNEL_CLICK_WINDOW_H * 3_600_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("click_ts"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("click_ts")
+                <= FUNNEL_PURCHASE_WINDOW_H * 3_600_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    n1 = views.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).alias("stage"), F.lit("view").alias("name"), "n"
+    )
+    n2 = clicks.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).alias("stage"), F.lit("click_24h").alias("name"), "n"
+    )
+    n3 = purchases.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).alias("stage"), F.lit("purchase_72h").alias("name"), "n"
+    )
+    funnel = n1.unionAll(n2).unionAll(n3)
+    w = Window.orderBy("stage")  # 3-row relation: safe BY CONSTRUCTION
+    return funnel.select(
+        "stage",
+        "name",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(
+            F.col("n") / F.first("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double"),
+            6,
+        ).alias("rate_vs_stage1"),
+    ).orderBy("stage")

@@ -753,3 +753,103 @@ def x235_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x238 — exact silhouette via sufficient statistics (wave 36)
+# ---------------------------------------------------------------------------
+
+
+def x238_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label EXACT mean silhouette under squared-euclidean
+    distance — the cluster-quality score everyone computes pairwise
+    (O(N²·d)) — in O(N·|labels|·d), using the identity
+
+        mean_{u∈L} ‖v−u‖² = ‖v‖² + mean‖u‖² − 2·v·centroid_L :
+
+    per-label sufficient statistics (centroid, mean squared norm,
+    count — a |labels|×d relation, contract-bounded) broadcast back
+    onto the corpus, so every vector scores against EVERY cluster
+    from one scan.  a(i) uses the n/(n−1) correction (exclude self);
+    b(i) is the min over other labels; s(i) = (b−a)/max(a,b).
+
+    THE demonstration that "pairwise" metrics need not be pairwise at
+    100 TB — the same algebra that keeps x130's covariance and x13's
+    cosine near-dup linear.  Singleton clusters score 0 by the
+    standard convention.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "sqn",
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, t: acc + t * t),
+    )
+    stats = (
+        emb.select("label", "sqn", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.avg("x").alias("c"),
+            F.avg("sqn").alias("msq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvec"),
+            F.max("msq").alias("msq"),
+            F.max("n").alias("n"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    # mean squared distance from v to every member of the stats label
+    msd = F.col("sqn") + F.col("msq") - 2 * dot
+    scored = emb.join(
+        F.broadcast(stats.select(
+            F.col("label").alias("slabel"), "cvec", "msq", "n"
+        )),
+        how="cross",
+    ).select(
+        "vec_id",
+        "label",
+        "slabel",
+        "n",
+        msd.alias("msd"),
+    )
+    own = scored.filter(F.col("label") == F.col("slabel")).select(
+        "vec_id",
+        "label",
+        "n",
+        # exclude self: mean over n−1 others (self distance is 0)
+        F.when(
+            F.col("n") > 1, F.col("msd") * F.col("n") / (F.col("n") - 1)
+        ).alias("a"),
+    )
+    other = (
+        scored.filter(F.col("label") != F.col("slabel"))
+        .groupBy("vec_id")
+        .agg(F.min("msd").alias("b"))
+    )
+    sil = own.join(other, "vec_id").select(
+        "label",
+        F.when(F.col("a").isNull(), F.lit(0.0))
+        .otherwise(
+            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+        )
+        .alias("s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

@@ -1441,3 +1441,46 @@ def x233_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x241 — PMI-ranked co-occurrence pairs (wave 36)
+# ---------------------------------------------------------------------------
+
+PMI_PAIR_TOP_N = 20
+
+
+def x241_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PMI_PAIR_TOP_N`` token pairs by pointwise mutual information
+    over the x74 skip-gram co-occurrence counts — the collocation
+    detector (word2vec's SGNS objective is shifted PMI factorization;
+    this is the exact statistic it approximates).
+
+    PMI = ln(P(l,r) / (P(l)·P(r))) with all probabilities from the
+    SAME pair relation (left/right marginals from two
+    map-side-combinable aggregates on it), so the measure is
+    self-consistent and both engines replay it exactly.  The ranked
+    surface is a metadata-sized TakeOrderedAndProject (vocab² upper
+    bound, Heaps-bounded in practice).
+    """
+    pairs = x74_skipgram_cooc(spark, sf_dir)
+    left = pairs.groupBy("w_left").agg(F.sum("n").alias("n_l"))
+    right = pairs.groupBy("w_right").agg(F.sum("n").alias("n_r"))
+    total = pairs.agg(F.sum("n").alias("n_all"))
+    pmi = F.log(
+        (F.col("n") * F.col("n_all")).cast("double")
+        / (F.col("n_l") * F.col("n_r"))
+    )
+    return (
+        pairs.join(left, "w_left")
+        .join(right, "w_right")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w_left",
+            "w_right",
+            F.col("n").cast("bigint").alias("n_cooc"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w_left", "w_right")
+        .limit(PMI_PAIR_TOP_N)
+    )

@@ -5468,6 +5468,140 @@ ORACLE_SQL["x237_listagg_leaderboard"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 36 (round 5): silhouette, SCD2, timed funnel, PMI
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x238_silhouette": CL.x238_silhouette,
+        "x239_scd2_history": AN.x239_scd2_history,
+        "x240_timed_funnel": AN.x240_timed_funnel,
+        "x241_pmi_pairs": T.x241_pmi_pairs,
+    }
+)
+
+ORACLE_SQL["x238_silhouette"] = """
+    WITH ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), sq AS (
+        SELECT vec_id, label, SUM(x * x) AS sqn FROM ex GROUP BY 1, 2
+    ), cen AS (
+        SELECT label, dim, AVG(x) AS c FROM ex GROUP BY 1, 2
+    ), st AS (
+        SELECT label, COUNT(*) AS n, AVG(sqn) AS msq FROM sq GROUP BY label
+    ), dots AS (
+        SELECT e.vec_id, c.label AS slabel, SUM(e.x * c.c) AS dot
+        FROM ex e JOIN cen c ON e.dim = c.dim GROUP BY 1, 2
+    ), scored AS (
+        SELECT q.vec_id, q.label, d.slabel, t.n,
+               q.sqn + t.msq - 2 * d.dot AS msd
+        FROM dots d
+        JOIN sq q ON q.vec_id = d.vec_id
+        JOIN st t ON t.label = d.slabel
+    ), own AS (
+        SELECT vec_id, label,
+               CASE WHEN n > 1 THEN msd * n / (n - 1) END AS a
+        FROM scored WHERE label = slabel
+    ), oth AS (
+        SELECT vec_id, MIN(msd) AS b FROM scored
+        WHERE label <> slabel GROUP BY vec_id
+    ), sil AS (
+        SELECT o.label,
+               CASE WHEN a IS NULL THEN 0.0
+                    ELSE (b - a) / GREATEST(a, b) END AS s
+        FROM own o JOIN oth USING (vec_id))
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(s), 6) AS mean_silhouette
+    FROM sil GROUP BY label ORDER BY label
+"""
+
+ORACLE_SQL["x239_scd2_history"] = """
+    WITH marked AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), runs0 AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM marked
+    ), runs AS (
+        SELECT user_id, run, MIN(event_type) AS state,
+               MIN(ts) AS valid_from
+        FROM runs0 GROUP BY 1, 2)
+    SELECT user_id, CAST(run AS BIGINT) AS version, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+               AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+               IS NULL AS is_current
+    FROM runs ORDER BY user_id, version
+"""
+
+ORACLE_SQL["x240_timed_funnel"] = """
+    WITH views AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), clicks AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+        FROM events e JOIN views v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND CAST(e.ts AS TIMESTAMP) >= v.view_ts
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(v.view_ts)
+              <= 24 * 3600000000
+        GROUP BY 1
+    ), purch AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        FROM events e JOIN clicks c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) >= c.click_ts
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(c.click_ts)
+              <= 72 * 3600000000
+        GROUP BY 1
+    ), funnel AS (
+        SELECT 1 AS stage, 'view' AS name,
+               (SELECT COUNT(*) FROM views) AS n
+        UNION ALL SELECT 2, 'click_24h', (SELECT COUNT(*) FROM clicks)
+        UNION ALL SELECT 3, 'purchase_72h', (SELECT COUNT(*) FROM purch))
+    SELECT stage, name, CAST(n AS BIGINT) AS n_users,
+           ROUND(n * 1.0 / FIRST_VALUE(n) OVER (ORDER BY stage), 6)
+               AS rate_vs_stage1
+    FROM funnel ORDER BY stage
+"""
+
+ORACLE_SQL["x241_pmi_pairs"] = f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(toks) AS w,
+               generate_subscripts(toks, 1) AS p
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> len(t) > 0) AS toks
+              FROM documents)
+    ), pr AS (
+        SELECT a.w AS w_left, b.w AS w_right, COUNT(*) AS n
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id
+                  AND b.p BETWEEN a.p + 1 AND a.p + {T.SKIPGRAM_WINDOW}
+        GROUP BY a.w, b.w
+        HAVING COUNT(*) >= {T.SKIPGRAM_MIN_COUNT}
+    ), lm AS (SELECT w_left, SUM(n) AS n_l FROM pr GROUP BY 1),
+    rm AS (SELECT w_right, SUM(n) AS n_r FROM pr GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n_all FROM pr)
+    SELECT w_left, w_right, CAST(n AS BIGINT) AS n_cooc,
+           ROUND(ln(CAST(n * n_all AS DOUBLE) / (n_l * n_r)), 6) AS pmi
+    FROM pr JOIN lm USING (w_left) JOIN rm USING (w_right) CROSS JOIN tot
+    ORDER BY pmi DESC, w_left, w_right LIMIT {T.PMI_PAIR_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
