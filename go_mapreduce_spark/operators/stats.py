@@ -1,0 +1,272 @@
+"""Statistical testing & diagnostics: Benford's-law audit, Welch's
+t-test, Mann-Whitney rank-sum, autocorrelation, CUSUM changepoint.
+
+The hypothesis-testing family a data platform runs over its own
+output — fraud/quality audits (Benford), A/B comparisons (Welch,
+Mann-Whitney), and time-series diagnostics (ACF, CUSUM).  The
+reference engine (``/root/reference/mapreduce/mapreduce.go:130-219``)
+expresses any such statistic as a map+reduce pair; here each test is
+one or two Catalyst aggregates with the test statistic assembled from
+sufficient statistics — never a collected sample.
+
+Scale notes:
+- Every test reduces the fact table to O(1) or O(groups) sufficient
+  statistics (counts, decimal sums, sums of squares, per-tie-group
+  rank sums) with map-side partial aggregation; the closed-form
+  statistic is computed IN the plan on the reduced relation.
+- Sums that feed a reported number go through exact decimal
+  (``functions/numeric.py`` rules) so results are bit-identical at
+  any partition count — a p-value that changes on re-run is a
+  support ticket.
+- Mann-Whitney needs exact global ranks; it reuses the range-bucketed
+  ``layout._global_row_number`` machinery (no unpartitioned window),
+  and tie-averaged ranks make the bucket tiebreak irrelevant.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_mapreduce_spark.functions.numeric import DECIMAL_T, dsum, dsum_expr
+from go_mapreduce_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# x242 — Benford first-digit audit (wave 37)
+# ---------------------------------------------------------------------------
+
+# Expected first-digit probabilities log10(1 + 1/d), fixed to 10
+# decimals and injected as LITERALS into both the Spark plan and the
+# DuckDB oracle — the two engines' libm log10 may differ in the last
+# ulp, so the contract pins the constants instead.
+BENFORD_EXPECTED = {d: round(math.log10(1.0 + 1.0 / d), 10) for d in range(1, 10)}
+
+
+def x242_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of ``l_extendedprice``: the
+    observed first-significant-digit distribution vs the Benford
+    expectation, with the per-digit chi-square contribution — the
+    standard forensic-accounting screen for fabricated numeric data.
+
+    The first significant digit comes from a regexp on the string
+    form (first ``[1-9]``) — robust to magnitude and identical in
+    both engines, unlike ``floor(log10(x))`` whose last-ulp behavior
+    at exact powers of ten is libm-dependent.  One grouped count (9
+    groups, map-side combined); the expected values are module-level
+    literals shared with the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    digits = li.filter(F.col("l_extendedprice") > 0).select(
+        F.regexp_extract(F.col("l_extendedprice").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    expected = F.create_map(
+        *[
+            c
+            for d, p in BENFORD_EXPECTED.items()
+            for c in (F.lit(d), F.lit(p))
+        ]
+    )
+    p_obs = F.col("n") / F.col("n_total")
+    p_exp = F.element_at(expected, F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row total: safe broadcast
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(p_obs, 6).alias("observed_p"),
+            F.round(p_exp, 6).alias("expected_p"),
+            F.round(
+                F.col("n_total") * (p_obs - p_exp) * (p_obs - p_exp) / p_exp, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x243 — Welch's unequal-variance t-test (wave 37)
+# ---------------------------------------------------------------------------
+
+TTEST_SEG_A = "BUILDING"
+TTEST_SEG_B = "MACHINERY"
+
+
+def x243_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on order value between the
+    ``BUILDING`` and ``MACHINERY`` customer segments: means, the
+    t-statistic, and the Welch-Satterthwaite degrees of freedom —
+    the A/B-comparison primitive that tolerates unequal variances.
+
+    One conditional aggregate over the joined fact computes all six
+    sufficient statistics (n, Σx, Σx²) per arm in a single scan
+    (decimal sums per numeric.py); the statistic is closed-form
+    scalar arithmetic on the 1-row result.  The customer join is
+    AQE-decided (no data-sized broadcast hint, per the x138 rule).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sample = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin(TTEST_SEG_A, TTEST_SEG_B))
+        .select(
+            (F.col("c_mktsegment") == TTEST_SEG_A).alias("is_a"),
+            F.col("o_totalprice").alias("x"),
+        )
+    )
+
+    def arm(flag: bool, suffix: str) -> list:
+        cond = F.col("is_a") if flag else ~F.col("is_a")
+        x = F.when(cond, F.col("x"))
+        return [
+            F.count(x).alias(f"n_{suffix}"),
+            F.sum(x.cast(DECIMAL_T)).cast("double").alias(f"s_{suffix}"),
+            F.sum((x * x).cast(DECIMAL_T)).cast("double").alias(f"ss_{suffix}"),
+        ]
+
+    stats = sample.agg(*arm(True, "a"), *arm(False, "b"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m_a, m_b = F.col("s_a") / n_a, F.col("s_b") / n_b
+    # sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1)
+    v_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / n_a) / (n_a - 1)
+    v_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / n_b) / (n_b - 1)
+    se_a, se_b = v_a / n_a, v_b / n_b
+    t = (m_a - m_b) / F.sqrt(se_a + se_b)
+    dof = ((se_a + se_b) * (se_a + se_b)) / (
+        se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)
+    )
+    return stats.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x244 — Mann-Whitney U rank-sum test (wave 37)
+# ---------------------------------------------------------------------------
+
+
+def x244_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (Wilcoxon rank-sum) on order value between
+    the same two segments as x243 — the non-parametric counterpart
+    that compares distributions by rank, robust to the heavy right
+    tail order values actually have.
+
+    Exact tie-averaged ranks WITHOUT an unpartitioned window: global
+    ``row_number`` comes from the range-bucketed
+    ``layout._global_row_number`` machinery, then ranks are averaged
+    per distinct value (ties share a value, so the per-value mean of
+    consecutive row numbers IS the textbook mid-rank, and the bucket
+    tiebreak cancels out).  U, the tie-corrected variance, and the
+    normal-approximation z are closed-form on the per-value relation
+    (cardinality ≤ distinct prices).  Rank-sum products go through
+    decimal so R_A is exact at any scale (rank sums reach N² — past
+    2^53 on a 100 TB fact).
+    """
+    from go_mapreduce_spark.operators.layout import _global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sample = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin(TTEST_SEG_A, TTEST_SEG_B))
+        .select(
+            F.col("o_totalprice").alias("val"),
+            "o_orderkey",
+            (F.col("c_mktsegment") == TTEST_SEG_A).alias("is_a"),
+        )
+    )
+    ranked, _ = _global_row_number(
+        sample, ["val", "o_orderkey"], F.col("val"), rn="rn"
+    )
+    ties = ranked.groupBy("val").agg(
+        F.avg("rn").alias("arank"),  # mid-rank; exact (integer sums)
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.col("is_a").cast("int")).alias("t_a"),
+    )
+    agg = ties.agg(
+        F.sum("t_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("t") - F.col("t_a")).cast("bigint").alias("n_b"),
+        dsum_expr("arank * t_a", "r_a"),
+        dsum_expr("t * t * t - t", "tie_cube"),
+    )
+    # statistic arithmetic in double throughout: n_a*n_b and rank sums
+    # overflow int64 once N passes ~3e9 rows (certain at 100 TB)
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = n_a + n_b
+    u_a = F.col("r_a") - n_a * (n_a + 1) / 2
+    mu = n_a * n_b / 2
+    var = (
+        n_a * n_b / 12.0
+        * ((n + 1) - F.col("tie_cube") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round((u_a - mu) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x245 — autocorrelation of daily revenue (wave 37)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 14
+
+
+def x245_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-revenue series at
+    calendar lags 1..``ACF_MAX_LAG`` — the seasonality screen (a
+    weekly cycle shows as a lag-7 peak) every forecasting pipeline
+    runs before model choice.
+
+    The fact table reduces to one row per day FIRST (decimal sums),
+    so everything after is metadata-sized (~2.4k days here; ~36.5k
+    rows even for a century of data).  Lagged pairs come from a
+    calendar self-join on ``date_add`` (days with no orders simply
+    contribute no pair — calendar lag, not row lag), the mean enters
+    as a 1-row broadcast, and deviation products are summed through
+    decimal for bit-stable ratios.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    gstats = daily.agg(
+        (dsum(F.col("rev"), "s").cast("double") / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(gstats)).select(
+        "d", (F.col("rev") - F.col("mean")).alias("dev")
+    )
+    denom = dev.agg(dsum_expr("dev * dev", "ss"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = dev.alias("a")
+    b = dev.crossJoin(F.broadcast(lags)).alias("b")
+    pairs = a.join(
+        b, F.col("b.d") == F.expr("date_add(a.d, b.lag)"), "inner"
+    ).select(F.col("b.lag").alias("lag"), (F.col("a.dev") * F.col("b.dev")).alias("p"))
+    return (
+        pairs.groupBy("lag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"), dsum_expr("p", "num"))
+        .crossJoin(F.broadcast(denom))  # 1-row denominator
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -5602,6 +5602,141 @@ ORACLE_SQL["x241_pmi_pairs"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 37 (round 5): statistical testing & diagnostics
+# ---------------------------------------------------------------------------
+
+from go_mapreduce_spark.operators import stats as ST  # noqa: E402
+
+QUERIES.update(
+    {
+        "x242_benford_audit": ST.x242_benford_audit,
+        "x243_welch_ttest": ST.x243_welch_ttest,
+        "x244_mannwhitney": ST.x244_mannwhitney,
+        "x245_acf": ST.x245_acf,
+    }
+)
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+    for d, p in ST.BENFORD_EXPECTED.items()
+)
+ORACLE_SQL["x242_benford_audit"] = f"""
+    WITH digits AS (
+        SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                                   '[1-9]', 0) AS INT) AS digit
+        FROM lineitem WHERE l_extendedprice > 0
+    ), counts AS (
+        SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS n_total FROM counts),
+    scored AS (
+        SELECT digit, n, n_total,
+               n / n_total AS p_obs,
+               CASE digit {_BENFORD_CASE} END AS p_exp
+        FROM counts CROSS JOIN tot)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(p_obs, 6) AS observed_p,
+           ROUND(p_exp, 6) AS expected_p,
+           ROUND(n_total * (p_obs - p_exp) * (p_obs - p_exp) / p_exp, 6)
+               AS chi2_term
+    FROM scored ORDER BY digit
+"""
+
+ORACLE_SQL["x243_welch_ttest"] = f"""
+    WITH sample AS (
+        SELECT c_mktsegment = '{ST.TTEST_SEG_A}' AS is_a,
+               o_totalprice AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('{ST.TTEST_SEG_A}', '{ST.TTEST_SEG_B}')
+    ), s AS (
+        SELECT COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+               COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+               CAST(SUM(CASE WHEN is_a
+                    THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE) AS s_a,
+               CAST(SUM(CASE WHEN NOT is_a
+                    THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE) AS s_b,
+               CAST(SUM(CASE WHEN is_a
+                    THEN CAST(x * x AS DECIMAL(38,6)) END) AS DOUBLE) AS ss_a,
+               CAST(SUM(CASE WHEN NOT is_a
+                    THEN CAST(x * x AS DECIMAL(38,6)) END) AS DOUBLE) AS ss_b
+        FROM sample
+    ), d AS (
+        SELECT n_a, n_b, s_a / n_a AS m_a, s_b / n_b AS m_b,
+               ((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS se_a,
+               ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS se_b
+        FROM s)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+           ROUND((m_a - m_b) / sqrt(se_a + se_b), 6) AS t_stat,
+           ROUND((se_a + se_b) * (se_a + se_b)
+                 / (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)), 6)
+               AS welch_df
+    FROM d
+"""
+
+ORACLE_SQL["x244_mannwhitney"] = f"""
+    WITH sample AS (
+        SELECT o_totalprice AS val,
+               c_mktsegment = '{ST.TTEST_SEG_A}' AS is_a
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('{ST.TTEST_SEG_A}', '{ST.TTEST_SEG_B}')
+    ), r AS (
+        SELECT val, is_a, ROW_NUMBER() OVER (ORDER BY val) AS rn
+        FROM sample
+    ), ties AS (
+        SELECT val, AVG(rn) AS arank, COUNT(*) AS t,
+               SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS t_a
+        FROM r GROUP BY val
+    ), agg AS (
+        SELECT CAST(SUM(t_a) AS BIGINT) AS n_a,
+               CAST(SUM(t - t_a) AS BIGINT) AS n_b,
+               CAST(SUM(CAST(arank * t_a AS DECIMAL(38,6))) AS DOUBLE) AS r_a,
+               CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,6))) AS DOUBLE)
+                   AS tie_cube
+        FROM ties
+    ), z AS (
+        SELECT n_a, n_b,
+               CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+               r_a, tie_cube
+        FROM agg)
+    SELECT n_a, n_b,
+           ROUND(r_a - na * (na + 1) / 2, 6) AS u_a,
+           ROUND((r_a - na * (na + 1) / 2 - na * nb / 2)
+                 / sqrt(na * nb / 12.0
+                        * ((na + nb + 1)
+                           - tie_cube / ((na + nb) * (na + nb - 1)))), 6)
+               AS z_stat
+    FROM z
+"""
+
+ORACLE_SQL["x245_acf"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS mean
+        FROM daily
+    ), dev AS (
+        SELECT d, rev - mean AS dev FROM daily CROSS JOIN g
+    ), denom AS (
+        SELECT CAST(SUM(CAST(dev * dev AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM dev
+    ), lags AS (
+        SELECT CAST(unnest(range(1, {ST.ACF_MAX_LAG} + 1)) AS INT) AS lag
+    ), pairs AS (
+        SELECT l.lag, a.dev * b.dev AS p
+        FROM dev a CROSS JOIN lags l
+        JOIN dev b ON b.d = a.d + l.lag * INTERVAL 1 DAY)
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE)
+                 / MIN(ss), 6) AS acf
+    FROM pairs CROSS JOIN denom
+    GROUP BY lag ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
