@@ -1865,3 +1865,129 @@ def x240_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate_vs_stage1"),
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# x247 — RFM customer segmentation (wave 38)
+# ---------------------------------------------------------------------------
+
+RFM_TILES = 5
+
+
+def _ntile_from_rank(rn: F.Column, n: int, k: int) -> F.Column:
+    """ANSI ``NTILE(k)`` reconstructed from an exact 1-based rank and
+    the known total ``n`` — the first ``n % k`` tiles get
+    ``n//k + 1`` rows (the standard remainder rule), so the result is
+    bit-identical to the oracle's ``NTILE`` without the unpartitioned
+    window ``F.ntile`` would plan."""
+    q, rem = divmod(n, k)
+    head = rem * (q + 1)
+    return F.when(
+        F.lit(rem > 0) & (rn <= F.lit(head)),
+        F.floor((rn - 1) / F.lit(q + 1)) + 1,
+    ).otherwise(F.lit(rem) + F.floor((rn - F.lit(head) - 1) / F.lit(max(q, 1))) + 1)
+
+
+def x247_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer with orders scored into
+    quintiles on Recency (last order date), Frequency (order count),
+    and Monetary (decimal revenue sum), then the segment grid
+    reported with customer counts and average spend — the classic
+    CRM cut (5 = most recent / most frequent / highest spend).
+
+    Exact quintiles need exact global ranks; each of the three
+    orderings runs the range-bucketed ``layout._global_row_number``
+    over the customer-sized aggregate (the fact table is touched
+    once), and the NTILE remainder rule is reconstructed from the
+    rank in closed form, so no unpartitioned window exists anywhere.
+    Output is the ≤125-cell segment grid.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.operators.layout import _global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum(F.col("o_totalprice"), "monetary"),
+    )
+    ranked, n = _global_row_number(
+        rfm, ["last_day", "o_custkey"], F.unix_date(F.col("last_day")), rn="rn_r"
+    )
+    ranked, _ = _global_row_number(
+        ranked, ["freq", "o_custkey"], F.col("freq"), rn="rn_f"
+    )
+    ranked, _ = _global_row_number(
+        ranked, ["monetary", "o_custkey"], F.col("monetary"), rn="rn_m"
+    )
+    scored = ranked.select(
+        "monetary",
+        _ntile_from_rank(F.col("rn_r"), n, RFM_TILES).cast("int").alias("r_score"),
+        _ntile_from_rank(F.col("rn_f"), n, RFM_TILES).cast("int").alias("f_score"),
+        _ntile_from_rank(F.col("rn_m"), n, RFM_TILES).cast("int").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                dsum(F.col("monetary"), "s") / F.count(F.lit(1)), 6
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x248 — merged-interval activity coverage (wave 38)
+# ---------------------------------------------------------------------------
+
+COVERAGE_TTL_S = 300
+
+
+def x248_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage: each event opens a
+    ``COVERAGE_TTL_S``-second activity interval; overlapping
+    intervals merge, and the report is each user's merged-island
+    count and total covered microseconds — the union-of-intervals
+    primitive behind uptime, ad-exposure, and presence metrics
+    (x190's sweep counts concurrency; this measures the union).
+
+    Classic gaps-and-islands: a running ``max(end)`` over the
+    user-ordered stream marks island starts (strictly-after
+    comparison, so touching intervals merge), a cumulative flag sum
+    numbers islands, and per-island coverage is ``max(end) −
+    min(start)``.  All windows partition on user_id (unbounded
+    cardinality); timestamps stay in exact integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("s"), "event_id"
+    )
+    iv = ev.withColumn("e", F.col("s") + COVERAGE_TTL_S * 1_000_000)
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    flagged = iv.withColumn(
+        "new_island",
+        (
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(-(1 << 62)),
+            )
+        ).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered_us")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum("covered_us").cast("bigint").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -270,3 +270,113 @@ def x245_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+# ---------------------------------------------------------------------------
+# x246 — CUSUM changepoint detection (wave 38)
+# ---------------------------------------------------------------------------
+
+
+def x246_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: the day where the
+    cumulative deviation of daily event counts from the series mean
+    peaks in magnitude — the classic level-shift detector every
+    pipeline-health monitor runs on its volume series.
+
+    All arithmetic stays in exact integers until the final report:
+    the scaled statistic ``n_days·cum_t − t·total`` equals
+    ``n_days · Σ_{i≤t}(x_i − mean)`` and avoids any running float
+    sum (window-order float accumulation is engine-dependent).  The
+    fact table reduces to one row per (type, day) first, so windows
+    run on the metadata-sized series — safe BY CONSTRUCTION
+    (cardinality = distinct days per type); the argmax is a
+    ``max(struct)`` with earliest-day tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(w).alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    # one row per event type: schema-bounded broadcast
+    scored = cum.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "d",
+        "n_days",
+        (F.col("n_days") * F.col("cum") - F.col("t") * F.col("total")).alias(
+            "dev_scaled"
+        ),
+    )
+    best = scored.groupBy("event_type", "n_days").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("dev_scaled")).alias("a"),
+                (-F.unix_date(F.col("d"))).alias("neg_epoch"),
+                F.col("d").alias("d"),
+                F.col("dev_scaled").alias("dev"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("m.d").alias("change_day"),
+        F.round(F.col("m.dev") / F.col("n_days"), 6).alias("cusum_dev"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# x249 — Herfindahl-Hirschman market concentration (wave 38)
+# ---------------------------------------------------------------------------
+
+
+def x249_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the
+    Herfindahl-Hirschman index (Σ share² × 10 000, the antitrust
+    yardstick) plus the top supplier's share — "is this nation's
+    supply a monopoly?" over the lineitem revenue flow.
+
+    Revenue reduces to one decimal-summed row per (nation, supplier)
+    — the only fact-table pass; shares, HHI, and top-share are then
+    per-nation aggregates on the supplier-sized relation, with the
+    share-square sum through decimal for bit-stable output.  The
+    supplier→nation dims are schema-bounded broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(dsum_expr("l_extendedprice * (1 - l_discount)", "rev"))
+    )
+    w_tot = rev.groupBy("n_name").agg(
+        dsum(F.col("rev"), "nation_rev"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shared = rev.join(w_tot, "n_name").select(
+        "n_name", "n_suppliers", (F.col("rev") / F.col("nation_rev")).alias("share")
+    )
+    return (
+        shared.groupBy("n_name", "n_suppliers")
+        .agg(
+            F.round(dsum_expr("share * share", "s2") * 10000, 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            "hhi",
+            "top_share",
+        )
+        .orderBy("n_name")
+    )

@@ -5737,6 +5737,126 @@ ORACLE_SQL["x245_acf"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 38 (round 5): CUSUM, HHI, RFM, interval coverage
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x246_cusum_changepoint": ST.x246_cusum_changepoint,
+        "x247_rfm_segments": AN.x247_rfm_segments,
+        "x248_interval_coverage": AN.x248_interval_coverage,
+        "x249_market_concentration": ST.x249_market_concentration,
+    }
+)
+
+ORACLE_SQL["x246_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER w AS t,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), tot AS (
+        SELECT event_type, SUM(x) AS total, COUNT(*) AS n_days
+        FROM daily GROUP BY 1
+    ), scored AS (
+        SELECT c.event_type, c.d, t.n_days,
+               t.n_days * c.cum - c.t * t.total AS dev_scaled
+        FROM cum c JOIN tot t USING (event_type))
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           d AS change_day,
+           ROUND(dev_scaled / n_days, 6) AS cusum_dev
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs(dev_scaled) DESC, d ASC) = 1
+    ORDER BY event_type
+"""
+
+ORACLE_SQL["x247_rfm_segments"] = f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_day,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT monetary,
+               NTILE({AN.RFM_TILES}) OVER (ORDER BY last_day, o_custkey)
+                   AS r_score,
+               NTILE({AN.RFM_TILES}) OVER (ORDER BY freq, o_custkey)
+                   AS f_score,
+               NTILE({AN.RFM_TILES}) OVER (ORDER BY monetary, o_custkey)
+                   AS m_score
+        FROM rfm)
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLE_SQL["x248_interval_coverage"] = f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + {AN.COVERAGE_TTL_S} * 1000000 AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN s > COALESCE(
+                        MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING),
+                        -4611686018427387904)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands0 AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), islands AS (
+        SELECT user_id, island, MAX(e) - MIN(s) AS covered_us
+        FROM islands0 GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(covered_us) AS BIGINT) AS covered_us
+    FROM islands GROUP BY 1 ORDER BY user_id
+"""
+
+ORACLE_SQL["x249_market_concentration"] = """
+    WITH rev AS (
+        SELECT n_name, s_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT n_name,
+               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS nation_rev,
+               COUNT(*) AS n_suppliers
+        FROM rev GROUP BY 1
+    ), shares AS (
+        SELECT r.n_name, t.n_suppliers, r.rev / t.nation_rev AS share
+        FROM rev r JOIN tot t USING (n_name))
+    SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(share * share AS DECIMAL(38,6))) AS DOUBLE)
+                 * 10000, 6) AS hhi,
+           ROUND(MAX(share), 6) AS top_share
+    FROM shares GROUP BY 1, 2 ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

@@ -299,3 +299,19 @@ def test_x98_aggregates_before_customer_join(spark, sf_dir):
     # the wide-attribute join input must already be aggregated:
     # rev_dec appears as an aggregate result before any c_name ref
     assert plan.index("rev_dec") < plan.index("c_name")
+
+
+def test_wave37_38_windows_are_partitioned(spark, sf_dir):
+    """Mann-Whitney ranks and all three RFM rank passes must run on
+    range-bucketed (partitioned) windows; x248's islands partition on
+    user_id.  No unpartitioned WindowExec anywhere in the family
+    (x245/x246 windows run on metadata-sized day series and are
+    exempt BY CONSTRUCTION — they are not asserted here)."""
+    from go_mapreduce_spark.operators import analytics as AN
+    from go_mapreduce_spark.operators import stats as ST
+    from go_mapreduce_spark.plans.explain import unpartitioned_windows, window_lines
+
+    for fn in (ST.x244_mannwhitney, AN.x247_rfm_segments, AN.x248_interval_coverage):
+        df = fn(spark, sf_dir)
+        assert window_lines(df), f"{fn.__name__}: expected a window node"
+        assert not unpartitioned_windows(df), fn.__name__
