@@ -1150,3 +1150,98 @@ def x197_lakehouse_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (rollback) — wave 39
+# ---------------------------------------------------------------------------
+
+
+def restore_table(root: str, version: int) -> int:
+    """RESTORE: roll the table back to ``version`` as a NEW commit
+    (Delta ``RESTORE TABLE ... TO VERSION`` semantics).  The commit
+    copies the target snapshot's file references and deletion
+    vectors, so the restored state is bit-identical to the historical
+    read — but history is preserved (the bad commits remain
+    time-travelable, nothing is erased) and the restore itself is
+    metadata-only: zero data files move.
+
+    The idempotency ledger (``batch_ids``) carries over from the
+    CURRENT version, not the target: streams that already delivered a
+    batch must not redeliver it just because the table rolled back —
+    the ledger is about the writer protocol, not table content.
+    """
+    m_cur = read_manifest(root)
+    m_tgt = read_manifest(root, version)
+    return _commit(
+        root,
+        {
+            "version": m_cur["version"] + 1,
+            "parent": m_cur["version"],
+            "op": "restore",
+            "restored_from": version,
+            "key_col": m_tgt["key_col"],
+            "schema": m_tgt["schema"],
+            "files": m_tgt["files"],
+            "deletes": m_tgt.get("deletes", []),
+            "batch_ids": m_cur["batch_ids"],
+        },
+    )
+
+
+def _restore_demo_root(sf_dir: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"gms_lh_restore_{tag}")
+
+
+def ensure_restore_demo(spark: SparkSession, sf_dir: str) -> str:
+    """create → append → DV delete → restore-to-v1 history; reused
+    when already present (content is a pure function of the fixture)."""
+    from go_mapreduce_spark.sources.registry import load_table
+
+    root = _restore_demo_root(sf_dir)
+    try:
+        m = read_manifest(root)
+        if m["version"] == 4 and m.get("op") == "restore":
+            return root
+    except FileNotFoundError:
+        pass
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    orders = load_table(spark, sf_dir, "orders").select(*_DEMO_COLS)
+    k = F.col("o_orderkey")
+    create_table(spark, orders.filter(k % 4 == 0), root, key_col="o_orderkey")
+    append_table(spark, orders.filter(k % 4 == 2), root, batch_id="a1")
+    delete_table(spark, root, k % 8 == 0)
+    restore_table(root, 1)
+    return root
+
+
+def x252_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot census across a create → append → delete → RESTORE
+    history: per version, the op, row count, and decimal-exact price
+    total.  Version 4 (the restore) must read bit-identical to
+    version 1 — while versions 2 and 3 stay time-travelable, proving
+    rollback is an append to history, not a rewrite of it.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    root = ensure_restore_demo(spark, sf_dir)
+    parts = []
+    for v in range(1, current_version(root) + 1):
+        parts.append(
+            read_table(spark, root, version=v).agg(
+                F.lit(v).alias("version"),
+                F.lit(read_manifest(root, v)["op"]).alias("op"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(dsum(F.col("o_totalprice"), "sv"), 4).alias(
+                    "total_price"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")

@@ -1479,3 +1479,93 @@ def x237_listagg_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# x250 — SQL scalar UDFs (CREATE FUNCTION ... RETURN) (wave 39)
+# ---------------------------------------------------------------------------
+
+
+def x250_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF surface (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    business logic declared ONCE in the catalog as SQL expressions —
+    a net-revenue formula and a CASE-based order-size band — then
+    used like built-ins in an aggregate query.
+
+    SQL UDFs are the fast path the Python UDF family (x22/x42/x45)
+    can't be: the body is inlined into the plan at analysis time, so
+    the query runs entirely in whole-stage codegen with no
+    serialization boundary — at 100 TB the difference between a UDF
+    surface and a UDF tax.  The oracle inlines the same expressions,
+    proving the catalog indirection changes nothing.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_x250_li")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION gms_net_revenue(
+               price DOUBLE, discount DOUBLE, tax DOUBLE)
+           RETURNS DOUBLE
+           RETURN price * (1 - discount) * (1 + tax)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION gms_qty_band(q DOUBLE)
+           RETURNS STRING
+           RETURN CASE WHEN q < 10 THEN 'small'
+                       WHEN q < 30 THEN 'medium'
+                       ELSE 'large' END"""
+    )
+    return spark.sql(
+        """SELECT gms_qty_band(l_quantity) AS band,
+                  l_returnflag,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  ROUND(CAST(SUM(CAST(gms_net_revenue(
+                            l_extendedprice, l_discount, l_tax)
+                        AS DECIMAL(38,6))) AS DOUBLE), 4) AS net_revenue
+           FROM _x250_li
+           GROUP BY 1, 2
+           ORDER BY band, l_returnflag"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# x251 — parquet schema-evolution read (mergeSchema) (wave 39)
+# ---------------------------------------------------------------------------
+
+
+def x251_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a parquet lake whose files span two schema
+    generations: gen-1 extracts lack ``o_orderpriority`` (added
+    later), gen-2 files carry it.  ``mergeSchema`` unions the footers
+    so old files surface NULL for the new column — the additive
+    -evolution contract every long-lived 100 TB lake depends on
+    (rewriting history to add a column is a non-starter).
+
+    Generations are a deterministic orderkey-parity split of
+    ``orders``, so the oracle recomputes the same relation from the
+    source table directly; matching proves no rows, values, or NULL
+    semantics were harmed by the footer merge.  Scale: mergeSchema
+    reads ALL footers (driver-side metadata work) — on a real lake
+    pin the merged schema in a catalog instead; the read path itself
+    stays fully distributed with pushdown intact.
+    """
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"gms_evo_{tag}")
+    g1, g2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(g1)
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(g2)
+    merged = spark.read.option("mergeSchema", "true").parquet(g1, g2)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(dsum(F.col("o_totalprice"), "t"), 4).alias("total_price"),
+    ).orderBy("priority")

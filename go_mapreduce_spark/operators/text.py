@@ -1484,3 +1484,101 @@ def x241_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w_left", "w_right")
         .limit(PMI_PAIR_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# x253 — multinomial naive Bayes language classifier (wave 39)
+# ---------------------------------------------------------------------------
+
+
+def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes over character bigrams, trained AND
+    evaluated in-plan: per-language resubstitution accuracy of the
+    classifier (the supervised counterpart of x8's heuristic
+    language-ID, and the textbook example of ML training as a pure
+    relational aggregate).
+
+    Laplace-smoothed scores need no per-(doc, lang) missing-gram
+    handling: Σ_g log((c+1)/(N_l+V)) = Σ_g log(c+1) − n_doc·log(N_l+V),
+    and absent grams contribute log(0+1) = 0 to the first term — so
+    one (gram-keyed) join of doc grams against the count table plus a
+    per-doc/lang aggregate scores everything; the 5-row language
+    stats enter as a broadcast grid.  Training IS the count
+    aggregate: no driver-side model object exists at any point.
+    Prediction ranks with round-6 scores (doc-partitioned window,
+    unbounded key) so cross-engine libm ulps can't flip an argmax
+    tiebreak; only match counts are reported.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.lower("text").alias("t"))
+        .filter(F.length("t") >= 2)
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g", F.col("lang").alias("model_lang")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = counts.select("g").distinct().count()  # bounded: |alphabet|^2
+    lang_stats = (
+        grams.groupBy(F.col("lang").alias("model_lang"))
+        .agg(F.count(F.lit(1)).alias("n_grams_lang"))
+        .crossJoin(
+            docs.groupBy(F.col("lang").alias("_pl"))
+            .agg(F.count(F.lit(1)).alias("n_docs_lang"))
+            .agg(
+                F.sum("n_docs_lang").alias("n_docs_all"),
+            )
+        )
+    )
+    priors = docs.groupBy(F.col("lang").alias("model_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs_lang")
+    )
+    lang_stats = lang_stats.join(priors, "model_lang")
+    doc_meta = docs.select(
+        "doc_id", "lang", F.expr("length(t) - 1").alias("n_grams_doc")
+    )
+    overlap = (
+        grams.select("doc_id", "g")
+        .join(counts, "g")
+        .groupBy("doc_id", "model_lang")
+        .agg(dsum_expr("ln(c + 1)", "log_match"))
+    )
+    scored = (
+        doc_meta.crossJoin(F.broadcast(lang_stats))  # |langs| rows: bounded
+        .join(overlap, ["doc_id", "model_lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "model_lang",
+            (
+                F.log(F.col("n_docs_lang") / F.col("n_docs_all"))
+                + F.coalesce(F.col("log_match"), F.lit(0.0))
+                - F.col("n_grams_doc") * F.log(F.col("n_grams_lang") + F.lit(vocab))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("model_lang")
+    )
+    pred = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("model_lang") == F.col("lang")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_docs"), 4)
+        )
+        .orderBy("lang")
+    )

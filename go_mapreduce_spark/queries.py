@@ -5857,6 +5857,115 @@ ORACLE_SQL["x249_market_concentration"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 39 (round 5): SQL UDFs, schema evolution, RESTORE, naive Bayes
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x250_sql_udf": RX.x250_sql_udf,
+        "x251_schema_evolution_read": RX.x251_schema_evolution_read,
+        "x252_lakehouse_restore": LH.x252_lakehouse_restore,
+        "x253_naive_bayes_langid": T.x253_naive_bayes_langid,
+    }
+)
+
+ORACLE_SQL["x250_sql_udf"] = """
+    SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS band,
+           l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS net_revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY band, l_returnflag
+"""
+
+ORACLE_SQL["x251_schema_evolution_read"] = """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                ELSE '<pre-evolution>' END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS total_price
+    FROM orders
+    GROUP BY 1 ORDER BY priority
+"""
+
+ORACLE_SQL["x252_lakehouse_restore"] = """
+    WITH states AS (
+        SELECT 1 AS version, 'create' AS op, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT 2, 'append', o_totalprice
+        FROM orders WHERE o_orderkey % 4 IN (0, 2)
+        UNION ALL
+        SELECT 3, 'delete', o_totalprice
+        FROM orders WHERE o_orderkey % 4 IN (0, 2) AND o_orderkey % 8 <> 0
+        UNION ALL
+        SELECT 4, 'restore', o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0)
+    SELECT version, MIN(op) AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS total_price
+    FROM states GROUP BY version ORDER BY version
+"""
+
+ORACLE_SQL["x253_naive_bayes_langid"] = """
+    WITH docs AS (
+        SELECT doc_id, lang, lower(text) AS t
+        FROM documents WHERE length(lower(text)) >= 2
+    ), grams AS (
+        SELECT doc_id, lang, substr(t, CAST(i AS INT), 2) AS g
+        FROM (SELECT doc_id, lang, t,
+                     unnest(range(1, length(t))) AS i
+              FROM docs)
+    ), counts AS (
+        SELECT g, lang AS model_lang, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ), vocab AS (SELECT COUNT(DISTINCT g) AS v FROM grams),
+    lstat AS (
+        SELECT lang AS model_lang, COUNT(*) AS n_grams_lang
+        FROM grams GROUP BY 1
+    ), prior AS (
+        SELECT lang AS model_lang, COUNT(*) AS n_docs_lang
+        FROM docs GROUP BY 1
+    ), alln AS (SELECT COUNT(*) AS n_docs_all FROM docs),
+    meta AS (
+        SELECT doc_id, lang, length(t) - 1 AS n_grams_doc FROM docs
+    ), overlap AS (
+        SELECT dg.doc_id, c.model_lang,
+               CAST(SUM(CAST(ln(c.c + 1) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS log_match
+        FROM grams dg JOIN counts c ON dg.g = c.g
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT m.doc_id, m.lang, ls.model_lang,
+               ln(p.n_docs_lang / a.n_docs_all)
+                 + COALESCE(o.log_match, 0.0)
+                 - m.n_grams_doc * ln(ls.n_grams_lang + v.v) AS score
+        FROM meta m
+        CROSS JOIN lstat ls
+        JOIN prior p USING (model_lang)
+        CROSS JOIN alln a CROSS JOIN vocab v
+        LEFT JOIN overlap o
+          ON o.doc_id = m.doc_id AND o.model_lang = ls.model_lang
+    ), pred AS (
+        SELECT doc_id, lang, model_lang FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY ROUND(score, 6) DESC,
+                                            model_lang) = 1)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN model_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(SUM(CASE WHEN model_lang = lang THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS accuracy
+    FROM pred GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
