@@ -1991,3 +1991,127 @@ def x248_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x256 — cohort LTV curves (wave 40)
+# ---------------------------------------------------------------------------
+
+LTV_MAX_OFFSET = 5
+
+
+def x256_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: customers
+    cohort on their first order month, and each cohort reports
+    cumulative revenue per cohort customer at month offsets
+    0..``LTV_MAX_OFFSET`` — the payback-period curve (x63's retention
+    counts, upgraded to money).
+
+    Two fact passes collapse to customer- then month-granularity:
+    first-order month per customer (one keyed aggregate), then
+    revenue onto the (cohort, offset) grid; the cumulative sum runs
+    on that grid — safe BY CONSTRUCTION (cardinality = months ×
+    offsets, ~500 rows for a century).  Month offsets use exact
+    integer year/month arithmetic, not float months_between.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    cohort_sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    offset = (
+        (F.year(F.col("o_orderdate")) - F.year(F.col("cohort_month"))) * 12
+        + (F.month(F.col("o_orderdate")) - F.month(F.col("cohort_month")))
+    )
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    grid = (
+        orders.join(firsts, "o_custkey")
+        .withColumn("offset", offset)
+        .filter(F.col("offset") <= LTV_MAX_OFFSET)
+        .groupBy("cohort_month", "offset")
+        # stay in exact decimal through the cumulative sum so the
+        # running total is order- and engine-independent
+        .agg(F.sum(F.col("o_totalprice").cast(DECIMAL_T)).alias("rev"))
+    )
+    w = Window.partitionBy("cohort_month").orderBy("offset")
+    return (
+        grid.withColumn(
+            "cum_rev",
+            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .join(cohort_sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "offset",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_customers"), 6
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x257 — day-of-week seasonal decomposition (wave 40)
+# ---------------------------------------------------------------------------
+
+
+def x257_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week decomposition of daily order
+    revenue: per ISO weekday, the seasonal index (day mean ÷ grand
+    mean) and the dispersion of the deseasonalized series — the
+    "is Monday really slower, and how noisy is the rest?" screen
+    that pairs with x245's ACF.
+
+    The fact reduces to the daily series first; indices come from
+    two metadata-sized aggregates, and the deseasonalized residual
+    std needs only per-dow decimal sums of x and x² (no second pass
+    over deseasonalized rows).  ISO weekday (Mon=1) is computed as
+    ``weekday()+1`` / ``isodow()`` so both engines agree on the week
+    origin.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum, dsum_expr
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+        .withColumn("dow", F.weekday("d") + 1)
+    )
+    grand = daily.agg(
+        (dsum(F.col("rev"), "s") / F.count(F.lit(1))).alias("grand_mean")
+    )
+    per_dow = (
+        daily.crossJoin(F.broadcast(grand))  # 1-row grand mean
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (dsum(F.col("rev"), "s") / F.count(F.lit(1))).alias("dow_mean"),
+            F.first("grand_mean").alias("grand_mean"),
+            # sufficient statistics of the deseasonalized values
+            # x/idx, accumulated as Σx and Σx² per dow (idx is a
+            # per-dow constant, so it factors out of both sums)
+            dsum_expr("rev * rev", "ss"),
+        )
+    )
+    idx = F.col("dow_mean") / F.col("grand_mean")
+    # deseason x = rev/idx: mean = grand_mean by construction;
+    # var = (Σx²/n − mean²) with Σx² = ss/idx²  (population variance)
+    var = (F.col("ss") / (idx * idx) / F.col("n_days")) - (
+        F.col("grand_mean") * F.col("grand_mean")
+    )
+    return per_dow.select(
+        "dow",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("dow_mean"), 4).alias("dow_mean"),
+        F.round(idx, 6).alias("seasonal_index"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("deseason_std"),
+    ).orderBy("dow")

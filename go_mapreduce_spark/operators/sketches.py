@@ -217,3 +217,56 @@ def x180_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# x260 — mergeable HLL sketches (build → store → union) (wave 41)
+# ---------------------------------------------------------------------------
+
+
+def x260_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pipeline (Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg``): build one binary
+    distinct-users sketch per (event_type, day) — the shape a 100 TB
+    pipeline PERSISTS per partition — then union the day sketches
+    into per-type totals and compare to the exact count.
+
+    This is the capability x25's ``approx_count_distinct`` lacks:
+    x25's HLL state is consumed inside one aggregate, while these
+    sketches are first-class binary VALUES — storable in the
+    lakehouse, unionable across days/backfills/clusters without
+    touching raw data again.  Union of per-day sketches is exactly
+    how "distinct users this quarter" avoids a quarter-long rescan.
+
+    No DuckDB oracle (estimates are implementation-specific, module
+    contract above); the pytest bounds relative error vs exact and
+    pins union-vs-direct-build consistency.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    day_sketches = ev.groupBy("event_type", "d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    unioned = day_sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        unioned.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_day_sketches").cast("bigint").alias("n_day_sketches"),
+            F.col("approx_users").cast("bigint").alias("approx_users"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -380,3 +380,134 @@ def x249_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# x254 — deterministic Poisson bootstrap CI (wave 40)
+# ---------------------------------------------------------------------------
+
+BOOTSTRAP_B = 40
+# Poisson(1) CDF thresholds as 4-hex-digit string cutpoints: a row's
+# replicate weight is decided by comparing the first 4 hex chars of
+# sha256(key|b) against these LEXICOGRAPHICALLY — the x37 trick, so
+# both engines agree without any hex→int parsing.  ceil(cdf·65536):
+# P(0)=.36788→0x5e2e, P(≤1)=.73576→0xbc5c, P(≤2)=.91970→0xeb75,
+# P(≤3)=.98101→0xfb24; else weight 4 (P≈1.9%, truncation bias <1e-3).
+BOOTSTRAP_CUTS = ("5e2e", "bc5c", "eb75", "fb24")
+
+
+def _bootstrap_weight(h4):
+    w = F.lit(4)
+    for i, cut in reversed(list(enumerate(BOOTSTRAP_CUTS))):
+        w = F.when(h4 < F.lit(cut), F.lit(i)).otherwise(w)
+    return w
+
+
+def x254_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via
+    the Poisson bootstrap — the resampling scheme that actually works
+    distributed: instead of drawing n rows WITH replacement (which
+    needs global coordination), each row independently receives a
+    Poisson(1) replicate weight, which converges to the multinomial
+    bootstrap as n grows (Chamandy et al., "Estimating Uncertainty
+    for Massively Parallel Algorithms", Google 2012).
+
+    Weights are DETERMINISTIC: sha256(orderkey|replicate) hex-prefix
+    compared against Poisson-CDF cutpoint strings (the x37 content-
+    hash discipline), so every engine and every retry resamples
+    identically — a CI that changes on recompute is not a statistic.
+    One fan-out of the fact by B replicates collapses immediately to
+    B weighted decimal sums (map-side combine; shuffle carries B×
+    partials, not rows); the interval is an exact linear-interpolated
+    percentile over the B-row replicate-mean relation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = spark.range(1, BOOTSTRAP_B + 1).select(F.col("id").alias("b"))
+    fan = orders.crossJoin(F.broadcast(reps))
+    h4 = F.substring(
+        F.sha2(
+            F.concat(
+                F.col("o_orderkey").cast("string"), F.lit("|"), F.col("b").cast("string")
+            ),
+            256,
+        ),
+        1,
+        4,
+    )
+    weighted = fan.select("b", "o_totalprice", _bootstrap_weight(h4).alias("w"))
+    means = weighted.groupBy("b").agg(
+        (
+            dsum_expr("w * o_totalprice", "s") / F.sum("w")
+        ).alias("mean_b")
+    )
+    actual = orders.agg(
+        (dsum(F.col("o_totalprice"), "s") / F.count(F.lit(1))).alias("mean_all"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        means.agg(
+            F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        )
+        .crossJoin(F.broadcast(actual))  # 1-row point estimate
+        .select(
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "n_replicates",
+            F.round(F.col("mean_all"), 6).alias("mean_order_value"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x255 — two-proportion z-test (wave 40)
+# ---------------------------------------------------------------------------
+
+ZTEST_PRIORITY = "1-URGENT"
+
+
+def x255_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: does the ``BUILDING`` segment place
+    urgent orders at a different rate than ``MACHINERY``?  The
+    pooled-variance z on conversion-style proportions — the other
+    half of the A/B toolkit next to x243/x244's continuous metrics.
+
+    One conditional aggregate produces (n, successes) per arm; the
+    pooled proportion, standard error, and z are scalar arithmetic on
+    the 1-row result.  Counts are exact integers, so the only float
+    work is the final closed form — bit-stable by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sample = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin(TTEST_SEG_A, TTEST_SEG_B))
+        .select(
+            (F.col("c_mktsegment") == TTEST_SEG_A).alias("is_a"),
+            (F.col("o_orderpriority") == ZTEST_PRIORITY).cast("int").alias("hit"),
+        )
+    )
+    agg = sample.agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("hit"))).alias("x_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("hit"))).alias("x_b"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    x_a, x_b = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    p_a, p_b = x_a / n_a, x_b / n_b
+    pool = (x_a + x_b) / (n_a + n_b)
+    z = (p_a - p_b) / F.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_a").cast("bigint").alias("x_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("x_b").cast("bigint").alias("x_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )

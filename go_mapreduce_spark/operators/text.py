@@ -1582,3 +1582,109 @@ def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x258 — Zipf-law exponent fit (wave 41)
+# ---------------------------------------------------------------------------
+
+ZIPF_MIN_COUNT = 5
+
+
+def x258_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the log-log slope of
+    frequency vs rank (OLS), reported as the Zipf exponent α with the
+    fit's R² — the "is this corpus natural-language-shaped?" screen
+    a data-quality pipeline runs on every new source (boilerplate and
+    template spam bend the tail hard off the line).
+
+    Ranks are exact: the 10th application of the range-bucketed
+    ``layout._global_row_number`` (descending count, token tiebreak)
+    over the vocabulary relation — Heaps-bounded, but far beyond any
+    broadcast at 100 TB.  The OLS slope comes from five decimal sums
+    of (ln rank, ln n) in ONE aggregate; hapax/rare tail below
+    ``ZIPF_MIN_COUNT`` is excluded (standard practice: the
+    low-frequency tail is multinomial noise, not signal).
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+    from go_mapreduce_spark.operators.layout import _global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(lower_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= ZIPF_MIN_COUNT)
+    )
+    ranked, n_vocab = _global_row_number(
+        vocab, [F.col("n").desc(), F.col("tok")], -F.col("n"), rn="rank"
+    )
+    xy = ranked.select(
+        F.log("rank").alias("x"), F.log("n").alias("y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        dsum_expr("x", "sx"),
+        dsum_expr("y", "sy"),
+        dsum_expr("x * x", "sxx"),
+        dsum_expr("y * y", "syy"),
+        dsum_expr("x * y", "sxy"),
+    )
+    m = F.col("m").cast("double")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("m").cast("bigint").alias("n_vocab"),
+        F.round(-cov / varx, 4).alias("zipf_alpha"),
+        F.round(cov * cov / (varx * vary), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x259 — token burstiness (Fano factor) (wave 41)
+# ---------------------------------------------------------------------------
+
+BURST_TOP_N = 20
+
+
+def x259_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of the ``BURST_TOP_N`` most frequent tokens: the
+    Fano factor (variance-to-mean ratio of per-document counts,
+    zeros included) — content words clump (factor ≫ 1), function
+    words spread Poisson-like (≈ 1).  The statistic behind burst-
+    aware term weighting and topical-keyword detection.
+
+    Zeros never materialize: with per-doc counts only for documents
+    CONTAINING the token, Σx and Σx² are already the full-corpus
+    sums, and the zero documents enter through dividing by total N —
+    so the plan is one explode + one (token, doc) aggregate + one
+    token aggregate, all map-side combinable.  The top-N surface is a
+    TakeOrderedAndProject on the vocabulary relation.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row, in-plan
+    per_doc = (
+        docs.select("doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.sum("x").alias("n_total"),
+        F.count(F.lit(1)).alias("n_docs_with"),
+        dsum_expr("x * x", "sxx"),
+    ).crossJoin(F.broadcast(n))
+    mean = F.col("n_total") / F.col("n_docs")
+    var = F.col("sxx") / F.col("n_docs") - mean * mean
+    return (
+        stats.select(
+            "tok",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("n_docs_with").cast("bigint").alias("n_docs_with"),
+            F.round(var / mean, 6).alias("fano"),
+        )
+        .orderBy(F.col("n_total").desc(), "tok")
+        .limit(BURST_TOP_N)
+    )

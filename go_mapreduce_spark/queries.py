@@ -5966,6 +5966,203 @@ ORACLE_SQL["x253_naive_bayes_langid"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 40 (round 5): bootstrap CI, proportion z, cohort LTV, seasonality
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x254_bootstrap_ci": ST.x254_bootstrap_ci,
+        "x255_two_proportion_z": ST.x255_two_proportion_z,
+        "x256_cohort_ltv": AN.x256_cohort_ltv,
+        "x257_dow_seasonality": AN.x257_dow_seasonality,
+    }
+)
+
+_BOOT_W = (
+    f"CASE WHEN h < '{ST.BOOTSTRAP_CUTS[0]}' THEN 0 "
+    f"WHEN h < '{ST.BOOTSTRAP_CUTS[1]}' THEN 1 "
+    f"WHEN h < '{ST.BOOTSTRAP_CUTS[2]}' THEN 2 "
+    f"WHEN h < '{ST.BOOTSTRAP_CUTS[3]}' THEN 3 ELSE 4 END"
+)
+ORACLE_SQL["x254_bootstrap_ci"] = f"""
+    WITH reps AS (SELECT unnest(range(1, {ST.BOOTSTRAP_B} + 1)) AS b),
+    fan AS (
+        SELECT b, o_totalprice,
+               substr(sha256(concat(CAST(o_orderkey AS VARCHAR), '|',
+                                    CAST(b AS VARCHAR))), 1, 4) AS h
+        FROM orders CROSS JOIN reps
+    ), weighted AS (
+        SELECT b, o_totalprice, {_BOOT_W} AS w FROM fan
+    ), means AS (
+        SELECT b,
+               CAST(SUM(CAST(w * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / SUM(w) AS mean_b
+        FROM weighted GROUP BY b
+    ), act AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_all,
+               COUNT(*) AS n_orders
+        FROM orders)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(mean_all, 6) AS mean_order_value,
+           ROUND(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+    FROM means CROSS JOIN act
+    GROUP BY n_orders, mean_all
+"""
+
+ORACLE_SQL["x255_two_proportion_z"] = f"""
+    WITH sample AS (
+        SELECT c_mktsegment = '{ST.TTEST_SEG_A}' AS is_a,
+               CASE WHEN o_orderpriority = '{ST.ZTEST_PRIORITY}'
+                    THEN 1 ELSE 0 END AS hit
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('{ST.TTEST_SEG_A}', '{ST.TTEST_SEG_B}')
+    ), agg AS (
+        SELECT COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+               SUM(CASE WHEN is_a THEN hit END) AS x_a,
+               COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+               SUM(CASE WHEN NOT is_a THEN hit END) AS x_b
+        FROM sample
+    ), d AS (
+        SELECT n_a, x_a, n_b, x_b,
+               CAST(x_a AS DOUBLE) / n_a AS p_a,
+               CAST(x_b AS DOUBLE) / n_b AS p_b,
+               CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pool,
+               CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        FROM agg)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+           ROUND(p_a, 6) AS rate_a, ROUND(p_b, 6) AS rate_b,
+           ROUND((p_a - p_b)
+                 / sqrt(pool * (1 - pool) * (1 / na + 1 / nb)), 6) AS z_stat
+    FROM d
+"""
+
+ORACLE_SQL["x256_cohort_ltv"] = f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(CAST(o_orderdate AS TIMESTAMP)))
+                    AS DATE) AS cohort_month
+        FROM orders GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_month, COUNT(*) AS n_customers FROM firsts GROUP BY 1
+    ), grid AS (
+        SELECT f.cohort_month,
+               (year(o.o_orderdate) - year(f.cohort_month)) * 12
+                 + (month(o.o_orderdate) - month(f.cohort_month)) AS offset,
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev
+        FROM orders o JOIN firsts f USING (o_custkey)
+        GROUP BY 1, 2
+        HAVING offset <= {AN.LTV_MAX_OFFSET}
+    ), cum AS (
+        SELECT cohort_month, offset,
+               SUM(rev) OVER (PARTITION BY cohort_month ORDER BY offset
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev
+        FROM grid)
+    SELECT c.cohort_month, CAST(c.offset AS INT) AS offset,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_customers, 6)
+               AS ltv_per_customer
+    FROM cum c JOIN sizes s USING (cohort_month)
+    ORDER BY cohort_month, offset
+"""
+
+ORACLE_SQL["x257_dow_seasonality"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ), d2 AS (
+        SELECT CAST(isodow(d) AS INT) AS dow, rev FROM daily
+    ), g AS (
+        SELECT CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS grand_mean
+        FROM daily
+    ), per AS (
+        SELECT dow, COUNT(*) AS n_days,
+               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS dow_mean,
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM d2 GROUP BY 1)
+    SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+           ROUND(dow_mean, 4) AS dow_mean,
+           ROUND(dow_mean / grand_mean, 6) AS seasonal_index,
+           ROUND(sqrt(GREATEST(
+               ss / ((dow_mean / grand_mean) * (dow_mean / grand_mean))
+                  / n_days
+                 - grand_mean * grand_mean, 0.0)), 4) AS deseason_std
+    FROM per CROSS JOIN g ORDER BY dow
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 41 (round 5): Zipf fit, burstiness, mergeable HLL sketches
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x258_zipf_fit": T.x258_zipf_fit,
+        "x259_token_burstiness": T.x259_token_burstiness,
+        # x260 is sketch-based: no SQL oracle by design (see module
+        # docstring); the driver records a rows-only check and the
+        # pytest bounds relative error vs exact.
+        "x260_hll_sketch_union": SK.x260_hll_sketch_union,
+    }
+)
+
+ORACLE_SQL["x258_zipf_fit"] = f"""
+    WITH vocab AS (
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> len(t) > 0)) AS tok
+              FROM documents)
+        GROUP BY tok HAVING COUNT(*) >= {T.ZIPF_MIN_COUNT}
+    ), ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+        FROM vocab
+    ), xy AS (
+        SELECT ln(rank) AS x, ln(n) AS y FROM ranked
+    ), s AS (
+        SELECT COUNT(*) AS m,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM xy)
+    SELECT CAST(m AS BIGINT) AS n_vocab,
+           ROUND(-(m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS zipf_alpha,
+           ROUND((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS r2
+    FROM s
+"""
+
+ORACLE_SQL["x259_token_burstiness"] = f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    per_doc AS (
+        SELECT tok, doc_id, COUNT(*) AS x
+        FROM (SELECT doc_id, unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> len(t) > 0)) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT tok, SUM(x) AS n_total, COUNT(*) AS n_docs_with,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM per_doc GROUP BY tok)
+    SELECT tok, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_docs_with AS BIGINT) AS n_docs_with,
+           ROUND((sxx / n_docs - (n_total / n_docs) * (n_total / n_docs))
+                 / (n_total / n_docs), 6) AS fano
+    FROM stats CROSS JOIN n
+    ORDER BY n_total DESC, tok LIMIT {T.BURST_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
