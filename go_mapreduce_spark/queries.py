@@ -6051,22 +6051,22 @@ ORACLE_SQL["x256_cohort_ltv"] = f"""
     ), grid AS (
         SELECT f.cohort_month,
                (year(o.o_orderdate) - year(f.cohort_month)) * 12
-                 + (month(o.o_orderdate) - month(f.cohort_month)) AS offset,
+                 + (month(o.o_orderdate) - month(f.cohort_month)) AS "offset",
                SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev
         FROM orders o JOIN firsts f USING (o_custkey)
         GROUP BY 1, 2
-        HAVING offset <= {AN.LTV_MAX_OFFSET}
+        HAVING "offset" <= {AN.LTV_MAX_OFFSET}
     ), cum AS (
-        SELECT cohort_month, offset,
-               SUM(rev) OVER (PARTITION BY cohort_month ORDER BY offset
+        SELECT cohort_month, "offset",
+               SUM(rev) OVER (PARTITION BY cohort_month ORDER BY "offset"
                               ROWS UNBOUNDED PRECEDING) AS cum_rev
         FROM grid)
-    SELECT c.cohort_month, CAST(c.offset AS INT) AS offset,
+    SELECT c.cohort_month, CAST(c.offset AS INT) AS "offset",
            CAST(s.n_customers AS BIGINT) AS n_customers,
            ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_customers, 6)
                AS ltv_per_customer
     FROM cum c JOIN sizes s USING (cohort_month)
-    ORDER BY cohort_month, offset
+    ORDER BY cohort_month, "offset"
 """
 
 ORACLE_SQL["x257_dow_seasonality"] = """

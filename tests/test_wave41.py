@@ -1,0 +1,86 @@
+"""Wave-41 tests: Zipf OLS recompute, brute-force Fano factors, HLL
+sketch error bounds and union-vs-direct consistency."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _corpus_tokens(spark, sf_dir):
+    from go_mapreduce_spark.operators.dedup import lower_tokens
+    from go_mapreduce_spark.sources.registry import load_table
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok"))
+        .collect()
+    )
+
+
+def test_x258_matches_direct_ols(spark, sf_dir):
+    from go_mapreduce_spark.operators import text as T
+
+    got = T.x258_zipf_fit(spark, sf_dir).collect()[0]
+    counts = Counter(r.tok for r in _corpus_tokens(spark, sf_dir))
+    vocab = sorted(
+        ((n, t) for t, n in counts.items() if n >= T.ZIPF_MIN_COUNT),
+        key=lambda p: (-p[0], p[1]),
+    )
+    assert got.n_vocab == len(vocab)
+    xs = [math.log(i + 1) for i in range(len(vocab))]
+    ys = [math.log(n) for n, _ in vocab]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    r2 = (m * sxy - sx * sy) ** 2 / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert abs(got.zipf_alpha - (-slope)) < 1e-3
+    assert abs(got.r2 - r2) < 1e-3
+    assert 0 <= got.r2 <= 1
+
+
+def test_x259_matches_brute_force_fano(spark, sf_dir):
+    from go_mapreduce_spark.operators import text as T
+    from go_mapreduce_spark.sources.registry import load_table
+
+    rows = T.x259_token_burstiness(spark, sf_dir).collect()
+    assert len(rows) == T.BURST_TOP_N
+    toks = _corpus_tokens(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    per = Counter((r.tok, r.doc_id) for r in toks)
+    for r in rows[:5]:
+        xs = [c for (t, _), c in per.items() if t == r.tok]
+        mean = sum(xs) / n_docs
+        var = sum(x * x for x in xs) / n_docs - mean * mean
+        assert abs(r.fano - var / mean) < 1e-4, r.tok
+        assert r.fano > 0
+
+
+def test_x260_union_accuracy_and_consistency(spark, sf_dir):
+    from go_mapreduce_spark.operators import sketches as SK
+    from go_mapreduce_spark.sources.registry import load_table
+
+    rows = SK.x260_hll_sketch_union(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # datasketches HLL at default lgK=12: rse ~0.8%, allow 5%
+        assert r.rel_err <= 0.05, (r.event_type, r.rel_err)
+    # union of day sketches estimates the same set as one direct
+    # sketch over all days (merge must not lose or duplicate state)
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        )
+        .collect()
+    }
+    for r in rows:
+        d = direct[r.event_type]
+        assert abs(r.approx_users - d) / max(d, 1) < 0.02, r.event_type
