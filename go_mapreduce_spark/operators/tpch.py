@@ -641,3 +641,142 @@ def x174_parts_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 42: the final three TPC-H shapes (Q5, Q6, Q21)
+# ---------------------------------------------------------------------------
+
+
+def x261_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue served by LOCAL suppliers (customer and
+    supplier in the same nation) for ASIA-region customers over one
+    order year, by nation.
+
+    The five-table star chain joins on keys only; the same-nation
+    predicate is the Q5 signature — it lands as an equi-condition of
+    the customer↔supplier join pair, not a filter after a cross
+    product.  Region/nation dims are schema-bounded broadcasts; the
+    orders date filter prunes before the fact join.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        # supplier scales with SF (data-sized): no broadcast hint, AQE
+        # decides (x138 rule)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                dsum_expr("l_extendedprice * (1 - l_discount)", "rev"), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def x262_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would have been gained by
+    eliminating small discounts — one tight filter-aggregate whose
+    predicates ALL push to the parquet scan (year range on shipdate,
+    discount band, quantity cap); the whole query is a single
+    map-side decimal sum, the cheapest plan Spark can emit.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                dsum_expr("l_extendedprice * l_discount", "rev"), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+WAITING_TOP_N = 20
+
+
+def x263_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept finished multi-supplier
+    orders waiting — their item shipped late while EVERY other
+    supplier on the order shipped on time (the fixture's late rule:
+    shipdate > orderdate + 60 days, per x172).
+
+    Q21's EXISTS + NOT-EXISTS pair over self-joined lineitem is
+    rewritten as ONE per-order aggregate: n_suppliers (distinct) and
+    n_late_suppliers (distinct over late items) — then the verdict
+    "order waited on exactly supplier s" is the relational predicate
+    ``n_suppliers > 1 AND n_late_suppliers = 1`` joined back to s's
+    late items.  The fact table is scanned once and shuffled once on
+    orderkey; no correlated re-scan per outer row, no second
+    self-join of lineitem.  Top-N is a TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_suppliers"),
+    )
+    waited = (
+        j.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waited.join(supp, waited.l_suppkey == supp.s_suppkey)  # AQE decides
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(WAITING_TOP_N)
+    )

@@ -6163,6 +6163,74 @@ ORACLE_SQL["x259_token_burstiness"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 42 (round 5): the final three TPC-H shapes — all 22 now covered
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x261_local_supplier_volume": TP.x261_local_supplier_volume,
+        "x262_forecast_revenue_change": TP.x262_forecast_revenue_change,
+        "x263_waiting_suppliers": TP.x263_waiting_suppliers,
+    }
+)
+
+ORACLE_SQL["x261_local_supplier_volume"] = """
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+ORACLE_SQL["x262_forecast_revenue_change"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+ORACLE_SQL["x263_waiting_suppliers"] = f"""
+    WITH j AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ), per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+                   AS n_late_suppliers
+        FROM j GROUP BY 1
+    ), waited AS (
+        SELECT DISTINCT j.l_orderkey, j.l_suppkey
+        FROM j
+        JOIN per_order p ON p.l_orderkey = j.l_orderkey
+        WHERE j.is_late = 1
+          AND p.n_suppliers > 1 AND p.n_late_suppliers = 1)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waited JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {TP.WAITING_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
