@@ -933,3 +933,48 @@ def x225_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x266 — k-anonymity audit (wave 43)
+# ---------------------------------------------------------------------------
+
+K_ANON_K = 5
+K_ANON_TOP_N = 50
+
+
+def x266_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier grid
+    (nation × market segment × account-balance band): every
+    equivalence class smaller than ``K_ANON_K`` is a re-identification
+    risk — the governance check run before any "anonymized" extract
+    leaves the platform (Sweeney's k-anonymity, the regulatory
+    baseline for quasi-identifier release).
+
+    One grouped count over the quasi-identifier columns, then a
+    filter — the audit costs one map-side-combinable aggregate no
+    matter the table size; the violating-class surface is a
+    deterministic Top-N (smallest classes first).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    classes = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return (
+        classes.filter(F.col("class_size") < K_ANON_K)
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "bal_band",
+            F.col("class_size").cast("bigint").alias("class_size"),
+        )
+        .orderBy("class_size", "n_name", "c_mktsegment", "bal_band")
+        .limit(K_ANON_TOP_N)
+    )

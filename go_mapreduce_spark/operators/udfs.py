@@ -162,3 +162,55 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x265 — mapInArrow (zero-pandas Arrow batch transform) (wave 43)
+# ---------------------------------------------------------------------------
+
+
+def x265_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document statistics computed in a ``mapInArrow``
+    transform — the THIRD executor-Python surface next to pandas UDFs
+    (x22/x42) and ``mapInPandas`` (x35): the function receives raw
+    ``pyarrow.RecordBatch``es and answers with Arrow arrays, skipping
+    the Arrow→pandas→Arrow conversion entirely.  For byte-shaped work
+    (length/byte/codepoint counting, binary parsing) this is the
+    leanest Python path Spark offers — no object boxing, no pandas
+    block manager, just vectorized kernels on Arrow buffers.
+
+    The per-doc map emits exact integers (char length, space count),
+    so the downstream per-language aggregate is oracle-checkable in
+    SQL — proving the Arrow path computes precisely what the engine
+    would.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            n_chars = pc.utf8_length(text)
+            # spaces = length - length(text with spaces removed)
+            n_spaces = pc.subtract(
+                n_chars, pc.utf8_length(pc.replace_substring(text, " ", ""))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("lang"), n_chars.cast(pa.int64()), n_spaces.cast(pa.int64())],
+                names=["lang", "n_chars", "n_spaces"],
+            )
+
+    mapped = docs.mapInArrow(
+        stats, "lang string, n_chars bigint, n_spaces bigint"
+    )
+    return (
+        mapped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_spaces").cast("bigint").alias("total_spaces"),
+        )
+        .orderBy("lang")
+    )

@@ -6231,6 +6231,49 @@ ORACLE_SQL["x263_waiting_suppliers"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 43 (round 5): malformed-CSV quarantine, mapInArrow, k-anonymity
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x264_malformed_csv": SNK.x264_malformed_csv,
+        "x265_arrow_doc_stats": U.x265_arrow_doc_stats,
+        "x266_k_anonymity": C.x266_k_anonymity,
+    }
+)
+
+ORACLE_SQL["x264_malformed_csv"] = f"""
+    SELECT CAST({SNK._N_CORRUPT} AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) AS BIGINT) AS n_clean,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS clean_total
+    FROM orders
+"""
+
+ORACLE_SQL["x265_arrow_doc_stats"] = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')))
+                AS BIGINT) AS total_spaces
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLE_SQL["x266_k_anonymity"] = f"""
+    WITH classes AS (
+        SELECT n_name, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS class_size
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3)
+    SELECT n_name, c_mktsegment, bal_band,
+           CAST(class_size AS BIGINT) AS class_size
+    FROM classes WHERE class_size < {C.K_ANON_K}
+    ORDER BY class_size, n_name, c_mktsegment, bal_band
+    LIMIT {C.K_ANON_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

@@ -245,3 +245,72 @@ def x191_orc_roundtrip(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def x264_malformed_csv(spark, sf_dir: str) -> DataFrame:
+    """Malformed-input hardening: read a CSV lake containing rows that
+    violate the declared schema under PERMISSIVE mode with a
+    ``_corrupt_record`` column — the production posture for ingesting
+    third-party CSV at scale (FAILFAST aborts a 100 TB job on row one
+    of vendor garbage; silent DROPMALFORMED loses data unaudited).
+
+    The file carries a deterministic orders extract plus
+    ``_N_CORRUPT`` planted garbage lines; the query quarantines the
+    bad rows (count them) and aggregates the clean ones, proving (a)
+    corrupt rows never reach the aggregate and (b) no clean row is
+    lost — the oracle recomputes the clean side from the parquet
+    table and the planted count is a constant.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gms_badcsv_{tag}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.coalesce(1).write.mode("overwrite").csv(path)
+    part = next(
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".csv")
+    )
+    with open(part, "a") as f:
+        for i in range(_N_CORRUPT):
+            f.write(f"not-a-key-{i},garbage-price,\n")
+    # the out-of-band append invalidates Hadoop's .crc sidecars (that
+    # is the point — the file was tampered with after commit); drop
+    # them so the read exercises the CSV parser, not the checksum
+    for fn in os.listdir(path):
+        if fn.endswith(".crc"):
+            os.remove(os.path.join(path, fn))
+    back = spark.read.csv(
+        path,
+        schema=(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, "
+            "o_orderpriority STRING, _corrupt_record STRING"
+        ),
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.round(
+            dsum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice")),
+                "t",
+            ),
+            4,
+        ).alias("clean_total"),
+    )
+
+
+_N_CORRUPT = 3
