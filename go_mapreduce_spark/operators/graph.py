@@ -659,3 +659,62 @@ RECURSIVE_CHAIN_SQL = f"""
     ) WHERE rk = 1
     ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# x267 — label propagation communities (wave 44)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def x267_label_propagation(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    x6 near-dup pair graph: every node starts with its own id as
+    label; each round adopts the MODE of its neighbors' labels
+    (ties → smallest label), run for ``LPA_ROUNDS`` fixed rounds —
+    the near-linear community detector (Raghavan et al. 2007) and
+    the denser-cluster complement of x27's connected components.
+
+    The deterministic update rule (mode with min-label tiebreak,
+    synchronous rounds) makes the algorithm exactly replayable in
+    SQL — the oracle unrolls the rounds as chained CTEs, making this
+    an oracle-CHECKED iterative graph algorithm like x59/x143.  Per
+    round: one keyed join (labels onto edges) + one two-level
+    aggregate; shuffles stay edge-sized, argmax is a ``min(struct)``
+    (never a per-node sort), lineage stays flat (fixed 3 rounds, no
+    checkpoint needed).
+    """
+    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        neigh = edges.join(labels, edges.u == labels.node).select(
+            F.col("v").alias("node"), "label"
+        )
+        votes = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("l")))
+            .getField("l")
+            .alias("label")
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("community"),
+            F.col("community_size").cast("bigint").alias("community_size"),
+        )
+        .orderBy("doc_id")
+    )

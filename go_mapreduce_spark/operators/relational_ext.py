@@ -1569,3 +1569,74 @@ def x251_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(dsum(F.col("o_totalprice"), "t"), 4).alias("total_price"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# x268 — SQL pipe syntax (wave 44)
+# ---------------------------------------------------------------------------
+
+
+def x268_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-syntax surface (Spark 4 ``|>`` operators, the
+    GoogleSQL-derived linear composition style): the TPC-H-Q1-shaped
+    pricing summary written as a top-to-bottom pipeline —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY — instead of
+    inside-out SQL.
+
+    Pure syntax surface: the parser lowers pipes to the identical
+    logical plan, so the oracle is the classic formulation and the
+    hash match proves the lowering changes nothing (same scan
+    pushdown, same partial aggregate).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_x268_li")
+    return spark.sql(
+        """FROM _x268_li
+           |> WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+           |> AGGREGATE
+                COUNT(*) AS n_rows,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS sum_qty,
+                ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price
+              GROUP BY l_returnflag, l_linestatus
+           |> ORDER BY l_returnflag, l_linestatus"""
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "sum_qty",
+        "sum_disc_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x269 — collation-aware grouping (wave 44)
+# ---------------------------------------------------------------------------
+
+
+def x269_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation surface (Spark 4 ``COLLATE``): group order priorities
+    case-insensitively via the ``UTF8_LCASE`` collation instead of
+    normalizing with ``lower()`` — the engine-level treatment (the
+    collation rides the type, so joins/aggregates/comparisons all
+    honor it and codegen keeps the fast path; a ``lower()`` wrapper
+    would re-materialize every value and break scan-level statistics
+    reuse).
+
+    The fixture's priorities are single-case, so the oracle's
+    ``lower()`` normalization is exactly equivalent — proving the
+    collated group-by produces the same partitions; a mixed-case
+    pytest pins the actual case-folding behavior.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_x269_orders")
+    return spark.sql(
+        """SELECT lower(pri) AS priority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        AS DOUBLE), 4) AS total_price
+           FROM (SELECT o_orderpriority COLLATE UTF8_LCASE AS pri,
+                        o_totalprice
+                 FROM _x269_orders)
+           GROUP BY pri
+           ORDER BY priority"""
+    )

@@ -6274,6 +6274,96 @@ ORACLE_SQL["x266_k_anonymity"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 44 (round 5): label propagation, pipe syntax, collations
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x267_label_propagation": G.x267_label_propagation,
+        "x268_pipe_syntax": RX.x268_pipe_syntax,
+        "x269_collated_grouping": RX.x269_collated_grouping,
+    }
+)
+
+
+def _label_prop_oracle(n_rounds: int = G.LPA_ROUNDS) -> str:
+    """Synchronous LPA unrolled as chained CTEs (the x59 pattern):
+    each round is a mode-with-min-tiebreak aggregate — integer counts
+    and integer labels only, so both engines replay it bit-exactly."""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""lp{i} AS (
+        SELECT node, label FROM (
+            SELECT e.v AS node, p.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY e.v
+                                      ORDER BY COUNT(*) DESC, p.label) AS rk
+            FROM edges e JOIN lp{i - 1} p ON p.node = e.u
+            GROUP BY e.v, p.label)
+        WHERE rk = 1
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), lp0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+    {rounds_sql},
+    sizes_c AS (SELECT label, COUNT(*) AS community_size
+                FROM lp{n_rounds} GROUP BY label)
+    SELECT l.node AS doc_id, l.label AS community,
+           CAST(s.community_size AS BIGINT) AS community_size
+    FROM lp{n_rounds} l JOIN sizes_c s USING (label)
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["x267_label_propagation"] = _label_prop_oracle()
+
+ORACLE_SQL["x268_pipe_syntax"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                 AS DOUBLE), 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["x269_collated_grouping"] = """
+    SELECT lower(o_orderpriority) AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 AS DOUBLE), 4) AS total_price
+    FROM orders
+    GROUP BY 1 ORDER BY priority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
