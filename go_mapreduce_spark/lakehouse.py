@@ -116,6 +116,132 @@ def _commit(root: str, manifest: dict) -> int:
     return version
 
 
+# Per-file key Bloom filters (manifest-level data-skipping index):
+# BLOOM_M bits, BLOOM_K xxhash64 seeds.  Internal to this engine (the
+# same Spark expressions build and probe them), so xxhash64 — the
+# cheap JVM hash — is fine; cross-engine determinism is not required
+# for an INDEX, only for query results.  ~1 KB/file hex in the
+# manifest; fpp ≈ (1 − e^(−K·n/M))^K ≈ 2.5% at 1k keys/file.
+BLOOM_M = 8192
+BLOOM_K = 3
+
+
+def _file_blooms(spark: SparkSession, paths: list[str], key_col: str) -> dict:
+    """Bit positions per file via ONE distributed aggregate (distinct
+    positions are capped at BLOOM_M·BLOOM_K per file — manifest-sized
+    collect), assembled into hex bitsets on the driver."""
+    if not paths:
+        return {}
+    seeds = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    pos = (
+        spark.read.parquet(*paths)
+        .select(F.input_file_name().alias("_f"), F.col(key_col).alias("_k"))
+        .select("_f", F.explode(seeds).alias("_s"), "_k")
+        .select(
+            "_f",
+            F.pmod(F.xxhash64(F.col("_k"), F.col("_s")), F.lit(BLOOM_M)).alias(
+                "_p"
+            ),
+        )
+        .groupBy("_f")
+        .agg(F.collect_set("_p").alias("ps"))
+        .collect()
+    )
+    out = {}
+    for r in pos:
+        bits = 0
+        for p in r["ps"]:
+            bits |= 1 << p
+        out[os.path.basename(r["_f"])] = f"{bits:x}"
+    return out
+
+
+def _bloom_may_contain(bloom_hex: str | None, positions: list[int]) -> bool:
+    """Driver-side probe: all K positions set ⇒ maybe present; any
+    clear ⇒ DEFINITELY absent.  Entries without a bloom (legacy
+    manifests, delete-vector key lists) always 'may contain'."""
+    if not bloom_hex:
+        return True
+    bits = int(bloom_hex, 16)
+    return all((bits >> p) & 1 for p in positions)
+
+
+def lookup_keys(
+    spark: SparkSession, root: str, keys: list, version: int | None = None
+) -> DataFrame:
+    """Point lookup with manifest-level pruning: candidate files are
+    those whose [min_key, max_key] band covers a probe key AND whose
+    Bloom filter admits it — at 100 TB this is the difference between
+    reading ~1 file and scanning the table for a needle query.
+    Falls back to the full snapshot read when deletion vectors are
+    pending (correctness over pruning), since a pruned read cannot
+    see a vector scoped to an unread file set.
+
+    Returns the matching rows; pruning statistics are observable via
+    :func:`lookup_stats` (same planning, no read).
+    """
+    m = read_manifest(root, version)
+    if any(d.get("rows", 1) > 0 for d in m.get("deletes", [])):
+        key = m["key_col"]
+        return read_table(spark, root, version=version).filter(
+            F.col(key).isin(*keys)
+        )
+    survivors = lookup_stats(spark, root, keys, version)["files"]
+    key = m["key_col"]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not survivors:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(root, p) for p in survivors])
+        .filter(F.col(key).isin(*keys))
+    )
+
+
+def lookup_stats(
+    spark: SparkSession, root: str, keys: list, version: int | None = None
+) -> dict:
+    """Planning-only half of :func:`lookup_keys`: which files survive
+    range pruning, and of those, which survive the Bloom probe."""
+    m = read_manifest(root, version)
+    # probe positions per key, computed with the SAME Spark expression
+    # that built the filters (one tiny local job, |keys|·K rows)
+    probe = (
+        spark.createDataFrame([(k,) for k in keys], f"k {'bigint'}")
+        .select(
+            "k",
+            F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("s"),
+        )
+        .select("k", F.pmod(F.xxhash64(F.col("k"), F.col("s")), F.lit(BLOOM_M)).alias("p"))
+        .collect()
+    )
+    pos_by_key: dict = {}
+    for r in probe:
+        pos_by_key.setdefault(r["k"], []).append(r["p"])
+    n_total = len(m["files"])
+    range_hit, bloom_hit = [], []
+    for e in m["files"]:
+        in_range = [
+            k
+            for k in keys
+            if e.get("min_key") is None
+            or (e["min_key"] <= k <= e["max_key"])
+        ]
+        if not in_range:
+            continue
+        range_hit.append(e["path"])
+        if any(_bloom_may_contain(e.get("bloom"), pos_by_key[k]) for k in in_range):
+            bloom_hit.append(e["path"])
+    return {
+        "n_files_total": n_total,
+        "n_files_range": len(range_hit),
+        "n_files_bloom": len(bloom_hit),
+        "files": bloom_hit,
+    }
+
+
 def _write_data_files(
     spark: SparkSession,
     df: DataFrame,
@@ -177,6 +303,9 @@ def _write_data_files(
         .collect()
     )
     by_name = {os.path.basename(r["_f"]): r for r in stats}
+    blooms = _file_blooms(
+        spark, [os.path.join(data_dir, m) for m in moved], key_col
+    )
     for m in moved:
         r = by_name.get(m)
         if r is None:  # empty range partition produced an empty file
@@ -187,6 +316,7 @@ def _write_data_files(
                 "rows": r["rows"],
                 "min_key": r["min_key"],
                 "max_key": r["max_key"],
+                "bloom": blooms.get(m),
             }
         )
     return entries
@@ -1245,3 +1375,68 @@ def x252_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("version")
+
+
+def _lookup_demo_root(sf_dir: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"gms_lh_lookup_{tag}")
+
+
+def ensure_lookup_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Single-version table (orders with o_orderkey % 4 == 0) whose
+    manifest carries per-file Bloom filters; rebuilt if a cached copy
+    predates the bloom index."""
+    from go_mapreduce_spark.sources.registry import load_table
+
+    root = _lookup_demo_root(sf_dir)
+    try:
+        m = read_manifest(root)
+        if m["version"] == 1 and all(e.get("bloom") for e in m["files"]):
+            return root
+    except FileNotFoundError:
+        pass
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    orders = load_table(spark, sf_dir, "orders").select(*_DEMO_COLS)
+    create_table(
+        spark,
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        root,
+        key_col="o_orderkey",
+    )
+    return root
+
+
+LOOKUP_N_KEYS = 5
+
+
+def x270_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point lookup through the manifest's
+    data-skipping index: probe the ``LOOKUP_N_KEYS`` lowest keys of
+    the demo table via :func:`lookup_keys` — range stats narrow the
+    candidate files, per-file Bloom filters reject the rest, and only
+    the surviving file(s) are read.  The oracle recomputes the rows
+    from the raw table, proving pruning loses nothing; the pytest
+    pins that absent-key probes touch ZERO files past the bloom and
+    present-key probes read fewer files than the table holds.
+    """
+    root = ensure_lookup_demo(spark, sf_dir)
+    keys = [
+        r[0]
+        for r in read_table(spark, root)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(LOOKUP_N_KEYS)
+        .collect()
+    ]  # bounded driver collect: LOOKUP_N_KEYS scalars
+    return (
+        lookup_keys(spark, root, keys)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -6364,6 +6364,22 @@ ORACLE_SQL["x269_collated_grouping"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 45 (round 5): manifest Bloom index + pruned point lookup
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x270_bloom_point_lookup": LH.x270_bloom_point_lookup})
+
+ORACLE_SQL["x270_bloom_point_lookup"] = f"""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    ORDER BY o_orderkey
+    LIMIT {LH.LOOKUP_N_KEYS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
