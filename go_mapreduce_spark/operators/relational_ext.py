@@ -1640,3 +1640,39 @@ def x269_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY pri
            ORDER BY priority"""
     )
+
+
+# ---------------------------------------------------------------------------
+# x272 — LATERAL correlated subquery join (wave 46)
+# ---------------------------------------------------------------------------
+
+LATERAL_TOP_K = 3
+
+
+def x272_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``LATERAL_TOP_K`` customers by account balance per nation
+    via a correlated ``JOIN LATERAL (... ORDER BY ... LIMIT k)`` —
+    the SQL-standard way to spell per-group top-k without window
+    functions, and a decorrelation test: Catalyst must rewrite the
+    per-row subquery into a set-based plan (rank-and-filter), never
+    execute it once per outer row (the 100 TB death sentence the
+    syntax naively implies).
+
+    The oracle states the same query with an explicit window rank —
+    the hash match proves the lateral decorrelation computes exactly
+    the windowed semantics.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_x272_cust")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_x272_nation")
+    return spark.sql(
+        f"""SELECT n.n_name, t.c_name, t.c_acctbal
+            FROM _x272_nation n
+            JOIN LATERAL (
+                SELECT c_name, ROUND(c_acctbal, 2) AS c_acctbal
+                FROM _x272_cust c
+                WHERE c.c_nationkey = n.n_nationkey
+                ORDER BY c.c_acctbal DESC, c.c_name
+                LIMIT {LATERAL_TOP_K}
+            ) t
+            ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
+    )

@@ -6380,6 +6380,30 @@ ORACLE_SQL["x270_bloom_point_lookup"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 46 (round 5): streaming sketch state, LATERAL top-k
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        # x271 is sketch-based (see x260): rows-only driver check;
+        # pytest bounds the estimate and pins restart idempotence.
+        "x271_stream_distinct_sketch": SE.x271_stream_distinct_sketch,
+        "x272_lateral_topk": RX.x272_lateral_topk,
+    }
+)
+
+ORACLE_SQL["x272_lateral_topk"] = f"""
+    SELECT n_name, c_name, c_acctbal FROM (
+        SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 2) AS c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                  ORDER BY c.c_acctbal DESC, c.c_name) AS rk
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
+    WHERE rk <= {RX.LATERAL_TOP_K}
+    ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50

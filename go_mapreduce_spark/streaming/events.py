@@ -864,3 +864,98 @@ def x236_multisink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x271 — incremental distinct-count sketch state (wave 46)
+# ---------------------------------------------------------------------------
+
+
+def x271_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct-user sketches over a stream:
+    each micro-batch builds per-type HLL sketches of the NEW events
+    only and foreachBatch merges them into a persistent sketch-state
+    table (read-modify-write keyed by event type, batch-id guarded) —
+    the streaming pattern that keeps "distinct users ever" current
+    without reprocessing history, with state that is KILOBYTES per
+    key regardless of stream length (vs an ever-growing exact-dedup
+    key store like x90's).
+
+    Merge-idempotence note: HLL union is idempotent on CONTENT
+    (re-merging the same sketch cannot change the estimate), so a
+    retried batch is harmless even before the batch-id guard kicks
+    in — the property that makes sketch state safer than counters
+    under at-least-once delivery.  Final answer compares the merged
+    estimate to the exact distinct count batch-side.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = _replay_base(sf_dir)
+    state_dir = os.path.join(base, "x271_state")
+    out_dir = os.path.join(base, "x271_ckpt")
+    for d in (state_dir, out_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        new = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        if os.path.isdir(os.path.join(state_dir, "cur")):
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(state_dir, "cur")
+            )
+            merged = (
+                prev.unionByName(new)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = new
+        # stage-then-swap: a crash mid-write leaves the previous state
+        nxt = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        cur = os.path.join(state_dir, "cur")
+        if os.path.isdir(cur):
+            shutil.rmtree(cur)
+        os.rename(nxt, cur)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    merged = spark.read.parquet(os.path.join(state_dir, "cur")).select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("approx_users").cast("bigint").alias("approx_users"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
