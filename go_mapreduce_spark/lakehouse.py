@@ -1440,3 +1440,39 @@ def x270_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def x274_manifest_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ANALYZE: per retained snapshot of the demo CDC
+    table, the op, live row count, and key range — read ENTIRELY from
+    manifest file entries, zero data files opened (what `DESCRIBE
+    DETAIL` / Iceberg's snapshots table answers from metadata).  The
+    oracle recomputes each version's row count and key range from the
+    raw orders table via the closed-form demo history, so a hash
+    match PROVES the manifest statistics are honest — the property
+    every stats-driven optimization (pruning, MERGE planning, x270's
+    lookups) silently depends on.
+    """
+    root = ensure_demo_table(spark, sf_dir)
+    rows = []
+    for v in range(1, current_version(root) + 1):
+        m = read_manifest(root, v)
+        rows.append(
+            (
+                v,
+                m["op"],
+                int(sum(e["rows"] for e in m["files"])),
+                int(min(e["min_key"] for e in m["files"])),
+                int(max(e["max_key"] for e in m["files"])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, total_rows long, min_key long, max_key long",
+    ).select(
+        "version",
+        "op",
+        F.col("total_rows").cast("bigint").alias("total_rows"),
+        F.col("min_key").cast("bigint").alias("min_key"),
+        F.col("max_key").cast("bigint").alias("max_key"),
+    ).orderBy("version")

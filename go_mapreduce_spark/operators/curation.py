@@ -978,3 +978,61 @@ def x266_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("class_size", "n_name", "c_mktsegment", "bal_band")
         .limit(K_ANON_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# x273 — declarative data expectations (wave 47)
+# ---------------------------------------------------------------------------
+
+
+def x273_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over ``orders`` (the
+    dbt-test / Great-Expectations shape): uniqueness, not-null,
+    value-range, date-range, and referential-integrity expectations,
+    each reported with its violation count and verdict — the gate a
+    pipeline runs before publishing a table.
+
+    Cost model matters at 100 TB: four of the five expectations fold
+    into ONE pass over orders (conditional aggregates; uniqueness via
+    count vs count-distinct in the same aggregate), and only the FK
+    check pays a join — an anti-join against the dimension, AQE-
+    planned.  The report is a fixed 5-row relation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    one_pass = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_keys"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_cust"),
+        F.count(F.when(~(F.col("o_totalprice") > 0), 1)).alias("bad_price"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < "1992-01-01")
+                | (F.col("o_orderdate") >= "2003-01-01"),
+                1,
+            )
+        ).alias("bad_date"),
+    ).collect()[0]  # bounded: 4 scalars
+    # SQL FK semantics: a NULL foreign key is not a violation (it is
+    # the not_null expectation's job) — filter before the anti-join
+    fk_misses = (
+        orders.select("o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .count()
+    )
+    rows = [
+        ("unique:o_orderkey", int(one_pass["dup_keys"])),
+        ("not_null:o_custkey", int(one_pass["null_cust"])),
+        ("positive:o_totalprice", int(one_pass["bad_price"])),
+        ("in_range:o_orderdate", int(one_pass["bad_date"])),
+        ("fk:o_custkey->customer", int(fk_misses)),
+    ]
+    return (
+        spark.createDataFrame(rows, "expectation string, n_violations long")
+        .select(
+            "expectation",
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("expectation")
+    )

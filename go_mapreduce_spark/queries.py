@@ -6404,6 +6404,68 @@ ORACLE_SQL["x272_lateral_topk"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 47 (round 5): data expectations, metadata-only ANALYZE
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x273_data_expectations": C.x273_data_expectations,
+        "x274_manifest_table_stats": LH.x274_manifest_table_stats,
+    }
+)
+
+ORACLE_SQL["x273_data_expectations"] = """
+    WITH checks AS (
+        SELECT 'unique:o_orderkey' AS expectation,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'not_null:o_custkey',
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'positive:o_totalprice',
+               COUNT(CASE WHEN NOT (o_totalprice > 0) THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'in_range:o_orderdate',
+               COUNT(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                            OR o_orderdate >= TIMESTAMP '2003-01-01'
+                          THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'fk:o_custkey->customer',
+               COUNT(*)
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+    SELECT expectation, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY expectation
+"""
+
+ORACLE_SQL["x274_manifest_table_stats"] = """
+    WITH v1 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0),
+    v2 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+    v3 AS (SELECT o_orderkey AS k FROM orders
+           WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 16 <> 0),
+    states AS (
+        SELECT 1 AS version, 'create' AS op, COUNT(*) AS total_rows,
+               MIN(k) AS min_key, MAX(k) AS max_key FROM v1
+        UNION ALL
+        SELECT 2, 'merge', COUNT(*), MIN(k), MAX(k) FROM v2
+        UNION ALL
+        SELECT 3, 'merge', COUNT(*), MIN(k), MAX(k) FROM v3)
+    SELECT CAST(version AS INT) AS version, op,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(min_key AS BIGINT) AS min_key,
+           CAST(max_key AS BIGINT) AS max_key
+    FROM states ORDER BY version
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
