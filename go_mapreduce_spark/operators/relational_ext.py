@@ -1676,3 +1676,119 @@ def x272_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) t
             ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
     )
+
+
+# ---------------------------------------------------------------------------
+# x275 — business-timezone day rollup (wave 48)
+# ---------------------------------------------------------------------------
+
+BUSINESS_TZ = "America/New_York"
+
+
+def x275_local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event rollup on BUSINESS-timezone days: UTC event
+    timestamps converted with ``convert_timezone`` to
+    ``America/New_York`` wall time before the day bucket — the
+    difference between "our Monday" and "UTC Monday" that every
+    revenue dashboard eventually gets wrong.  IANA tzdata rules (DST
+    included) are applied by the engine, not hand-offset arithmetic;
+    the oracle chains DuckDB's ``timezone('tz', timezone('UTC', ts))``
+    to the same effect, so a hash match proves both engines agree on
+    the civil-time mapping.
+
+    One scan, one (day, type) aggregate; the conversion is a per-row
+    scalar that stays in codegen.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    local_day = F.to_date(
+        F.convert_timezone(F.lit("UTC"), F.lit(BUSINESS_TZ), F.col("ts"))
+    )
+    return (
+        ev.groupBy(local_day.alias("local_day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(dsum(F.col("value"), "v"), 4).alias("total_value"),
+        )
+        .orderBy("local_day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x276 — error-safe arithmetic (try_* family) (wave 48)
+# ---------------------------------------------------------------------------
+
+
+def x276_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic surface: ``try_divide`` /
+    ``try_cast`` turn would-be runtime errors (division by zero,
+    malformed casts) into NULLs — the posture that lets a 100 TB job
+    survive one pathological row instead of dying at 99% (ANSI mode
+    on, which Spark 4 defaults to, makes bare ``/ 0`` and bad casts
+    THROW).
+
+    Per order-status: items, zero-discount items (the division-by-
+    zero candidates), average price-per-discount-point over the rows
+    where it exists, and how many priority prefixes survive a
+    ``try_cast`` to int.  The oracle mirrors with explicit CASE
+    guards — NULL semantics must match exactly.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.count(F.when(F.col("l_discount") == 0, 1))
+            .cast("bigint")
+            .alias("n_zero_discount"),
+            F.count(ratio).cast("bigint").alias("n_with_ratio"),
+            F.round(
+                F.sum(ratio.cast(DECIMAL_T)).cast("double") / F.count(ratio), 4
+            ).alias("avg_price_per_disc"),
+            F.count(F.substring("l_returnflag", 1, 1).try_cast("int"))
+            .cast("bigint")
+            .alias("n_numeric_flags"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x277 — JSON schema inference + typed extraction (wave 48)
+# ---------------------------------------------------------------------------
+
+
+def x277_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read for the semi-structured ``props`` column:
+    ``schema_of_json`` infers the struct type from a sample document
+    IN the plan (no hand-written schema), ``from_json`` parses every
+    row with it, and the typed field aggregates per event type — the
+    discover-then-parse loop semi-structured ingestion actually runs.
+
+    The inference input is a LITERAL sample (deterministic plan
+    shape); at 100 TB you infer once on a sample and pin the result,
+    never per-row.  The oracle extracts the same field with DuckDB's
+    JSON operators — typed equality proves the inferred-schema parse
+    is lossless.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    sample = ev.select("props").filter(F.col("props").isNotNull()).first()
+    schema = F.schema_of_json(F.lit(sample["props"]))
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.col("p.k")).cast("bigint").alias("n_parsed"),
+            F.sum(F.col("p.k")).cast("bigint").alias("k_total"),
+            F.round(dsum(F.col("p.k").cast("double"), "s") / F.count(F.col("p.k")), 4).alias(
+                "k_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )

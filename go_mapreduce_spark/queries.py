@@ -6466,6 +6466,63 @@ ORACLE_SQL["x274_manifest_table_stats"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 48 (round 5): civil time, error-safe arithmetic, JSON inference
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x275_local_day_rollup": RX.x275_local_day_rollup,
+        "x276_try_arithmetic": RX.x276_try_arithmetic,
+        "x277_json_schema_inference": RX.x277_json_schema_inference,
+    }
+)
+
+ORACLE_SQL["x275_local_day_rollup"] = f"""
+    SELECT CAST(timezone('{RX.BUSINESS_TZ}',
+                         timezone('UTC', CAST(ts AS TIMESTAMP))) AS DATE)
+               AS local_day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY local_day, event_type
+"""
+
+ORACLE_SQL["x276_try_arithmetic"] = """
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT)
+               AS n_zero_discount,
+           CAST(COUNT(CASE WHEN l_discount <> 0 THEN 1 END) AS BIGINT)
+               AS n_with_ratio,
+           ROUND(CAST(SUM(CAST(CASE WHEN l_discount <> 0
+                                    THEN l_extendedprice / l_discount
+                               END AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(CASE WHEN l_discount <> 0 THEN 1 END), 4)
+               AS avg_price_per_disc,
+           CAST(COUNT(TRY_CAST(substr(l_returnflag, 1, 1) AS INT)) AS BIGINT)
+               AS n_numeric_flags
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+ORACLE_SQL["x277_json_schema_inference"] = """
+    SELECT event_type,
+           CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
+           ROUND(CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(CAST(props->>'$.k' AS BIGINT)), 4) AS k_mean
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
