@@ -2115,3 +2115,75 @@ def x257_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(idx, 6).alias("seasonal_index"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("deseason_std"),
     ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# x279 — item-item co-occurrence recommendations (wave 49)
+# ---------------------------------------------------------------------------
+
+RECS_TOP_K = 3
+RECS_MIN_SUPPORT = 3
+
+
+def x279_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering ("customers who bought X
+    also bought Y"): cosine similarity over order co-occurrence
+    counts — pair support normalized by each part's own basket
+    frequency — with the top-``RECS_TOP_K`` recommendations per part
+    (Linden et al., the Amazon item-item scheme).
+
+    Reuses x87's bounded-basket self-join for pair supports (baskets
+    are ~7 items, so fan-out is a constant per order); symmetrizes,
+    joins per-part frequencies, and ranks per part in a
+    part-partitioned window (unbounded key).  Only pairs at
+    ``RECS_MIN_SUPPORT``+ qualify — the cold-start guard that also
+    caps the pair relation's size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    freq = basket.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= RECS_MIN_SUPPORT)
+    )
+    sym = pairs.select("pa", "pb", "support").unionAll(
+        pairs.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "support"
+        )
+    )
+    scored = (
+        sym.join(freq.select(F.col("p").alias("pa"), F.col("n").alias("na")), "pa")
+        .join(freq.select(F.col("p").alias("pb"), F.col("n").alias("nb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "support",
+            (F.col("support") / F.sqrt(F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(
+        F.col("cos").desc(), F.col("pb")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECS_TOP_K)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("rk").cast("int").alias("rk"),
+            F.col("pb").alias("rec_part"),
+            F.col("support").cast("bigint").alias("support"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("part", "rk")
+    )

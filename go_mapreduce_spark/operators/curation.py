@@ -1036,3 +1036,47 @@ def x273_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expectation")
     )
+
+
+# ---------------------------------------------------------------------------
+# x280 — l-diversity audit (wave 49)
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY_L = 3
+L_DIV_TOP_N = 50
+
+
+def x280_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (x266's companion): a k-anonymous class is
+    still unsafe if everyone in it shares the same SENSITIVE value —
+    here, classes on (nation, balance band) whose market-segment
+    diversity falls below ``L_DIVERSITY_L`` distinct values
+    (Machanavajjhala et al.'s homogeneity-attack fix).
+
+    One grouped count-distinct over the quasi-identifier grid;
+    deterministic Top-N of the least-diverse classes.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    classes = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct("c_mktsegment").alias("l_div"),
+        )
+    )
+    return (
+        classes.filter(F.col("l_div") < L_DIVERSITY_L)
+        .select(
+            "n_name",
+            "bal_band",
+            F.col("class_size").cast("bigint").alias("class_size"),
+            F.col("l_div").cast("bigint").alias("l_div"),
+        )
+        .orderBy("l_div", "class_size", "n_name", "bal_band")
+        .limit(L_DIV_TOP_N)
+    )

@@ -1688,3 +1688,88 @@ def x259_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_total").desc(), "tok")
         .limit(BURST_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# x278 — rank-order (Cavnar-Trenkle) language ID (wave 49)
+# ---------------------------------------------------------------------------
+
+CT_PROFILE_N = 50
+CT_DOC_M = 20
+
+
+def x278_rank_order_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle rank-order language ID: each language's profile
+    is its top-``CT_PROFILE_N`` character trigrams BY RANK; a
+    document is scored by the out-of-place distance between its own
+    top-``CT_DOC_M`` trigram ranks and each profile (missing trigram
+    = max penalty), predicted as the argmin — the third member of
+    the lang-ID family (x8 heuristic, x253 naive Bayes), and the
+    n-gram-rank method the original 1994 paper made standard.
+
+    Profiles are |langs|×N rows (broadcast); doc ranks come from a
+    doc-partitioned window (unbounded key).  The distance aggregate
+    joins doc trigrams to profiles on the gram — vocabulary-keyed,
+    skew-free.  Deterministic throughout: rank ties break on the
+    gram string, argmin ties on the language name, so both engines
+    replay bit-identically.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.lower("text").alias("t"))
+        .filter(F.length("t") >= 3)
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("g"),
+    )
+    w_lang = Window.partitionBy("model_lang").orderBy(
+        F.col("n").desc(), F.col("g")
+    )
+    profiles = (
+        grams.groupBy(F.col("lang").alias("model_lang"), "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("r_lang", F.row_number().over(w_lang))
+        .filter(F.col("r_lang") <= CT_PROFILE_N)
+        .drop("n")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("g"))
+    doc_ranks = (
+        grams.groupBy("doc_id", F.col("lang").alias("true_lang"), "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("r_doc", F.row_number().over(w_doc))
+        .filter(F.col("r_doc") <= CT_DOC_M)
+        .drop("n")
+    )
+    langs = profiles.select("model_lang").distinct()
+    scored = (
+        doc_ranks.crossJoin(F.broadcast(langs))  # |langs| fan: bounded
+        .join(F.broadcast(profiles), ["model_lang", "g"], "left")
+        .groupBy("doc_id", "true_lang", "model_lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("r_doc") - F.col("r_lang")),
+                    F.lit(CT_PROFILE_N),  # out-of-profile penalty
+                )
+            ).alias("oop")
+        )
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy("oop", "model_lang")
+    pred = scored.withColumn("rk", F.row_number().over(w_pick)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("model_lang") == F.col("true_lang")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_docs"), 4))
+        .orderBy("lang")
+    )

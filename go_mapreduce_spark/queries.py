@@ -6523,6 +6523,112 @@ ORACLE_SQL["x277_json_schema_inference"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 49 (round 5): rank-order lang-ID, item recs, l-diversity
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x278_rank_order_langid": T.x278_rank_order_langid,
+        "x279_item_recommendations": AN.x279_item_recommendations,
+        "x280_l_diversity": C.x280_l_diversity,
+    }
+)
+
+ORACLE_SQL["x278_rank_order_langid"] = f"""
+    WITH docs AS (
+        SELECT doc_id, lang, lower(text) AS t
+        FROM documents WHERE length(lower(text)) >= 3
+    ), grams AS (
+        SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS g
+        FROM (SELECT doc_id, lang, t,
+                     unnest(range(1, length(t) - 1)) AS i
+              FROM docs)
+    ), profiles AS (
+        SELECT model_lang, g, r_lang FROM (
+            SELECT lang AS model_lang, g, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY COUNT(*) DESC, g) AS r_lang
+            FROM grams GROUP BY lang, g)
+        WHERE r_lang <= {T.CT_PROFILE_N}
+    ), doc_ranks AS (
+        SELECT doc_id, true_lang, g, r_doc FROM (
+            SELECT doc_id, lang AS true_lang, g, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY COUNT(*) DESC, g) AS r_doc
+            FROM grams GROUP BY doc_id, lang, g)
+        WHERE r_doc <= {T.CT_DOC_M}
+    ), langs AS (SELECT DISTINCT model_lang FROM profiles),
+    scored AS (
+        SELECT d.doc_id, d.true_lang, l.model_lang,
+               SUM(COALESCE(abs(d.r_doc - p.r_lang),
+                            {T.CT_PROFILE_N})) AS oop
+        FROM doc_ranks d
+        CROSS JOIN langs l
+        LEFT JOIN profiles p
+          ON p.model_lang = l.model_lang AND p.g = d.g
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT doc_id, true_lang, model_lang FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY oop, model_lang) = 1)
+    SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN model_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN model_lang = true_lang THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS accuracy
+    FROM pred GROUP BY 1 ORDER BY lang
+"""
+
+ORACLE_SQL["x279_item_recommendations"] = f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+        SELECT l_partkey AS p, COUNT(*) AS n FROM basket GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        FROM basket a
+        JOIN basket b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {AN.RECS_MIN_SUPPORT}
+    ), sym AS (
+        SELECT pa, pb, support FROM pairs
+        UNION ALL
+        SELECT pb, pa, support FROM pairs
+    ), scored AS (
+        SELECT s.pa, s.pb, s.support,
+               s.support / sqrt(fa.n * fb.n) AS cos
+        FROM sym s
+        JOIN freq fa ON fa.p = s.pa
+        JOIN freq fb ON fb.p = s.pb)
+    SELECT pa AS part, CAST(rk AS INT) AS rk, pb AS rec_part,
+           CAST(support AS BIGINT) AS support, ROUND(cos, 6) AS cosine
+    FROM (SELECT pa, pb, support, cos,
+                 ROW_NUMBER() OVER (PARTITION BY pa
+                                    ORDER BY cos DESC, pb) AS rk
+          FROM scored)
+    WHERE rk <= {AN.RECS_TOP_K}
+    ORDER BY part, rk
+"""
+
+ORACLE_SQL["x280_l_diversity"] = f"""
+    WITH classes AS (
+        SELECT n_name,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT c_mktsegment) AS l_div
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+    SELECT n_name, bal_band,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(l_div AS BIGINT) AS l_div
+    FROM classes WHERE l_div < {C.L_DIVERSITY_L}
+    ORDER BY l_div, class_size, n_name, bal_band
+    LIMIT {C.L_DIV_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
