@@ -2187,3 +2187,141 @@ def x279_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# x281 — association rules with confidence and lift (wave 50)
+# ---------------------------------------------------------------------------
+
+RULES_MIN_SUPPORT = 3
+RULES_TOP_N = 30
+
+
+def x281_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (A,B)→C over order baskets at the BRAND
+    level, scored with support, confidence supp(ABC)/supp(AB) and
+    lift conf/P(C) — the Apriori output market-basket analysis
+    actually ships (x87 stops at raw-part pair supports; rules need
+    the triple level, and raw part keys are too sparse for rules at
+    ANY scale: the key space grows with the data, so triple supports
+    collapse to 1 — brands are a bounded vocabulary, so support
+    grows WITH data, the shape real catalogs have).
+
+    Bounded by construction: baskets are ≤ |brands| items, so the
+    ordered triple fan-out per order is a constant, and the
+    min-support filter prunes pairs BEFORE the triple join probes
+    them (the Apriori monotonicity trick: no superset of an
+    infrequent pair can be frequent).  Top-N by (lift, rule keys)
+    is a deterministic TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        # part scales with SF (data-sized): AQE decides the join (x138)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("l_partkey"))
+        .distinct()
+    )
+    n_orders = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = basket.groupBy(F.col("l_partkey").alias("c")).agg(
+        F.count(F.lit(1)).alias("supp_c")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.lit(1).alias("_one"))
+    )
+    pair_supp = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= RULES_MIN_SUPPORT)
+    )
+    # Apriori prune: only frequent pairs probe for a third item
+    triples = (
+        pairs.join(pair_supp, ["pa", "pb"])
+        .join(
+            basket.alias("c"),
+            (F.col("ok") == F.col("c.l_orderkey"))
+            & (F.col("c.l_partkey") != F.col("pa"))
+            & (F.col("c.l_partkey") != F.col("pb")),
+        )
+        .groupBy("pa", "pb", F.col("c.l_partkey").alias("pc"), "supp_ab")
+        .agg(F.count(F.lit(1)).alias("supp_abc"))
+        .filter(F.col("supp_abc") >= RULES_MIN_SUPPORT)
+    )
+    scored = (
+        triples.join(item, triples.pc == item.c)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "pc",
+            F.col("supp_abc").cast("bigint").alias("support"),
+            F.round(F.col("supp_abc") / F.col("supp_ab"), 6).alias("confidence"),
+            F.round(
+                (F.col("supp_abc") / F.col("supp_ab"))
+                / (F.col("supp_c") / F.col("n_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "pa", "pb", "pc"
+    ).limit(RULES_TOP_N)
+
+
+# ---------------------------------------------------------------------------
+# x283 — degree assortativity (wave 50)
+# ---------------------------------------------------------------------------
+
+
+def x283_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph: the Pearson
+    correlation of endpoint degrees over edges (Newman 2002) — do
+    highly-duplicated docs link to other hubs (assortative, r>0,
+    template families) or to leaves (disassortative, r<0,
+    hub-and-spoke boilerplate)?
+
+    Degrees are one grouped count; the statistic needs only five
+    decimal sums over the directed edge relation (both orientations,
+    the standard undirected treatment), all map-side combinable —
+    the same sufficient-statistics discipline as x243/x258.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
+    ed = edges.join(du, edges.u == F.col("_u")).join(dv, edges.v == F.col("_v"))
+    s = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        dsum_expr("du", "sx"),
+        dsum_expr("dv", "sy"),
+        dsum_expr("du * du", "sxx"),
+        dsum_expr("dv * dv", "syy"),
+        dsum_expr("du * dv", "sxy"),
+    )
+    m = F.col("m").cast("double")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = m * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )

@@ -1773,3 +1773,63 @@ def x278_rank_order_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_docs"), 4))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x282 — Flesch-style readability scoring (wave 50)
+# ---------------------------------------------------------------------------
+
+
+def x282_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability profile: Flesch reading-ease computed
+    from sentence, word, and vowel-group ("syllable") counts — the
+    complexity screen a curation pipeline runs next to x9's quality
+    score (too-hard and too-easy tails are both quality signals for
+    training-data mixes).
+
+    Every count is a regexp aggregate in codegen: sentences =
+    terminator runs, words = letter runs, syllables = vowel groups
+    (the standard heuristic; exact hyphenation needs a dictionary no
+    engine ships).  One scan, one per-language aggregate of exact
+    integers; the Flesch formula runs on the reduced relation.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.lower("text").alias("t")
+    )
+    counted = docs.select(
+        "lang",
+        F.greatest(
+            F.size(F.split(F.col("t"), "[.!?]+")) - 1, F.lit(1)
+        ).alias("sentences"),
+        F.size(
+            F.filter(F.split(F.col("t"), "[^a-z]+"), lambda w: F.length(w) > 0)
+        ).alias("words"),
+        F.size(
+            F.filter(F.split(F.col("t"), "[^aeiouy]+"), lambda v: F.length(v) > 0)
+        ).alias("syllables"),
+    ).filter(F.col("words") > 0)
+    agg = counted.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("syllables").cast("bigint").alias("syllables"),
+        dsum_expr(
+            "206.835 - 1.015 * (words / sentences)"
+            " - 84.6 * (syllables / words)",
+            "flesch_sum",
+        ),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        F.round(F.col("words") / F.col("sentences"), 4).alias(
+            "words_per_sentence"
+        ),
+        F.round(F.col("syllables") / F.col("words"), 4).alias(
+            "syllables_per_word"
+        ),
+        F.round(F.col("flesch_sum") / F.col("n_docs"), 4).alias("mean_flesch"),
+    ).orderBy("lang")

@@ -6629,6 +6629,119 @@ ORACLE_SQL["x280_l_diversity"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 50 (round 5): association rules, readability, assortativity
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x281_association_rules": AN.x281_association_rules,
+        "x282_readability": T.x282_readability,
+        "x283_degree_assortativity": AN.x283_degree_assortativity,
+    }
+)
+
+ORACLE_SQL["x281_association_rules"] = f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, p_brand AS l_partkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n_orders AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket
+    ), item AS (
+        SELECT l_partkey AS c, COUNT(*) AS supp_c FROM basket GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), pair_supp AS (
+        SELECT pa, pb, COUNT(*) AS supp_ab FROM pairs GROUP BY 1, 2
+        HAVING COUNT(*) >= {AN.RULES_MIN_SUPPORT}
+    ), triples AS (
+        SELECT p.pa, p.pb, c.l_partkey AS pc, ps.supp_ab,
+               COUNT(*) AS supp_abc
+        FROM pairs p
+        JOIN pair_supp ps USING (pa, pb)
+        JOIN basket c ON c.l_orderkey = p.ok
+                     AND c.l_partkey <> p.pa AND c.l_partkey <> p.pb
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) >= {AN.RULES_MIN_SUPPORT}
+    )
+    SELECT pa, pb, pc,
+           CAST(supp_abc AS BIGINT) AS support,
+           ROUND(supp_abc / supp_ab, 6) AS confidence,
+           ROUND((supp_abc / supp_ab) / (supp_c / n_orders), 6) AS lift
+    FROM triples JOIN item ON c = pc CROSS JOIN n_orders
+    ORDER BY lift DESC, pa, pb, pc
+    LIMIT {AN.RULES_TOP_N}
+"""
+
+ORACLE_SQL["x282_readability"] = """
+    WITH counted AS (
+        SELECT lang,
+               GREATEST(len(regexp_split_to_array(t, '[.!?]+')) - 1, 1)
+                   AS sentences,
+               len(list_filter(regexp_split_to_array(t, '[^a-z]+'),
+                               w -> len(w) > 0)) AS words,
+               len(list_filter(regexp_split_to_array(t, '[^aeiouy]+'),
+                               v -> len(v) > 0)) AS syllables
+        FROM (SELECT lang, lower(text) AS t FROM documents))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           ROUND(SUM(words) / SUM(sentences), 4) AS words_per_sentence,
+           ROUND(SUM(syllables) / SUM(words), 4) AS syllables_per_word,
+           ROUND(CAST(SUM(CAST(206.835 - 1.015 * (words / sentences)
+                               - 84.6 * (syllables / words)
+                          AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4)
+               AS mean_flesch
+    FROM counted WHERE words > 0
+    GROUP BY lang ORDER BY lang
+"""
+
+ORACLE_SQL["x283_degree_assortativity"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    prs AS (
+        SELECT doc_a, doc_b FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM prs
+        UNION ALL SELECT doc_b, doc_a FROM prs
+    ), deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    ed AS (
+        SELECT du.d AS du, dv.d AS dv
+        FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ), s AS (
+        SELECT COUNT(*) AS m,
+               CAST(SUM(CAST(du AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(dv AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(du * du AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(dv * dv AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(du * dv AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM ed)
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           ROUND((m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+               AS assortativity
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
