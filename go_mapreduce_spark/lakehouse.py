@@ -1476,3 +1476,55 @@ def x274_manifest_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_key").cast("bigint").alias("min_key"),
         F.col("max_key").cast("bigint").alias("max_key"),
     ).orderBy("version")
+
+
+def _vacuum_demo_root(sf_dir: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"gms_lh_vacuum_{tag}")
+
+
+def x286_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention lifecycle as a declared query: build a 3-version
+    history (create → two appends), VACUUM to the newest 2 versions,
+    and report each surviving snapshot's row count plus proof the
+    reaped version is gone — the storage-cost control every lakehouse
+    runs nightly, made oracle-checkable (surviving states are
+    closed-form in orderkey arithmetic; the reaped version count is
+    the constant 1).
+
+    Rebuilt from scratch per run (vacuum mutates history, so a cached
+    table would skew reruns); all data movement is the three bounded
+    writes, and VACUUM itself is manifest-sized driver work + file
+    unlinks — no Spark job at all.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    root = _vacuum_demo_root(sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    orders = load_table(spark, sf_dir, "orders").select(*_DEMO_COLS)
+    k = F.col("o_orderkey")
+    create_table(spark, orders.filter(k % 8 == 0), root, key_col="o_orderkey")
+    append_table(spark, orders.filter(k % 8 == 1), root, batch_id="v1")
+    # OPTIMIZE rewrites content into new files — the pre-compaction
+    # files become dead weight only a vacuum can reclaim
+    optimize_table(spark, root)
+    removed = vacuum_table(root, keep_versions=1)
+    reaped = sum(
+        1
+        for v in (1, 2)
+        if not os.path.exists(_manifest_path(root, v))
+    )
+    v = current_version(root)
+    n = read_table(spark, root).count()
+    return spark.createDataFrame(
+        [(v, int(n), len(removed) > 0, reaped)],
+        "version int, n_rows long, files_reclaimed boolean, n_versions_reaped int",
+    ).select(
+        "version",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "files_reclaimed",
+        F.col("n_versions_reaped").cast("int").alias("n_versions_reaped"),
+    )

@@ -2325,3 +2325,47 @@ def x283_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") / 2).cast("bigint").alias("n_edges"),
         F.round(cov / F.sqrt(vx * vy), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x285 — conversion latency percentiles (wave 51)
+# ---------------------------------------------------------------------------
+
+
+def x285_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the latency from first
+    view to the first click at-or-after it, summarized as exact
+    p50/p90/p99 (plus mean) — the "how long does conversion take"
+    companion to x62's how-many funnel.
+
+    The x62 stage shape (per-user min-aggregates chained by an equi
+    join + bound filter) reduces the stream to one latency scalar per
+    converting user; the percentile aggregate runs on that
+    user-sized relation in exact integer microseconds, divided to
+    seconds only at the output edge.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("view_us"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("click_us"))
+        .join(views, "user_id")
+        .filter(F.col("click_us") >= F.col("view_us"))
+        .groupBy("user_id")
+        .agg((F.min("click_us") - F.min("view_us")).alias("lat_us"))
+    )
+    return clicks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converting_users"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / 1e6, 4).alias("p50_s"),
+        F.round(F.expr("percentile(lat_us, 0.9)") / 1e6, 4).alias("p90_s"),
+        F.round(F.expr("percentile(lat_us, 0.99)") / 1e6, 4).alias("p99_s"),
+        F.round(dsum(F.col("lat_us") / 1e6, "m") / F.count(F.lit(1)), 4).alias(
+            "mean_s"
+        ),
+    )

@@ -270,3 +270,68 @@ def x260_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x284 — sketch set algebra (inclusion-exclusion intersection) (wave 51)
+# ---------------------------------------------------------------------------
+
+
+def x284_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches alone: distinct
+    users who both VIEWED and PURCHASED, estimated by
+    inclusion-exclusion over HLL sketches (|A∩B| = |A| + |B| − |A∪B|,
+    the union being HLL's native operation) — how overlap questions
+    get answered when only per-segment sketches were retained and
+    the raw events are long gone.
+
+    Error compounds through the subtraction (the known weakness vs
+    theta sketches, stated honestly in-docstring and bounded in the
+    pytest against the exact join answer).  One scan builds both
+    segment sketches; the algebra is a 1-row combine.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.filter(F.col("event_type").isin("view", "purchase")).agg(
+        F.hll_sketch_agg(F.when(F.col("event_type") == "view", F.col("user_id"))).alias("sk_v"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_p"),
+        F.hll_sketch_agg("user_id").alias("sk_u"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_v").alias("est_view"),
+        F.hll_sketch_estimate("sk_p").alias("est_purchase"),
+        F.hll_sketch_estimate("sk_u").alias("est_union"),
+    )
+    exact = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("est_view").cast("bigint").alias("est_view"),
+            F.col("est_purchase").cast("bigint").alias("est_purchase"),
+            F.col("est_union").cast("bigint").alias("est_union"),
+            (F.col("est_view") + F.col("est_purchase") - F.col("est_union"))
+            .cast("bigint")
+            .alias("est_intersection"),
+            F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+                / F.col("exact_intersection"),
+                6,
+            ),
+        )
+    )

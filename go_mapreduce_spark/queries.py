@@ -6742,6 +6742,48 @@ ORACLE_SQL["x283_degree_assortativity"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 51 (round 5): sketch algebra, conversion latency, vacuum
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        # x284 is sketch-based: rows-only driver check (see x260)
+        "x284_sketch_intersection": SK.x284_sketch_intersection,
+        "x285_conversion_latency": AN.x285_conversion_latency,
+        "x286_vacuum_audit": LH.x286_vacuum_audit,
+    }
+)
+
+ORACLE_SQL["x285_conversion_latency"] = """
+    WITH views AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS view_us
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), lat AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) - MIN(v.view_us) AS lat_us
+        FROM events e JOIN views v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= v.view_us
+        GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converting_users,
+           ROUND(quantile_cont(lat_us, 0.5) / 1e6, 4) AS p50_s,
+           ROUND(quantile_cont(lat_us, 0.9) / 1e6, 4) AS p90_s,
+           ROUND(quantile_cont(lat_us, 0.99) / 1e6, 4) AS p99_s,
+           ROUND(CAST(SUM(CAST(lat_us / 1e6 AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_s
+    FROM lat
+"""
+
+ORACLE_SQL["x286_vacuum_audit"] = """
+    SELECT CAST(3 AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS files_reclaimed,
+           CAST(2 AS INT) AS n_versions_reaped
+    FROM orders WHERE o_orderkey % 8 IN (0, 1)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
