@@ -1523,25 +1523,27 @@ def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
         ).alias("g"),
     )
-    counts = grams.groupBy("g", F.col("lang").alias("model_lang")).agg(
-        F.count(F.lit(1)).alias("c")
+    # counts is the MODEL — vocab-sized (Heaps-bounded), so caching it
+    # is safe at any corpus scale and saves two full re-explodes of the
+    # gram stream (the vocab scalar and the language totals both
+    # derive from it instead of from raw grams: was 3 corpus passes +
+    # 1 for vocab, now 1 corpus pass for training + 1 for scoring)
+    counts = (
+        grams.groupBy("g", F.col("lang").alias("model_lang"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     vocab = counts.select("g").distinct().count()  # bounded: |alphabet|^2
-    lang_stats = (
-        grams.groupBy(F.col("lang").alias("model_lang"))
-        .agg(F.count(F.lit(1)).alias("n_grams_lang"))
-        .crossJoin(
-            docs.groupBy(F.col("lang").alias("_pl"))
-            .agg(F.count(F.lit(1)).alias("n_docs_lang"))
-            .agg(
-                F.sum("n_docs_lang").alias("n_docs_all"),
-            )
-        )
+    lang_stats = counts.groupBy("model_lang").agg(
+        F.sum("c").alias("n_grams_lang")
     )
     priors = docs.groupBy(F.col("lang").alias("model_lang")).agg(
         F.count(F.lit(1)).alias("n_docs_lang")
     )
-    lang_stats = lang_stats.join(priors, "model_lang")
+    n_all = priors.agg(F.sum("n_docs_lang").alias("n_docs_all"))
+    lang_stats = lang_stats.join(priors, "model_lang").crossJoin(
+        F.broadcast(n_all)
+    )
     doc_meta = docs.select(
         "doc_id", "lang", F.expr("length(t) - 1").alias("n_grams_doc")
     )
