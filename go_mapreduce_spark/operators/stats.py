@@ -422,19 +422,34 @@ def x254_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile over the B-row replicate-mean relation.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    reps = spark.range(1, BOOTSTRAP_B + 1).select(F.col("id").alias("b"))
-    fan = orders.crossJoin(F.broadcast(reps))
-    h4 = F.substring(
+    # one sha256 yields 16 independent 4-hex weight windows, so B=40
+    # replicates need ceil(40/16)=3 hashes per row, not 40 — hashing
+    # is the dominant cost of the fan-out (13× fewer digest calls;
+    # the oracle slices the identical windows)
+    n_hashes = -(-BOOTSTRAP_B // 16)
+    hashes = [
         F.sha2(
             F.concat(
-                F.col("o_orderkey").cast("string"), F.lit("|"), F.col("b").cast("string")
+                F.col("o_orderkey").cast("string"), F.lit("|"), F.lit(str(i))
             ),
             256,
-        ),
-        1,
-        4,
+        )
+        for i in range(n_hashes)
+    ]
+    h4s = F.array(
+        *[
+            F.substring(hashes[(b - 1) // 16], ((b - 1) % 16) * 4 + 1, 4)
+            for b in range(1, BOOTSTRAP_B + 1)
+        ]
     )
-    weighted = fan.select("b", "o_totalprice", _bootstrap_weight(h4).alias("w"))
+    fan = orders.select(
+        "o_totalprice", F.posexplode(h4s).alias("pos", "h4")
+    ).select(
+        (F.col("pos") + 1).alias("b"), "o_totalprice", F.col("h4")
+    )
+    weighted = fan.select(
+        "b", "o_totalprice", _bootstrap_weight(F.col("h4")).alias("w")
+    )
     means = weighted.groupBy("b").agg(
         (
             dsum_expr("w * o_totalprice", "s") / F.sum("w")

@@ -5989,7 +5989,8 @@ ORACLE_SQL["x254_bootstrap_ci"] = f"""
     fan AS (
         SELECT b, o_totalprice,
                substr(sha256(concat(CAST(o_orderkey AS VARCHAR), '|',
-                                    CAST(b AS VARCHAR))), 1, 4) AS h
+                                    CAST((b - 1) // 16 AS VARCHAR))),
+                      ((b - 1) % 16) * 4 + 1, 4) AS h
         FROM orders CROSS JOIN reps
     ), weighted AS (
         SELECT b, o_totalprice, {_BOOT_W} AS w FROM fan
