@@ -1792,3 +1792,58 @@ def x277_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x287 — GROUP BY ALL / ORDER BY ALL (wave 52)
+# ---------------------------------------------------------------------------
+
+
+def x287_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` surface (the DuckDB-
+    pioneered shorthand Spark 4 adopted): the engine derives the
+    grouping key from the non-aggregate select items, killing the
+    classic copy-paste drift between SELECT list and GROUP BY.  The
+    oracle runs the LITERAL same modern SQL text — both engines parse
+    and plan the shorthand identically, which is the point.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_x287_orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        AS DOUBLE), 4) AS total_price
+           FROM _x287_orders
+           GROUP BY ALL
+           ORDER BY ALL"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# x288 — IDENTIFIER() templated dimension rollup (wave 52)
+# ---------------------------------------------------------------------------
+
+TEMPLATE_DIM = "o_orderpriority"
+
+
+def x288_identifier_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-injection-safe templating via the ``IDENTIFIER()`` clause
+    (Spark 4): the rollup dimension arrives as a PARAMETER and is
+    bound as an identifier — not string-spliced — so a hostile value
+    can name a column but can never smuggle SQL (the parameterized
+    completion of x212, which binds values; this binds names).
+
+    The oracle inlines the same column statically; a hash match
+    proves the indirection is semantics-free.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_x288_orders")
+    return spark.sql(
+        """SELECT IDENTIFIER(:dim) AS dim,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        AS DOUBLE), 4) AS total_price
+           FROM _x288_orders
+           GROUP BY IDENTIFIER(:dim)
+           ORDER BY dim""",
+        args={"dim": TEMPLATE_DIM},
+    )

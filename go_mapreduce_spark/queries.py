@@ -6785,6 +6785,39 @@ ORACLE_SQL["x286_vacuum_audit"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 52 (round 5): GROUP BY ALL, IDENTIFIER templating
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x287_group_by_all": RX.x287_group_by_all,
+        "x288_identifier_template": RX.x288_identifier_template,
+    }
+)
+
+# deliberately the SAME modern shorthand both engines now share
+ORACLE_SQL["x287_group_by_all"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 AS DOUBLE), 4) AS total_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+ORACLE_SQL["x288_identifier_template"] = f"""
+    SELECT {RX.TEMPLATE_DIM} AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 AS DOUBLE), 4) AS total_price
+    FROM orders
+    GROUP BY {RX.TEMPLATE_DIM}
+    ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
