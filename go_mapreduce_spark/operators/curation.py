@@ -1080,3 +1080,82 @@ def x280_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_div", "class_size", "n_name", "bal_band")
         .limit(L_DIV_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# x289 — t-closeness audit (wave 53)
+# ---------------------------------------------------------------------------
+
+T_CLOSE_T = 0.30
+T_CLOSE_TOP_N = 25
+
+
+def x289_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (the third rung of the x266 → x280 privacy
+    ladder): a class can be k-anonymous AND l-diverse yet still leak
+    if its sensitive-value DISTRIBUTION differs sharply from the
+    table-wide one (Li et al., ICDE'07).  For a categorical sensitive
+    attribute the earth-mover distance reduces to total variation:
+    ``t = ½ Σ_s |p_class(s) − p_global(s)|``; classes with
+    ``t > T_CLOSE_T`` are flagged, worst first.
+
+    Shape: one grouped count per (class × segment), one 5-row global
+    segment distribution, and a class × segment-dim grid join so
+    absent segments still contribute their global mass — the grid
+    side is the SEGMENT dim (≤ distinct segments, schema-bounded),
+    never a second pass over the fact.  All shares are integer/integer
+    doubles, bit-identical across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        "n_name",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cls_seg = base.groupBy("n_name", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    classes = cls_seg.groupBy("n_name", "bal_band").agg(
+        F.sum("n_cs").alias("class_size")
+    )
+    glob = base.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_s"))
+    total = glob.agg(F.sum("n_s").alias("n_total"))
+    # global segment counts: ≤ |segments| rows — a true dim, safe broadcast
+    gcnt = glob.crossJoin(F.broadcast(total))
+    grid = classes.crossJoin(F.broadcast(gcnt))
+    # exact-rational form: ½ Σ|p−q| = Σ|n_cs·n_total − n_s·class_size|
+    # / (2·class_size·n_total) — the numerator is an INTEGER sum
+    # (decimal: the product crosses int64 past ~10⁹ rows), so the sum
+    # has no float-order sensitivity and the single final division is
+    # bit-identical across engines.
+    dev_num = F.abs(
+        F.coalesce(F.col("n_cs"), F.lit(0)).cast("decimal(38,0)")
+        * F.col("n_total")
+        - F.col("n_s").cast("decimal(38,0)") * F.col("class_size")
+    )
+    dist = (
+        grid.join(cls_seg, ["n_name", "bal_band", "c_mktsegment"], "left")
+        .select("n_name", "bal_band", "class_size", "n_total", dev_num.alias("dev"))
+        .groupBy("n_name", "bal_band")
+        .agg(
+            F.first("class_size").alias("class_size"),
+            (
+                F.sum("dev").cast("double")
+                / (2 * F.first("class_size").cast("double") * F.first("n_total"))
+            ).alias("t_dist"),
+        )
+    )
+    return (
+        dist.filter(F.col("t_dist") > T_CLOSE_T)
+        .select(
+            "n_name",
+            "bal_band",
+            F.col("class_size").cast("bigint").alias("class_size"),
+            F.round("t_dist", 6).alias("t_dist"),
+        )
+        .orderBy(F.desc("t_dist"), "n_name", "bal_band")
+        .limit(T_CLOSE_TOP_N)
+    )

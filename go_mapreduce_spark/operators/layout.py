@@ -244,6 +244,83 @@ def _global_row_number(
     return ranked, int(total)
 
 
+def _global_running_sum(
+    df: DataFrame,
+    sort_cols: list[str],
+    lead_key: Column,
+    weights: dict[str, str],
+    n_splits: int = RN_SPLITS,
+) -> DataFrame:
+    """Exact global running (inclusive-prefix) sums of integer
+    ``weights`` columns in ``sort_cols`` order, with NO unpartitioned
+    WindowExec — ``_global_row_number``'s machinery generalized from
+    rank (weight ≡ 1) to arbitrary integer weight columns.
+
+    Same plan discipline: sketch split points on ``lead_key`` →
+    static range-bucket expression → ONE grouped per-bucket total
+    aggregate (≤ ``n_splits`` rows collected) → Python cumulative
+    offsets re-entering the plan as literal maps → window partitioned
+    BY BUCKET computes the local running sum and adds the bucket's
+    offset.  Ties on ``lead_key`` share a bucket, so bucket assignment
+    is monotone in the total order and the prefix sums are exact
+    wherever the splits land.
+
+    ``weights`` maps input column → output running-sum column; inputs
+    must be integer-typed (sums go through bigint — the caller casts
+    to decimal first if a weight can overflow int64 in total).
+    """
+    fracs = [i / n_splits for i in range(1, n_splits)]
+    row = df.select(
+        F.percentile_approx(lead_key, F.lit(fracs), F.lit(10_000)).alias("bs")
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+
+    bucket = F.lit(0)
+    for v in bounds:
+        bucket = bucket + (lead_key > F.lit(v)).cast("int")
+
+    per_bucket = (
+        df.groupBy(bucket.alias("_rb"))
+        .agg(*[F.sum(src).cast("bigint").alias(src) for src in weights])
+        .collect()
+    )  # bounded: ≤ n_splits rows
+    totals = {r["_rb"]: r for r in per_bucket}
+    offsets: dict[str, dict[int, int]] = {src: {} for src in weights}
+    running = {src: 0 for src in weights}
+    for rb in sorted(totals):
+        for src in weights:
+            offsets[src][rb] = running[src]
+            running[src] += int(totals[rb][src] or 0)
+
+    def off_map(src: str) -> Column:
+        m = offsets[src]
+        if not m:
+            return F.create_map(F.lit(0).cast("int"), F.lit(0).cast("bigint"))
+        return F.create_map(
+            *[
+                c
+                for rb in sorted(m)
+                for c in (F.lit(rb).cast("int"), F.lit(m[rb]).cast("bigint"))
+            ]
+        )
+
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("_rb", bucket)
+    for src, dst in weights.items():
+        out = out.withColumn(
+            dst,
+            (
+                F.element_at(off_map(src), F.col("_rb"))
+                + F.sum(F.col(src).cast("bigint")).over(w)
+            ).cast("bigint"),
+        )
+    return out.drop("_rb")
+
+
 def x127_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-height) histogram of ``l_extendedprice`` in
     ``HIST_N_BUCKETS`` buckets — the CBO-statistics shape (selectivity

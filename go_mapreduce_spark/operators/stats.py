@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_mapreduce_spark.functions.numeric import DECIMAL_T, dsum, dsum_expr
@@ -525,4 +525,132 @@ def x255_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_a, 6).alias("rate_a"),
         F.round(p_b, 6).alias("rate_b"),
         F.round(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x290 — Spearman rank correlation of the daily revenue series (wave 53)
+# ---------------------------------------------------------------------------
+
+
+def x290_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order COUNT and daily
+    MEAN order value — "do busy days sell cheaper orders?" asked the
+    robust way: rank correlation ignores the heavy right tail that
+    makes Pearson on raw prices meaningless.
+
+    The fact table reduces to one row per order date FIRST (decimal
+    sums), so ranking runs on a metadata-sized relation — windows
+    here are safe BY CONSTRUCTION (cardinality = distinct days,
+    ~2.4k; ~36.5k even for a century).  Ties take textbook mid-ranks
+    (``rank() + (tie_count − 1)/2``); both engines then correlate
+    DOUBLED mid-ranks — integers, so every sum runs through exact
+    decimal and the ratio is bit-stable (Pearson is invariant under
+    the ×2 rescale).
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (dsum(F.col("o_totalprice"), "rev").cast("double")
+             / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+
+    def midrank2(col: str) -> Column:
+        # doubled mid-rank: 2*rank + (ties-1)  — always an integer
+        return (
+            2 * F.rank().over(Window.orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            - 1
+        ).cast("bigint")
+
+    ranked = daily.select(
+        midrank2("n_orders").alias("rx"), midrank2("avg_price").alias("ry")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("rx", "sx"),
+        dsum_expr("ry", "sy"),
+        dsum_expr("rx * rx", "sxx"),
+        dsum_expr("ry * ry", "syy"),
+        dsum_expr("rx * ry", "sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x291 — two-sample Kolmogorov–Smirnov test (wave 53)
+# ---------------------------------------------------------------------------
+
+# sqrt of the 5% / 1% critical-value coefficients c(α) = sqrt(−ln(α/2)/2),
+# pinned as literals (libm-stable contract, like BENFORD_EXPECTED)
+KS_C_05 = 1.3581015157406195
+KS_C_01 = 1.6276236115189504
+
+
+def x291_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test on the order-value
+    distributions of finished (``F``) vs open (``O``) orders: the
+    exact supremum distance between the two empirical CDFs, plus the
+    5%/1% critical distances — the distribution-drift test that makes
+    no shape assumptions at all (x243/x244's third sibling).
+
+    Exact D WITHOUT an unpartitioned window: per-distinct-value arm
+    counts (one grouped aggregate), then ``layout._global_running_sum``
+    computes both cumulative counts with the range-bucketed prefix-sum
+    machinery — bucket totals collected (≤ n_splits scalars), window
+    partitioned by bucket.  The CDF difference at each jump point is
+    integer/integer double arithmetic, bit-identical across engines;
+    one max-aggregate finishes.
+    """
+    from go_mapreduce_spark.operators.layout import _global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    per_val = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("int")).alias("t_a"),
+        F.sum((F.col("o_orderstatus") == "O").cast("int")).alias("t_b"),
+    )
+    cum = _global_running_sum(
+        per_val, ["val"], F.col("val"), {"t_a": "ca", "t_b": "cb"}
+    )
+    # totals enter as a 1-row broadcast so the per-value diff is a
+    # plain projection; D = max |ca/n_a − cb/n_b| over jump points
+    totals = per_val.agg(
+        F.sum("t_a").cast("bigint").alias("n_a"),
+        F.sum("t_b").cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))
+            ).alias("d_stat"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    scale = F.sqrt((n_a + n_b) / (n_a * n_b))
+    return d.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(F.lit(KS_C_05) * scale, 6).alias("crit_5pct"),
+        F.round(F.lit(KS_C_01) * scale, 6).alias("crit_1pct"),
+        (F.col("d_stat") > F.lit(KS_C_05) * scale).alias("reject_5pct"),
+        (F.col("d_stat") > F.lit(KS_C_01) * scale).alias("reject_1pct"),
     )

@@ -6818,6 +6818,114 @@ ORACLE_SQL["x288_identifier_template"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 53 (round 5): t-closeness, Spearman, Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x289_t_closeness": C.x289_t_closeness,
+        "x290_spearman_daily": ST.x290_spearman_daily,
+        "x291_ks_test": ST.x291_ks_test,
+    }
+)
+
+ORACLE_SQL["x289_t_closeness"] = """
+    WITH base AS (
+        SELECT n_name,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), cls_seg AS (
+        SELECT n_name, bal_band, c_mktsegment, COUNT(*) AS n_cs
+        FROM base GROUP BY 1, 2, 3
+    ), classes AS (
+        SELECT n_name, bal_band, SUM(n_cs) AS class_size
+        FROM cls_seg GROUP BY 1, 2
+    ), gseg AS (
+        SELECT c_mktsegment, COUNT(*) AS n_s,
+               SUM(COUNT(*)) OVER () AS n_total
+        FROM base GROUP BY 1
+    ), dist AS (
+        SELECT c.n_name, c.bal_band, c.class_size,
+               CAST(SUM(abs(CAST(COALESCE(cs.n_cs, 0) AS HUGEINT) * g.n_total
+                            - CAST(g.n_s AS HUGEINT) * c.class_size))
+                    AS DOUBLE)
+               / (2 * CAST(c.class_size AS DOUBLE) * MAX(g.n_total)) AS t_dist
+        FROM classes c CROSS JOIN gseg g
+        LEFT JOIN cls_seg cs
+          ON cs.n_name = c.n_name AND cs.bal_band = c.bal_band
+         AND cs.c_mktsegment = g.c_mktsegment
+        GROUP BY 1, 2, 3
+    )
+    SELECT n_name, bal_band, CAST(class_size AS BIGINT) AS class_size,
+           ROUND(t_dist, 6) AS t_dist
+    FROM dist
+    WHERE t_dist > 0.30
+    ORDER BY t_dist DESC, n_name, bal_band
+    LIMIT 25
+"""
+
+ORACLE_SQL["x290_spearman_daily"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_price
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT CAST(2 * rank() OVER (ORDER BY n_orders)
+                    + COUNT(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS rx,
+               CAST(2 * rank() OVER (ORDER BY avg_price)
+                    + COUNT(*) OVER (PARTITION BY avg_price) - 1 AS BIGINT) AS ry
+        FROM daily
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS spearman_rho
+    FROM s
+"""
+
+_KS_SCALE = "sqrt(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))"
+ORACLE_SQL["x291_ks_test"] = f"""
+    WITH per_val AS (
+        SELECT o_totalprice AS val,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS t_a,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS t_b
+        FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
+    ), cum AS (
+        SELECT SUM(t_a) OVER (ORDER BY val) AS ca,
+               SUM(t_b) OVER (ORDER BY val) AS cb
+        FROM per_val
+    ), t AS (
+        SELECT CAST(SUM(t_a) AS BIGINT) AS n_a,
+               CAST(SUM(t_b) AS BIGINT) AS n_b
+        FROM per_val
+    ), d AS (
+        SELECT MAX(abs(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b))
+                   AS d_stat,
+               MAX(n_a) AS n_a, MAX(n_b) AS n_b
+        FROM cum CROSS JOIN t
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(d_stat, 6) AS d_stat,
+           ROUND({ST.KS_C_05!r} * {_KS_SCALE}, 6) AS crit_5pct,
+           ROUND({ST.KS_C_01!r} * {_KS_SCALE}, 6) AS crit_1pct,
+           d_stat > {ST.KS_C_05!r} * {_KS_SCALE} AS reject_5pct,
+           d_stat > {ST.KS_C_01!r} * {_KS_SCALE} AS reject_1pct
+    FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
