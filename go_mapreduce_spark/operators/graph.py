@@ -718,3 +718,86 @@ def x267_label_propagation(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x292 — eigenvector centrality (wave 54)
+# ---------------------------------------------------------------------------
+
+EV_ITERS = 8
+
+
+def eigenvector_centrality(
+    edges: DataFrame, n_iter: int = EV_ITERS, checkpoint_every: int = 4
+) -> DataFrame:
+    """Eigenvector centrality of a SYMMETRIC edge list (u, v) by
+    L1-normalized power iteration: score ← A·score / ‖A·score‖₁ for
+    ``n_iter`` fixed rounds from the uniform vector — PageRank's
+    damping-free sibling (a node is central when its neighbors are),
+    the second classic spectral measure next to x59/x143.
+
+    L1 normalization (not the textbook L2) keeps every round's
+    arithmetic in exact-decimal sums + one double division, so the
+    result is bit-stable at any partition count AND SQL-replayable —
+    the same eigenvector up to scale, since power iteration is
+    norm-choice-invariant for nonnegative symmetric A (Perron).
+
+    Same scale discipline as ``pagerank``: the graph is resolved,
+    hash-partitioned on the join key, and cached ONCE; each round
+    moves only the |V|-row score vector; shuffle partitions pinned to
+    graph volume; lineage cut by localCheckpoint.
+    """
+    ed = edges.select("u", "v").distinct().persist()
+    m = ed.count()
+    parts = iterative_shuffle_partitions(m)
+    spark = edges.sparkSession
+    with pinned_shuffle_partitions(spark, parts):
+        ed_p = ed.repartition(parts, "u").persist()
+        nodes = ed_p.select(F.col("u").alias("node")).distinct()
+        n = nodes.count()
+        if n == 0:
+            ed.unpersist()
+            ed_p.unpersist()
+            return nodes.withColumn("score", F.lit(0.0))
+        scores = nodes.withColumn("score", F.lit(1.0 / n))
+        for i in range(n_iter):
+            contrib = ed_p.join(
+                scores.withColumnRenamed("node", "u"), "u"
+            ).select(F.col("v").alias("node"), F.col("score").alias("c"))
+            raw = contrib.groupBy("node").agg(
+                F.sum(F.col("c").cast(_DEC)).cast("double").alias("s")
+            )
+            tot = raw.agg(
+                F.sum(F.col("s").cast(_DEC)).cast("double").alias("t")
+            )
+            # 1-row L1 norm: safe broadcast by construction
+            scores = raw.crossJoin(F.broadcast(tot)).select(
+                "node", (F.col("s") / F.col("t")).alias("score")
+            )
+            if (i + 1) % checkpoint_every == 0:
+                scores = scores.localCheckpoint()
+        if n_iter % checkpoint_every != 0:
+            scores = scores.localCheckpoint()
+    ed_p.unpersist()
+    ed.unpersist()
+    return scores
+
+
+def x292_eigenvector_centrality(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Eigenvector centrality over the symmetric x6 near-dup pair
+    graph (the corpus's dedup-cluster backbone): the docs that are
+    central to large tight clusters — the strongest "canonical copy"
+    candidates a near-dup curation pass should keep."""
+    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    return (
+        eigenvector_centrality(edges)
+        .select(F.col("node").alias("doc_id"), F.round("score", 6).alias("score"))
+        .orderBy("doc_id")
+    )

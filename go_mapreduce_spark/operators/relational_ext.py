@@ -1847,3 +1847,62 @@ def x288_identifier_template(spark: SparkSession, sf_dir: str) -> DataFrame:
            ORDER BY dim""",
         args={"dim": TEMPLATE_DIM},
     )
+
+
+# ---------------------------------------------------------------------------
+# x294 — bag-semantics set operations (wave 54)
+# ---------------------------------------------------------------------------
+
+EXCEPT_ALL_TOP_N = 15
+EXCEPT_ALL_YR_A = 1996
+EXCEPT_ALL_YR_B = 1997
+
+
+def x294_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set algebra — ``EXCEPT ALL`` with real
+    multiplicity arithmetic, the semantics x18/q9's DISTINCT variants
+    deliberately do not cover: for parts shipped in both contrast years, each year-A shipment "cancels" one year-B shipment, and what
+    survives is the per-part multiplicity DIFFERENCE, not a boolean.
+
+    The report: the ``EXCEPT ALL`` survivor multiplicity per part for
+    the top-``EXCEPT_ALL_TOP_N`` parts, cross-checked in-plan against
+    the closed form max(n_a − n_b, 0) — which is also how Spark's
+    physical plan computes it (a single grouped count diff, no
+    row-matching), so the operator scales as one aggregate + one
+    generate, never a pairwise cancel.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    )
+    y94 = li.filter(F.col("yr") == EXCEPT_ALL_YR_A).select("l_partkey")
+    y95 = li.filter(F.col("yr") == EXCEPT_ALL_YR_B).select("l_partkey")
+    surv = y94.exceptAll(y95).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("surviving")
+    )
+    both = (
+        y94.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .join(
+            y95.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_b")),
+            "l_partkey",
+            "left",
+        )
+        .select(
+            "l_partkey",
+            "n_a",
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    return (
+        surv.join(both, "l_partkey")
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("surviving").cast("bigint").alias("surviving"),
+            (F.col("surviving") == F.greatest(F.col("n_a") - F.col("n_b"), F.lit(0)))
+            .alias("matches_closed_form"),
+        )
+        .orderBy(F.desc("surviving"), "l_partkey")
+        .limit(EXCEPT_ALL_TOP_N)
+    )

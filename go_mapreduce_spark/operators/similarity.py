@@ -500,3 +500,110 @@ def x187_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x297 — maximal marginal relevance selection (wave 56)
+# ---------------------------------------------------------------------------
+
+MMR_K = 6
+MMR_LAMBDA = 0.7
+_DEC18 = "decimal(38,18)"
+
+
+def x297_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance subset selection (Carbonell &
+    Goldstein '98) over the embedding corpus: greedily pick
+    ``MMR_K`` vectors maximizing ``λ·rel − (1−λ)·max_sim_to_picked``
+    — the diversity-aware selection a training-data pipeline runs to
+    choose exemplars that COVER the space instead of k near-copies
+    of the densest mode.  Relevance is cosine to the corpus centroid
+    (the query every "summarize this corpus" selection starts from).
+
+    Plan: the centroid is a per-dimension exact-decimal mean (one
+    posexplode aggregate, d rows); relevance is ONE corpus pass,
+    checkpointed.  Each greedy step joins the corpus against the
+    ≤ K-row picked set (broadcast, corpus never shuffles) and takes
+    one global argmax (TakeOrderedAndProject) — K·O(corpus) total,
+    the same bounded-loop discipline as x224's decode.  All vector
+    math is the sequential-double ``functions/vectors.py`` kernel,
+    bit-identical in DuckDB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        dims.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(_DEC18)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(cent))  # 1-row centroid: safe
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_similarity(F.col("embedding"), F.col("cv")).alias("rel"),
+        )
+        .localCheckpoint()  # corpus-sized; K steps rescan it
+    )
+    lam, lam1 = float(MMR_LAMBDA), 1.0 - MMR_LAMBDA
+    picked = rel.orderBy(F.col("rel").desc(), "vec_id").limit(1).select(
+        "vec_id",
+        "embedding",
+        F.lit(1).alias("pick"),
+        "rel",
+        F.lit(0.0).alias("max_sim"),
+        (F.lit(lam) * F.col("rel")).alias("score"),
+    )
+    for step in range(2, MMR_K + 1):
+        sel_ids = picked.select("vec_id")
+        cand = rel.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+        scored = (
+            cand.crossJoin(
+                F.broadcast(picked.select(F.col("embedding").alias("se")))
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "rel",
+                cosine_similarity(F.col("embedding"), F.col("se")).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.first("rel").alias("rel"),
+                F.max("s").alias("max_sim"),
+            )
+        )
+        pick = (
+            scored.select(
+                "vec_id",
+                "embedding",
+                F.lit(step).alias("pick"),
+                "rel",
+                "max_sim",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(lam1) * F.col("max_sim")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        picked = picked.unionAll(pick)
+    return picked.select(
+        F.col("pick").cast("bigint").alias("pick"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("rel", 6).alias("rel"),
+        F.round("max_sim", 6).alias("max_sim"),
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("pick")

@@ -654,3 +654,278 @@ def x291_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_stat") > F.lit(KS_C_05) * scale).alias("reject_5pct"),
         (F.col("d_stat") > F.lit(KS_C_01) * scale).alias("reject_1pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x293 — Cramér's V association matrix (wave 54)
+# ---------------------------------------------------------------------------
+
+# per-cell χ² terms are O(1/(r·c)) — tiny; 18 fractional digits keep
+# the exact-sum discipline meaningful at that magnitude
+_DEC_WIDE = "decimal(38,18)"
+
+
+def _cramers_v(
+    df: DataFrame, a: str, b: str, label: str
+) -> DataFrame:
+    """One (table, col_a, col_b) Cramér's V row from a contingency
+    aggregate: chi² via the identity χ² = n·(Σ o²/(r·c) − 1) — only
+    OBSERVED cells enter the sum (empty cells contribute 0 to it),
+    so no dense grid is materialized.  Cell terms are exact-integer
+    ratios in double; the Σ goes through decimal (cell count is
+    |A|×|B| — float order must still not leak into a reported stat).
+    """
+    cells = df.groupBy(
+        F.col(a).alias("a"), F.col(b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("a").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("b").agg(F.sum("o").alias("ct"))
+    terms = (
+        cells.join(rt, "a")
+        .join(ct, "b")
+        .select(
+            (
+                F.col("o").cast("double")
+                * F.col("o")
+                / (F.col("rt").cast("double") * F.col("ct"))
+            ).alias("term"),
+            "o",
+            "a",
+            "b",
+        )
+    )
+    agg = terms.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("r"),
+        F.count_distinct("b").alias("c"),
+        F.sum(F.col("term").cast(_DEC_WIDE)).cast("double").alias("s"),
+    )
+    n = F.col("n").cast("double")
+    chi2 = n * (F.col("s") - 1)
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    v = F.sqrt(
+        chi2 / (n * F.least(F.col("r") - 1, F.col("c") - 1))
+    )
+    return agg.select(
+        F.lit(label).alias("pair"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(chi2, 4).alias("chi2"),
+        dof.cast("bigint").alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def x293_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the categorical column pairs a
+    profiler would screen: (order status × order priority) and
+    (return flag × line status) — the chi² (x82's statistic) rescaled
+    to [0, 1] so association strength is comparable ACROSS pairs with
+    different table sizes and cardinalities.
+
+    Each pair costs one contingency aggregate over its table (map-side
+    combined, ≤ |A|×|B| cells) plus two tiny marginal aggregates; the
+    union output is a fixed 2-row report.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        _cramers_v(
+            orders, "o_orderstatus", "o_orderpriority", "orders:status_x_priority"
+        )
+        .unionByName(
+            _cramers_v(
+                li, "l_returnflag", "l_linestatus", "lineitem:flag_x_status"
+            )
+        )
+        .orderBy("pair")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x295 — Kruskal-Wallis H test (wave 55)
+# ---------------------------------------------------------------------------
+
+
+def x295_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of order value across ALL five order
+    priorities — x244's k-group generalization (one-way ANOVA on
+    ranks): do the priority classes draw from the same value
+    distribution?
+
+    Same no-unpartitioned-window discipline as x244: global row
+    numbers from ``layout._global_row_number``, tie-averaged
+    mid-ranks per distinct value, per-group rank sums R_j through
+    exact decimal, then the closed-form statistic (with the standard
+    tie correction) on the k-row relation.  Rank sums reach N², so
+    every product is summed in decimal and the final arithmetic runs
+    in double.
+    """
+    from go_mapreduce_spark.operators.layout import _global_row_number
+
+    sample = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("val"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+    )
+    ranked, _ = _global_row_number(
+        sample, ["val", "o_orderkey"], F.col("val"), rn="rn"
+    )
+    ties = ranked.groupBy("val").agg(
+        F.avg("rn").alias("arank"), F.count(F.lit(1)).alias("t")
+    )
+    per_gv = ranked.groupBy("val", "grp").agg(F.count(F.lit(1)).alias("c"))
+    rj = (
+        per_gv.join(ties, "val")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_j"),
+            dsum_expr("arank * c", "r_j"),
+        )
+    )
+    tot = rj.agg(
+        F.sum("n_j").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    # per-group terms normalized by n(n+1) BEFORE the decimal sum:
+    # r_j²/n_j alone reaches ~N³/k² (past decimal(38,6)'s 10³² ceiling
+    # on a 100 TB fact); the normalized term stays O(N)
+    s2 = (
+        rj.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("r_j * r_j / n_j / (CAST(n AS DOUBLE) * (n + 1))").alias(
+                "term"
+            )
+        )
+        .agg(dsum_expr("term", "s2"))
+    )
+    cube = ties.agg(dsum_expr("t * t * t - t", "tie_cube"))
+    agg = tot.crossJoin(F.broadcast(s2)).crossJoin(
+        F.broadcast(cube)
+    )  # 1-row each: safe
+    n = F.col("n").cast("double")
+    h = 12.0 * F.col("s2") - 3 * (n + 1)
+    corr = 1 - F.col("tie_cube") / (n * n * n - n)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_tie_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x296 — Benjamini-Hochberg FDR selection (wave 55)
+# ---------------------------------------------------------------------------
+
+FDR_ALPHA = 0.05
+FDR_M_TESTS = 25  # one hypothesis per nation — schema-bounded
+
+
+def _phi_inv_upper(q: float) -> float:
+    """Φ⁻¹(1 − q) by bisection on math.erfc — stdlib-only, run once at
+    import, pinned to 10 decimals.  Keeps BOTH engines' plans free of
+    libm inverse-CDF calls (the BENFORD_EXPECTED discipline): the
+    BH comparison happens in z-space against these literals."""
+    lo, hi = 0.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        # upper-tail mass beyond mid
+        if math.erfc(mid / math.sqrt(2.0)) / 2.0 > q:
+            lo = mid
+        else:
+            hi = mid
+    return round((lo + hi) / 2, 10)
+
+
+# BH step-up thresholds in |z| space: t_i = Φ⁻¹(1 − α·i/(2m)) — the
+# two-sided p_(i) ≤ α·i/m rule, exactly, since p = erfc(|z|/√2) is
+# strictly decreasing in |z|
+FDR_Z_THRESHOLDS = {
+    i: _phi_inv_upper(FDR_ALPHA * i / (2 * FDR_M_TESTS))
+    for i in range(1, FDR_M_TESTS + 1)
+}
+
+
+def x296_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR selection over 25 simultaneous
+    hypotheses — "which nations' mean order value differs from the
+    rest?" — the multiple-testing control every per-segment metrics
+    sweep needs (25 uncorrected 5% tests would false-alarm ~1.2
+    nations every run).
+
+    Each nation gets a Welch z (its orders vs all others) from ONE
+    conditional aggregate pass (n, Σx, Σx² per nation; the
+    complement's moments are total − nation, no second scan).  The
+    step-up rule runs in |z| space against module-literal thresholds
+    t_i = Φ⁻¹(1 − α·i/2m) (see ``_phi_inv_upper``) — mathematically
+    identical to sorting p-values, with zero inverse-CDF calls in
+    either engine's plan.  Windows are over the 25-row nation
+    relation: safe BY CONSTRUCTION (cardinality = nation count).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(F.col("o_totalprice").cast(DECIMAL_T))
+            .cast("double")
+            .alias("s_i"),
+            F.sum(
+                (F.col("o_totalprice") * F.col("o_totalprice")).cast(DECIMAL_T)
+            )
+            .cast("double")
+            .alias("ss_i"),
+        )
+    )
+    tot = per_nation.agg(
+        F.sum("n_i").alias("n_all"),
+        F.sum(F.col("s_i").cast(DECIMAL_T)).cast("double").alias("s_all"),
+        F.sum(F.col("ss_i").cast(DECIMAL_T)).cast("double").alias("ss_all"),
+    )
+    g = per_nation.crossJoin(F.broadcast(tot))  # 25 × 1-row: safe
+    n_i = F.col("n_i").cast("double")
+    n_r = (F.col("n_all") - F.col("n_i")).cast("double")
+    s_r = F.col("s_all") - F.col("s_i")
+    ss_r = F.col("ss_all") - F.col("ss_i")
+    m_i, m_r = F.col("s_i") / n_i, s_r / n_r
+    v_i = (F.col("ss_i") - F.col("s_i") * F.col("s_i") / n_i) / (n_i - 1)
+    v_r = (ss_r - s_r * s_r / n_r) / (n_r - 1)
+    z = (m_i - m_r) / F.sqrt(v_i / n_i + v_r / n_r)
+    zs = g.select("n_name", F.col("n_i").alias("n_orders"), z.alias("z"))
+    thr_map = F.create_map(
+        *[
+            c
+            for i, t in FDR_Z_THRESHOLDS.items()
+            for c in (F.lit(i), F.lit(t))
+        ]
+    )
+    # 25-row windows: safe BY CONSTRUCTION (cardinality = nations)
+    w_rank = Window.orderBy(F.abs(F.col("z")).desc(), F.col("n_name"))
+    ranked = zs.withColumn("bh_rank", F.row_number().over(w_rank)).withColumn(
+        "thr", F.element_at(thr_map, F.col("bh_rank"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    istar = F.max(
+        F.when(F.abs(F.col("z")) >= F.col("thr"), F.col("bh_rank"))
+    ).over(w_all)
+    return (
+        ranked.select(
+            "n_name",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round("z", 6).alias("z_stat"),
+            F.col("bh_rank").cast("bigint").alias("bh_rank"),
+            (F.col("bh_rank") <= F.coalesce(istar, F.lit(0))).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )

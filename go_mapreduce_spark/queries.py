@@ -6926,6 +6926,313 @@ ORACLE_SQL["x291_ks_test"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# wave 54 (round 5): eigenvector centrality, Cramér's V, EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x292_eigenvector_centrality": G.x292_eigenvector_centrality,
+        "x293_cramers_v": ST.x293_cramers_v,
+        "x294_except_all": RX.x294_except_all,
+    }
+)
+
+
+def _eigenvector_oracle(n_iter: int = G.EV_ITERS) -> str:
+    """Fixed-iteration L1-normalized power iteration as chained CTEs
+    over the same x6 near-dup graph as the x59 oracle.  Float parity:
+    per-node contribution sums AND the L1 norm go through
+    DECIMAL(38,18) in both engines — the identical expression shape
+    ``graph.eigenvector_centrality`` evaluates."""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""ev{i} AS MATERIALIZED (
+        SELECT e.v AS node,
+               CAST(SUM(CAST(p.score AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM edges e JOIN evn{i - 1} p ON p.node = e.u
+        GROUP BY e.v
+    ), evn{i} AS (
+        SELECT node,
+               s / (SELECT CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+                    FROM ev{i}) AS score
+        FROM ev{i}
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    prs AS (
+        SELECT doc_a, doc_b
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ), nodes AS (SELECT DISTINCT u AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    evn0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS score
+             FROM nodes CROSS JOIN nn),
+    {rounds_sql}
+    SELECT node AS doc_id, ROUND(score, 6) AS score
+    FROM evn{n_iter}
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["x292_eigenvector_centrality"] = _eigenvector_oracle()
+
+ORACLE_SQL["x293_cramers_v"] = """
+    WITH c1 AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+    ), r1 AS (SELECT a, SUM(o) AS rt FROM c1 GROUP BY 1),
+    k1 AS (SELECT b, SUM(o) AS ct FROM c1 GROUP BY 1),
+    t1 AS (
+        SELECT CAST(c1.o AS DOUBLE) * c1.o
+               / (CAST(r1.rt AS DOUBLE) * k1.ct) AS term, c1.o, c1.a, c1.b
+        FROM c1 JOIN r1 USING (a) JOIN k1 USING (b)
+    ), a1 AS (
+        SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+               CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM t1
+    ), c2 AS (
+        SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+        FROM lineitem GROUP BY 1, 2
+    ), r2 AS (SELECT a, SUM(o) AS rt FROM c2 GROUP BY 1),
+    k2 AS (SELECT b, SUM(o) AS ct FROM c2 GROUP BY 1),
+    t2 AS (
+        SELECT CAST(c2.o AS DOUBLE) * c2.o
+               / (CAST(r2.rt AS DOUBLE) * k2.ct) AS term, c2.o, c2.a, c2.b
+        FROM c2 JOIN r2 USING (a) JOIN k2 USING (b)
+    ), a2 AS (
+        SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+               CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM t2
+    ), u AS (
+        SELECT 'orders:status_x_priority' AS pair, n, r, c, s FROM a1
+        UNION ALL
+        SELECT 'lineitem:flag_x_status' AS pair, n, r, c, s FROM a2
+    )
+    SELECT pair,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) * (s - 1), 4) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(sqrt((CAST(n AS DOUBLE) * (s - 1))
+                      / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6)
+               AS cramers_v
+    FROM u
+    ORDER BY pair
+"""
+
+ORACLE_SQL["x294_except_all"] = f"""
+    WITH li AS (
+        SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr FROM lineitem
+    ), s AS (
+        SELECT l_partkey FROM li WHERE yr = {RX.EXCEPT_ALL_YR_A}
+        EXCEPT ALL
+        SELECT l_partkey FROM li WHERE yr = {RX.EXCEPT_ALL_YR_B}
+    ), surv AS (SELECT l_partkey, COUNT(*) AS surviving FROM s GROUP BY 1),
+    na AS (SELECT l_partkey, COUNT(*) AS n_a FROM li
+           WHERE yr = {RX.EXCEPT_ALL_YR_A} GROUP BY 1),
+    nb AS (SELECT l_partkey, COUNT(*) AS n_b FROM li
+           WHERE yr = {RX.EXCEPT_ALL_YR_B} GROUP BY 1)
+    SELECT CAST(surv.l_partkey AS BIGINT) AS l_partkey,
+           CAST(na.n_a AS BIGINT) AS n_a,
+           CAST(COALESCE(nb.n_b, 0) AS BIGINT) AS n_b,
+           CAST(surviving AS BIGINT) AS surviving,
+           surviving = greatest(na.n_a - COALESCE(nb.n_b, 0), 0)
+               AS matches_closed_form
+    FROM surv JOIN na USING (l_partkey) LEFT JOIN nb USING (l_partkey)
+    ORDER BY surviving DESC, l_partkey
+    LIMIT {RX.EXCEPT_ALL_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 55 (round 5): Kruskal-Wallis, Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x295_kruskal_wallis": ST.x295_kruskal_wallis,
+        "x296_fdr_bh": ST.x296_fdr_bh,
+    }
+)
+
+ORACLE_SQL["x295_kruskal_wallis"] = """
+    WITH sample AS (
+        SELECT o_totalprice AS val, o_orderpriority AS grp FROM orders
+    ), r AS (
+        SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rn FROM sample
+    ), ties AS (
+        SELECT val, AVG(rn) AS arank, COUNT(*) AS t FROM r GROUP BY val
+    ), pv AS (
+        SELECT val, grp, COUNT(*) AS c FROM sample GROUP BY 1, 2
+    ), rj AS (
+        SELECT grp, SUM(pv.c) AS n_j,
+               CAST(SUM(CAST(ties.arank * pv.c AS DECIMAL(38,6))) AS DOUBLE)
+                   AS r_j
+        FROM pv JOIN ties USING (val) GROUP BY grp
+    ), tot AS (SELECT SUM(n_j) AS n, COUNT(*) AS k FROM rj),
+    s2 AS (
+        SELECT CAST(SUM(CAST(
+                   r_j * r_j / n_j / (CAST(n AS DOUBLE) * (n + 1))
+               AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM rj CROSS JOIN tot
+    ), cube AS (
+        SELECT CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,6))) AS DOUBLE)
+                   AS tie_cube
+        FROM ties
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS dof,
+           ROUND(12.0 * s2 - 3 * (CAST(n AS DOUBLE) + 1), 6) AS h_stat,
+           ROUND((12.0 * s2 - 3 * (CAST(n AS DOUBLE) + 1))
+                 / (1 - tie_cube
+                        / (CAST(n AS DOUBLE) * n * n - n)), 6)
+               AS h_tie_corrected
+    FROM tot CROSS JOIN s2 CROSS JOIN cube
+"""
+
+_FDR_THR_SQL = "(VALUES " + ", ".join(
+    f"({i}, CAST({t!r} AS DOUBLE))" for i, t in ST.FDR_Z_THRESHOLDS.items()
+) + ")"
+ORACLE_SQL["x296_fdr_bh"] = f"""
+    WITH per_nation AS (
+        SELECT n_name,
+               COUNT(*) AS n_i,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_i,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss_i
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ), tot AS (
+        SELECT SUM(n_i) AS n_all,
+               CAST(SUM(CAST(s_i AS DECIMAL(38,6))) AS DOUBLE) AS s_all,
+               CAST(SUM(CAST(ss_i AS DECIMAL(38,6))) AS DOUBLE) AS ss_all
+        FROM per_nation
+    ), z AS (
+        SELECT n_name, n_i,
+               (s_i / CAST(n_i AS DOUBLE)
+                - (s_all - s_i) / CAST(n_all - n_i AS DOUBLE))
+               / sqrt(
+                   ((ss_i - s_i * s_i / CAST(n_i AS DOUBLE))
+                    / (CAST(n_i AS DOUBLE) - 1)) / CAST(n_i AS DOUBLE)
+                   + (((ss_all - ss_i)
+                       - (s_all - s_i) * (s_all - s_i)
+                         / CAST(n_all - n_i AS DOUBLE))
+                      / (CAST(n_all - n_i AS DOUBLE) - 1))
+                     / CAST(n_all - n_i AS DOUBLE)
+                 ) AS zv
+        FROM per_nation CROSS JOIN tot
+    ), ranked AS (
+        SELECT n_name, n_i, zv,
+               ROW_NUMBER() OVER (ORDER BY abs(zv) DESC, n_name) AS bh_rank
+        FROM z
+    ), thrt(i, t) AS (
+        SELECT * FROM {_FDR_THR_SQL}
+    ), thr AS (
+        SELECT ranked.*, thrt.t
+        FROM ranked JOIN thrt ON thrt.i = ranked.bh_rank
+    ), sel AS (
+        SELECT *, MAX(CASE WHEN abs(zv) >= t THEN bh_rank END) OVER ()
+                   AS istar
+        FROM thr
+    )
+    SELECT n_name,
+           CAST(n_i AS BIGINT) AS n_orders,
+           ROUND(zv, 6) AS z_stat,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           bh_rank <= COALESCE(istar, 0) AS rejected
+    FROM sel
+    ORDER BY bh_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 56 (round 5): MMR diverse selection
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x297_mmr_selection": S.x297_mmr_selection})
+
+
+def _mmr_oracle(k: int = S.MMR_K, dim: int = S._DIM) -> str:
+    """Greedy MMR unrolled to chained CTEs (one cand/pick/sel triple
+    per step — the x224 decode-oracle discipline).  Float parity:
+    cosine goes through DuckDB's ``list_cosine_similarity`` on
+    DOUBLE[] (bit-equal to the sequential-double Spark kernel, proven
+    by x3), the centroid mean through DECIMAL(38,18), and λ / (1−λ)
+    are injected via ``repr`` so both engines scale by identical
+    doubles."""
+    lam, lam1 = repr(float(S.MMR_LAMBDA)), repr(1.0 - S.MMR_LAMBDA)
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f"""cand{i} AS (
+        SELECT r.vec_id, MAX(r.rel) AS rel,
+               MAX(list_cosine_similarity(CAST(r.embedding AS DOUBLE[]),
+                                          CAST(s.embedding AS DOUBLE[])))
+                   AS max_sim
+        FROM rel r CROSS JOIN sel{i - 1} s
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY r.vec_id
+    ), pick{i} AS (
+        SELECT c.vec_id, e.embedding, {i} AS pick, c.rel, c.max_sim,
+               {lam} * c.rel - {lam1} * c.max_sim AS score
+        FROM cand{i} c JOIN rel e USING (vec_id)
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    ), sel{i} AS (
+        SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i}
+    )""")
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH dims AS (
+        SELECT pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, {dim} + 1)) AS pos) p
+    ), cent AS (
+        SELECT pos,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY pos
+    ), centv AS (SELECT list(c ORDER BY pos) AS cv FROM cent),
+    rel AS (
+        SELECT vec_id, embedding,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), cv) AS rel
+        FROM embeddings CROSS JOIN centv
+    ), sel1 AS (
+        SELECT vec_id, embedding, 1 AS pick, rel,
+               CAST(0.0 AS DOUBLE) AS max_sim, {lam} * rel AS score
+        FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    {steps_sql}
+    SELECT CAST(pick AS BIGINT) AS pick,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(rel, 6) AS rel,
+           ROUND(max_sim, 6) AS max_sim,
+           ROUND(score, 6) AS mmr_score
+    FROM sel{k} ORDER BY pick
+"""
+
+
+ORACLE_SQL["x297_mmr_selection"] = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
