@@ -801,3 +801,66 @@ def x292_eigenvector_centrality(
         .select(F.col("node").alias("doc_id"), F.round("score", 6).alias("score"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank (wave 57: x298 TextRank)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    n_iter: int = PR_ITERS,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over a SYMMETRIC weighted edge list (u, v, w): each
+    round a node passes ``rank · w_uv / strength(u)`` along every
+    edge (strength = Σ_v w_uv), the weighted-graph formulation
+    TextRank runs on.  Caller guarantees symmetry (every node has
+    out-strength > 0), so no dangling handling and the node set is
+    the u side — the ``pagerank(symmetric=True)`` contract.
+
+    Same scale discipline as ``pagerank``: graph + strength resolved
+    and hash-partitioned once; per round only the |V|-row rank vector
+    shuffles; contribution sums through DECIMAL(38,18); lineage cut
+    by localCheckpoint.
+    """
+    ed = edges.select("u", "v", "w").persist()
+    m = ed.count()
+    parts = iterative_shuffle_partitions(m)
+    spark = edges.sparkSession
+    with pinned_shuffle_partitions(spark, parts):
+        strength = ed.groupBy("u").agg(F.sum("w").alias("wsum"))
+        ed_s = ed.join(strength, "u").repartition(parts, "u").persist()
+        nodes = ed.select(F.col("u").alias("node")).distinct().persist()
+        n = nodes.count()
+        if n == 0:
+            ed.unpersist()
+            ed_s.unpersist()
+            nodes.unpersist()
+            return nodes.withColumn("rank", F.lit(0.0))
+        teleport = (1.0 - damping) / n
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for i in range(n_iter):
+            contrib = ed_s.join(
+                ranks.withColumnRenamed("node", "u"), "u"
+            ).select(
+                F.col("v").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("wsum")).alias("c"),
+            )
+            summed = contrib.groupBy("node").agg(
+                F.sum(F.col("c").cast(_DEC)).cast("double").alias("s")
+            )
+            ranks = summed.select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+            if (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint()
+        if n_iter % checkpoint_every != 0:
+            ranks = ranks.localCheckpoint()
+    ed_s.unpersist()
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks

@@ -1835,3 +1835,64 @@ def x282_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("flesch_sum") / F.col("n_docs"), 4).alias("mean_flesch"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# x298 — TextRank keyword extraction (wave 57)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_MIN_COUNT = 2   # vocabulary floor: drop hapax tokens
+TEXTRANK_TOP_N = 20
+
+
+def x298_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau '04) over the
+    corpus: tokens become nodes, adjacent-token co-occurrence counts
+    become symmetric edge weights, and weighted PageRank
+    (``graph.pagerank_weighted``) scores every token — the classic
+    unsupervised keyword ranker, here run corpus-wide as a
+    training-data pipeline would (what does this corpus talk about?).
+
+    Plan: one tokenize pass builds bigram counts (the x70/x224 shingle
+    shape); the vocabulary floor (count ≥ ``TEXTRANK_MIN_COUNT``)
+    bounds the graph without any top-N driver pull; iteration cost is
+    the x59 discipline — graph cached and hash-partitioned once, only
+    the token-rank vector moves per round.  Output: top
+    ``TEXTRANK_TOP_N`` keywords by rank (ties lexicographic).
+    """
+    from go_mapreduce_spark.operators.graph import pagerank_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(lower_tokens(F.col("text")).alias("toks"))
+    big = toks.select(
+        F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("bg")
+    ).select(
+        F.substring_index(F.col("bg"), " ", 1).alias("a"),
+        F.substring_index(F.col("bg"), " ", -1).alias("b"),
+    )
+    vocab = (
+        toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= TEXTRANK_MIN_COUNT)
+        .select("t")
+    )
+    bd = (
+        big.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(vocab.withColumnRenamed("t", "a"), "a", "left_semi")
+        .join(vocab.withColumnRenamed("t", "b"), "b", "left_semi")
+    )
+    und = (
+        bd.select(F.col("a").alias("u"), F.col("b").alias("v"), "c")
+        .unionAll(bd.select(F.col("b").alias("u"), F.col("a").alias("v"), "c"))
+        .groupBy("u", "v")
+        .agg(F.sum("c").alias("w"))
+    )
+    return (
+        pagerank_weighted(und)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(TEXTRANK_TOP_N)
+        .select(F.col("node").alias("token"), F.round("rank", 6).alias("rank"))
+    )

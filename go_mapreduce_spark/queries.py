@@ -7233,6 +7233,76 @@ ORACLE_SQL["x297_mmr_selection"] = _mmr_oracle()
 
 
 # ---------------------------------------------------------------------------
+# wave 57 (round 5): TextRank keywords
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x298_textrank_keywords": T.x298_textrank_keywords})
+
+
+def _textrank_oracle(
+    damping: float = G.PR_DAMPING, n_iter: int = G.PR_ITERS
+) -> str:
+    """Weighted-PageRank rounds as chained CTEs over the token
+    co-occurrence graph (the x59 oracle pattern with per-edge
+    ``rank·w/strength`` contributions; every sum through
+    DECIMAL(38,18), damping literals via ``repr``)."""
+    t = repr(1.0 - damping)
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""pr{i} AS MATERIALIZED (
+        SELECT e.v AS node,
+               CAST({t} AS DOUBLE) / nn.n
+               + CAST({damping!r} AS DOUBLE)
+                 * CAST(SUM(CAST(p.rank * e.w / st.wsum AS DECIMAL(38,18)))
+                        AS DOUBLE) AS rank
+        FROM und e
+        JOIN pr{i - 1} p ON p.node = e.u
+        JOIN st ON st.u = e.u
+        CROSS JOIN nn
+        GROUP BY e.v, nn.n
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> len(t) > 0) AS toks
+        FROM documents
+    ), big AS (
+        SELECT split_part(sh, ' ', 1) AS a, split_part(sh, ' ', 2) AS b
+        FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1]))
+                  AS sh
+              FROM toks)
+    ), vocab AS (
+        SELECT t FROM (SELECT unnest(toks) AS t FROM toks)
+        GROUP BY t HAVING COUNT(*) >= {T.TEXTRANK_MIN_COUNT}
+    ), bd AS (
+        SELECT a, b, COUNT(*) AS c FROM big
+        WHERE a <> b
+          AND a IN (SELECT t FROM vocab) AND b IN (SELECT t FROM vocab)
+        GROUP BY a, b
+    ), und AS (
+        SELECT u, v, SUM(c) AS w FROM (
+            SELECT a AS u, b AS v, c FROM bd
+            UNION ALL SELECT b, a, c FROM bd)
+        GROUP BY u, v
+    ), nodes AS (SELECT DISTINCT u AS node FROM und),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    st AS (SELECT u, SUM(w) AS wsum FROM und GROUP BY u),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+            FROM nodes CROSS JOIN nn),
+    {rounds_sql}
+    SELECT node AS token, ROUND(rank, 6) AS rank
+    FROM pr{n_iter}
+    ORDER BY rank DESC, token
+    LIMIT {T.TEXTRANK_TOP_N}
+"""
+
+
+ORACLE_SQL["x298_textrank_keywords"] = _textrank_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
