@@ -65,16 +65,18 @@ def q3_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q4_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ customer, aggregated by market segment.
 
-    customer is the dimension side → broadcast hash join: the orders
-    fact table never shuffles for the join (only the 5-group agg
-    shuffles).  At 100 TB, customer at ~15 GB would exceed broadcast;
-    then the right call is a shuffled hash join on o_custkey — but at
-    fixture scale (and any realistic dim/fact ratio) broadcast wins.
+    customer is data-sized (scales with SF; ~15 GB at 100 TB), so it
+    gets NO broadcast hint: AQE picks a broadcast hash join at fixture
+    scale (the orders fact table never shuffles for the join) and
+    switches to a shuffled hash join on o_custkey once customer
+    outgrows the threshold.  A forced broadcast would collect the
+    whole customer table to the driver at 100× — the hint buys
+    nothing locally and costs everything at scale.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("num_orders"),

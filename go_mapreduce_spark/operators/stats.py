@@ -346,8 +346,11 @@ def x249_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue reduces to one decimal-summed row per (nation, supplier)
     — the only fact-table pass; shares, HHI, and top-share are then
     per-nation aggregates on the supplier-sized relation, with the
-    share-square sum through decimal for bit-stable output.  The
-    supplier→nation dims are schema-bounded broadcasts.
+    share-square sum through decimal for bit-stable output.  nation
+    (25 rows, contract-bounded) is broadcast-hinted; supplier is a
+    data-sized base table that scales with SF, so it gets NO hint —
+    AQE broadcasts it at fixture scale and falls back to a shuffled
+    join once it outgrows the threshold.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
@@ -355,7 +358,7 @@ def x249_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", "s_suppkey")
         .agg(dsum_expr("l_extendedprice * (1 - l_discount)", "rev"))

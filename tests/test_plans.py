@@ -315,3 +315,109 @@ def test_wave37_38_windows_are_partitioned(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert window_lines(df), f"{fn.__name__}: expected a window node"
         assert not unpartitioned_windows(df), fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint lint (round-6 ask #2): no F.broadcast() argument may be a
+# data-sized base table.  Walks every operator module's AST, resolves each
+# hinted expression back through non-reducing DataFrame ops
+# (select/filter/alias/withColumn/...) to its root, and fails if the root is
+# load_table(..., <table that scales with SF>).  Reducing ops (groupBy/agg/
+# limit/distinct/join/...) terminate the trace: their outputs are
+# contract-bounded aggregates or batch-bounded relations, which the x138
+# standard allows.  This pins the q4/x249 regression class for good.
+# ---------------------------------------------------------------------------
+
+import ast as _ast
+import pathlib as _pathlib
+
+_DATA_SIZED = {
+    "customer", "supplier", "orders", "lineitem", "part",
+    "documents", "embeddings", "events",
+}
+# ops that neither bound row count nor break SF-proportionality
+_NON_REDUCING = {
+    "select", "selectExpr", "alias", "filter", "where", "withColumn",
+    "withColumns", "withColumnRenamed", "drop", "dropna", "na", "fill",
+    "cache", "persist", "unpersist", "localCheckpoint", "checkpoint",
+    "repartition", "repartitionByRange", "coalesce", "sample", "sortWithinPartitions",
+}
+
+
+def _broadcast_root_table(node, var_tables):
+    """Trace a F.broadcast() argument to a load_table root through
+    non-reducing ops; return the table name or None (bounded/unknown)."""
+    while True:
+        if isinstance(node, _ast.Name):
+            return var_tables.get(node.id)
+        if isinstance(node, _ast.Call):
+            fn = node.func
+            if isinstance(fn, _ast.Name) and fn.id == "load_table":
+                if len(node.args) >= 3 and isinstance(node.args[2], _ast.Constant):
+                    return node.args[2].value
+                return None
+            if isinstance(fn, _ast.Attribute):
+                if fn.attr in _NON_REDUCING:
+                    node = fn.value
+                    continue
+                return None  # reducing / unknown op: treated as bounded
+            return None
+        if isinstance(node, _ast.Attribute):
+            node = node.value
+            continue
+        return None
+
+
+def _lint_broadcast_hints(tree):
+    """Return [(lineno, table)] violations: hinted data-sized base tables."""
+    violations = []
+    for func in _ast.walk(tree):
+        if not isinstance(func, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+            continue
+        var_tables = {}
+        for stmt in _ast.walk(func):
+            if isinstance(stmt, _ast.Assign) and len(stmt.targets) == 1 and isinstance(
+                stmt.targets[0], _ast.Name
+            ):
+                t = _broadcast_root_table(stmt.value, var_tables)
+                if t is not None:
+                    var_tables[stmt.targets[0].id] = t
+        for call in _ast.walk(func):
+            if (
+                isinstance(call, _ast.Call)
+                and isinstance(call.func, _ast.Attribute)
+                and call.func.attr == "broadcast"
+                and isinstance(call.func.value, _ast.Name)
+                and call.func.value.id == "F"
+                and call.args
+            ):
+                t = _broadcast_root_table(call.args[0], var_tables)
+                if t in _DATA_SIZED:
+                    violations.append((call.lineno, t))
+    return violations
+
+
+def test_no_broadcast_hint_on_data_sized_tables():
+    pkg = _pathlib.Path(__file__).resolve().parents[1] / "go_mapreduce_spark"
+    bad = []
+    for py in sorted(pkg.rglob("*.py")):
+        tree = _ast.parse(py.read_text(), filename=str(py))
+        for lineno, table in _lint_broadcast_hints(tree):
+            bad.append(f"{py.relative_to(pkg.parent)}:{lineno} hints data-sized table {table!r}")
+    assert not bad, "forced broadcast of data-sized base table(s):\n" + "\n".join(bad)
+
+
+def test_broadcast_lint_actually_trips():
+    """Self-test: the lint must flag the exact q4/x249 shapes it exists for."""
+    snippet = (
+        "def bad(spark, sf_dir):\n"
+        "    cust = load_table(spark, sf_dir, 'customer').select('c_custkey')\n"
+        "    direct = x.join(F.broadcast(load_table(spark, sf_dir, 'supplier')), 'k')\n"
+        "    return orders.join(F.broadcast(cust), 'c_custkey')\n"
+        "def fine(spark, sf_dir):\n"
+        "    nat = load_table(spark, sf_dir, 'nation')\n"
+        "    agg = load_table(spark, sf_dir, 'orders').groupBy('k').agg(F.count('*'))\n"
+        "    return x.join(F.broadcast(nat), 'n').join(F.broadcast(agg), 'k')\n"
+    )
+    hits = _lint_broadcast_hints(_ast.parse(snippet))
+    assert sorted(t for _, t in hits) == ["customer", "supplier"]
