@@ -207,9 +207,18 @@ def lookup_stats(
     range pruning, and of those, which survive the Bloom probe."""
     m = read_manifest(root, version)
     # probe positions per key, computed with the SAME Spark expression
-    # that built the filters (one tiny local job, |keys|·K rows)
+    # AND the same key type that built the filters: xxhash64 is
+    # type-dependent (int32 vs int64 values hash differently), so the
+    # probe schema is derived from the manifest's stored schema for
+    # key_col rather than hardcoded — a bigint-only probe would make
+    # the Bloom index silently return zero rows for string/int32 keys.
+    from pyspark.sql.types import StructField, StructType
+
+    key_type = StructType.fromJson(json.loads(m["schema"]))[m["key_col"]].dataType
     probe = (
-        spark.createDataFrame([(k,) for k in keys], f"k {'bigint'}")
+        spark.createDataFrame(
+            [(k,) for k in keys], StructType([StructField("k", key_type)])
+        )
         .select(
             "k",
             F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("s"),
@@ -927,11 +936,16 @@ def optimize_table(
         # with its version scoping, so keys re-inserted after a delete
         # survive materialization exactly as they survive reads
         df = read_table(spark, root)
+        # file-stat arithmetic undershoots here: a vector's key list may
+        # overlap re-inserted keys (which survive version scoping) or
+        # name keys with no live row at all — count the LIVE snapshot
+        # instead (one extra job, cheap next to rewriting every file)
+        n_rows = df.count()
     else:
         df = spark.read.schema(schema).parquet(
             *[os.path.join(root, e["path"]) for e in small]
         )
-    n_rows = sum(e["rows"] for e in small) - sum(e["rows"] for e in dels)
+        n_rows = sum(e["rows"] for e in small)
     n_files = max(1, math.ceil(n_rows / target_rows))
     version = m["version"] + 1
     order_expr = None
@@ -1287,7 +1301,7 @@ def x197_lakehouse_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def restore_table(root: str, version: int) -> int:
+def restore_table(root: str, version: int, prune_ledger: bool = False) -> int:
     """RESTORE: roll the table back to ``version`` as a NEW commit
     (Delta ``RESTORE TABLE ... TO VERSION`` semantics).  The commit
     copies the target snapshot's file references and deletion
@@ -1296,13 +1310,22 @@ def restore_table(root: str, version: int) -> int:
     time-travelable, nothing is erased) and the restore itself is
     metadata-only: zero data files move.
 
-    The idempotency ledger (``batch_ids``) carries over from the
-    CURRENT version, not the target: streams that already delivered a
-    batch must not redeliver it just because the table rolled back —
-    the ledger is about the writer protocol, not table content.
+    By default the idempotency ledger (``batch_ids``) carries over
+    from the CURRENT version, not the target — consistent with Delta
+    SetTransaction retention: streams that already delivered a batch
+    must not redeliver it just because the table rolled back.  The
+    sharp edge: a batch appended AFTER the restore target is rolled
+    back in data but stays in the ledger, so a source that redelivers
+    it is silently dropped.  The restore commit therefore records
+    those ids as ``suppressed_batch_ids`` (auditable), and
+    ``prune_ledger=True`` opts into dropping them so a redelivery
+    re-applies — correct when the rolled-back batches are expected to
+    be replayed rather than abandoned.
     """
     m_cur = read_manifest(root)
     m_tgt = read_manifest(root, version)
+    tgt_ids = set(m_tgt.get("batch_ids", []))
+    suppressed = [b for b in m_cur["batch_ids"] if b not in tgt_ids]
     return _commit(
         root,
         {
@@ -1314,7 +1337,8 @@ def restore_table(root: str, version: int) -> int:
             "schema": m_tgt["schema"],
             "files": m_tgt["files"],
             "deletes": m_tgt.get("deletes", []),
-            "batch_ids": m_cur["batch_ids"],
+            "batch_ids": sorted(tgt_ids) if prune_ledger else m_cur["batch_ids"],
+            "suppressed_batch_ids": [] if prune_ledger else suppressed,
         },
     )
 

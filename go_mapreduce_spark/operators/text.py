@@ -1491,6 +1491,9 @@ def x241_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_X253_MODEL_CACHE: dict = {}  # SparkSession -> persisted model counts
+
+
 def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial naive Bayes over character bigrams, trained AND
     evaluated in-plan: per-language resubstitution accuracy of the
@@ -1527,12 +1530,20 @@ def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is safe at any corpus scale and saves two full re-explodes of the
     # gram stream (the vocab scalar and the language totals both
     # derive from it instead of from raw grams: was 3 corpus passes +
-    # 1 for vocab, now 1 corpus pass for training + 1 for scoring)
+    # 1 for vocab, now 1 corpus pass for training + 1 for scoring).
+    # The persist must outlive this call (the returned lazy plan reads
+    # it), so the lifetime is bounded per-SESSION instead: re-invoking
+    # evicts the previous model copy rather than leaking one cached
+    # relation per call across a long bench run.
+    stale = _X253_MODEL_CACHE.pop(spark, None)
+    if stale is not None:
+        stale.unpersist(blocking=False)
     counts = (
         grams.groupBy("g", F.col("lang").alias("model_lang"))
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
+    _X253_MODEL_CACHE[spark] = counts
     vocab = counts.select("g").distinct().count()  # bounded: |alphabet|^2
     lang_stats = counts.groupBy("model_lang").agg(
         F.sum("c").alias("n_grams_lang")

@@ -904,14 +904,27 @@ def x271_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
     )
 
+    # The live state version is selected by a pointer file updated with
+    # os.replace (atomic on POSIX): a crash at ANY point leaves the
+    # pointer naming a fully-written version — unlike rmtree(cur) +
+    # rename(nxt, cur), which has a window with no state at all (the
+    # next batch would silently rebuild sketches from empty).
+    ptr = os.path.join(state_dir, "CURRENT")
+
+    def _live_state_dir() -> str | None:
+        if not os.path.isfile(ptr):
+            return None
+        with open(ptr) as fh:
+            d = os.path.join(state_dir, fh.read().strip())
+        return d if os.path.isdir(d) else None
+
     def merge_batch(batch_df, batch_id: int) -> None:
         new = batch_df.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id").alias("sk")
         )
-        if os.path.isdir(os.path.join(state_dir, "cur")):
-            prev = batch_df.sparkSession.read.parquet(
-                os.path.join(state_dir, "cur")
-            )
+        cur = _live_state_dir()
+        if cur is not None:
+            prev = batch_df.sparkSession.read.parquet(cur)
             merged = (
                 prev.unionByName(new)
                 .groupBy("event_type")
@@ -919,13 +932,15 @@ def x271_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = new
-        # stage-then-swap: a crash mid-write leaves the previous state
-        nxt = os.path.join(state_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(nxt)
-        cur = os.path.join(state_dir, "cur")
-        if os.path.isdir(cur):
-            shutil.rmtree(cur)
-        os.rename(nxt, cur)
+        # stage, then atomically repoint; only then drop the old version
+        nxt_name = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, nxt_name))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(nxt_name)
+        os.replace(tmp, ptr)
+        if cur is not None and os.path.basename(cur) != nxt_name:
+            shutil.rmtree(cur, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -937,7 +952,7 @@ def x271_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_mapreduce_spark.sources.registry import load_table
 
-    merged = spark.read.parquet(os.path.join(state_dir, "cur")).select(
+    merged = spark.read.parquet(_live_state_dir()).select(
         "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
     )
     exact = (

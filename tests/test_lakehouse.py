@@ -555,3 +555,30 @@ def test_dv_empty_delete_is_noop(spark, tmp_path):
     assert lh.read_table(spark, root).count() == 20
     # and optimize over the unchanged table stays a cheap tail repair
     assert lh.optimize_table(spark, root, target_rows=1) == v_before
+
+
+def test_restore_ledger_suppression_and_prune(spark, tmp_path):
+    """A batch appended after the restore target is rolled back in
+    data; by default its id stays in the ledger (Delta SetTransaction
+    semantics) but is surfaced as suppressed_batch_ids; prune_ledger
+    drops it so a redelivery re-applies."""
+    root = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    LH.create_table(spark, df, root, "k")
+    extra = spark.range(50, 60).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    LH.append_table(spark, extra, root, batch_id="b7")
+
+    # default: ledger carried forward, suppression recorded
+    v = LH.restore_table(root, 1)
+    m = LH.read_manifest(root, v)
+    assert m["batch_ids"] == ["b7"] and m["suppressed_batch_ids"] == ["b7"]
+    # redelivery of b7 is a no-op (idempotency wins over content)
+    assert LH.append_table(spark, extra, root, batch_id="b7") == v
+    assert LH.read_table(spark, root).count() == 50
+
+    # prune_ledger: suppressed ids dropped, redelivery re-applies
+    v2 = LH.restore_table(root, 1, prune_ledger=True)
+    m2 = LH.read_manifest(root, v2)
+    assert m2["batch_ids"] == [] and m2["suppressed_batch_ids"] == []
+    LH.append_table(spark, extra, root, batch_id="b7")
+    assert LH.read_table(spark, root).count() == 60

@@ -81,3 +81,39 @@ def test_x270_falls_back_correctly_under_deletion_vectors(spark, sf_dir):
     got = sorted(r[0] for r in LH.lookup_keys(spark, root, keys).collect())
     assert got == sorted(keys[1:])  # deleted key invisible, rest intact
     shutil.rmtree(os.path.dirname(root))
+
+
+def test_lookup_probe_derives_key_type_from_manifest(spark, tmp_path):
+    """xxhash64 is type-dependent: the Bloom probe must hash the SAME
+    type _file_blooms hashed (the key's native parquet type).  Before
+    the round-6 fix the probe hardcoded bigint — string keys crashed
+    createDataFrame and int32 keys silently pruned EVERY file (a
+    false-negative index)."""
+    from go_mapreduce_spark import lakehouse as LH
+
+    # string-keyed table
+    sroot = str(tmp_path / "s")
+    sdf = spark.range(200).select(
+        F.format_string("key_%05d", F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("val"),
+    )
+    LH.create_table(spark, sdf, sroot, "k")
+    keys = ["key_00003", "key_00150"]
+    got = sorted(r["k"] for r in LH.lookup_keys(spark, sroot, keys).collect())
+    assert got == keys
+    assert LH.lookup_stats(spark, sroot, keys)["n_files_bloom"] >= 1
+    # absent key INSIDE the lexicographic range: only the bloom can reject
+    absent = ["key_000031", "key_001509"]
+    assert LH.lookup_stats(spark, sroot, absent)["n_files_bloom"] <= 1
+    assert LH.lookup_keys(spark, sroot, absent).count() == 0
+
+    # int32-keyed table (hashes differently from bigint under xxhash64)
+    iroot = str(tmp_path / "i")
+    idf = spark.range(200).select(
+        (F.col("id") * 4).cast("int").alias("k"), F.col("id").alias("val")
+    )
+    LH.create_table(spark, idf, iroot, "k")
+    got = sorted(r["k"] for r in LH.lookup_keys(spark, iroot, [8, 400]).collect())
+    assert got == [8, 400]
+    assert LH.lookup_stats(spark, iroot, [8, 400])["n_files_bloom"] >= 1
+    assert LH.lookup_stats(spark, iroot, [9, 11, 13, 15, 17])["n_files_bloom"] <= 1
