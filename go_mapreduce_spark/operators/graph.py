@@ -144,9 +144,9 @@ def _pagerank_rounds(
 def x59_pagerank(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     """PageRank over the symmetric x6 near-dup pair graph, 10 fixed
     rounds — (doc_id, rank) for every doc in some near-dup pair."""
-    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+    from go_mapreduce_spark.operators.dedup import shared_pair_graph
 
-    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    pairs = shared_pair_graph(spark, sf_dir, threshold)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -177,9 +177,9 @@ def x69_triangle_count(
     exploded on exactly that shape).  See the skewed-hub cardinality
     test in tests/test_graph.py.
     """
-    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+    from go_mapreduce_spark.operators.dedup import shared_pair_graph
 
-    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    pairs = shared_pair_graph(spark, sf_dir, threshold)
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     return (
         triangle_counts(e)
@@ -394,9 +394,9 @@ def x146_kcore(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> Data
     isolated pairs peel away), sharper than raw degree for choosing
     canonical documents in dense dup families.
     """
-    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+    from go_mapreduce_spark.operators.dedup import shared_pair_graph
 
-    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    pairs = shared_pair_graph(spark, sf_dir, threshold)
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     core = kcore_edges(e)
     und = core.union(core.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -687,9 +687,9 @@ def x267_label_propagation(
     (never a per-node sort), lineage stays flat (fixed 3 rounds, no
     checkpoint needed).
     """
-    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+    from go_mapreduce_spark.operators.dedup import shared_pair_graph
 
-    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    pairs = shared_pair_graph(spark, sf_dir, threshold)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -790,9 +790,9 @@ def x292_eigenvector_centrality(
     graph (the corpus's dedup-cluster backbone): the docs that are
     central to large tight clusters — the strongest "canonical copy"
     candidates a near-dup curation pass should keep."""
-    from go_mapreduce_spark.operators.dedup import x6_dedup_ngram_jaccard
+    from go_mapreduce_spark.operators.dedup import shared_pair_graph
 
-    pairs = x6_dedup_ngram_jaccard(spark, sf_dir, threshold)
+    pairs = shared_pair_graph(spark, sf_dir, threshold)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
