@@ -292,19 +292,27 @@ def ann_ivf_topk(
     equi-join on cell against the broadcast probe set; the corpus
     never shuffles.
 
-    Recall honesty (bench.py ``ivf_recall``): on the near-ISOTROPIC
-    fixture embeddings (true top-k at cos ≈ 0.35, not localized) NO
-    cell layout can concentrate a query's neighbors, so recall sits
-    near the candidate fraction (4/16 probes → ~0.4) and quantizer
-    choice moves it only at noise level: measured trained-vs-untrained
-    is 0.64 vs 0.40 at sf0.01 but 0.36 vs 0.40 at sf0.1 (round-3's
-    "trained lifts isotropic recall to 0.6" claim generalized a
-    single-sf measurement — reconciled here; the bench records the
-    sf0.1 number).  Training pays off exactly where IVF is used for
-    real — clustered corpora (near-dup mining, retrieval), where
-    ``ivf_recall_clustered`` is 1.0 at the same settings
-    (tests/test_similarity.py); the geometry-adaptive sign-LSH path
-    scores 0.92 on the isotropic fixture.
+    CONTRACT (recall): IVF targets CLUSTERED corpora — near-dup
+    mining, retrieval embeddings, anything where a query's true
+    neighbors co-locate.  There ``ivf_recall_clustered`` is 1.0 at
+    the default settings and the pytest floor is 0.8
+    (tests/test_similarity.py).  Isotropic corpora are OUT of this
+    operator's contract, and not by implementation weakness: every
+    candidate here is already exact-cosine-scored, so recall is
+    bounded by candidate GENERATION, and on isotropic data a query's
+    true top-k is uniformly spread over cells — the expected recall
+    of ANY cell-partitioned index is the probed candidate fraction
+    (n_probe/n_cells = 0.25 at defaults; a residual re-rank stage
+    cannot lift it, and raising n_probe toward n_cells just converges
+    on a full scan).  Measured on the near-isotropic fixture (true
+    top-k at cos ≈ 0.35): 0.36–0.64 across sfs, i.e. at-or-above the
+    bound; the pytest floor for the isotropic fixture is 0.8× that
+    fraction.  The designated isotropic path is sign-LSH
+    (:func:`ann_lsh_topk`, recall 0.92 on the same fixture, floor
+    0.8), whose collision probability adapts to geometry instead of
+    partitioning it.  bench.py records both ``ivf_recall`` (isotropic
+    fixture, advisory) and ``ivf_recall_clustered`` (the contract
+    metric) every run.
     """
     centroids = _ivf_centroids(corpus, n_cells, id_col, vec_col, trained=trained)
     assign = _cell_assign_udf(centroids, 1)
