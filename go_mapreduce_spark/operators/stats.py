@@ -932,3 +932,249 @@ def x296_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bh_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 58 (round 6): ROC-AUC, Theil-Sen slope, mutual information, Levene
+# ---------------------------------------------------------------------------
+
+
+def x299_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of order value as a classifier score for order status
+    (``F`` = positive, ``O`` = negative) — the model-evaluation metric
+    every training pipeline reports, computed EXACTLY from the
+    Mann-Whitney identity: AUC = P(score_pos > score_neg) + ½·P(tie).
+
+    No per-row ranking at all: one grouped aggregate reduces the fact
+    table to per-distinct-value (pos, neg) counts, the range-bucketed
+    ``layout._global_running_sum`` machinery (no unpartitioned window)
+    supplies cumulative negative counts in value order, and the AUC
+    numerator Σ pos_v·(neg_below_v + neg_v/2) is exact integer
+    arithmetic summed through decimal.  Gini = 2·AUC − 1 rides along.
+    """
+    from go_mapreduce_spark.operators.layout import _global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    per_val = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("int")).alias("pos"),
+        F.sum((F.col("o_orderstatus") == "O").cast("int")).alias("neg"),
+    )
+    cum = _global_running_sum(per_val, ["val"], F.col("val"), {"neg": "cneg"})
+    # pairs won below this value + half the tied pairs; 2× to stay
+    # integer (halved after the division)
+    num2 = dsum_expr("pos * (2 * (cneg - neg) + neg)", "num2")
+    agg = cum.agg(
+        num2,
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    auc = F.col("num2") / (
+        2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
+
+
+def x300_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the exact median
+    of all pairwise day-to-day slopes, next to the OLS slope — the
+    outlier-proof "is revenue growing?" estimator (one bad ingest day
+    moves OLS, not the pairwise median).
+
+    The fact table reduces to ONE decimal-summed row per day
+    (metadata-sized: days, not orders); the pairwise self-join runs on
+    that day relation only — O(days²) pairs is bounded by the
+    calendar, never by data volume.  The median is the exact
+    middle-element average (row_number over the slope order on the
+    pair relation), not an interpolated percentile, so both engines
+    agree bit-for-bit.  OLS comes from decimal sufficient statistics
+    on the same day relation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d")
+    ).agg(dsum(F.col("o_totalprice"), "rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope")
+    )
+    w = Window.orderBy("slope")  # pair relation: calendar-bounded rows
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    cnt = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    med = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2))
+        )
+        .agg(
+            F.avg("slope").alias("sen_slope"),
+            F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        )
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        dsum_expr("d", "sx"),
+        dsum_expr("rev", "sy"),
+        dsum_expr("d * rev", "sxy"),
+        dsum_expr("d * d", "sxx"),
+    ).select(
+        "n_days",
+        (
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("ols_slope"),
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        "n_days",
+        "n_pairs",
+        F.round("sen_slope", 6).alias("sen_slope"),
+        F.round("ols_slope", 6).alias("ols_slope"),
+    )
+
+
+def x301_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week,
+    with the normalized variant MI/min(H(X), H(Y)) — the
+    dependence-strength screen that catches NONLINEAR association
+    Cramér's V (x293) measures only through χ².
+
+    One contingency aggregate (|types|×7 cells, map-side combined) +
+    two marginal rollups of it; every plogp term is exact-integer
+    ratios in double, summed through wide decimal.  Weekday is pinned
+    to 0=Sunday in both engines (Spark dayofweek()−1 = DuckDB dow).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        (F.dayofweek("ts") - 1).alias("y"),
+    )
+    cells = ev.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    rx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    cy = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    n = F.col("n").cast("double")
+    joined = (
+        cells.join(rx, "x").join(cy, "y").crossJoin(F.broadcast(tot))
+    )
+    mi = joined.agg(
+        F.sum(
+            (
+                F.col("c") / n
+                * F.log(F.col("c") * n / (F.col("cx").cast("double") * F.col("cy")))
+            ).cast(_DEC_WIDE)
+        )
+        .cast("double")
+        .alias("mi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    hx = rx.crossJoin(F.broadcast(tot)).agg(
+        F.sum((-(F.col("cx") / n) * F.log(F.col("cx") / n)).cast(_DEC_WIDE))
+        .cast("double")
+        .alias("hx")
+    )
+    hy = cy.crossJoin(F.broadcast(tot)).agg(
+        F.sum((-(F.col("cy") / n) * F.log(F.col("cy") / n)).cast(_DEC_WIDE))
+        .cast("double")
+        .alias("hy")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            F.round("mi", 6).alias("mi_nats"),
+            F.round(F.col("mi") / F.least("hx", "hy"), 6).alias("nmi"),
+        )
+    )
+
+
+def x302_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity of event values across event types — the
+    "did one stream's volatility change?" audit, and the assumption
+    check Welch (x243) itself recommends before pooling variances.
+
+    Per-group exact medians come from per-(group, distinct-value)
+    counts + a cumulative window over THAT relation (value-cardinality
+    -sized, not corpus-sized, so the per-group partition is safe at
+    any scale), selecting the exact middle elements.  The k medians
+    re-enter as a broadcast; absolute deviations reduce to per-group
+    decimal sufficient statistics and the W statistic is closed-form
+    on k rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    )
+    per_val = ev.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("g").orderBy("v")
+    cum = per_val.withColumn("cumc", F.sum("c").over(wv))
+    ng = per_val.groupBy("g").agg(F.sum("c").alias("n_g"))
+    lo = F.floor((F.col("n_g") + 1) / 2)
+    hi = F.floor((F.col("n_g") + 2) / 2)
+    med = (
+        cum.join(F.broadcast(ng), "g")
+        .filter(F.col("cumc") - F.col("c") < hi)
+        .filter(F.col("cumc") >= lo)
+        .groupBy("g")
+        .agg(
+            (
+                (
+                    F.max(F.when(F.col("cumc") - F.col("c") < lo, F.col("v")))
+                    + F.min(F.when(F.col("cumc") >= hi, F.col("v")))
+                )
+                / 2.0
+            ).alias("med")
+        )
+    )
+    z = ev.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    per_g = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dsum_expr("z", "sz"),
+        dsum_expr("z * z", "szz"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("sz").cast(_DEC_WIDE)).cast("double").alias("sz_all"),
+    )
+    stats = per_g.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k"),
+        # between-group: Σ n_g (z̄_g − z̄)²  = Σ sz_g²/n_g − sz_all²/n
+        (
+            F.sum((F.col("sz") * F.col("sz") / F.col("n_g")).cast(_DEC_WIDE))
+            .cast("double")
+            - F.max(F.col("sz_all") * F.col("sz_all") / F.col("n"))
+        ).alias("ssb"),
+        # within-group: Σ (szz_g − sz_g²/n_g)
+        F.sum(
+            (F.col("szz") - F.col("sz") * F.col("sz") / F.col("n_g")).cast(
+                _DEC_WIDE
+            )
+        )
+        .cast("double")
+        .alias("ssw"),
+    )
+    w_stat = (
+        F.col("ssb")
+        / (F.col("k") - 1).cast("double")
+        / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double"))
+    )
+    return stats.select(
+        "n",
+        "k",
+        F.round("ssb", 4).alias("ss_between"),
+        F.round("ssw", 4).alias("ss_within"),
+        F.round(w_stat, 6).alias("w_stat"),
+    )

@@ -7303,6 +7303,160 @@ ORACLE_SQL["x298_textrank_keywords"] = _textrank_oracle()
 
 
 # ---------------------------------------------------------------------------
+# wave 58 (round 6): ROC-AUC, Theil-Sen, mutual information, Levene
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x299_roc_auc": ST.x299_roc_auc,
+        "x300_theil_sen": ST.x300_theil_sen,
+        "x301_mutual_information": ST.x301_mutual_information,
+        "x302_levene_test": ST.x302_levene_test,
+    }
+)
+
+ORACLE_SQL["x299_roc_auc"] = """
+    WITH base AS (
+        SELECT o_totalprice AS val, o_orderstatus AS st
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), pv AS (
+        SELECT val,
+               SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS pos,
+               SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS neg
+        FROM base GROUP BY val
+    ), cum AS (
+        SELECT val, pos, neg,
+               SUM(neg) OVER (ORDER BY val
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cneg
+        FROM pv
+    ), agg AS (
+        SELECT CAST(SUM(CAST(pos * (2 * (cneg - neg) + neg)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS num2,
+               SUM(pos) AS n_pos, SUM(neg) AS n_neg
+        FROM cum
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(num2 / (2.0 * n_pos * n_neg), 6) AS auc,
+           ROUND(2 * (num2 / (2.0 * n_pos * n_neg)) - 1, 6) AS gini
+    FROM agg
+"""
+
+ORACLE_SQL["x300_theil_sen"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ), slopes AS (
+        SELECT (b.rev - a.rev) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.d < b.d
+    ), ranked AS (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM slopes
+    ), cnt AS (SELECT COUNT(*) AS n_pairs FROM slopes),
+    med AS (
+        SELECT AVG(slope) AS sen_slope, MAX(n_pairs) AS n_pairs
+        FROM ranked CROSS JOIN cnt
+        WHERE rn = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
+           OR rn = CAST(floor((n_pairs + 2) / 2) AS BIGINT)
+    ), ols AS (
+        SELECT COUNT(*) AS n_days,
+               CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(d * rev AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM daily
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(sen_slope, 6) AS sen_slope,
+           ROUND((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6)
+               AS ols_slope
+    FROM med CROSS JOIN ols
+"""
+
+ORACLE_SQL["x301_mutual_information"] = """
+    WITH ev AS (
+        SELECT event_type AS x, date_part('dow', ts) AS y FROM events
+    ), cells AS (
+        SELECT x, y, COUNT(*) AS c FROM ev GROUP BY 1, 2
+    ), rx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+    cy AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+    tot AS (SELECT SUM(c) AS n FROM cells),
+    mi AS (
+        SELECT CAST(SUM(CAST(
+                   c / CAST(n AS DOUBLE)
+                   * ln(c * CAST(n AS DOUBLE) / (CAST(cx AS DOUBLE) * cy))
+               AS DECIMAL(38,18))) AS DOUBLE) AS mi,
+               MAX(n) AS n
+        FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
+    ), hx AS (
+        SELECT CAST(SUM(CAST(
+                   -(cx / CAST(n AS DOUBLE)) * ln(cx / CAST(n AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS hx
+        FROM rx CROSS JOIN tot
+    ), hy AS (
+        SELECT CAST(SUM(CAST(
+                   -(cy / CAST(n AS DOUBLE)) * ln(cy / CAST(n AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS hy
+        FROM cy CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(mi, 6) AS mi_nats,
+           ROUND(mi / least(hx, hy), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+ORACLE_SQL["x302_levene_test"] = """
+    WITH ev AS (SELECT event_type AS g, value AS v FROM events),
+    per_val AS (SELECT g, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+    cum AS (
+        SELECT g, v, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumc
+        FROM per_val
+    ), ng AS (SELECT g, SUM(c) AS n_g FROM per_val GROUP BY g),
+    med AS (
+        SELECT g,
+               (MAX(CASE WHEN cumc - c < CAST(floor((n_g + 1) / 2) AS BIGINT)
+                         THEN v END)
+                + MIN(CASE WHEN cumc >= CAST(floor((n_g + 2) / 2) AS BIGINT)
+                           THEN v END)) / 2.0 AS med
+        FROM cum JOIN ng USING (g)
+        WHERE cumc - c < CAST(floor((n_g + 2) / 2) AS BIGINT)
+          AND cumc >= CAST(floor((n_g + 1) / 2) AS BIGINT)
+        GROUP BY g
+    ), z AS (
+        SELECT ev.g, abs(v - med) AS z FROM ev JOIN med USING (g)
+    ), per_g AS (
+        SELECT g, COUNT(*) AS n_g,
+               CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+               CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE) AS szz
+        FROM z GROUP BY g
+    ), tot AS (
+        SELECT SUM(n_g) AS n, COUNT(*) AS k,
+               CAST(SUM(CAST(sz AS DECIMAL(38,18))) AS DOUBLE) AS sz_all
+        FROM per_g
+    ), stats AS (
+        SELECT MAX(n) AS n, MAX(k) AS k,
+               CAST(SUM(CAST(sz * sz / n_g AS DECIMAL(38,18))) AS DOUBLE)
+                   - MAX(sz_all * sz_all / n) AS ssb,
+               CAST(SUM(CAST(szz - sz * sz / n_g AS DECIMAL(38,18)))
+                    AS DOUBLE) AS ssw
+        FROM per_g CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           ROUND(ssb, 4) AS ss_between,
+           ROUND(ssw, 4) AS ss_within,
+           ROUND(ssb / CAST(k - 1 AS DOUBLE)
+                 / (ssw / CAST(n - k AS DOUBLE)), 6) AS w_stat
+    FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
