@@ -1159,3 +1159,155 @@ def x289_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("t_dist"), "n_name", "bal_band")
         .limit(T_CLOSE_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 59 (round 6): negative sampling, curriculum token-budget deciles
+# ---------------------------------------------------------------------------
+
+NEG_SAMPLE_K = 2  # negatives per positive pair
+
+
+def x303_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive two-tower
+    training over (order, part) interactions: each positive pair gets
+    ``NEG_SAMPLE_K`` candidate negatives drawn uniformly from the part
+    catalog by a sha256 hash of (order, slot), with candidates that
+    collide with the order's own parts rejected — the
+    training-data-prep step behind every retrieval/recommendation
+    embedding model, made replayable (same corpus → same negatives on
+    any cluster size, no RNG state).
+
+    p_partkey is contiguous 0-based (asserted by the inner join back
+    to part), so ``hash mod |parts|`` maps straight to a key; |parts|
+    enters as a 1-row broadcast.  The collision rejection is one
+    composite-key anti join against the positive set.  Output is the
+    1-row audit (counts + collision rate); the pair relation itself
+    stays distributed.
+    """
+    pos = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_parts = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    slots = F.array(*[F.lit(i) for i in range(NEG_SAMPLE_K)])
+    cand = (
+        pos.select("l_orderkey", F.explode(slots).alias("slot"))
+        .distinct()  # one candidate per (order, slot)
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "l_orderkey",
+            "slot",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat_ws(
+                                "|",
+                                F.col("l_orderkey").cast("string"),
+                                F.col("slot").cast("string"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.col("n_parts"),
+            ).alias("cand_part"),
+        )
+    )
+    hits = pos.select(
+        F.col("l_orderkey").alias("po"), F.col("l_partkey").alias("pp")
+    )
+    collisions = cand.join(
+        hits,
+        (F.col("l_orderkey") == F.col("po")) & (F.col("cand_part") == F.col("pp")),
+        "left_semi",
+    )
+    neg = cand.join(
+        hits,
+        (F.col("l_orderkey") == F.col("po")) & (F.col("cand_part") == F.col("pp")),
+        "left_anti",
+    )
+    a = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    b = collisions.agg(F.count(F.lit(1)).alias("n_collisions"))
+    c = neg.agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.count_distinct("cand_part").alias("n_distinct_neg_parts"),
+    )
+    d = pos.agg(F.count(F.lit(1)).alias("n_positives"))
+    return (
+        d.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col("n_positives").cast("bigint").alias("n_positives"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_collisions").cast("bigint").alias("n_collisions"),
+            F.col("n_negatives").cast("bigint").alias("n_negatives"),
+            F.col("n_distinct_neg_parts")
+            .cast("bigint")
+            .alias("n_distinct_neg_parts"),
+            F.round(
+                F.col("n_collisions") / F.col("n_candidates").cast("double"), 6
+            ).alias("collision_rate"),
+        )
+    )
+
+
+CURRICULUM_BUDGET_CHARS = 1_000_000  # per-epoch char budget to allocate
+CURRICULUM_DECILES = 10
+
+
+def x305_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum token-budget allocation: documents are ranked into
+    exact global deciles by length (the difficulty proxy), and a fixed
+    char budget is split across deciles with linearly decaying weights
+    (easy-first curriculum: decile 1 gets weight 10, decile 10 weight
+    1).  Per decile: document count, available chars, allocated quota,
+    and the sampling rate a downstream mixer would apply — the
+    "what do we actually train on this epoch?" planning query.
+
+    Exact deciles WITHOUT an unpartitioned window: global row numbers
+    come from the range-bucketed ``layout._global_row_number``
+    machinery, and ``decile = floor((rn−1)·10/n) + 1`` is a static
+    projection (NTILE-equivalent only when 10 | n, so both engines pin
+    THIS formula, not NTILE).  Everything after is a 10-group
+    aggregate with decimal char sums.
+    """
+    from go_mapreduce_spark.operators.layout import _global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, n = _global_row_number(
+        docs, ["n_chars", "doc_id"], F.col("n_chars")
+    )
+    k = CURRICULUM_DECILES
+    dec = ranked.withColumn(
+        "decile",
+        (F.floor((F.col("rn") - 1) * k / F.lit(n)) + 1).cast("int"),
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_avail"),
+    )
+    w = F.lit(k + 1) - F.col("decile")  # 10, 9, ..., 1
+    w_total = k * (k + 1) // 2
+    quota = F.floor(
+        F.lit(CURRICULUM_BUDGET_CHARS) * w / F.lit(w_total)
+    ).cast("bigint")
+    return per.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_docs",
+        "n_chars_avail",
+        w.cast("bigint").alias("weight"),
+        quota.alias("quota_chars"),
+        F.round(
+            F.least(F.lit(1.0), quota / F.col("n_chars_avail").cast("double")), 6
+        ).alias("sample_rate"),
+    ).orderBy("decile")

@@ -1284,3 +1284,58 @@ def x228_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x304 — TF-weighted Jaccard over the near-dup pair graph (wave 59)
+# ---------------------------------------------------------------------------
+
+
+def x304_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-weighted Jaccard Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b)
+    for every x6 near-dup pair — the multiset refinement that
+    separates "same vocabulary" from "same text" (set Jaccard saturates
+    at 1.0 for docs that repeat shared tokens very differently).
+
+    Identity that keeps it one equi-join: Σ max = S_a + S_b − Σ min,
+    so only the SHARED-token min-sum is joined (pair ⋈ tf_a ⋈ tf_b on
+    token) and per-doc token totals enter by key.  Pairs come from the
+    memoized :func:`shared_pair_graph` (candidate-bounded, never
+    pairwise); token frequencies are one grouped count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("s"))
+    pairs = shared_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    ta = tf.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("tf").alias("tf_a")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("tf").alias("tf_b")
+    )
+    smin = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("smin"))
+    )
+    return (
+        smin.join(totals.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "s_a"), "doc_a")
+        .join(totals.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "s_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("smin")
+                / (F.col("s_a") + F.col("s_b") - F.col("smin")).cast("double"),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1178,3 +1178,53 @@ def x302_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ssw", 4).alias("ss_within"),
         F.round(w_stat, 6).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x306 — per-user behavioral entropy summary (wave 59)
+# ---------------------------------------------------------------------------
+
+
+def x306_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user event-type Shannon entropy (nats):
+    how behaviorally diverse is the user base?  Reports user count,
+    single-type users (entropy exactly 0 — the bot-suspect bucket),
+    and the mean/max entropy — x81's corpus-level statistic pushed
+    down to the per-entity level, the "engagement diversity" audit.
+
+    Two grouped aggregates: (user, type) counts, then per-user entropy
+    as a decimal-summed plogp over the per-user type relation; the
+    final 1-row summary decimal-sums the per-user entropies.  Nothing
+    is per-row beyond the first count; no windows at all.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = cnt.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    ent = (
+        cnt.join(per_user, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_types").alias("n_types"),
+            F.sum(
+                (
+                    -(F.col("c") / F.col("n").cast("double"))
+                    * F.log(F.col("c") / F.col("n").cast("double"))
+                ).cast(_DEC_WIDE)
+            )
+            .cast("double")
+            .alias("h"),
+        )
+    )
+    return ent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum((F.col("n_types") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_single_type"),
+        F.round(
+            F.sum(F.col("h").cast(_DEC_WIDE)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )

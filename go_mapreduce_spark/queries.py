@@ -7457,6 +7457,144 @@ ORACLE_SQL["x302_levene_test"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 59 (round 6): negative sampling, weighted Jaccard, curriculum mix,
+# user entropy
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x303_negative_sampling": C.x303_negative_sampling,
+        "x304_weighted_jaccard": D.x304_weighted_jaccard,
+        "x305_curriculum_mix": C.x305_curriculum_mix,
+        "x306_user_entropy": ST.x306_user_entropy,
+    }
+)
+
+ORACLE_SQL["x303_negative_sampling"] = f"""
+    WITH pos AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    np AS (SELECT COUNT(*) AS n_parts FROM part),
+    slots AS (SELECT unnest(range(0, {C.NEG_SAMPLE_K})) AS slot),
+    cand AS (
+        SELECT l_orderkey, slot,
+               CAST(CAST(('0x' || substr(sha256(concat_ws('|',
+                        CAST(l_orderkey AS VARCHAR),
+                        CAST(slot AS VARCHAR))), 1, 12)) AS UBIGINT)
+                    % n_parts AS BIGINT) AS cand_part
+        FROM (SELECT DISTINCT l_orderkey, slot
+              FROM pos CROSS JOIN slots)
+        CROSS JOIN np
+    ), coll AS (
+        SELECT COUNT(*) AS n_collisions
+        FROM cand WHERE EXISTS (
+            SELECT 1 FROM pos
+            WHERE pos.l_orderkey = cand.l_orderkey
+              AND pos.l_partkey = cand.cand_part)
+    ), neg AS (
+        SELECT COUNT(*) AS n_negatives,
+               COUNT(DISTINCT cand_part) AS n_distinct_neg_parts
+        FROM cand WHERE NOT EXISTS (
+            SELECT 1 FROM pos
+            WHERE pos.l_orderkey = cand.l_orderkey
+              AND pos.l_partkey = cand.cand_part)
+    ), ca AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    pa AS (SELECT COUNT(*) AS n_positives FROM pos)
+    SELECT CAST(n_positives AS BIGINT) AS n_positives,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_collisions AS BIGINT) AS n_collisions,
+           CAST(n_negatives AS BIGINT) AS n_negatives,
+           CAST(n_distinct_neg_parts AS BIGINT) AS n_distinct_neg_parts,
+           ROUND(n_collisions / CAST(n_candidates AS DOUBLE), 6)
+               AS collision_rate
+    FROM pa CROSS JOIN ca CROSS JOIN coll CROSS JOIN neg
+"""
+
+ORACLE_SQL["x304_weighted_jaccard"] = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["x6_dedup_ngram_jaccard"]})
+    ), toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), totals AS (
+        SELECT doc_id, SUM(tf) AS s FROM tf GROUP BY doc_id
+    ), smin AS (
+        SELECT p.doc_a, p.doc_b, SUM(LEAST(a.tf, b.tf)) AS smin
+        FROM pairs p
+        JOIN tf a ON a.doc_id = p.doc_a
+        JOIN tf b ON b.doc_id = p.doc_b AND b.tok = a.tok
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(smin / CAST(ta.s + tb.s - smin AS DOUBLE), 6)
+               AS weighted_jaccard
+    FROM smin
+    JOIN totals ta ON ta.doc_id = doc_a
+    JOIN totals tb ON tb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLE_SQL["x305_curriculum_mix"] = f"""
+    WITH ranked AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM documents),
+    dec AS (
+        SELECT CAST(floor((rn - 1) * {C.CURRICULUM_DECILES} / n) + 1 AS INT)
+                   AS decile,
+               n_chars
+        FROM ranked CROSS JOIN tot
+    ), per AS (
+        SELECT decile, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_avail
+        FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars_avail AS BIGINT) AS n_chars_avail,
+           CAST({C.CURRICULUM_DECILES} + 1 - decile AS BIGINT) AS weight,
+           CAST(floor({C.CURRICULUM_BUDGET_CHARS}
+                      * ({C.CURRICULUM_DECILES} + 1 - decile)
+                      / {C.CURRICULUM_DECILES * (C.CURRICULUM_DECILES + 1) // 2})
+                AS BIGINT) AS quota_chars,
+           ROUND(LEAST(1.0,
+                 floor({C.CURRICULUM_BUDGET_CHARS}
+                       * ({C.CURRICULUM_DECILES} + 1 - decile)
+                       / {C.CURRICULUM_DECILES * (C.CURRICULUM_DECILES + 1) // 2})
+                 / CAST(n_chars_avail AS DOUBLE)), 6) AS sample_rate
+    FROM per
+    ORDER BY decile
+"""
+
+ORACLE_SQL["x306_user_entropy"] = """
+    WITH cnt AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), per_user AS (
+        SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types
+        FROM cnt GROUP BY user_id
+    ), ent AS (
+        SELECT cnt.user_id,
+               MAX(n_types) AS n_types,
+               CAST(SUM(CAST(
+                   -(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS h
+        FROM cnt JOIN per_user USING (user_id)
+        GROUP BY cnt.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_types = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_type,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_entropy,
+           ROUND(MAX(h), 6) AS max_entropy
+    FROM ent
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
