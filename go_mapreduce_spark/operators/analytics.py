@@ -2369,3 +2369,50 @@ def x285_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x310 — per-stream daily trend OLS with R² (wave 60)
+# ---------------------------------------------------------------------------
+
+
+def x310_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily total value: slope,
+    intercept, and R² over the day series — the per-stream "is this
+    metric drifting?" screen (x262's single-series regression, run
+    for every stream at once; a flat R² ≈ 0 stream is stationary,
+    a high-R² nonzero slope is a drift alert).
+
+    The fact table reduces to one decimal-summed row per (type, day);
+    the five OLS sufficient statistics per type come from ONE more
+    grouped aggregate over that calendar-bounded relation, and the
+    closed-form fit is a projection — no window, no collect.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "d").agg(dsum_expr("value", "y"))
+    suff = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        dsum_expr("d", "sx"),
+        dsum_expr("y", "sy"),
+        dsum_expr("d * y", "sxy"),
+        dsum_expr("d * d", "sxx"),
+        dsum_expr("y * y", "syy"),
+    )
+    n = F.col("n_days").cast("double")
+    vxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = vxy / vxx
+    return suff.select(
+        "event_type",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(vxy * vxy / (vxx * vyy), 6).alias("r2"),
+    ).orderBy("event_type")

@@ -1311,3 +1311,63 @@ def x305_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), quota / F.col("n_chars_avail").cast("double")), 6
         ).alias("sample_rate"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# x309 — train/val/test split balance audit (wave 60)
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACS = (0.8, 0.1, 0.1)  # train / val / test
+
+
+def x309_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the document
+    corpus by sha256(doc_id), audited per split × language: counts,
+    char volume, and the chi-square balance term against the expected
+    split fraction — the "is my eval set biased?" check every
+    training pipeline should run, replayable on any cluster size.
+
+    The split is a pure projection (hash prefix against two pinned
+    hex cuts — the x254/x96 discipline, no RNG); the audit is one
+    (split, lang) grouped aggregate plus lang marginals re-entering
+    by key.  Chi² terms use exact-integer ratios in double.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4)
+    # 4 hex chars = 65536 buckets; cuts at 0.8 and 0.9 of the space
+    cut1, cut2 = format(int(65536 * 0.8), "04x"), format(int(65536 * 0.9), "04x")
+    split = (
+        F.when(h < F.lit(cut1), "train")
+        .when(h < F.lit(cut2), "val")
+        .otherwise("test")
+    )
+    tagged = docs.withColumn("split", split)
+    cell = tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    lang_tot = cell.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    frac = F.create_map(
+        F.lit("train"), F.lit(SPLIT_FRACS[0]),
+        F.lit("val"), F.lit(SPLIT_FRACS[1]),
+        F.lit("test"), F.lit(SPLIT_FRACS[2]),
+    )
+    expected = F.element_at(frac, F.col("split")) * F.col("n_lang")
+    return (
+        cell.join(lang_tot, "lang")
+        .select(
+            "split",
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_chars",
+            F.round(expected, 6).alias("expected_docs"),
+            F.round(
+                (F.col("n_docs") - expected) * (F.col("n_docs") - expected)
+                / expected,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -1907,3 +1907,95 @@ def x298_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TEXTRANK_TOP_N)
         .select(F.col("node").alias("token"), F.round("rank", 6).alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 60 (round 6): Jensen-Shannon source drift, Chao1 vocabulary richness
+# ---------------------------------------------------------------------------
+
+_DECW = "decimal(38,18)"
+
+
+def x307_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats) of each source's token
+    distribution from the corpus-wide distribution — the bounded,
+    symmetric drift score a curation pipeline tracks per ingest feed
+    (KL blows up on unseen tokens; JSD stays ≤ ln 2 and is defined
+    everywhere).
+
+    One token count per (source, token) is the only corpus-sized
+    aggregate; the JSD sum runs over the per-source vocabulary
+    relation.  M = (P+Q)/2 means every P term has M > 0, and Q-side
+    terms where the source lacks the token reduce to q·ln(2q/q) —
+    handled exactly by splitting the sum into shared and
+    corpus-only-token parts (the second needs only Σ_shared q, no
+    join back).  All plogp sums go through wide decimal.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(lower_tokens(F.col("text"))).alias("tok")
+    )
+    st = docs.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    corpus = st.groupBy("tok").agg(F.sum("c").alias("cc"))
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corp_tot = corpus.agg(F.sum("cc").alias("n_c"))
+    joined = (
+        st.join(corpus, "tok")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(corp_tot))
+    )
+    p = F.col("c") / F.col("n_s").cast("double")  # source prob
+    q = F.col("cc") / F.col("n_c").cast("double")  # corpus prob
+    m = (p + q) / 2
+    # Σ over the source's tokens: ½(p·ln(p/m) + q·ln(q/m)); the
+    # corpus-only remainder is ½·ln2·(1 − Σ_shared q), since there
+    # p = 0 ⇒ m = q/2 ⇒ q·ln(q/m) = q·ln 2
+    shared = joined.groupBy("source").agg(
+        F.sum((0.5 * (p * F.log(p / m) + q * F.log(q / m))).cast(_DECW))
+        .cast("double")
+        .alias("jsd_shared"),
+        F.sum(q.cast(_DECW)).cast("double").alias("q_shared"),
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+    )
+    ln2 = 0.6931471805599453  # pinned literal (libm-stable contract)
+    return shared.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("jsd_shared") + 0.5 * ln2 * (1.0 - F.col("q_shared")), 6
+        ).alias("jsd_nats"),
+    ).orderBy("source")
+
+
+def x308_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per language: observed
+    vocabulary + F1²/(2·F2) where F1/F2 are hapax/dis legomena counts
+    — the species-richness estimator that answers "how much MORE
+    vocabulary would more data of this source reveal?", the
+    diminishing-returns screen for corpus acquisition.
+
+    Two grouped aggregates: (lang, token) counts, then per-lang vocab
+    size, hapax and dis counts, and the closed-form estimate (the
+    bias-corrected form (F1·(F1−1))/(2·(F2+1)) so F2 = 0 is defined).
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(lower_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    chao1 = F.col("vocab") + (
+        F.col("f1") * (F.col("f1") - 1)
+    ).cast("double") / (2.0 * (F.col("f2") + 1))
+    return per.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(F.col("vocab") / chao1, 6).alias("coverage"),
+    ).orderBy("lang")

@@ -7595,6 +7595,151 @@ ORACLE_SQL["x306_user_entropy"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 60 (round 6): JS divergence, Chao1 richness, split audit, group OLS
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x307_js_divergence": T.x307_js_divergence,
+        "x308_chao1_richness": T.x308_chao1_richness,
+        "x309_split_balance": C.x309_split_balance,
+        "x310_group_trend": AN.x310_group_trend,
+    }
+)
+
+ORACLE_SQL["x307_js_divergence"] = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), st AS (
+        SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), corpus AS (SELECT tok, SUM(c) AS cc FROM st GROUP BY tok),
+    src_tot AS (SELECT source, SUM(c) AS n_s FROM st GROUP BY source),
+    corp_tot AS (SELECT SUM(cc) AS n_c FROM corpus),
+    shared AS (
+        SELECT source,
+               CAST(SUM(CAST(
+                   0.5 * ((c / CAST(n_s AS DOUBLE))
+                          * ln((c / CAST(n_s AS DOUBLE))
+                               / ((c / CAST(n_s AS DOUBLE)
+                                   + cc / CAST(n_c AS DOUBLE)) / 2))
+                          + (cc / CAST(n_c AS DOUBLE))
+                          * ln((cc / CAST(n_c AS DOUBLE))
+                               / ((c / CAST(n_s AS DOUBLE)
+                                   + cc / CAST(n_c AS DOUBLE)) / 2)))
+               AS DECIMAL(38,18))) AS DOUBLE) AS jsd_shared,
+               CAST(SUM(CAST(cc / CAST(n_c AS DOUBLE) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS q_shared,
+               MAX(n_s) AS n_tokens
+        FROM st JOIN corpus USING (tok) JOIN src_tot USING (source)
+        CROSS JOIN corp_tot
+        GROUP BY source
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(jsd_shared + 0.5 * 0.6931471805599453 * (1.0 - q_shared), 6)
+               AS jsd_nats
+    FROM shared
+    ORDER BY source
+"""
+
+ORACLE_SQL["x308_chao1_richness"] = """
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), per AS (
+        SELECT lang,
+               COUNT(*) AS vocab,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+               SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2,
+               SUM(c) AS n_tokens
+        FROM tf GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2,
+           ROUND(vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)), 6)
+               AS chao1,
+           ROUND(vocab / (vocab + CAST(f1 * (f1 - 1) AS DOUBLE)
+                                  / (2.0 * (f2 + 1))), 6) AS coverage
+    FROM per
+    ORDER BY lang
+"""
+
+_SPLIT_CUT1 = format(int(65536 * 0.8), "04x")
+_SPLIT_CUT2 = format(int(65536 * 0.9), "04x")
+ORACLE_SQL["x309_split_balance"] = f"""
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '{_SPLIT_CUT1}' THEN 'train'
+                    WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '{_SPLIT_CUT2}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), cell AS (
+        SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        FROM tagged GROUP BY 1, 2
+    ), lang_tot AS (
+        SELECT lang, SUM(n_docs) AS n_lang FROM cell GROUP BY lang
+    )
+    SELECT split, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(CASE split WHEN 'train' THEN CAST({C.SPLIT_FRACS[0]!r} AS DOUBLE)
+                            WHEN 'val' THEN CAST({C.SPLIT_FRACS[1]!r} AS DOUBLE)
+                            ELSE CAST({C.SPLIT_FRACS[2]!r} AS DOUBLE) END * n_lang, 6)
+               AS expected_docs,
+           ROUND(power(n_docs - CASE split WHEN 'train' THEN CAST({C.SPLIT_FRACS[0]!r} AS DOUBLE)
+                                           WHEN 'val' THEN CAST({C.SPLIT_FRACS[1]!r} AS DOUBLE)
+                                           ELSE CAST({C.SPLIT_FRACS[2]!r} AS DOUBLE) END * n_lang, 2)
+                 / (CASE split WHEN 'train' THEN CAST({C.SPLIT_FRACS[0]!r} AS DOUBLE)
+                               WHEN 'val' THEN CAST({C.SPLIT_FRACS[1]!r} AS DOUBLE)
+                               ELSE CAST({C.SPLIT_FRACS[2]!r} AS DOUBLE) END * n_lang), 6)
+               AS chi2_term
+    FROM cell JOIN lang_tot USING (lang)
+    ORDER BY split, lang
+"""
+
+ORACLE_SQL["x310_group_trend"] = """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ), suff AS (
+        SELECT event_type,
+               COUNT(*) AS n_days,
+               CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(d * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND((sxy - sx * sy / n_days) / (sxx - sx * sx / n_days), 6)
+               AS slope,
+           ROUND((sy - (sxy - sx * sy / n_days) / (sxx - sx * sx / n_days) * sx)
+                 / n_days, 6) AS intercept,
+           ROUND((sxy - sx * sy / n_days) * (sxy - sx * sy / n_days)
+                 / ((sxx - sx * sx / n_days) * (syy - sy * sy / n_days)), 6)
+               AS r2
+    FROM suff
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
