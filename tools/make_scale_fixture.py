@@ -9,11 +9,17 @@ distributions grow linearly, exactly as a real SF increase would.
 region/nation are contract-bounded and copied once.  Two content
 perturbations keep the DATA linear where naive replication would not:
 
-- documents.text gets a copy-specific token spliced in every 5 words:
-  identical cross-copy texts would otherwise form 10-cliques in every
-  near-dup pair graph (45x pair blowup — superlinear for data
-  reasons, which would corrupt the plan-scaling measurement).  Within
-  a copy, the planted near-dup structure is untouched.
+- documents.text applies a BIJECTIVE per-copy token mapping (every
+  word gets the copy's letter suffix): identical cross-copy texts
+  would otherwise form 10-cliques in every near-dup pair graph (45x
+  pair blowup — superlinear for data reasons, which would corrupt
+  the plan-scaling measurement).  A bijection preserves the
+  within-copy Jaccard structure EXACTLY (every copy contributes the
+  same 256 planted pairs) while making cross-copy shingle sets
+  exactly disjoint.  Two earlier designs measurably failed: salt
+  tokens with digits dissolve in the [a-z]+ tokenizer, and positional
+  insertion/replacement breaks within-copy near-dups whenever the
+  pair's lengths differ (373 pairs instead of 2560).
 - embeddings.embedding is rotated by copy_idx positions (norms and
   within-copy geometry preserved; cross-copy near-identity broken).
 
@@ -64,19 +70,15 @@ def main() -> None:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("bigint"))
             if t == "documents" and i > 0:
                 words = F.split(F.col("text"), " ")
-                tok = F.lit(f"zq{i}x")
+                # pure-letter suffix: the dedup tokenizer splits on
+                # [^a-z]+, so a digit would dissolve the tag into
+                # copy-INDEPENDENT fragments
+                tag = F.lit("q" + "abcdefghij"[i])
                 c = c.withColumn(
                     "text",
                     F.concat_ws(
                         " ",
-                        F.flatten(
-                            F.transform(
-                                words,
-                                lambda w, j: F.when(
-                                    j % 5 == 0, F.array(tok, w)
-                                ).otherwise(F.array(w)),
-                            )
-                        ),
+                        F.transform(words, lambda w: F.concat(w, tag)),
                     ),
                 ).withColumn("n_chars", F.length("text"))
             if t == "embeddings" and i > 0:
