@@ -2416,3 +2416,136 @@ def x310_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round(vxy * vxy / (vxx * vyy), 6).alias("r2"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# wave 61 (round 6): cohort LTV, behavioral trigrams, Markov stationary dist
+# ---------------------------------------------------------------------------
+
+LTV_MAX_AGE_DAYS = 13  # report the first two weeks of each cohort
+
+
+def x312_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per acquisition cohort: users are
+    grouped by first-event day, and each cohort's cumulative per-user
+    value is tracked over its first ``LTV_MAX_AGE_DAYS + 1`` days of
+    age — x63's retention grid with money on it, the payback-curve
+    query every growth team runs.
+
+    The fact table reduces to (cohort_day, age_day) decimal value
+    cells; the cumulative sum runs per cohort over the age axis —
+    a ≤14-row partition by construction.  Cohort sizes enter by key.
+    Day arithmetic is integer days since epoch in both engines.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        "value",
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sized = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("d") - F.col("cohort_day")).alias("age_day"),
+            "value",
+        )
+        .filter(F.col("age_day") <= LTV_MAX_AGE_DAYS)
+        .groupBy("cohort_day", "age_day")
+        .agg(dsum_expr("value", "day_value"))
+    )
+    w = Window.partitionBy("cohort_day").orderBy("age_day")
+    cum = cells.withColumn(
+        "cum_value",
+        F.sum(F.col("day_value").cast("decimal(38,6)")).over(w).cast("double"),
+    )
+    return (
+        cum.join(sized, "cohort_day")
+        .select(
+            F.col("cohort_day").cast("bigint").alias("cohort_day"),
+            F.col("age_day").cast("bigint").alias("age_day"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.round("cum_value", 4).alias("cum_value"),
+            F.round(
+                F.col("cum_value") / F.col("cohort_users").cast("double"), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "age_day")
+    )
+
+
+TRIGRAM_TOP_N = 15
+
+
+def x313_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral trigrams: the most frequent 3-step event-type
+    sequences across all user journeys (x75's bigram transitions
+    extended one step — the pattern-mining query behind "what do
+    users actually do before converting?").
+
+    One window per user partition computes both leads in a single
+    WindowExec pass ((ts, event_id) composite order, deterministic
+    under ties); the count is map-side combined and the top-N is a
+    TakeOrdered, never a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(TRIGRAM_TOP_N)
+    )
+
+
+MARKOV_ROUNDS = 12
+
+
+def x314_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain:
+    x75's transition counts row-normalized into P, then π·P iterated
+    ``MARKOV_ROUNDS`` times from uniform — "where do user journeys
+    spend their time in steady state?", the long-run complement of
+    the one-step transition matrix.
+
+    The chain lives on |event types| states, so after the one
+    corpus-sized lag+count pass EVERYTHING iterates on a k-row vector
+    joined against a k²-row matrix — fixed rounds, in-plan, decimal
+    sums per round (the x59/x292 discipline), no convergence collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("a"),
+        F.col("event_type").alias("b"),
+    ).filter(F.col("a").isNotNull())
+    counts = steps.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = counts.groupBy("a").agg(F.sum("n").alias("na"))
+    pmat = counts.join(row_tot, "a").select(
+        "a", "b", (F.col("n") / F.col("na").cast("double")).alias("p")
+    )
+    states = pmat.select(F.col("a").alias("s")).distinct()
+    k = states.count()  # bounded: |event types|
+    pi = states.withColumn("pi", F.lit(1.0 / k))
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            pmat.join(pi.withColumnRenamed("s", "a"), "a")
+            .groupBy(F.col("b").alias("s"))
+            .agg(
+                F.sum((F.col("pi") * F.col("p")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("pi")
+            )
+        )
+    return pi.select("s", F.round("pi", 6).alias("pi")).orderBy("s")

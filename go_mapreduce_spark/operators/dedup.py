@@ -1339,3 +1339,66 @@ def x304_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x316 — LSH band-configuration advisor (wave 62)
+# ---------------------------------------------------------------------------
+
+LSH_ADVISOR_BIN = 0.05  # Jaccard histogram bin width
+
+
+def x316_lsh_band_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-tuning advisor for the MinHash LSH configuration: the
+    observed pairwise-Jaccard histogram with, per bin, the analytic
+    probability the CURRENT banding (b=16 bands × r=4 rows) catches a
+    pair at that similarity — 1 − (1 − j^r)^b, the S-curve every LSH
+    deployment is tuned by.  Answers "what recall does my band config
+    buy on MY data?" before anyone re-indexes 100 TB.
+
+    The catch probability uses only integer exponents, expanded as
+    explicit squarings (j⁴ by two squarings; (·)¹⁶ by four) — pure
+    IEEE multiplication, bit-identical across engines, unlike pow()
+    whose libm rounding is not pinned.  Expected-catch sums go
+    through decimal; the histogram itself is the x6 pair relation
+    (inverted-index-bounded) binned at 0.05.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _pairwise_jaccard(doc_shingles(docs))
+    j = F.col("jaccard")
+    j2 = j * j
+    j4 = j2 * j2
+    miss1 = 1.0 - j4  # per-band miss
+    m2 = miss1 * miss1
+    m4 = m2 * m2
+    m8 = m4 * m4
+    m16 = m8 * m8  # all-16-bands miss
+    catch = 1.0 - m16
+    binned = pairs.select(
+        F.floor(j / F.lit(LSH_ADVISOR_BIN)).cast("int").alias("bin"),
+        j.alias("jaccard"),
+        catch.alias("catch"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+            F.round(
+                F.sum(F.col("catch").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("expected_recall"),
+        )
+        .select(
+            F.round(F.col("bin") * LSH_ADVISOR_BIN, 2).alias("jaccard_bin"),
+            "n_pairs",
+            "avg_jaccard",
+            "expected_recall",
+        )
+        .orderBy("jaccard_bin")
+    )

@@ -864,3 +864,72 @@ def pagerank_weighted(
     nodes.unpersist()
     ed.unpersist()
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# x318 — community modularity of the label-propagation partition (wave 62)
+# ---------------------------------------------------------------------------
+
+
+def x318_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the x267 label-propagation partition
+    over the near-dup graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the
+    partition-quality score that says whether the detected
+    communities are denser than chance, closing the loop on x267
+    ("we found communities" → "and they are real").
+
+    Reuses the memoized pair graph and the x267 labels; e_c (edges
+    inside each community) is one labels⋈labels equi-join over the
+    pair relation, d_c a degree aggregate joined by label — all
+    community-count-sized after the first join.  Sums through decimal
+    (exact-integer numerators; m enters once as a 1-row broadcast).
+    """
+    from go_mapreduce_spark.operators.dedup import shared_pair_graph
+
+    pairs = shared_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    labels = x267_label_propagation(spark, sf_dir).select(
+        F.col("doc_id"), F.col("community")
+    )
+    m_rel = pairs.agg(F.count(F.lit(1)).alias("m"))  # undirected edge count
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("community").alias("cb"))
+    e_c = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d_c = (
+        deg.join(labels, "doc_id")
+        .groupBy("community")
+        .agg(F.sum("d").alias("d_sum"))
+    )
+    per_c = (
+        d_c.join(e_c, "community", "left")
+        .crossJoin(F.broadcast(m_rel))
+        .select(
+            "community",
+            (
+                F.coalesce(F.col("e_in"), F.lit(0)) / F.col("m").cast("double")
+                - (F.col("d_sum") / (2.0 * F.col("m")))
+                * (F.col("d_sum") / (2.0 * F.col("m")))
+            ).alias("q_term"),
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            "m",
+        )
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("e_in").cast("bigint").alias("edges_within"),
+        F.max("m").cast("bigint").alias("edges_total"),
+        F.round(
+            F.sum(F.col("q_term").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("modularity"),
+    )

@@ -848,22 +848,10 @@ FDR_Z_THRESHOLDS = {
 }
 
 
-def x296_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini-Hochberg FDR selection over 25 simultaneous
-    hypotheses — "which nations' mean order value differs from the
-    rest?" — the multiple-testing control every per-segment metrics
-    sweep needs (25 uncorrected 5% tests would false-alarm ~1.2
-    nations every run).
-
-    Each nation gets a Welch z (its orders vs all others) from ONE
-    conditional aggregate pass (n, Σx, Σx² per nation; the
-    complement's moments are total − nation, no second scan).  The
-    step-up rule runs in |z| space against module-literal thresholds
-    t_i = Φ⁻¹(1 − α·i/2m) (see ``_phi_inv_upper``) — mathematically
-    identical to sorting p-values, with zero inverse-CDF calls in
-    either engine's plan.  Windows are over the 25-row nation
-    relation: safe BY CONSTRUCTION (cardinality = nation count).
-    """
+def _nation_welch_zs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Welch z (nation's orders vs all others) from ONE
+    conditional aggregate pass — shared by the x296 (BH step-up) and
+    x315 (Holm step-down) multiple-testing rules."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -903,7 +891,27 @@ def x296_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_i = (F.col("ss_i") - F.col("s_i") * F.col("s_i") / n_i) / (n_i - 1)
     v_r = (ss_r - s_r * s_r / n_r) / (n_r - 1)
     z = (m_i - m_r) / F.sqrt(v_i / n_i + v_r / n_r)
-    zs = g.select("n_name", F.col("n_i").alias("n_orders"), z.alias("z"))
+    return g.select("n_name", F.col("n_i").alias("n_orders"), z.alias("z"))
+
+
+def x296_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR selection over 25 simultaneous
+    hypotheses — "which nations' mean order value differs from the
+    rest?" — the multiple-testing control every per-segment metrics
+    sweep needs (25 uncorrected 5% tests would false-alarm ~1.2
+    nations every run).
+
+    Each nation gets a Welch z (its orders vs all others) from ONE
+    conditional aggregate pass (n, Σx, Σx² per nation; the
+    complement's moments are total − nation, no second scan — see
+    :func:`_nation_welch_zs`).  The step-up rule runs in |z| space
+    against module-literal thresholds t_i = Φ⁻¹(1 − α·i/2m) (see
+    ``_phi_inv_upper``) — mathematically identical to sorting
+    p-values, with zero inverse-CDF calls in either engine's plan.
+    Windows are over the 25-row nation relation: safe BY CONSTRUCTION
+    (cardinality = nation count).
+    """
+    zs = _nation_welch_zs(spark, sf_dir)
     thr_map = F.create_map(
         *[
             c
@@ -1227,4 +1235,125 @@ def x306_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_entropy"),
         F.round(F.max("h"), 6).alias("max_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x311 — exact trimmed mean per group (wave 61)
+# ---------------------------------------------------------------------------
+
+TRIM_FRAC = 0.1  # 10% off each tail
+
+
+def x311_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of order value per priority class, next
+    to the plain mean — the robust location estimate that ignores both
+    tails (the promo-order and the fat-finger order) without the
+    information loss of a median.
+
+    No sorting of rows anywhere: per-(group, distinct-value) counts
+    carry positional intervals [cum−c+1, cum], and each value's
+    contribution to the trimmed window [lo, hi] is the exact interval
+    overlap — one cumulative window over the distinct-value relation
+    (value-cardinality-sized, the x302 discipline) and one decimal
+    weighted sum.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v")
+    )
+    per_val = orders.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("g").orderBy("v")
+    cum = per_val.withColumn("cumc", F.sum("c").over(wv))
+    ng = per_val.groupBy("g").agg(
+        F.sum("c").alias("n_g"), dsum_expr("v * c", "sv")
+    )
+    k = F.floor(F.lit(TRIM_FRAC) * F.col("n_g")).cast("bigint")
+    lo, hi = k + 1, F.col("n_g") - k
+    contrib = (
+        cum.join(F.broadcast(ng.select("g", "n_g")), "g")
+        .select(
+            "g",
+            "v",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.col("cumc"), hi)
+                - F.greatest(F.col("cumc") - F.col("c") + 1, lo)
+                + 1,
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    trimmed = contrib.groupBy("g").agg(
+        dsum_expr("v * w", "tsum"), F.sum("w").cast("bigint").alias("n_trim")
+    )
+    return (
+        ng.join(trimmed, "g")
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            F.col("n_g").cast("bigint").alias("n"),
+            F.col("n_trim"),
+            F.round(F.col("sv") / F.col("n_g").cast("double"), 6).alias("mean"),
+            F.round(F.col("tsum") / F.col("n_trim").cast("double"), 6).alias(
+                "trimmed_mean"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x315 — Holm-Bonferroni step-down selection (wave 62)
+# ---------------------------------------------------------------------------
+
+# Holm step-down thresholds in |z| space: t_i = Φ⁻¹(1 − α/(2(m−i+1)))
+# — the two-sided p_(i) ≤ α/(m−i+1) rule, exactly (p strictly
+# decreasing in |z|), pinned as module literals like FDR_Z_THRESHOLDS
+HOLM_Z_THRESHOLDS = {
+    i: _phi_inv_upper(FDR_ALPHA / (2 * (FDR_M_TESTS - i + 1)))
+    for i in range(1, FDR_M_TESTS + 1)
+}
+
+
+def x315_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down selection over the same 25 per-nation
+    Welch hypotheses as x296 — the FAMILY-wise error control (every
+    rejection guaranteed at α jointly) next to BH's false-discovery
+    control: stricter, assumption-free, the right rule when a single
+    false alarm is expensive.
+
+    Step-down semantics: walk ranks in |z|-descending order and stop
+    at the FIRST failure — rejected = rank < min failing rank.  Same
+    shared z pass, same literal-threshold discipline, same bounded
+    25-row windows.
+    """
+    zs = _nation_welch_zs(spark, sf_dir)
+    thr_map = F.create_map(
+        *[
+            c
+            for i, t in HOLM_Z_THRESHOLDS.items()
+            for c in (F.lit(i), F.lit(t))
+        ]
+    )
+    w_rank = Window.orderBy(F.abs(F.col("z")).desc(), F.col("n_name"))
+    ranked = zs.withColumn("holm_rank", F.row_number().over(w_rank)).withColumn(
+        "thr", F.element_at(thr_map, F.col("holm_rank"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_fail = F.min(
+        F.when(F.abs(F.col("z")) < F.col("thr"), F.col("holm_rank"))
+    ).over(w_all)
+    return (
+        ranked.select(
+            "n_name",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round("z", 6).alias("z_stat"),
+            F.col("holm_rank").cast("bigint").alias("holm_rank"),
+            (
+                F.col("holm_rank")
+                < F.coalesce(first_fail, F.lit(FDR_M_TESTS + 1))
+            ).alias("rejected"),
+        )
+        .orderBy("holm_rank")
     )

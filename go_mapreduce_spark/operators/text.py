@@ -1999,3 +1999,46 @@ def x308_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chao1, 6).alias("chao1"),
         F.round(F.col("vocab") / chao1, 6).alias("coverage"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# x317 — Simpson diversity / effective vocabulary (wave 62)
+# ---------------------------------------------------------------------------
+
+
+def x317_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity per language: D = Σ n_t(n_t−1) / (N(N−1))
+    (the probability two random tokens are the SAME word), its
+    complement 1−D, and the effective vocabulary 1/D — the
+    concentration view of lexical diversity that x81's entropy
+    (log-scaled) and x308's Chao1 (richness) don't give: D is
+    dominated by the HEAD of the distribution, so template spam moves
+    it where entropy barely flinches.
+
+    Integer-exact until the final division: Σ n_t(n_t−1) is a decimal
+    sum of integer products over the (lang, token) count relation.
+    """
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(lower_tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = tf.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") * (F.col("c") - 1)).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("same_pairs"),
+    )
+    d = F.col("same_pairs") / (
+        F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1)
+    )
+    return per.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.round(d, 6).alias("simpson_d"),
+        F.round(1.0 - d, 6).alias("diversity"),
+        F.round(1.0 / d, 6).alias("effective_vocab"),
+    ).orderBy("lang")

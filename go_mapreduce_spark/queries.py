@@ -7740,6 +7740,388 @@ ORACLE_SQL["x310_group_trend"] = """
 
 
 # ---------------------------------------------------------------------------
+# wave 61 (round 6): trimmed mean, cohort LTV, behavior trigrams, Markov π
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x311_trimmed_mean": ST.x311_trimmed_mean,
+        "x312_cohort_ltv": AN.x312_cohort_ltv,
+        "x313_behavior_trigrams": AN.x313_behavior_trigrams,
+        "x314_markov_stationary": AN.x314_markov_stationary,
+    }
+)
+
+ORACLE_SQL["x311_trimmed_mean"] = f"""
+    WITH src AS (
+        SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+    ), per_val AS (
+        SELECT g, v, COUNT(*) AS c FROM src GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumc
+        FROM per_val
+    ), ng AS (
+        SELECT g, SUM(c) AS n_g,
+               CAST(SUM(CAST(v * c AS DECIMAL(38,6))) AS DOUBLE) AS sv
+        FROM per_val GROUP BY g
+    ), contrib AS (
+        SELECT cum.g, v,
+               GREATEST(CAST(0 AS BIGINT),
+                   LEAST(cumc, n_g - CAST(floor({ST.TRIM_FRAC!r} * n_g) AS BIGINT))
+                   - GREATEST(cumc - c + 1,
+                              CAST(floor({ST.TRIM_FRAC!r} * n_g) AS BIGINT) + 1)
+                   + 1) AS w
+        FROM cum JOIN ng USING (g)
+    ), trimmed AS (
+        SELECT g,
+               CAST(SUM(CAST(v * w AS DECIMAL(38,6))) AS DOUBLE) AS tsum,
+               SUM(w) AS n_trim
+        FROM contrib WHERE w > 0 GROUP BY g
+    )
+    SELECT g AS o_orderpriority,
+           CAST(n_g AS BIGINT) AS n,
+           CAST(n_trim AS BIGINT) AS n_trim,
+           ROUND(sv / CAST(n_g AS DOUBLE), 6) AS mean,
+           ROUND(tsum / CAST(n_trim AS DOUBLE), 6) AS trimmed_mean
+    FROM ng JOIN trimmed USING (g)
+    ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["x312_cohort_ltv"] = f"""
+    WITH ev AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               value
+        FROM events
+    ), first AS (
+        SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id
+    ), sized AS (
+        SELECT cohort_day, COUNT(*) AS cohort_users FROM first GROUP BY 1
+    ), cells AS (
+        SELECT cohort_day, ev.d - cohort_day AS age_day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+        FROM ev JOIN first USING (user_id)
+        WHERE ev.d - cohort_day <= {AN.LTV_MAX_AGE_DAYS}
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_day, age_day,
+               CAST(SUM(CAST(day_value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY cohort_day ORDER BY age_day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS cum_value
+        FROM cells
+    )
+    SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+           CAST(age_day AS BIGINT) AS age_day,
+           CAST(cohort_users AS BIGINT) AS cohort_users,
+           ROUND(cum_value, 4) AS cum_value,
+           ROUND(cum_value / CAST(cohort_users AS DOUBLE), 6) AS ltv_per_user
+    FROM cum JOIN sized USING (cohort_day)
+    ORDER BY cohort_day, age_day
+"""
+
+ORACLE_SQL["x313_behavior_trigrams"] = f"""
+    WITH tri AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {AN.TRIGRAM_TOP_N}
+"""
+
+ORACLE_SQL["x314_markov_stationary"] = """
+    WITH steps AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS a,
+               event_type AS b
+        FROM events
+    ), counts AS (
+        SELECT a, b, COUNT(*) AS n FROM steps WHERE a IS NOT NULL
+        GROUP BY a, b
+    ), row_tot AS (SELECT a, SUM(n) AS na FROM counts GROUP BY a),
+    pmat AS (
+        SELECT a, b, n / CAST(na AS DOUBLE) AS p
+        FROM counts JOIN row_tot USING (a)
+    ), states AS (SELECT DISTINCT a AS s FROM pmat),
+    kk AS (SELECT COUNT(*) AS k FROM states),
+    pi0 AS (SELECT s, CAST(1.0 AS DOUBLE) / k AS pi FROM states CROSS JOIN kk),
+    pi1 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi0 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi2 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi1 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi3 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi2 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi4 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi3 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi5 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi4 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi6 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi5 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi7 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi6 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi8 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi7 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi9 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi8 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi10 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi9 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi11 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi10 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    ),
+    pi12 AS MATERIALIZED (
+        SELECT pmat.b AS s,
+               CAST(SUM(CAST(pi.pi * pmat.p AS DECIMAL(38,18))) AS DOUBLE)
+                   AS pi
+        FROM pmat JOIN pi11 pi ON pi.s = pmat.a
+        GROUP BY pmat.b
+    )
+    SELECT s, ROUND(pi, 6) AS pi FROM pi12 ORDER BY s
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 62 (round 6): Holm step-down, LSH advisor, Simpson, modularity
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x315_holm_bonferroni": ST.x315_holm_bonferroni,
+        "x316_lsh_band_advisor": D.x316_lsh_band_advisor,
+        "x317_simpson_diversity": T.x317_simpson_diversity,
+        "x318_modularity": G.x318_modularity,
+    }
+)
+
+_HOLM_THR_SQL = "(VALUES " + ", ".join(
+    f"({i}, CAST({t!r} AS DOUBLE))" for i, t in ST.HOLM_Z_THRESHOLDS.items()
+) + ")"
+ORACLE_SQL["x315_holm_bonferroni"] = f"""
+    WITH per_nation AS (
+        SELECT n_name,
+               COUNT(*) AS n_i,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_i,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss_i
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ), tot AS (
+        SELECT SUM(n_i) AS n_all,
+               CAST(SUM(CAST(s_i AS DECIMAL(38,6))) AS DOUBLE) AS s_all,
+               CAST(SUM(CAST(ss_i AS DECIMAL(38,6))) AS DOUBLE) AS ss_all
+        FROM per_nation
+    ), z AS (
+        SELECT n_name, n_i,
+               (s_i / CAST(n_i AS DOUBLE)
+                - (s_all - s_i) / CAST(n_all - n_i AS DOUBLE))
+               / sqrt(
+                   ((ss_i - s_i * s_i / CAST(n_i AS DOUBLE))
+                    / (CAST(n_i AS DOUBLE) - 1)) / CAST(n_i AS DOUBLE)
+                   + (((ss_all - ss_i)
+                       - (s_all - s_i) * (s_all - s_i)
+                         / CAST(n_all - n_i AS DOUBLE))
+                      / (CAST(n_all - n_i AS DOUBLE) - 1))
+                     / CAST(n_all - n_i AS DOUBLE)
+                 ) AS zv
+        FROM per_nation CROSS JOIN tot
+    ), ranked AS (
+        SELECT n_name, n_i, zv,
+               ROW_NUMBER() OVER (ORDER BY abs(zv) DESC, n_name) AS holm_rank
+        FROM z
+    ), thrt(i, t) AS (
+        SELECT * FROM {_HOLM_THR_SQL}
+    ), thr AS (
+        SELECT ranked.*, thrt.t
+        FROM ranked JOIN thrt ON thrt.i = ranked.holm_rank
+    ), sel AS (
+        SELECT *, MIN(CASE WHEN abs(zv) < t THEN holm_rank END) OVER ()
+                   AS ffail
+        FROM thr
+    )
+    SELECT n_name,
+           CAST(n_i AS BIGINT) AS n_orders,
+           ROUND(zv, 6) AS z_stat,
+           CAST(holm_rank AS BIGINT) AS holm_rank,
+           holm_rank < COALESCE(ffail, {ST.FDR_M_TESTS + 1}) AS rejected
+    FROM sel
+    ORDER BY holm_rank
+"""
+
+ORACLE_SQL["x316_lsh_band_advisor"] = f"""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   )) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                     t -> len(t) > 0) AS toks
+                  FROM documents)
+        )
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    jac AS (
+        SELECT CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS j
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ), scored AS (
+        SELECT CAST(floor(j / {D.LSH_ADVISOR_BIN!r}) AS INT) AS bin, j,
+               1.0 - (((((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j)))) * ((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j))))) * (((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j)))) * ((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j)))))) * ((((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j)))) * ((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j))))) * (((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j)))) * ((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j)))))))
+                   AS catch
+        FROM jac
+    )
+    SELECT ROUND(CAST(bin * {D.LSH_ADVISOR_BIN!r} AS DOUBLE), 2) AS jaccard_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(j AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_jaccard,
+           ROUND(CAST(SUM(CAST(catch AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*),
+                 6) AS expected_recall
+    FROM scored
+    GROUP BY bin
+    ORDER BY jaccard_bin
+"""
+
+ORACLE_SQL["x317_simpson_diversity"] = """
+    WITH tf AS (
+        SELECT lang, tok, COUNT(*) AS c FROM (
+            SELECT lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> len(t) > 0)) AS tok
+            FROM documents)
+        GROUP BY 1, 2
+    ), per AS (
+        SELECT lang,
+               SUM(c) AS n_tokens,
+               COUNT(*) AS vocab,
+               CAST(SUM(CAST(c * (c - 1) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS same_pairs
+        FROM tf GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           ROUND(same_pairs / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+               AS simpson_d,
+           ROUND(1.0 - same_pairs / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)),
+                 6) AS diversity,
+           ROUND(1.0 / (same_pairs / (CAST(n_tokens AS DOUBLE)
+                                      * (n_tokens - 1))), 6)
+               AS effective_vocab
+    FROM per
+    ORDER BY lang
+"""
+
+ORACLE_SQL["x318_modularity"] = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["x6_dedup_ngram_jaccard"]})
+    ), labels AS (
+        SELECT doc_id, community
+        FROM ({ORACLE_SQL["x267_label_propagation"]})
+    ), m_rel AS (SELECT COUNT(*) AS m FROM pairs),
+    e_c AS (
+        SELECT la.community, COUNT(*) AS e_in
+        FROM pairs
+        JOIN labels la ON la.doc_id = pairs.doc_a
+        JOIN labels lb ON lb.doc_id = pairs.doc_b
+        WHERE la.community = lb.community
+        GROUP BY la.community
+    ), deg AS (
+        SELECT doc_id, COUNT(*) AS d FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY doc_id
+    ), d_c AS (
+        SELECT community, SUM(d) AS d_sum
+        FROM deg JOIN labels USING (doc_id)
+        GROUP BY community
+    ), per_c AS (
+        SELECT d_c.community,
+               COALESCE(e_in, 0) / CAST(m AS DOUBLE)
+               - (d_sum / (2.0 * m)) * (d_sum / (2.0 * m)) AS q_term,
+               COALESCE(e_in, 0) AS e_in
+        FROM d_c LEFT JOIN e_c USING (community) CROSS JOIN m_rel
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(e_in) AS BIGINT) AS edges_within,
+           CAST((SELECT m FROM m_rel) AS BIGINT) AS edges_total,
+           ROUND(CAST(SUM(CAST(q_term AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS modularity
+    FROM per_c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The external correctness driver records only the FIRST ~50
