@@ -2549,3 +2549,93 @@ def x314_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pi.select("s", F.round("pi", 6).alias("pi")).orderBy("s")
+
+
+# ---------------------------------------------------------------------------
+# x322 — decision-stump training: best Gini split per feature (wave 63)
+# ---------------------------------------------------------------------------
+
+STUMP_FEATURES = ("l_discount", "l_quantity")
+
+
+def x322_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree ("stump") predicting whether a
+    line item is returned (``l_returnflag = 'R'``): for every feature
+    and every candidate threshold, the weighted Gini impurity of the
+    ≤t / >t split, and the argmin per feature — the inner loop of
+    every distributed tree learner (XGBoost/LightGBM histogram
+    builders do exactly this per node).
+
+    The x311 discipline: NO per-row sort — one pass reduces the fact
+    table to a per-(feature, distinct-value) count relation carrying
+    (rows, positives); a cumulative window over that value-
+    cardinality-sized relation yields every split's left/right
+    sufficient statistics at once, and the Gini argmin is a bounded
+    row_number.  Split scores are exact integer-count arithmetic
+    evaluated in one pinned double expression, so the argmin is
+    bit-identical across engines and partitionings.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = None
+    for f in STUMP_FEATURES:
+        part = li.select(
+            F.lit(f).alias("feature"),
+            F.col(f).cast("double").alias("v"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+        )
+        feats = part if feats is None else feats.unionAll(part)
+    pv = feats.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p1")
+    )
+    wv = Window.partitionBy("feature").orderBy("v")
+    cum = pv.select(
+        "feature",
+        "v",
+        F.sum("c").over(wv).alias("cc"),
+        F.sum("p1").over(wv).alias("cp"),
+    )
+    tot = pv.groupBy("feature").agg(
+        F.sum("c").alias("n"), F.sum("p1").alias("n1")
+    )
+    p_le = F.col("cp").cast("double") / F.col("cc")
+    p_gt = (F.col("n1") - F.col("cp")).cast("double") / (
+        F.col("n") - F.col("cc")
+    )
+    gini_split = (
+        F.col("cc") * (2.0 * p_le * (1.0 - p_le))
+        + (F.col("n") - F.col("cc")) * (2.0 * p_gt * (1.0 - p_gt))
+    ) / F.col("n").cast("double")
+    p_root = F.col("n1").cast("double") / F.col("n")
+    scored = (
+        cum.join(F.broadcast(tot), "feature")
+        .filter(F.col("cc") < F.col("n"))
+        .select(
+            "feature",
+            "v",
+            "cc",
+            "n",
+            "n1",
+            gini_split.alias("gini_split"),
+            (2.0 * p_root * (1.0 - p_root)).alias("gini_root"),
+            p_le.alias("p_le"),
+            p_gt.alias("p_gt"),
+        )
+    )
+    wbest = Window.partitionBy("feature").orderBy("gini_split", "v")
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.round("v", 6).alias("threshold"),
+            F.round("gini_root", 6).alias("gini_root"),
+            F.round("gini_split", 6).alias("gini_split"),
+            F.col("cc").cast("bigint").alias("n_le"),
+            (F.col("n") - F.col("cc")).cast("bigint").alias("n_gt"),
+            F.round("p_le", 6).alias("return_rate_le"),
+            F.round("p_gt", 6).alias("return_rate_gt"),
+        )
+        .orderBy("feature")
+    )

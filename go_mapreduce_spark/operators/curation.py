@@ -1371,3 +1371,112 @@ def x309_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x323 — weighted reservoir sample per source (wave 63)
+# ---------------------------------------------------------------------------
+
+WRES_K = 5
+WRES_SALT = "|wres"
+
+
+def x323_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample WITHOUT replacement, K=``WRES_K``
+    docs per source with inclusion probability ∝ ``n_chars`` — the
+    Efraimidis–Spirakis exponential-sort scheme ("Weighted random
+    sampling with a reservoir", IPL 2006): rank every row by
+    ln(u)/w (u uniform) and keep the top K.  This is how a curation
+    pipeline draws a size-weighted audit sample from each source in
+    ONE pass with no per-group state.
+
+    Determinism (the x37/x254 content-hash discipline): u is derived
+    from an 8-hex-digit sha256 window of the doc id, so every engine,
+    retry, and partitioning draws the SAME sample — a sample that
+    changes on re-run cannot be audited.  The per-source top-K is a
+    partitioned window (never a global sort); at 100 TB a group's
+    rank scan is a map-side TakeOrdered per partition followed by a
+    K-row merge.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h8 = F.substring(
+        F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(WRES_SALT)), 256),
+        1,
+        8,
+    )
+    v = F.conv(h8, 16, 10).cast("bigint")
+    u = (v.cast("double") + 0.5) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    wk = Window.partitionBy("source").orderBy(F.col("wkey").desc(), "doc_id")
+    return (
+        docs.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+                    key.alias("wkey"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= WRES_K)
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            "n_chars",
+            F.round("wkey", 10).alias("wkey"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x328 — differentially-private noisy counts (wave 65)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 0.5
+DP_SALT = "|dp"
+
+
+def x328_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of per-nation order counts via
+    the Laplace mechanism: noise ~ Laplace(Δf/ε) with sensitivity
+    Δf = 1 (one order moves one count by one) — the k-anonymity/
+    l-diversity/t-closeness family's (x266/x280/x289) quantitative
+    sibling, and the standard mechanism for publishing aggregate
+    stats of a training corpus without leaking any single record.
+
+    The noise draw is DETERMINISTIC per released cell (inverse-CDF of
+    a sha256-derived uniform, the x254 discipline): a DP release must
+    be drawn ONCE — re-sampling on every retry would let an observer
+    average the noise away, so making the draw a pure function of the
+    cell key is not just testability, it is the correct semantics for
+    an idempotent release pipeline.  One grouped count (map-side
+    combined) + per-group closed-form noise; the true count is
+    carried only to let the oracle and tests pin the mechanism — a
+    production release would drop it.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    counts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    h8 = F.substring(
+        F.sha2(F.concat(F.col("n_name"), F.lit(DP_SALT)), 256), 1, 8
+    )
+    v = F.conv(h8, 16, 10).cast("bigint")
+    u = (v.cast("double") + 0.5) / F.lit(4294967296.0)
+    b = 1.0 / DP_EPSILON
+    noise = (
+        F.lit(-b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        "n_name",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+    ).orderBy("n_name")

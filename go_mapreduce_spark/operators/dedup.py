@@ -1402,3 +1402,53 @@ def x316_lsh_band_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# x330 — canonical survivor per near-dup cluster (wave 65)
+# ---------------------------------------------------------------------------
+
+
+def x330_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy for near-duplicate clusters: in each x27
+    connected component keep the HIGHEST-QUALITY member (x9 composite
+    score, doc_id as the deterministic tiebreak) — the principled
+    replacement for x27's min-id keep, and the last step of every
+    dedup pipeline: clusters are only half the answer, someone must
+    pick the copy that survives.
+
+    Plan shape: the cluster relation (near-dup docs only, a small
+    fraction of the corpus) joins the per-doc quality relation on
+    doc_id; the pick is a per-cluster row_number window partitioned
+    by cluster_id — group-local sorts over cluster-sized groups, no
+    global sort.  Quality enters at its released 6-decimal rounding,
+    so the argmax is engine-exact by construction.
+    """
+    from pyspark.sql.window import Window
+
+    from go_mapreduce_spark.operators.text import x9_quality_score
+
+    clusters = x27_dedup_clusters(spark, sf_dir)
+    quality = x9_quality_score(spark, sf_dir).select("doc_id", "quality")
+    member = clusters.join(quality, "doc_id")
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    stats = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("quality").alias("worst_quality"),
+    )
+    return (
+        member.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .join(stats, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("quality").alias("survivor_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+            "worst_quality",
+        )
+        .orderBy("cluster_id")
+    )

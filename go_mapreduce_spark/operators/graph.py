@@ -25,7 +25,7 @@ Scale design (shared with connected_components, operators/dedup.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_mapreduce_spark.operators.scale import (
@@ -932,4 +932,220 @@ def x318_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("q_term").cast("decimal(38,18)")).cast("double"), 6
         ).alias("modularity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x319 — HITS hubs & authorities on the nation trade graph (wave 63)
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 6
+
+
+def x319_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores on the international
+    trade graph: one directed edge per (supplier nation → customer
+    nation) weighted by line-item count.  A high HUB score marks an
+    exporter whose goods flow into important importers; a high
+    AUTHORITY score marks an importer fed by important exporters —
+    the directional complement PageRank (x59/x143) collapses.
+
+    Scale shape: ONE corpus-sized pass (the 4-way lineitem⋈orders⋈
+    customer⋈supplier⋈nation join, map-side-combinable count
+    aggregate) reduces 100 TB of facts to a ≤25×25 edge matrix; all
+    ``HITS_ROUNDS`` mutual-reinforcement rounds then iterate on that
+    bounded relation in-plan (the x314 Markov discipline): each round
+    is two ≤625-row keyed joins plus a 1-row L1 normalizer broadcast,
+    decimal-summed so the fixpoint is bit-identical at any partition
+    count.  No collect anywhere; the reference engine
+    (``/root/reference/mapreduce/mapreduce.go:130-219``) would need
+    one full map+reduce job per half-round.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+                          .select("s_suppkey", F.col("n_name").alias("a"))),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                        F.col("n_name").alias("b"))),
+              cust.c_nationkey == F.col("ck"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # materialize the ≤625-row matrix once: all 2·HITS_ROUNDS
+        # joins below reference it, and a checkpointed bounded
+        # relation keeps Catalyst from re-optimizing (and the
+        # scheduler from re-planning) the corpus-sized build per round
+        .localCheckpoint()
+    )
+
+    def _l1_normalize(scores: DataFrame) -> DataFrame:
+        # bounded ≤25-row relation: a global window is one tiny task,
+        # and referencing the input ONCE keeps the 2·HITS_ROUNDS-deep
+        # lineage linear (an agg+crossJoin normalizer references it
+        # twice and doubles the logical plan every half-round)
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        tot = (
+            F.sum(F.col("score").cast("decimal(38,18)"))
+            .over(w_all)
+            .cast("double")
+        )
+        return scores.select("node", (F.col("score") / tot).alias("score"))
+
+    hub = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "score", F.lit(1.0)
+    )
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        auth = _l1_normalize(
+            edges.join(hub.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(
+                F.sum((F.col("w") * F.col("score")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("score")
+            )
+        )
+        hub = _l1_normalize(
+            edges.join(auth.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(
+                F.sum((F.col("w") * F.col("score")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("score")
+            )
+        )
+    h = hub.withColumnRenamed("score", "hub")
+    a = auth.withColumnRenamed("score", "authority")
+    return (
+        h.join(a, "node", "full_outer")
+        .select(
+            F.col("node").alias("n_name"),
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("authority", F.lit(0.0)), 6).alias("authority"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x324 — closeness centrality on the thresholded trade graph (wave 64)
+# ---------------------------------------------------------------------------
+
+CLOSENESS_HOPS = 4
+
+
+def x324_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonically-normalized closeness centrality (Wasserman–Faust)
+    of each nation in the MAJOR-trade-lane graph: a directed edge
+    a→b exists when the (supplier nation → customer nation) line-item
+    count exceeds the all-pairs average — the data-derived threshold
+    keeps the graph's sparsity stable across scale factors (raw
+    counts grow with SF; the mean grows with them).
+
+    Scale shape: one corpus pass reduces the fact table to the ≤625-
+    row pair-count matrix (the x319 build); the threshold enters as a
+    1-row broadcast; ``CLOSENESS_HOPS`` rounds of min-distance BFS
+    then iterate on the bounded ≤|V|² distance relation in-plan —
+    exactly the x165 Bellman-Ford discipline, no collect, no driver
+    loop over data.  C(s) = (r/(n−1))·(r/Σd): the reachable-count-
+    squared normalization that ranks partially-reaching nodes fairly
+    in a disconnected digraph.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey,
+                ).select("s_suppkey", F.col("n_name").alias("a"))
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("ck"), F.col("n_name").alias("b")
+                )
+            ),
+            cust.c_nationkey == F.col("ck"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thr = pairs.agg(F.avg("n").alias("avg_n"))
+    # materialize the ≤625-row thresholded edge list once: the BFS
+    # min-union below references both it and the running distance
+    # relation twice per round, and checkpointed bounded relations
+    # keep the unrolled plan linear instead of re-expanding the
+    # corpus-sized pair build 2^hops times
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") > F.col("avg_n"))
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    dist = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("v"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for _ in range(CLOSENESS_HOPS):
+        stepped = (
+            dist.join(edges, dist.v == edges.a)
+            .select("s", F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(stepped)
+            .groupBy("s", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()  # ≤|V|² rows; linear lineage per round
+        )
+    per_s = dist.filter(F.col("v") != F.col("s")).groupBy("s").agg(
+        F.count(F.lit(1)).alias("r"), F.sum("d").alias("sum_d")
+    )
+    return (
+        nodes.join(per_s, nodes.node == per_s.s, "left")
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("node").alias("n_name"),
+            F.coalesce("r", F.lit(0)).cast("bigint").alias("n_reachable"),
+            F.coalesce("sum_d", F.lit(0)).cast("bigint").alias("sum_dist"),
+            F.round(
+                F.when(
+                    F.coalesce("sum_d", F.lit(0)) > 0,
+                    (
+                        F.col("r").cast("double")
+                        / (F.col("n_nodes") - 1)
+                    )
+                    * (F.col("r").cast("double") / F.col("sum_d")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("closeness"),
+        )
+        .orderBy("n_name")
     )

@@ -430,22 +430,33 @@ def x254_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the dominant cost of the fan-out (13× fewer digest calls;
     # the oracle slices the identical windows)
     n_hashes = -(-BOOTSTRAP_B // 16)
-    hashes = [
-        F.sha2(
-            F.concat(
-                F.col("o_orderkey").cast("string"), F.lit("|"), F.lit(str(i))
-            ),
-            256,
-        )
-        for i in range(n_hashes)
-    ]
+    # hashes land as NAMED COLUMNS in their own projection: an inline
+    # sha2 under posexplode is re-evaluated once per GENERATED row
+    # (B× per input row — measured 6× wall-time on this query), while
+    # a materialized column is hashed once per input row
+    hashed = orders.select(
+        "o_totalprice",
+        *[
+            F.sha2(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.lit(str(i)),
+                ),
+                256,
+            ).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ],
+    )
     h4s = F.array(
         *[
-            F.substring(hashes[(b - 1) // 16], ((b - 1) % 16) * 4 + 1, 4)
+            F.substring(
+                F.col(f"_h{(b - 1) // 16}"), ((b - 1) % 16) * 4 + 1, 4
+            )
             for b in range(1, BOOTSTRAP_B + 1)
         ]
     )
-    fan = orders.select(
+    fan = hashed.select(
         "o_totalprice", F.posexplode(h4s).alias("pos", "h4")
     ).select(
         (F.col("pos") + 1).alias("b"), "o_totalprice", F.col("h4")
@@ -1356,4 +1367,436 @@ def x315_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rejected"),
         )
         .orderBy("holm_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x320 — deterministic relabeling (permutation) test (wave 63)
+# ---------------------------------------------------------------------------
+
+PERM_B = 64
+PERM_STATUS_A = "O"
+PERM_STATUS_B = "F"
+
+
+def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test for the open-vs-finished
+    (``l_linestatus``) difference in mean line-item revenue — the assumption-free significance check
+    (no normality, no equal variance) that complements Welch (x243):
+    under H₀ the shipmode labels are exchangeable, so re-label every
+    row at random ``PERM_B`` times and ask how often the null diff is
+    at least as extreme as the observed one.
+
+    Distributed permutation à la the Poisson bootstrap (x254): a true
+    global shuffle of labels needs coordination, so each replicate
+    independently relabels every row A with probability n_a/n — the
+    Bernoulli relabeling whose null distribution converges to the
+    permutation one as n grows.  Labels are DETERMINISTIC: the row's
+    sha256 hex window compared against the hex-encoded probability
+    cutpoint (computed IN the plan from the group counts and carried
+    as a 1-row broadcast — the x37 string-compare trick, no hex→int
+    parse).  One B-way fan-out collapses immediately to 4·B map-side-
+    combined decimal partials; the p-value is assembled on the B-row
+    replicate relation.  p = (1 + #extreme)/(B + 1), the
+    add-one-estimator that never reports an exact zero.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus").isin(PERM_STATUS_A, PERM_STATUS_B))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_linestatus") == PERM_STATUS_A).alias("is_a"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    obs = li.agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        dsum_expr("CASE WHEN is_a THEN rev END", "s_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        dsum_expr("CASE WHEN NOT is_a THEN rev END", "s_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b")).alias(
+            "d_obs"
+        ),
+        F.format_string(
+            "%04x",
+            F.floor(
+                F.col("n_a") / (F.col("n_a") + F.col("n_b")) * F.lit(65536.0)
+            ).cast("int"),
+        ).alias("cut"),
+    )
+    n_hashes = -(-PERM_B // 16)
+    # named-column hash projection before the explode (the x254
+    # discipline): inline generator args are re-evaluated per OUTPUT
+    # row, turning 4 sha256/row into 256
+    hashed = li.select(
+        "rev",
+        *[
+            F.sha2(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("_"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit("|perm"),
+                    F.lit(str(i)),
+                ),
+                256,
+            ).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    h4s = F.array(
+        *[
+            F.substring(
+                F.col(f"_h{(b - 1) // 16}"), ((b - 1) % 16) * 4 + 1, 4
+            )
+            for b in range(1, PERM_B + 1)
+        ]
+    )
+    fan = hashed.select("rev", F.posexplode(h4s).alias("pos", "h4")).select(
+        (F.col("pos") + 1).alias("b"), "rev", "h4"
+    )
+    diffs = (
+        fan.crossJoin(F.broadcast(obs.select("cut")))
+        .withColumn("lab", F.col("h4") < F.col("cut"))
+        .groupBy("b")
+        .agg(
+            dsum_expr("CASE WHEN lab THEN rev END", "s1"),
+            F.count(F.when(F.col("lab"), 1)).alias("c1"),
+            dsum_expr("CASE WHEN NOT lab THEN rev END", "s0"),
+            F.count(F.when(~F.col("lab"), 1)).alias("c0"),
+        )
+        .select(
+            "b",
+            (F.col("s1") / F.col("c1") - F.col("s0") / F.col("c0")).alias(
+                "d_b"
+            ),
+        )
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.round(F.max("d_obs"), 6).alias("obs_diff"),
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            F.sum(
+                F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "obs_diff",
+            "n_replicates",
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + 1)
+                / (F.col("n_replicates") + 1).cast("double"),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x321 — inter-annotator agreement: Cohen's kappa (wave 63)
+# ---------------------------------------------------------------------------
+
+# Two deterministic 3-class {keep, review, drop} curation annotators,
+# thresholds pinned against the fixture distributions (FIXTURES.md) so
+# all nine confusion cells are populated:
+#   A judges CONTENT  (token count + alphabetic ratio),
+#   B judges SIZE     (raw character count).
+KAPPA_A_KEEP_TOK = 60
+KAPPA_A_DROP_TOK = 25
+KAPPA_A_KEEP_AR = 0.818
+KAPPA_B_KEEP_CHARS = 320
+KAPPA_B_DROP_CHARS = 130
+
+
+def x321_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent labeling policies over
+    the document corpus — the chance-corrected agreement score every
+    LLM-data labeling pipeline reports before trusting its filters
+    (raw agreement is inflated whenever one class dominates).
+
+    Both "annotators" are deterministic in-plan heuristics (content
+    policy vs size policy), so the query is two narrow projections, a
+    9-cell confusion aggregate, and the closed-form
+    κ = (p_o − p_e)/(1 − p_e) assembled from marginal products on the
+    bounded confusion relation.  One corpus pass, map-side combined;
+    tokenization is the pinned Q1 splitter (``functions/tokenize.py``).
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tok = F.size(_tokens_ascii(F.col("text")))
+    ar = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
+    ann_a = (
+        F.when(
+            (n_tok >= KAPPA_A_KEEP_TOK) & (ar >= F.lit(KAPPA_A_KEEP_AR)), "keep"
+        )
+        .when(n_tok < KAPPA_A_DROP_TOK, "drop")
+        .otherwise("review")
+    )
+    ann_b = (
+        F.when(F.col("n_chars") >= KAPPA_B_KEEP_CHARS, "keep")
+        .when(F.col("n_chars") < KAPPA_B_DROP_CHARS, "drop")
+        .otherwise("review")
+    )
+    conf = docs.select(ann_a.alias("la"), ann_b.alias("lb")).groupBy(
+        "la", "lb"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    row_m = conf.groupBy("la").agg(F.sum("c").alias("ra"))
+    col_m = conf.groupBy("lb").agg(F.sum("c").alias("cb"))
+    chance = (
+        row_m.join(col_m, row_m.la == col_m.lb)
+        .agg(F.sum(F.col("ra") * F.col("cb")).alias("pe_num"))
+    )
+    return (
+        conf.agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("agree_n"),
+        )
+        .crossJoin(F.broadcast(chance))
+        .select(
+            "n_docs",
+            "agree_n",
+            F.round(
+                F.col("agree_n") / F.col("n_docs").cast("double"), 6
+            ).alias("p_observed"),
+            F.round(
+                F.col("pe_num")
+                / (F.col("n_docs") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("p_expected"),
+            F.round(
+                (
+                    F.col("agree_n") / F.col("n_docs").cast("double")
+                    - F.col("pe_num")
+                    / (F.col("n_docs") * F.col("n_docs")).cast("double")
+                )
+                / (
+                    1
+                    - F.col("pe_num")
+                    / (F.col("n_docs") * F.col("n_docs")).cast("double")
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x325 — effect sizes between shipping modes (wave 64)
+# ---------------------------------------------------------------------------
+
+
+def x325_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for every order-priority pair's
+    order-value difference: Cohen's d (pooled-SD), its small-sample
+    Hedges' g correction, and the log response ratio — the numbers a
+    significance test (x243/x320) does NOT give you: HOW BIG the
+    difference is, in units that compare across experiments.
+
+    One corpus pass reduces the fact table to 5 per-priority
+    sufficient-statistic rows (count, decimal sum, decimal sum of
+    squares); the 10 unordered pairs come from a self-join of that
+    bounded relation and every formula is closed-form on it.  The
+    map-side combine carries 3 numbers per group regardless of data
+    size.
+    """
+    li = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    per = li.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("rev", "s"),
+        dsum_expr("rev * rev", "ss"),
+    )
+    a = per.select(
+        F.col("grp").alias("prio_a"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    b = per.select(
+        F.col("grp").alias("prio_b"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    var1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    sp = F.sqrt(
+        ((F.col("n1") - 1) * var1 + (F.col("n2") - 1) * var2)
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (m1 - m2) / sp
+    j = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("prio_a") < F.col("prio_b"))
+        .select(
+            "prio_a",
+            "prio_b",
+            F.col("n1").cast("bigint").alias("n_a"),
+            F.col("n2").cast("bigint").alias("n_b"),
+            F.round(m1 - m2, 6).alias("mean_diff"),
+            F.round(d, 6).alias("cohens_d"),
+            F.round(d * j, 6).alias("hedges_g"),
+            F.round(F.log(m1 / m2), 6).alias("log_response_ratio"),
+        )
+        .orderBy("prio_a", "prio_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x326 — probabilistic-classifier scoring: log-loss/Brier/ECE (wave 64)
+# ---------------------------------------------------------------------------
+
+# Pinned logistic return-probability model p = σ(CAL_A + CAL_B·discount):
+# the scoring harness is the query; the checkpoint is a constant.
+CAL_A = -1.0
+CAL_B = 4.0
+CAL_BINS = 10
+
+
+def x326_calibration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-scoring-rule report card for a pinned probabilistic
+    return-predictor over lineitem: log-loss (the training objective),
+    Brier score (its bounded quadratic cousin), and expected
+    calibration error over ``CAL_BINS`` fixed-width probability bins
+    — the metrics every model-quality gate computes over held-out
+    data at full scale.
+
+    Everything is one corpus pass: per-row p̂ and y feed map-side-
+    combined decimal sums for log-loss/Brier, and a ``CAL_BINS``-row
+    grouped aggregate for ECE assembled with one more bounded pass.
+    No model object, no collect — the "model" is two pinned literals,
+    which is exactly how a scoring job should ship its coefficients.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(-(F.lit(CAL_A) + F.lit(CAL_B) * F.col("l_discount")))
+            )
+        ).alias("p"),
+    )
+    scored = li.select(
+        "y",
+        "p",
+        F.least(
+            F.floor(F.col("p") * CAL_BINS).cast("bigint"),
+            F.lit(CAL_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        dsum_expr("p", "sp"),
+        dsum_expr("y", "sy"),
+    )
+    ece = bins.agg(
+        F.sum(
+            (
+                F.abs(
+                    F.col("sp") / F.col("n_k") - F.col("sy") / F.col("n_k")
+                )
+                * F.col("n_k")
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ece_num"),
+        F.sum("n_k").alias("n_tot"),
+    )
+    base = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("-(y * ln(p) + (1 - y) * ln(1 - p))", "ll_sum"),
+        dsum_expr("(p - y) * (p - y)", "brier_sum"),
+        dsum_expr("y", "pos"),
+    )
+    return (
+        base.crossJoin(F.broadcast(ece))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("pos").cast("bigint").alias("n_pos"),
+            F.round(F.col("ll_sum") / F.col("n"), 6).alias("log_loss"),
+            F.round(F.col("brier_sum") / F.col("n"), 6).alias("brier"),
+            F.round(F.col("ece_num") / F.col("n_tot"), 6).alias("ece"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x329 — sample-ratio-mismatch check (wave 65)
+# ---------------------------------------------------------------------------
+
+SRM_SALT = "|srm"
+# chi-square(1 df) upper-5% critical value, pinned as a literal
+SRM_CHI2_CRIT = 3.841458820694124
+
+
+def x329_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 experiment split:
+    assign every customer to an arm by content hash (first sha256 hex
+    digit < '8' — the x37 string-compare discipline, so assignment is
+    reproducible everywhere), then chi-square the arm counts against
+    the designed ratio.  SRM is the first sanity gate of every A/B
+    platform: a significant imbalance means the bucketing or logging
+    is broken and all downstream metrics are garbage.
+
+    One scan, one 2-row aggregate, closed-form χ² = Σ(O−E)²/E with
+    1 df against the pinned critical literal — O(1) state regardless
+    of corpus size.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    arm_a = (
+        F.substring(
+            F.sha2(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(SRM_SALT)),
+                256,
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    agg = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+    ).select(
+        "n",
+        "n_a",
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        (F.col("n").cast("double") / 2.0).alias("e"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("e")) * (F.col("n_a") - F.col("e")) / F.col("e")
+        + (F.col("n_b") - F.col("e")) * (F.col("n_b") - F.col("e"))
+        / F.col("e")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(SRM_CHI2_CRIT)).alias("srm_detected"),
     )

@@ -2042,3 +2042,70 @@ def x317_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - d, 6).alias("diversity"),
         F.round(1.0 / d, 6).alias("effective_vocab"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# x327 — per-source n-gram coverage curve (wave 64)
+# ---------------------------------------------------------------------------
+
+COVERAGE_DECILES = 10
+
+
+def x327_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve per source: scan each source's docs in
+    doc-id order, and count how many NEW distinct word-trigrams each
+    decile of documents contributes — the diminishing-returns curve a
+    curation team reads before paying to ingest more of a source
+    (flat tail ⇒ the source is exhausted).
+
+    Scale shape: the shingle inverted index (the x6/x316 machinery)
+    is the only corpus-sized relation; "first decile that covers each
+    trigram" is a grouped MIN over it — no running-distinct window,
+    which cannot be expressed scalably — and the curve itself lives
+    on the bounded (source × decile) relation.  Doc ranks come from a
+    per-source dense_rank window, partition-parallel.
+    """
+    from pyspark.sql.window import Window
+
+    from go_mapreduce_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.dense_rank().over(wr).alias("rk")
+    )
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    sh = doc_shingles(docs).join(ranked, "doc_id")
+    first = sh.groupBy("source", "sh").agg(F.min("rk").alias("first_rk"))
+    dec = (
+        first.join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            (
+                F.floor(
+                    (F.col("first_rk") - 1)
+                    * COVERAGE_DECILES
+                    / F.col("nd")
+                ).cast("bigint")
+                + 1
+            ).alias("decile"),
+        )
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("new_trigrams"))
+    )
+    wcum = Window.partitionBy("source").orderBy("decile")
+    tot = dec.groupBy("source").agg(F.sum("new_trigrams").alias("total_tri"))
+    return (
+        dec.withColumn("cum_trigrams", F.sum("new_trigrams").over(wcum))
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("new_trigrams").cast("bigint").alias("new_trigrams"),
+            F.col("cum_trigrams").cast("bigint").alias("cum_trigrams"),
+            F.round(
+                F.col("cum_trigrams") / F.col("total_tri").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("source", "decile")
+    )

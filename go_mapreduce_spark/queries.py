@@ -8154,3 +8154,509 @@ ORACLE_SQL["x151_stream_lakehouse_upsert"] = """
                AS total_value
     FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 63 (round 6): HITS, permutation test, kappa, decision stump,
+# weighted reservoir
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x319_hits_scores": G.x319_hits_scores,
+        "x320_permutation_test": ST.x320_permutation_test,
+        "x321_cohens_kappa": ST.x321_cohens_kappa,
+        "x322_decision_stump": AN.x322_decision_stump,
+        "x323_weighted_reservoir": C.x323_weighted_reservoir,
+    }
+)
+
+_HITS_EDGES = """
+        SELECT ns.n_name AS a, nc.n_name AS b, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        GROUP BY 1, 2
+"""
+
+
+def _hits_oracle() -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({_HITS_EDGES})",
+        "hub0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score"
+        " FROM (SELECT DISTINCT a AS node FROM edges))",
+    ]
+    prev = "hub0"
+    for i in range(1, G.HITS_ROUNDS + 1):
+        parts.append(
+            f"auth{i}r AS MATERIALIZED (SELECT b AS node,"
+            " CAST(SUM(CAST(w * score AS DECIMAL(38,18))) AS DOUBLE) AS score"
+            f" FROM edges JOIN {prev} h ON h.node = edges.a GROUP BY b)"
+        )
+        parts.append(
+            f"auth{i} AS MATERIALIZED (SELECT node, score / t AS score"
+            f" FROM auth{i}r CROSS JOIN (SELECT"
+            " CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE) AS t"
+            f" FROM auth{i}r))"
+        )
+        parts.append(
+            f"hub{i}r AS MATERIALIZED (SELECT a AS node,"
+            " CAST(SUM(CAST(w * score AS DECIMAL(38,18))) AS DOUBLE) AS score"
+            f" FROM edges JOIN auth{i} x ON x.node = edges.b GROUP BY a)"
+        )
+        parts.append(
+            f"hub{i} AS MATERIALIZED (SELECT node, score / t AS score"
+            f" FROM hub{i}r CROSS JOIN (SELECT"
+            " CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE) AS t"
+            f" FROM hub{i}r))"
+        )
+        prev = f"hub{i}"
+    n = G.HITS_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT COALESCE(h.node, x.node) AS n_name,
+           ROUND(COALESCE(h.score, 0.0), 6) AS hub,
+           ROUND(COALESCE(x.score, 0.0), 6) AS authority
+    FROM hub{n} h FULL OUTER JOIN auth{n} x ON x.node = h.node
+    ORDER BY n_name
+"""
+    )
+
+
+ORACLE_SQL["x319_hits_scores"] = _hits_oracle()
+
+ORACLE_SQL["x320_permutation_test"] = f"""
+    WITH li AS MATERIALIZED (
+        SELECT l_orderkey, l_linenumber,
+               l_linestatus = '{ST.PERM_STATUS_A}' AS is_a,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+        WHERE l_linestatus IN ('{ST.PERM_STATUS_A}', '{ST.PERM_STATUS_B}')
+    ), obs AS (
+        SELECT COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+               CAST(SUM(CAST(CASE WHEN is_a THEN rev END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s_a,
+               COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+               CAST(SUM(CAST(CASE WHEN NOT is_a THEN rev END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s_b
+        FROM li
+    ), od AS (
+        SELECT n_a, n_b, s_a / n_a - s_b / n_b AS d_obs,
+               printf('%04x',
+                      CAST(floor(n_a / CAST(n_a + n_b AS DOUBLE) * 65536.0)
+                           AS INT)) AS cut
+        FROM obs
+    ), reps AS (SELECT unnest(range(1, {ST.PERM_B} + 1)) AS b),
+    fan AS (
+        SELECT b, rev,
+               substr(sha256(concat(CAST(l_orderkey AS VARCHAR), '_',
+                                    CAST(l_linenumber AS VARCHAR), '|perm',
+                                    CAST((b - 1) // 16 AS VARCHAR))),
+                      ((b - 1) % 16) * 4 + 1, 4) AS h4
+        FROM li CROSS JOIN reps
+    ), diffs AS (
+        SELECT b,
+               CAST(SUM(CAST(CASE WHEN h4 < cut THEN rev END
+                             AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(CASE WHEN h4 < cut THEN 1 END)
+               - CAST(SUM(CAST(CASE WHEN h4 >= cut THEN rev END
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(CASE WHEN h4 >= cut THEN 1 END) AS d_b
+        FROM fan CROSS JOIN od
+        GROUP BY b
+    ), fin AS (
+        SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               ROUND(MAX(d_obs), 6) AS obs_diff,
+               CAST(COUNT(*) AS BIGINT) AS n_replicates,
+               CAST(SUM(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_extreme
+        FROM diffs CROSS JOIN od
+    )
+    SELECT n_a, n_b, obs_diff, n_replicates, n_extreme,
+           ROUND((n_extreme + 1) / CAST(n_replicates + 1 AS DOUBLE), 6)
+               AS p_value
+    FROM fin
+"""
+
+ORACLE_SQL["x321_cohens_kappa"] = f"""
+    WITH d AS (
+        SELECT len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                               t -> len(t) > 0)) AS n_tok,
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(text)
+                   AS ar,
+               n_chars
+        FROM documents WHERE len(text) > 0
+    ), lab AS (
+        SELECT CASE WHEN n_tok >= {ST.KAPPA_A_KEEP_TOK}
+                         AND ar >= {ST.KAPPA_A_KEEP_AR!r} THEN 'keep'
+                    WHEN n_tok < {ST.KAPPA_A_DROP_TOK} THEN 'drop'
+                    ELSE 'review' END AS la,
+               CASE WHEN n_chars >= {ST.KAPPA_B_KEEP_CHARS} THEN 'keep'
+                    WHEN n_chars < {ST.KAPPA_B_DROP_CHARS} THEN 'drop'
+                    ELSE 'review' END AS lb
+        FROM d
+    ), conf AS (SELECT la, lb, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+    row_m AS (SELECT la, SUM(c) AS ra FROM conf GROUP BY la),
+    col_m AS (SELECT lb, SUM(c) AS cb FROM conf GROUP BY lb),
+    chance AS (
+        SELECT SUM(ra * cb) AS pe_num
+        FROM row_m JOIN col_m ON row_m.la = col_m.lb
+    ), base AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
+                   AS agree_n
+        FROM conf
+    )
+    SELECT n_docs, agree_n,
+           ROUND(agree_n / CAST(n_docs AS DOUBLE), 6) AS p_observed,
+           ROUND(pe_num / CAST(n_docs * n_docs AS DOUBLE), 6) AS p_expected,
+           ROUND((agree_n / CAST(n_docs AS DOUBLE)
+                  - pe_num / CAST(n_docs * n_docs AS DOUBLE))
+                 / (1 - pe_num / CAST(n_docs * n_docs AS DOUBLE)), 6) AS kappa
+    FROM base CROSS JOIN chance
+"""
+
+_STUMP_FEATS_SQL = " UNION ALL ".join(
+    f"SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS v,"
+    " CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS pos"
+    " FROM lineitem"
+    for f in AN.STUMP_FEATURES
+)
+ORACLE_SQL["x322_decision_stump"] = f"""
+    WITH feats AS ({_STUMP_FEATS_SQL}),
+    pv AS (SELECT feature, v, COUNT(*) AS c, SUM(pos) AS p1
+           FROM feats GROUP BY 1, 2),
+    cum AS (
+        SELECT feature, v,
+               SUM(c) OVER w AS cc, SUM(p1) OVER w AS cp
+        FROM pv WINDOW w AS (PARTITION BY feature ORDER BY v)
+    ), tot AS (SELECT feature, SUM(c) AS n, SUM(p1) AS n1
+               FROM pv GROUP BY 1),
+    scored AS (
+        SELECT cum.feature, v, cc, n, n1,
+               (cc * (2.0 * (CAST(cp AS DOUBLE) / cc)
+                      * (1.0 - CAST(cp AS DOUBLE) / cc))
+                + (n - cc) * (2.0 * (CAST(n1 - cp AS DOUBLE) / (n - cc))
+                              * (1.0 - CAST(n1 - cp AS DOUBLE) / (n - cc))))
+               / CAST(n AS DOUBLE) AS gini_split,
+               2.0 * (CAST(n1 AS DOUBLE) / n)
+                   * (1.0 - CAST(n1 AS DOUBLE) / n) AS gini_root,
+               CAST(cp AS DOUBLE) / cc AS p_le,
+               CAST(n1 - cp AS DOUBLE) / (n - cc) AS p_gt
+        FROM cum JOIN tot ON cum.feature = tot.feature
+        WHERE cc < n
+    ), best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                                     ORDER BY gini_split, v) AS rk
+        FROM scored
+    )
+    SELECT feature, ROUND(v, 6) AS threshold,
+           ROUND(gini_root, 6) AS gini_root,
+           ROUND(gini_split, 6) AS gini_split,
+           CAST(cc AS BIGINT) AS n_le, CAST(n - cc AS BIGINT) AS n_gt,
+           ROUND(p_le, 6) AS return_rate_le,
+           ROUND(p_gt, 6) AS return_rate_gt
+    FROM best WHERE rk = 1 ORDER BY feature
+"""
+
+_WRES_V_SQL = "(strpos('0123456789abcdef', substr(h8, 1, 1)) - 1)"
+for _i in range(2, 9):
+    _WRES_V_SQL = (
+        f"({_WRES_V_SQL} * 16"
+        f" + (strpos('0123456789abcdef', substr(h8, {_i}, 1)) - 1))"
+    )
+ORACLE_SQL["x323_weighted_reservoir"] = f"""
+    WITH d AS (
+        SELECT source, doc_id, n_chars,
+               substr(sha256(concat(CAST(doc_id AS VARCHAR),
+                                    '{C.WRES_SALT}')), 1, 8) AS h8
+        FROM documents WHERE n_chars > 0
+    ), keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln((CAST({_WRES_V_SQL} AS BIGINT) + 0.5) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) AS wkey
+        FROM d
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY wkey DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars, ROUND(wkey, 10) AS wkey
+    FROM ranked WHERE rk <= {C.WRES_K}
+    ORDER BY source, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 64 (round 6): closeness centrality, effect sizes, scoring
+# metrics, coverage curve
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x324_closeness_centrality": G.x324_closeness_centrality,
+        "x325_effect_sizes": ST.x325_effect_sizes,
+        "x326_calibration_metrics": ST.x326_calibration_metrics,
+        "x327_ngram_coverage_curve": T.x327_ngram_coverage_curve,
+    }
+)
+
+
+def _closeness_oracle() -> str:
+    parts = [
+        f"pairsc AS MATERIALIZED (SELECT ns.n_name AS a, nc.n_name AS b,"
+        " COUNT(*) AS n"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation nc ON c_nationkey = nc.n_nationkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ns ON s_nationkey = ns.n_nationkey"
+        " GROUP BY 1, 2)",
+        "edges AS MATERIALIZED (SELECT a, b FROM pairsc CROSS JOIN"
+        " (SELECT AVG(n) AS avg_n FROM pairsc) WHERE n > avg_n)",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT a AS node FROM edges"
+        " UNION ALL SELECT b FROM edges))",
+        "nn AS (SELECT COUNT(*) AS n_nodes FROM nodes)",
+        "d0 AS (SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS d"
+        " FROM nodes)",
+    ]
+    for k in range(1, G.CLOSENESS_HOPS + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM"
+            f" (SELECT * FROM d{k-1} UNION ALL"
+            f" SELECT dd.s, e.b AS v, dd.d + 1 AS d"
+            f" FROM d{k-1} dd JOIN edges e ON e.a = dd.v) GROUP BY s, v)"
+        )
+    last = f"d{G.CLOSENESS_HOPS}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    per_s AS (SELECT s, COUNT(*) AS r, SUM(d) AS sum_d FROM {last}
+              WHERE v <> s GROUP BY s)
+    SELECT node AS n_name,
+           CAST(COALESCE(r, 0) AS BIGINT) AS n_reachable,
+           CAST(COALESCE(sum_d, 0) AS BIGINT) AS sum_dist,
+           ROUND(CASE WHEN COALESCE(sum_d, 0) > 0
+                      THEN (CAST(r AS DOUBLE) / (n_nodes - 1))
+                           * (CAST(r AS DOUBLE) / sum_d)
+                      ELSE 0.0 END, 6) AS closeness
+    FROM nodes LEFT JOIN per_s ON per_s.s = nodes.node CROSS JOIN nn
+    ORDER BY n_name
+"""
+    )
+
+
+ORACLE_SQL["x324_closeness_centrality"] = _closeness_oracle()
+
+ORACLE_SQL["x325_effect_sizes"] = """
+    WITH per AS MATERIALIZED (
+        SELECT o_orderpriority AS grp, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(o_totalprice * o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT a.grp AS prio_a, b.grp AS prio_b,
+               a.n AS n1, a.s AS s1, a.ss AS ss1,
+               b.n AS n2, b.s AS s2, b.ss AS ss2
+        FROM per a CROSS JOIN per b
+        WHERE a.grp < b.grp
+    ), d AS (
+        SELECT prio_a, prio_b, n1, n2,
+               s1 / n1 - s2 / n2 AS mean_diff,
+               (s1 / n1 - s2 / n2)
+               / sqrt((((n1 - 1) * ((ss1 - s1 * s1 / n1) / (n1 - 1))
+                        + (n2 - 1) * ((ss2 - s2 * s2 / n2) / (n2 - 1)))
+                       / (n1 + n2 - 2))) AS cohens_d,
+               1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0) AS j,
+               ln((s1 / n1) / (s2 / n2)) AS lrr
+        FROM pairs
+    )
+    SELECT prio_a, prio_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           ROUND(mean_diff, 6) AS mean_diff,
+           ROUND(cohens_d, 6) AS cohens_d,
+           ROUND(cohens_d * j, 6) AS hedges_g,
+           ROUND(lrr, 6) AS log_response_ratio
+    FROM d ORDER BY prio_a, prio_b
+"""
+
+ORACLE_SQL["x326_calibration_metrics"] = f"""
+    WITH li AS (
+        SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 / (1.0 + exp(-({ST.CAL_A!r} + {ST.CAL_B!r} * l_discount)))
+                   AS p
+        FROM lineitem
+    ), scored AS (
+        SELECT y, p,
+               LEAST(CAST(floor(p * {ST.CAL_BINS}) AS BIGINT),
+                     {ST.CAL_BINS - 1}) AS bin
+        FROM li
+    ), bins AS (
+        SELECT bin, COUNT(*) AS n_k,
+               CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy
+        FROM scored GROUP BY bin
+    ), ece AS (
+        SELECT CAST(SUM(CAST(abs(sp / n_k - sy / n_k) * n_k
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ece_num,
+               SUM(n_k) AS n_tot
+        FROM bins
+    ), base AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(-(y * ln(p) + (1 - y) * ln(1 - p))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ll_sum,
+               CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS brier_sum,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS pos
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+           ROUND(ll_sum / n, 6) AS log_loss,
+           ROUND(brier_sum / n, 6) AS brier,
+           ROUND(ece_num / n_tot, 6) AS ece
+    FROM base CROSS JOIN ece
+"""
+
+ORACLE_SQL["x327_ngram_coverage_curve"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               DENSE_RANK() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents
+    ), nd AS (SELECT source, COUNT(*) AS nd FROM documents GROUP BY source),
+    sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   )) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text),
+                                                           '[^a-z]+'),
+                                     t -> len(t) > 0) AS toks
+                  FROM documents)
+        )
+    ), first AS (
+        SELECT r.source, s.sh, MIN(r.rk) AS first_rk
+        FROM sh s JOIN ranked r ON r.doc_id = s.doc_id
+        GROUP BY 1, 2
+    ), dec AS (
+        SELECT source,
+               CAST(floor((first_rk - 1) * {T.COVERAGE_DECILES} / nd)
+                    AS BIGINT) + 1 AS decile,
+               COUNT(*) AS new_trigrams
+        FROM first JOIN nd USING (source)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT source, decile, new_trigrams,
+               SUM(new_trigrams) OVER (PARTITION BY source
+                                       ORDER BY decile) AS cum_trigrams
+        FROM dec
+    ), tot AS (SELECT source, SUM(new_trigrams) AS total_tri
+               FROM dec GROUP BY source)
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(new_trigrams AS BIGINT) AS new_trigrams,
+           CAST(cum_trigrams AS BIGINT) AS cum_trigrams,
+           ROUND(cum_trigrams / CAST(total_tri AS DOUBLE), 6) AS coverage
+    FROM cum JOIN tot USING (source)
+    ORDER BY source, decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 65 (round 6): DP release, SRM guardrail, cluster survivorship
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x328_dp_noisy_counts": C.x328_dp_noisy_counts,
+        "x329_srm_check": ST.x329_srm_check,
+        "x330_cluster_survivor": D.x330_cluster_survivor,
+    }
+)
+
+_DP_V_SQL = "(strpos('0123456789abcdef', substr(h8, 1, 1)) - 1)"
+for _i in range(2, 9):
+    _DP_V_SQL = (
+        f"({_DP_V_SQL} * 16"
+        f" + (strpos('0123456789abcdef', substr(h8, {_i}, 1)) - 1))"
+    )
+_DP_NOISE_SQL = (
+    f"(-{1.0 / C.DP_EPSILON!r}) * sign(u - 0.5)"
+    " * ln(1.0 - 2.0 * abs(u - 0.5))"
+)
+ORACLE_SQL["x328_dp_noisy_counts"] = f"""
+    WITH counts AS (
+        SELECT n_name, COUNT(*) AS true_n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ), h AS (
+        SELECT n_name, true_n,
+               substr(sha256(concat(n_name, '{C.DP_SALT}')), 1, 8) AS h8
+        FROM counts
+    ), uu AS (
+        SELECT n_name, true_n,
+               (CAST({_DP_V_SQL} AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM h
+    )
+    SELECT n_name, CAST(true_n AS BIGINT) AS true_n,
+           ROUND({_DP_NOISE_SQL}, 6) AS noise,
+           ROUND(true_n + {_DP_NOISE_SQL}, 6) AS noisy_n
+    FROM uu ORDER BY n_name
+"""
+
+ORACLE_SQL["x329_srm_check"] = f"""
+    WITH agg AS (
+        SELECT COUNT(*) AS n,
+               COUNT(CASE WHEN substr(sha256(concat(
+                              CAST(c_custkey AS VARCHAR), '{ST.SRM_SALT}')),
+                              1, 1) < '8' THEN 1 END) AS n_a
+        FROM customer
+    ), d AS (
+        SELECT n, n_a, n - n_a AS n_b, CAST(n AS DOUBLE) / 2.0 AS e FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND((n_a - e) * (n_a - e) / e
+                 + (n_b - e) * (n_b - e) / e, 6) AS chi2,
+           ((n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e)
+               > {ST.SRM_CHI2_CRIT!r} AS srm_detected
+    FROM d
+"""
+
+ORACLE_SQL["x330_cluster_survivor"] = f"""
+    WITH cl AS ({ORACLE_SQL["x27_dedup_clusters"]}),
+    q AS ({_quality_oracle()}),
+    member AS (
+        SELECT cl.doc_id, cl.cluster_id, q.quality
+        FROM cl JOIN q ON q.doc_id = cl.doc_id
+    ), st AS (
+        SELECT cluster_id, COUNT(*) AS n_members,
+               MIN(quality) AS worst_quality
+        FROM member GROUP BY 1
+    ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY quality DESC, doc_id) AS rk
+        FROM member
+    )
+    SELECT rk.cluster_id, doc_id AS survivor_doc_id,
+           quality AS survivor_quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped,
+           worst_quality
+    FROM rk JOIN st ON st.cluster_id = rk.cluster_id
+    WHERE rk = 1 ORDER BY rk.cluster_id
+"""
