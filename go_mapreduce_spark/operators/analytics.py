@@ -2639,3 +2639,74 @@ def x322_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# ---------------------------------------------------------------------------
+# x331 — smoothed target encoding (wave 66)
+# ---------------------------------------------------------------------------
+
+TE_SMOOTHING = 100.0
+TE_TARGET_PRIORITY = "1-URGENT"
+
+
+def x331_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of two categorical features
+    against the urgent-order rate — the leakage-prone feature-
+    engineering op every tabular-ML pipeline runs at full data scale:
+    encoded = (Σy + m·prior)/(n + m), the Bayesian shrinkage that
+    keeps rare categories from memorizing their few labels.
+
+    One fact pass per feature (a 2-way union, both map-side
+    combined), a bounded per-category relation, and the global prior
+    as a 1-row broadcast — the same sufficient-statistic discipline
+    as x322's stump: no row ever carries its encoding; the bounded
+    encoder table is the OUTPUT, to be broadcast-joined back by the
+    consumer.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.year("o_orderdate").cast("string").alias("yr"),
+        (F.col("o_orderpriority") == TE_TARGET_PRIORITY)
+        .cast("bigint")
+        .alias("y"),
+    )
+    feats = base.select(
+        F.lit("c_mktsegment").alias("feature"),
+        F.col("seg").alias("category"),
+        "y",
+    ).unionAll(
+        base.select(
+            F.lit("order_year").alias("feature"),
+            F.col("yr").alias("category"),
+            "y",
+        )
+    )
+    prior = base.agg(
+        (F.sum("y") / F.count(F.lit(1)).cast("double")).alias("prior")
+    )
+    per = feats.groupBy("feature", "category").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y")
+    )
+    return (
+        per.crossJoin(F.broadcast(prior))
+        .select(
+            "feature",
+            "category",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_y").cast("bigint").alias("sum_y"),
+            F.round(F.col("sum_y") / F.col("n").cast("double"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("prior"), 6).alias("prior"),
+            F.round(
+                (F.col("sum_y") + F.lit(TE_SMOOTHING) * F.col("prior"))
+                / (F.col("n") + F.lit(TE_SMOOTHING)),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("feature", "category")
+    )

@@ -25,6 +25,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1480,3 +1482,58 @@ def x328_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
     ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# x332 — Bloom-filter sizing advisor per partition (wave 66)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 17  # fixed per-partition filter budget (16 KiB)
+BLOOM_FPR_TARGET = 0.01
+
+
+def x332_bloom_fpr_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping index health check: for every monthly partition
+    of orders, the expected false-positive rate of a fixed-budget
+    customer-key Bloom filter — fpr = (1 − e^{−kn/m})^k with the
+    per-partition optimal k = ⌊ln2·m/n + 0.5⌋ — and a flag for
+    partitions whose key cardinality has outgrown the budget.  The
+    x316 LSH-advisor pattern pointed at the lakehouse's manifest
+    Bloom index (x270): measure the design ON the real key counts
+    before trusting it to prune.
+
+    One distinct-count aggregate per partition (the only corpus-sized
+    work), then closed-form arithmetic on the bounded calendar-month
+    relation.  floor(x + 0.5) is used instead of round() — the two
+    engines disagree on banker's rounding, an explicit half-up pin
+    does not.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_custkey",
+    ).groupBy("month").agg(
+        F.countDistinct("o_custkey").alias("n_keys")
+    )
+    m = float(BLOOM_M_BITS)
+    k = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(
+            F.lit(math.log(2.0)) * F.lit(m) / F.col("n_keys") + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    fpr = F.pow(
+        1.0 - F.exp(-(k.cast("double") * F.col("n_keys")) / F.lit(m)),
+        k.cast("double"),
+    )
+    return (
+        per.select(
+            "month",
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            k.alias("k_hashes"),
+            F.round(F.col("n_keys") / F.lit(m), 6).alias("fill_per_bit"),
+            F.round(fpr, 6).alias("expected_fpr"),
+            (fpr > F.lit(BLOOM_FPR_TARGET)).alias("undersized"),
+        )
+        .orderBy("month")
+    )

@@ -1800,3 +1800,64 @@ def x329_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(SRM_CHI2_CRIT)).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x333 — exact grouped quartiles in one pass (wave 66)
+# ---------------------------------------------------------------------------
+
+QUARTILE_QS = (0.25, 0.5, 0.75)
+
+
+def x333_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of order value per order priority, all three
+    in ONE pass — the x311/x302 discipline generalized to a quantile
+    GRID: no per-row sort anywhere; per-(group, distinct-value)
+    counts carry positional intervals via one cumulative window over
+    the value-cardinality-sized relation, the 3-row quantile grid
+    cross-joins in, and each order statistic is the value whose
+    interval contains position ⌈q·n⌉ (type-1 quantile — pure integer
+    position logic, so the pick is engine-exact with no interpolation
+    arithmetic to match).
+
+    Contrast with ``percentile_approx``: this is exact at any scale,
+    and with approx sketches when a bound suffices (x26).  Adding
+    quantiles costs one more grid row, not another corpus pass.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v")
+    )
+    per_val = orders.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("g").orderBy("v")
+    cum = per_val.withColumn("cumc", F.sum("c").over(wv))
+    ng = per_val.groupBy("g").agg(F.sum("c").alias("n_g"))
+    grid = None
+    for q in QUARTILE_QS:
+        row = ng.sparkSession.range(1).select(F.lit(q).alias("q"))
+        grid = row if grid is None else grid.unionAll(row)
+    picks = (
+        cum.join(F.broadcast(ng), "g")
+        .crossJoin(F.broadcast(grid))
+        .withColumn("pos", F.ceil(F.col("q") * F.col("n_g")).cast("bigint"))
+        .filter(
+            (F.col("cumc") >= F.col("pos"))
+            & (F.col("cumc") - F.col("c") < F.col("pos"))
+        )
+    )
+    return (
+        picks.groupBy("g")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n"),
+            F.max(F.when(F.col("q") == 0.25, F.col("v"))).alias("p25"),
+            F.max(F.when(F.col("q") == 0.5, F.col("v"))).alias("p50"),
+            F.max(F.when(F.col("q") == 0.75, F.col("v"))).alias("p75"),
+        )
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            "n",
+            F.round("p25", 6).alias("p25"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p75", 6).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )

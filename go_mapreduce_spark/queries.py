@@ -8660,3 +8660,93 @@ ORACLE_SQL["x330_cluster_survivor"] = f"""
     FROM rk JOIN st ON st.cluster_id = rk.cluster_id
     WHERE rk = 1 ORDER BY rk.cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 66 (round 6): target encoding, Bloom sizing advisor, exact
+# grouped quartiles
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+QUERIES.update(
+    {
+        "x331_target_encoding": AN.x331_target_encoding,
+        "x332_bloom_fpr_advisor": C.x332_bloom_fpr_advisor,
+        "x333_grouped_quartiles": ST.x333_grouped_quartiles,
+    }
+)
+
+ORACLE_SQL["x331_target_encoding"] = f"""
+    WITH base AS MATERIALIZED (
+        SELECT c_mktsegment AS seg,
+               CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) AS yr,
+               CAST(CASE WHEN o_orderpriority = '{AN.TE_TARGET_PRIORITY}'
+                    THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), feats AS (
+        SELECT 'c_mktsegment' AS feature, seg AS category, y FROM base
+        UNION ALL
+        SELECT 'order_year' AS feature, yr AS category, y FROM base
+    ), prior AS (
+        SELECT SUM(y) / CAST(COUNT(*) AS DOUBLE) AS prior FROM base
+    ), per AS (
+        SELECT feature, category, COUNT(*) AS n, SUM(y) AS sum_y
+        FROM feats GROUP BY 1, 2
+    )
+    SELECT feature, category,
+           CAST(n AS BIGINT) AS n, CAST(sum_y AS BIGINT) AS sum_y,
+           ROUND(sum_y / CAST(n AS DOUBLE), 6) AS raw_rate,
+           ROUND(prior, 6) AS prior,
+           ROUND((sum_y + {AN.TE_SMOOTHING!r} * prior)
+                 / (n + {AN.TE_SMOOTHING!r}), 6) AS encoded
+    FROM per CROSS JOIN prior
+    ORDER BY feature, category
+"""
+
+_BLOOM_M = f"CAST({float(C.BLOOM_M_BITS)!r} AS DOUBLE)"
+_BLOOM_LN2 = f"CAST({_math.log(2.0)!r} AS DOUBLE)"
+_BLOOM_K_SQL = (
+    f"GREATEST(CAST(1 AS BIGINT), CAST(floor({_BLOOM_LN2} * {_BLOOM_M}"
+    " / n_keys + 0.5) AS BIGINT))"
+)
+ORACLE_SQL["x332_bloom_fpr_advisor"] = f"""
+    WITH per AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               COUNT(DISTINCT o_custkey) AS n_keys
+        FROM orders GROUP BY 1
+    ), d AS (
+        SELECT month, n_keys, {_BLOOM_K_SQL} AS k FROM per
+    )
+    SELECT month, CAST(n_keys AS BIGINT) AS n_keys, k AS k_hashes,
+           ROUND(n_keys / {_BLOOM_M}, 6) AS fill_per_bit,
+           ROUND(pow(1.0 - exp(-(CAST(k AS DOUBLE) * n_keys) / {_BLOOM_M}),
+                     CAST(k AS DOUBLE)), 6) AS expected_fpr,
+           pow(1.0 - exp(-(CAST(k AS DOUBLE) * n_keys) / {_BLOOM_M}),
+               CAST(k AS DOUBLE)) > {C.BLOOM_FPR_TARGET!r} AS undersized
+    FROM d ORDER BY month
+"""
+
+ORACLE_SQL["x333_grouped_quartiles"] = """
+    WITH per_val AS (
+        SELECT o_orderpriority AS g, o_totalprice AS v, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cumc
+        FROM per_val
+    ), ng AS (SELECT g, SUM(c) AS n_g FROM per_val GROUP BY g),
+    grid(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                       (CAST(0.75 AS DOUBLE))),
+    picks AS (
+        SELECT g, v, q, n_g, cumc, c,
+               CAST(ceil(q * n_g) AS BIGINT) AS pos
+        FROM cum JOIN ng USING (g) CROSS JOIN grid
+    )
+    SELECT g AS o_orderpriority,
+           CAST(MAX(n_g) AS BIGINT) AS n,
+           ROUND(MAX(CASE WHEN q = 0.25 THEN v END), 6) AS p25,
+           ROUND(MAX(CASE WHEN q = 0.5 THEN v END), 6) AS p50,
+           ROUND(MAX(CASE WHEN q = 0.75 THEN v END), 6) AS p75
+    FROM picks WHERE cumc >= pos AND cumc - c < pos
+    GROUP BY g ORDER BY 1
+"""
