@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_mapreduce_spark.functions.numeric import DECIMAL_T
+from go_mapreduce_spark.functions.numeric import DECIMAL_T, dsum, dsum_expr
 from go_mapreduce_spark.functions.vectors import l2_dist2
 from go_mapreduce_spark.sources.registry import load_table
 
@@ -850,6 +850,60 @@ def x238_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
             F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x334 — embedding-space anisotropy audit (wave 67)
+# ---------------------------------------------------------------------------
+
+
+def x334_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space health check: average vector norm,
+    norm of the mean vector, and their ratio (anisotropy).  A ratio
+    near 1 means the label's vectors point the same way (a collapsed,
+    "cone-shaped" representation — the classic pathology of untuned
+    embedding models); near 0 means they spread isotropically.  This
+    is the audit run before trusting cosine-based dedup (x13) or ANN
+    (x41) on a new embedding column.
+
+    Scale shape: one posexplode pass reduces the corpus to
+    (label × dim) sufficient statistics (decimal sums of v and v²);
+    per-vector norms aggregate map-side by vec_id before the
+    label-level mean.  Everything downstream of the explode is
+    bounded by |labels|·dims, not by rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "vf"),
+    ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))
+    norms = vals.groupBy("vec_id", "label").agg(
+        F.sqrt(dsum_expr("v * v", "ss")).alias("norm")
+    )
+    per_label = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (dsum(F.col("norm"), "sn") / F.count(F.lit(1))).alias("avg_norm"),
+    )
+    mean_vec = vals.groupBy("label", "pos").agg(
+        (dsum(F.col("v"), "sv") / F.count(F.lit(1))).alias("m")
+    )
+    mean_norm = mean_vec.groupBy("label").agg(
+        F.sqrt(dsum_expr("m * m", "ssm")).alias("mean_norm")
+    )
+    return (
+        per_label.join(mean_norm, "label")
+        .select(
+            "label",
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.round("avg_norm", 6).alias("avg_norm"),
+            F.round("mean_norm", 6).alias("mean_norm"),
+            F.round(F.col("mean_norm") / F.col("avg_norm"), 6).alias(
+                "anisotropy"
+            ),
         )
         .orderBy("label")
     )

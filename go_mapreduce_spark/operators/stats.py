@@ -1861,3 +1861,94 @@ def x333_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# x335 — Hill tail-index of user activity (wave 67)
+# ---------------------------------------------------------------------------
+
+HILL_XMIN = 10
+
+
+def x335_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill maximum-likelihood estimate of the power-law tail index of
+    the per-user event-count distribution: α = 1 + n/Σln(xᵢ/xmin)
+    over users with xᵢ ≥ xmin — the "how heavy are the heavy users"
+    number that sizes skew mitigations (salting thresholds, x88's
+    spectrum) with a statistic instead of a histogram eyeball.  Zipf's
+    x258 fits ranks by OLS; Hill is the estimator with known standard
+    error (α−1)/√n.
+
+    Two aggregates total: events→per-user counts (map-side combined),
+    counts→(n, decimal Σln) sufficient statistics; the estimate is
+    closed-form on one row.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("x") >= HILL_XMIN, 1)).alias("n_tail"),
+        dsum_expr(
+            f"CASE WHEN x >= {HILL_XMIN} THEN ln(x / CAST({HILL_XMIN} AS DOUBLE)) END",
+            "sum_ln",
+        ),
+    )
+    alpha = 1.0 + F.col("n_tail") / F.col("sum_ln")
+    return agg.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        F.lit(HILL_XMIN).cast("bigint").alias("xmin"),
+        F.round(alpha, 6).alias("alpha_hill"),
+        F.round(
+            (alpha - 1.0) / F.sqrt(F.col("n_tail").cast("double")), 6
+        ).alias("alpha_se"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x336 — one-way ANOVA F-test (wave 67)
+# ---------------------------------------------------------------------------
+
+
+def x336_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic one-way ANOVA across event types on event value: the
+    F-statistic MS_between/MS_within from per-group sufficient
+    statistics — completing the location-test family (Welch x243 for
+    two unequal-variance groups, Kruskal-Wallis x295 rank-based,
+    Levene x302 for spreads; this is the equal-variance k-group
+    parametric baseline every stats package prints first).
+
+    One corpus pass to k (count, Σ, Σ²) triples; SS decompositions
+    and the F ratio are closed-form on the bounded group relation.
+    Decimal sums make the statistic partition-invariant.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("v")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        dsum_expr("v", "s_i"),
+        dsum_expr("v * v", "ss_i"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("s_i").cast(DECIMAL_T)).cast("double").alias("s"),
+        F.sum(F.col("ss_i").cast(DECIMAL_T)).cast("double").alias("ss"),
+        F.sum(
+            (F.col("s_i") * F.col("s_i") / F.col("n_i")).cast(DECIMAL_T)
+        )
+        .cast("double")
+        .alias("sum_sq_over_n"),
+    )
+    ss_between = F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n")
+    ss_within = F.col("ss") - F.col("sum_sq_over_n")
+    ms_b = ss_between / (F.col("k") - 1)
+    ms_w = ss_within / (F.col("n") - F.col("k"))
+    return tot.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(ss_between, 6).alias("ss_between"),
+        F.round(ss_within, 6).alias("ss_within"),
+        F.round(ms_b / ms_w, 6).alias("f_stat"),
+    )

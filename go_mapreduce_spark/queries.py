@@ -8750,3 +8750,92 @@ ORACLE_SQL["x333_grouped_quartiles"] = """
     FROM picks WHERE cumc >= pos AND cumc - c < pos
     GROUP BY g ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 67 (round 6): embedding anisotropy, Hill tail index, ANOVA F
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x334_embedding_anisotropy": CL.x334_embedding_anisotropy,
+        "x335_hill_tail_index": ST.x335_hill_tail_index,
+        "x336_anova_f": ST.x336_anova_f,
+    }
+)
+
+ORACLE_SQL["x334_embedding_anisotropy"] = """
+    WITH vals AS MATERIALIZED (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, label,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE)) AS norm
+        FROM vals GROUP BY 1, 2
+    ), per_label AS (
+        SELECT label, COUNT(*) AS n_vectors,
+               CAST(SUM(CAST(norm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_norm
+        FROM norms GROUP BY 1
+    ), mean_vec AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM vals GROUP BY 1, 2
+    ), mean_norm AS (
+        SELECT label,
+               sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,6))) AS DOUBLE))
+                   AS mean_norm
+        FROM mean_vec GROUP BY 1
+    )
+    SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+           ROUND(avg_norm, 6) AS avg_norm,
+           ROUND(mean_norm, 6) AS mean_norm,
+           ROUND(mean_norm / avg_norm, 6) AS anisotropy
+    FROM per_label JOIN mean_norm USING (label)
+    ORDER BY label
+"""
+
+ORACLE_SQL["x335_hill_tail_index"] = f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1
+    ), agg AS (
+        SELECT COUNT(*) AS n_users,
+               COUNT(CASE WHEN x >= {ST.HILL_XMIN} THEN 1 END) AS n_tail,
+               CAST(SUM(CAST(CASE WHEN x >= {ST.HILL_XMIN}
+                             THEN ln(x / CAST({ST.HILL_XMIN} AS DOUBLE)) END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sum_ln
+        FROM per_user
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_tail AS BIGINT) AS n_tail,
+           CAST({ST.HILL_XMIN} AS BIGINT) AS xmin,
+           ROUND(1.0 + n_tail / sum_ln, 6) AS alpha_hill,
+           ROUND((1.0 + n_tail / sum_ln - 1.0)
+                 / sqrt(CAST(n_tail AS DOUBLE)), 6) AS alpha_se
+    FROM agg
+"""
+
+ORACLE_SQL["x336_anova_f"] = """
+    WITH per AS (
+        SELECT event_type, COUNT(*) AS n_i,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s_i,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss_i
+        FROM (SELECT event_type, value AS v FROM events)
+        GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS k, SUM(n_i) AS n,
+               CAST(SUM(CAST(s_i AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ss_i AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+               CAST(SUM(CAST(s_i * s_i / n_i AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_sq_over_n
+        FROM per
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+           ROUND(sum_sq_over_n - s * s / n, 6) AS ss_between,
+           ROUND(ss - sum_sq_over_n, 6) AS ss_within,
+           ROUND(((sum_sq_over_n - s * s / n) / (k - 1))
+                 / ((ss - sum_sq_over_n) / (n - k)), 6) AS f_stat
+    FROM tot
+"""
