@@ -2710,3 +2710,82 @@ def x331_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature", "category")
     )
+
+
+# ---------------------------------------------------------------------------
+# x338 — Lorenz concentration curve by customer decile (wave 68)
+# ---------------------------------------------------------------------------
+
+LORENZ_DECILES = 10
+
+
+def x338_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind x189's Gini number: cumulative revenue
+    share held by the bottom d/10 of customers, for each decile — the
+    actionable form of the concentration audit ("the bottom 50% of
+    customers carry 18% of revenue"), and in corpus terms the
+    per-source token-mass curve that decides mixture weights.
+
+    NO unpartitioned window anywhere (the x219 lesson): prefix sums
+    over the distinct-revenue relation run through the range-bucketed
+    ``layout._global_running_sum`` (sketch split points → bucketed
+    windows → literal offset maps), with revenue carried as EXACT
+    integer cents (2-dp prices decimal-summed, so ×100 is integral)
+    — bigint prefix sums never drift, and the decile read-off is
+    pure integer interval-overlap arithmetic: full cents below the
+    boundary plus pro-rata rows at the boundary value.  The oracle
+    replays plain SQL windows; the bucketing is output-invariant.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+    from go_mapreduce_spark.operators.layout import _global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum_expr("o_totalprice", "rev")
+    )
+    per_val = (
+        per_cust.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rcent",
+            F.floor(F.col("rev") * 100.0 + 0.5).cast("bigint"),
+        )
+        .withColumn("rc", F.col("rcent") * F.col("c"))
+    )
+    cum = _global_running_sum(
+        per_val, ["rev"], F.col("rev"), {"c": "cumc", "rc": "cumrc"}
+    )
+    tot = per_val.agg(
+        F.sum("c").alias("n"), F.sum("rc").alias("total_cents")
+    )
+    grid = None
+    for d in range(1, LORENZ_DECILES + 1):
+        row = orders.sparkSession.range(1).select(F.lit(d).alias("decile"))
+        grid = row if grid is None else grid.unionAll(row)
+    picks = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(grid))
+        .withColumn(
+            "pos",
+            F.ceil(
+                F.col("decile") * F.col("n") / F.lit(LORENZ_DECILES)
+            ).cast("bigint"),
+        )
+        .filter(
+            (F.col("cumc") >= F.col("pos"))
+            & (F.col("cumc") - F.col("c") < F.col("pos"))
+        )
+        .withColumn(
+            "cents_at_pos",
+            F.col("cumrc")
+            - F.col("rcent") * (F.col("cumc") - F.col("pos")),
+        )
+    )
+    return picks.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("pos").cast("bigint").alias("n_customers"),
+        F.round(F.col("cents_at_pos") / 100.0, 4).alias("cum_revenue"),
+        F.round(
+            F.col("cents_at_pos").cast("double") / F.col("total_cents"), 6
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -1952,3 +1952,45 @@ def x336_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ss_within, 6).alias("ss_within"),
         F.round(ms_b / ms_w, 6).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x339 — overdispersion & negative-binomial moment fit (wave 68)
+# ---------------------------------------------------------------------------
+
+
+def x339_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostic of per-user event counts: the
+    variance-to-mean ratio (=1 under Poisson) and the method-of-
+    moments negative-binomial size r = μ²/(σ²−μ) — the companion to
+    x335's tail index: Hill says how heavy the tail is, this says
+    which COUNT MODEL to simulate load with (Poisson arrivals vs
+    clumpy NB sessions).
+
+    Two aggregates: events→per-user counts, counts→(n, Σx, Σx²)
+    sufficient statistics; every reported number is closed-form on
+    one row, decimal-summed for partition invariance.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("x", "s"),
+        dsum_expr("x * x", "ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)).otherwise(
+                F.lit(None).cast("double")
+            ),
+            6,
+        ).alias("nb_size_r"),
+    )

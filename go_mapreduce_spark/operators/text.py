@@ -2109,3 +2109,73 @@ def x327_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# x337 — cross-language shingle overlap matrix (wave 68)
+# ---------------------------------------------------------------------------
+
+
+def x337_cross_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-trigram census for every language pair: distinct word
+    trigrams appearing in BOTH languages, with per-direction
+    containment and Jaccard — the cross-lingual contamination audit
+    (x195's split-leakage idea turned onto the language axis: shared
+    shingles across langs signal mislabeled docs, code-switching, or
+    template boilerplate that lang-ID (x8/x253) will trip over).
+
+    Plan: one (lang, shingle) distinct inverted index (the x6
+    machinery keyed by lang instead of doc), bounded per-lang sizes,
+    and a self-join on the shingle key — output is |langs|² rows.
+    The shingle key is high-cardinality and near-unique per lang
+    pair, so the join is shuffle-friendly with no hot keys.
+    """
+    from go_mapreduce_spark.operators.dedup import (
+        lower_tokens,
+        shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", lower_tokens(F.col("text")).alias("toks"))
+    sh = (
+        toks.select(
+            "lang", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("lang").alias("lang_a"), "sh")
+    b = sh.select(F.col("lang").alias("lang_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("shared").cast("bigint").alias("shared_trigrams"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("shared") / F.col("n_a").cast("double"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("shared") / F.col("n_b").cast("double"), 6).alias(
+                "containment_b"
+            ),
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

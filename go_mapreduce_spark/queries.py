@@ -8839,3 +8839,103 @@ ORACLE_SQL["x336_anova_f"] = """
                  / ((ss - sum_sq_over_n) / (n - k)), 6) AS f_stat
     FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 68 (round 6): cross-lang overlap, Lorenz deciles, overdispersion
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x337_cross_lang_overlap": T.x337_cross_lang_overlap,
+        "x338_lorenz_deciles": AN.x338_lorenz_deciles,
+        "x339_overdispersion": ST.x339_overdispersion,
+    }
+)
+
+ORACLE_SQL["x337_cross_lang_overlap"] = """
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT lang, sh FROM (
+            SELECT lang,
+                   unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   )) AS sh
+            FROM (SELECT lang,
+                         list_filter(regexp_split_to_array(lower(text),
+                                                           '[^a-z]+'),
+                                     t -> len(t) > 0) AS toks
+                  FROM documents)
+        )
+    ), sizes AS (SELECT lang, COUNT(*) AS n_sh FROM sh GROUP BY lang),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT lang_a, lang_b,
+           CAST(shared AS BIGINT) AS shared_trigrams,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           ROUND(shared / CAST(sa.n_sh AS DOUBLE), 6) AS containment_a,
+           ROUND(shared / CAST(sb.n_sh AS DOUBLE), 6) AS containment_b,
+           ROUND(shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    ORDER BY lang_a, lang_b
+"""
+
+ORACLE_SQL["x338_lorenz_deciles"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ), per_val AS (
+        SELECT rev, COUNT(*) AS c,
+               CAST(floor(rev * 100.0 + 0.5) AS BIGINT) AS rcent
+        FROM per_cust GROUP BY rev
+    ), pv AS (SELECT rev, c, rcent, rcent * c AS rc FROM per_val),
+    cum AS (
+        SELECT rev, c, rcent,
+               SUM(c) OVER (ORDER BY rev) AS cumc,
+               SUM(rc) OVER (ORDER BY rev) AS cumrc
+        FROM pv
+    ), tot AS (SELECT SUM(c) AS n, SUM(rc) AS total_cents FROM pv),
+    grid(decile) AS (
+        SELECT unnest(range(1, {AN.LORENZ_DECILES} + 1))
+    ), picks AS (
+        SELECT decile, cumc, c, rcent, cumrc, n, total_cents,
+               CAST(ceil(decile * n / {AN.LORENZ_DECILES}) AS BIGINT) AS pos
+        FROM cum CROSS JOIN tot CROSS JOIN grid
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(pos AS BIGINT) AS n_customers,
+           ROUND((cumrc - rcent * (cumc - pos)) / 100.0, 4) AS cum_revenue,
+           ROUND(CAST(cumrc - rcent * (cumc - pos) AS DOUBLE) / total_cents,
+                 6) AS cum_share
+    FROM picks WHERE cumc >= pos AND cumc - c < pos
+    ORDER BY decile
+"""
+
+ORACLE_SQL["x339_overdispersion"] = """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1
+    ), agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(s / n, 6) AS mean_events,
+           ROUND((ss - s * s / n) / (n - 1), 6) AS var_events,
+           ROUND(((ss - s * s / n) / (n - 1)) / (s / n), 6)
+               AS dispersion_index,
+           ROUND(CASE WHEN (ss - s * s / n) / (n - 1) > s / n
+                      THEN (s / n) * (s / n)
+                           / ((ss - s * s / n) / (n - 1) - s / n)
+                      END, 6) AS nb_size_r
+    FROM agg
+"""
