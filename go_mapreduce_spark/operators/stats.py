@@ -1994,3 +1994,264 @@ def x339_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nb_size_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x340 — CUPED variance-reduced experiment readout (wave 69)
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT_DATE = "1998-01-01"
+CUPED_SALT = "|cuped"
+
+
+def x340_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al., WSDM 2013) readout: per-arm post-period revenue means
+    adjusted by the pre-period covariate, ŷ = ȳ − θ(x̄ − x̄_all) with
+    θ = cov(x,y)/var(x) — the standard trick that removes the
+    between-user variance a hash-bucketed A/B test inherits, often
+    halving experiment runtime.
+
+    Arms are the x329 content-hash assignment; pre/post revenue per
+    customer come from ONE conditional-sum pass over orders; θ and
+    the global covariate mean are 1-row broadcasts of pooled decimal
+    sufficient statistics.  Reported per arm: raw and adjusted means
+    plus the theoretical variance-reduction factor 1−ρ².
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum_expr(
+            f"CASE WHEN o_orderdate < '{CUPED_SPLIT_DATE}'"
+            " THEN o_totalprice ELSE 0 END",
+            "x",
+        ),
+        dsum_expr(
+            f"CASE WHEN o_orderdate >= '{CUPED_SPLIT_DATE}'"
+            " THEN o_totalprice ELSE 0 END",
+            "y",
+        ),
+    )
+    arm = (
+        F.substring(
+            F.sha2(
+                F.concat(F.col("o_custkey").cast("string"), F.lit(CUPED_SALT)),
+                256,
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    cust = per_cust.withColumn(
+        "arm", F.when(arm, "treatment").otherwise("control")
+    )
+    pooled = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("x", "sx"),
+        dsum_expr("y", "sy"),
+        dsum_expr("x * x", "sxx"),
+        dsum_expr("y * y", "syy"),
+        dsum_expr("x * y", "sxy"),
+    ).select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean_x_all"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            )
+        ).alias("rho2"),
+    )
+    per_arm = cust.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        dsum_expr("x", "sx_a"),
+        dsum_expr("y", "sy_a"),
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            F.col("n_arm").cast("bigint").alias("n_customers"),
+            F.round(F.col("sy_a") / F.col("n_arm"), 6).alias("mean_post"),
+            F.round(F.col("sx_a") / F.col("n_arm"), 6).alias("mean_pre"),
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round(
+                F.col("sy_a") / F.col("n_arm")
+                - F.col("theta")
+                * (F.col("sx_a") / F.col("n_arm") - F.col("mean_x_all")),
+                6,
+            ).alias("adjusted_mean"),
+            F.round(1.0 - F.col("rho2"), 6).alias("var_ratio"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x341 — difference-in-differences estimate (wave 69)
+# ---------------------------------------------------------------------------
+
+DID_REGION = "AMERICA"
+DID_SPLIT_DATE = "1998-01-01"
+
+
+def x341_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the post-1998 shift in
+    mean order value for AMERICA-region customers, using the rest of
+    the world as the control trend: DiD = (ȳ_T,post − ȳ_T,pre) −
+    (ȳ_C,post − ȳ_C,pre), with the large-sample SE √(Σ s²ᵢ/nᵢ) over
+    the four cells — the workhorse quasi-experimental estimator when
+    there was no randomized assignment to difference away.
+
+    One pass reduces the fact join to 4 cells × (n, Σ, Σ²); the
+    estimate, its SE, and the t-ratio are closed-form on the bounded
+    cell relation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    geo = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    cells = (
+        orders.join(geo, orders.o_custkey == geo.c_custkey)
+        .select(
+            (F.col("r_name") == DID_REGION).alias("treated"),
+            (F.col("o_orderdate") >= DID_SPLIT_DATE).alias("post"),
+            F.col("o_totalprice").alias("v"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            dsum_expr("v", "s_i"),
+            dsum_expr("v * v", "ss_i"),
+        )
+    )
+    m = F.col("s_i") / F.col("n_i")
+    var_over_n = (
+        (F.col("ss_i") - F.col("s_i") * F.col("s_i") / F.col("n_i"))
+        / (F.col("n_i") - 1)
+    ) / F.col("n_i")
+    sgn = F.when(F.col("treated"), F.lit(1.0)).otherwise(F.lit(-1.0)) * F.when(
+        F.col("post"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    agg = cells.agg(
+        F.sum("n_i").cast("bigint").alias("n_orders"),
+        F.sum((sgn * m).cast("decimal(38,18)")).cast("double").alias("did"),
+        F.sum(var_over_n.cast("decimal(38,18)")).cast("double").alias("var_did"),
+        F.max(F.when(F.col("treated") & F.col("post"), m)).alias("t_post"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), m)).alias("t_pre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), m)).alias("c_post"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), m)).alias("c_pre"),
+    )
+    return agg.select(
+        "n_orders",
+        F.round("t_pre", 6).alias("treated_pre"),
+        F.round("t_post", 6).alias("treated_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round("did", 6).alias("did"),
+        F.round(F.sqrt(F.col("var_did")), 6).alias("se"),
+        F.round(F.col("did") / F.sqrt(F.col("var_did")), 6).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x342 — off-policy evaluation: IPS / clipped / SNIPS (wave 69)
+# ---------------------------------------------------------------------------
+
+IPS_SALT = "|ips"
+IPS_BASE_P = 0.2
+IPS_SEG_P = 0.8  # propensity for the BUILDING segment
+IPS_SEGMENT = "BUILDING"
+IPS_CLIP = 4.0
+
+
+def x342_ips_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of "promote every AUTOMOBILE customer"
+    from logs of a DIFFERENT (segment-biased) promotion policy:
+    inverse-propensity scoring v̂ = mean(π(aᵤ)/μ(aᵤ)·rᵤ), its clipped
+    variant (weights capped at ``IPS_CLIP``), the self-normalized
+    SNIPS ratio, and the effective sample size — the counterfactual
+    estimators every recommender/bandit platform runs over logged
+    interactions before an online test.
+
+    The logged action is a deterministic sha-uniform draw against the
+    known behavior propensity (so the oracle replays the exact log),
+    the reward is the customer's revenue, and every estimator is one
+    decimal-summed aggregate over the scored pass — O(1) state.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        dsum_expr("o_totalprice", "r")
+    )
+    h8 = F.substring(
+        F.sha2(
+            F.concat(F.col("c_custkey").cast("string"), F.lit(IPS_SALT)), 256
+        ),
+        1,
+        8,
+    )
+    u = (F.conv(h8, 16, 10).cast("bigint").cast("double") + 0.5) / F.lit(
+        4294967296.0
+    )
+    mu_p = F.when(
+        F.col("c_mktsegment") == IPS_SEGMENT, F.lit(IPS_SEG_P)
+    ).otherwise(F.lit(IPS_BASE_P))
+    logged = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce("r", F.lit(0.0)).alias("r"),
+            (u < mu_p).alias("a"),  # logged action: promoted or not
+            mu_p.alias("p_a_true"),
+        )
+        .withColumn(
+            "mu",
+            F.when(F.col("a"), F.col("p_a_true")).otherwise(
+                1.0 - F.col("p_a_true")
+            ),
+        )
+        .withColumn(
+            # target policy: promote iff AUTOMOBILE (deterministic)
+            "pi",
+            F.when(
+                (F.col("c_mktsegment") == "AUTOMOBILE") == F.col("a"),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("w", F.col("pi") / F.col("mu"))
+    )
+    agg = logged.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("w * r", "swr"),
+        dsum_expr("LEAST(w, CAST('%s' AS DOUBLE)) * r" % IPS_CLIP, "swr_clip"),
+        dsum_expr("w", "sw"),
+        dsum_expr("w * w", "sww"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("swr") / F.col("n"), 6).alias("v_ips"),
+        F.round(F.col("swr_clip") / F.col("n"), 6).alias("v_clipped"),
+        F.round(F.col("swr") / F.col("sw"), 6).alias("v_snips"),
+        F.round(
+            F.col("sw") * F.col("sw") / F.col("sww"), 6
+        ).alias("effective_n"),
+    )

@@ -8939,3 +8939,146 @@ ORACLE_SQL["x339_overdispersion"] = """
                       END, 6) AS nb_size_r
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 69 (round 6): CUPED, diff-in-diff, off-policy IPS
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x340_cuped_adjustment": ST.x340_cuped_adjustment,
+        "x341_diff_in_diff": ST.x341_diff_in_diff,
+        "x342_ips_estimator": ST.x342_ips_estimator,
+    }
+)
+
+ORACLE_SQL["x340_cuped_adjustment"] = f"""
+    WITH per_cust AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CASE WHEN o_orderdate < '{ST.CUPED_SPLIT_DATE}'
+                             THEN o_totalprice ELSE 0 END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS x,
+               CAST(SUM(CAST(CASE WHEN o_orderdate >= '{ST.CUPED_SPLIT_DATE}'
+                             THEN o_totalprice ELSE 0 END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ), cust AS (
+        SELECT x, y,
+               CASE WHEN substr(sha256(concat(CAST(o_custkey AS VARCHAR),
+                                              '{ST.CUPED_SALT}')), 1, 1) < '8'
+                    THEN 'treatment' ELSE 'control' END AS arm
+        FROM per_cust
+    ), pooled AS (
+        SELECT n, sx / n AS mean_x_all,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+               (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                   / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho2
+        FROM (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM cust)
+    ), per_arm AS (
+        SELECT arm, COUNT(*) AS n_arm,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx_a,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy_a
+        FROM cust GROUP BY arm
+    )
+    SELECT arm, CAST(n_arm AS BIGINT) AS n_customers,
+           ROUND(sy_a / n_arm, 6) AS mean_post,
+           ROUND(sx_a / n_arm, 6) AS mean_pre,
+           ROUND(theta, 6) AS theta,
+           ROUND(sy_a / n_arm - theta * (sx_a / n_arm - mean_x_all), 6)
+               AS adjusted_mean,
+           ROUND(1.0 - rho2, 6) AS var_ratio
+    FROM per_arm CROSS JOIN pooled
+    ORDER BY arm
+"""
+
+ORACLE_SQL["x341_diff_in_diff"] = f"""
+    WITH cells AS (
+        SELECT r_name = '{ST.DID_REGION}' AS treated,
+               o_orderdate >= '{ST.DID_SPLIT_DATE}' AS post,
+               COUNT(*) AS n_i,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_i,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss_i
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST((CASE WHEN treated THEN 1.0 ELSE -1.0 END
+                              * CASE WHEN post THEN 1.0 ELSE -1.0 END)
+                             * (s_i / n_i) AS DECIMAL(38,18))) AS DOUBLE)
+                   AS did,
+               CAST(SUM(CAST(((ss_i - s_i * s_i / n_i) / (n_i - 1)) / n_i
+                             AS DECIMAL(38,18))) AS DOUBLE) AS var_did,
+               MAX(CASE WHEN treated AND post THEN s_i / n_i END) AS t_post,
+               MAX(CASE WHEN treated AND NOT post THEN s_i / n_i END) AS t_pre,
+               MAX(CASE WHEN NOT treated AND post THEN s_i / n_i END)
+                   AS c_post,
+               MAX(CASE WHEN NOT treated AND NOT post THEN s_i / n_i END)
+                   AS c_pre
+        FROM cells
+    )
+    SELECT n_orders,
+           ROUND(t_pre, 6) AS treated_pre, ROUND(t_post, 6) AS treated_post,
+           ROUND(c_pre, 6) AS control_pre, ROUND(c_post, 6) AS control_post,
+           ROUND(did, 6) AS did, ROUND(sqrt(var_did), 6) AS se,
+           ROUND(did / sqrt(var_did), 6) AS t_stat
+    FROM agg
+"""
+
+_IPS_V_SQL = "(strpos('0123456789abcdef', substr(h8, 1, 1)) - 1)"
+for _i in range(2, 9):
+    _IPS_V_SQL = (
+        f"({_IPS_V_SQL} * 16"
+        f" + (strpos('0123456789abcdef', substr(h8, {_i}, 1)) - 1))"
+    )
+ORACLE_SQL["x342_ips_estimator"] = f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS r
+        FROM orders GROUP BY 1
+    ), base AS (
+        SELECT c_mktsegment, COALESCE(r, 0.0) AS r,
+               substr(sha256(concat(CAST(c_custkey AS VARCHAR),
+                                    '{ST.IPS_SALT}')), 1, 8) AS h8,
+               CASE WHEN c_mktsegment = '{ST.IPS_SEGMENT}'
+                    THEN {ST.IPS_SEG_P!r} ELSE {ST.IPS_BASE_P!r} END
+                   AS p_a_true
+        FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+    ), logged AS (
+        SELECT c_mktsegment, r, p_a_true,
+               ((CAST({_IPS_V_SQL} AS BIGINT) + 0.5) / 4294967296.0)
+                   < p_a_true AS a
+        FROM base
+    ), scored AS (
+        SELECT r,
+               CASE WHEN (c_mktsegment = 'AUTOMOBILE') = a THEN 1.0
+                    ELSE 0.0 END
+               / CASE WHEN a THEN p_a_true ELSE 1.0 - p_a_true END AS w
+        FROM logged
+    ), agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(w * r AS DECIMAL(38,6))) AS DOUBLE) AS swr,
+               CAST(SUM(CAST(LEAST(w, CAST('{ST.IPS_CLIP}' AS DOUBLE)) * r
+                             AS DECIMAL(38,6))) AS DOUBLE) AS swr_clip,
+               CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+               CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE) AS sww
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(swr / n, 6) AS v_ips,
+           ROUND(swr_clip / n, 6) AS v_clipped,
+           ROUND(swr / sw, 6) AS v_snips,
+           ROUND(sw * sw / sww, 6) AS effective_n
+    FROM agg
+"""
