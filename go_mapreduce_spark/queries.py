@@ -9082,3 +9082,39 @@ ORACLE_SQL["x342_ips_estimator"] = f"""
            ROUND(sw * sw / sww, 6) AS effective_n
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 70 (round 6): streaming windowed top-k
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x343_stream_window_topk": SE.x343_stream_window_topk})
+
+ORACLE_SQL["x343_stream_window_topk"] = """
+    -- same finalization predicate as x36 (append-mode watermark),
+    -- then the per-window leaderboard on the finalized relation
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+        FROM events
+    ), agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY 1, 2
+    ), fin AS (
+        SELECT agg.* FROM agg, wm
+        WHERE agg.window_start + INTERVAL 1 HOUR <= wm.w
+    ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type)
+                      AS rk
+        FROM fin
+    )
+    SELECT window_start, CAST(rk AS BIGINT) AS rk, event_type,
+           CAST(n_events AS BIGINT) AS n_events, total_value
+    FROM rk WHERE rk <= 3
+    ORDER BY window_start, rk
+"""

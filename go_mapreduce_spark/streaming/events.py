@@ -974,3 +974,40 @@ def x271_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def x343_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming leaderboard: replay events through the
+    tumbling-window aggregate (availableNow, APPEND output to a
+    parquet sink — the x36 finalization semantics) and rank the top 3
+    event types per finalized hour batch-side on the drained sink.
+
+    The split of work is the point: the STREAM maintains only the
+    per-(window, type) aggregate state — O(open windows × types),
+    flat over stream length — while ranking happens on the emitted
+    relation, where it is a per-window window function over a
+    bounded type set.  Putting the rank INSIDE the stream would force
+    arbitrary-stateful tracking for no benefit: append mode already
+    guarantees each window arrives exactly once, finalized.
+    """
+    from pyspark.sql.window import Window
+
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    out = _replay_to_parquet(spark, sf_dir, "x343", tumbling_counts(stream))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "window_start",
+            F.col("rk").cast("bigint").alias("rk"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "total_value",
+        )
+        .orderBy("window_start", "rk")
+    )
