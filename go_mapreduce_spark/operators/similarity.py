@@ -615,3 +615,71 @@ def x297_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_sim", 6).alias("max_sim"),
         F.round("score", 6).alias("mmr_score"),
     ).orderBy("pick")
+
+
+# ---------------------------------------------------------------------------
+# x344 — kNN classifier evaluation over embeddings (wave 71)
+# ---------------------------------------------------------------------------
+
+KNN_EVAL_PROBES = 50  # held-out probe ids [0, KNN_EVAL_PROBES)
+KNN_EVAL_K = 5
+
+
+def x344_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label accuracy of a k-nearest-neighbor label classifier on
+    a held-out probe set: predict each probe's label by majority vote
+    of its ``KNN_EVAL_K`` cosine-nearest TRAIN vectors — the eval
+    harness that tells you whether an embedding column actually
+    encodes its labels before you build retrieval features on it
+    (the supervised complement of x334's unsupervised anisotropy).
+
+    The declared shape holds the probe set contract-bounded
+    (``KNN_EVAL_PROBES`` ids), so probes broadcast and the corpus
+    never shuffles — one scan scores all probes (the x3 discipline);
+    votes and the argmax run on the bounded (probe × label) relation.
+    Ties break by label value, pinned in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") >= KNN_EVAL_PROBES)
+    topk = brute_force_topk(train, probes.select("query_id", "qe"), k=KNN_EVAL_K)
+    votes = (
+        topk.join(
+            train.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nb_label").alias("pred"))
+    )
+    scored = probes.select("query_id", "true_label").join(pred, "query_id")
+    return (
+        scored.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.round(F.col("n_correct") / F.col("n_probes").cast("double"), 6),
+        )
+        .orderBy("label")
+    )

@@ -9118,3 +9118,47 @@ ORACLE_SQL["x343_stream_window_topk"] = """
     FROM rk WHERE rk <= 3
     ORDER BY window_start, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 71 (round 6): kNN classifier evaluation
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x344_knn_eval": S.x344_knn_eval})
+
+ORACLE_SQL["x344_knn_eval"] = f"""
+    WITH probes AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+        FROM embeddings WHERE vec_id < {S.KNN_EVAL_PROBES}
+    ), train AS (
+        SELECT * FROM embeddings WHERE vec_id >= {S.KNN_EVAL_PROBES}
+    ), topk AS (
+        SELECT query_id, n.vec_id AS neighbor_id, n.label AS nb_label,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                                                   CAST(n.embedding
+                                                        AS DOUBLE[])) DESC,
+                            n.vec_id ASC) AS rnk
+        FROM probes q CROSS JOIN train n
+    ), votes AS (
+        SELECT query_id, nb_label, COUNT(*) AS c
+        FROM topk WHERE rnk <= {S.KNN_EVAL_K}
+        GROUP BY 1, 2
+    ), pred AS (
+        SELECT query_id, nb_label AS pred FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY c DESC, nb_label) AS r
+            FROM votes
+        ) WHERE r = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM probes JOIN pred USING (query_id)
+    GROUP BY true_label
+    ORDER BY label
+"""
