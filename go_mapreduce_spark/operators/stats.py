@@ -2255,3 +2255,190 @@ def x342_ips_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw") * F.col("sw") / F.col("sww"), 6
         ).alias("effective_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x345 — quantile treatment effects (wave 72)
+# ---------------------------------------------------------------------------
+
+QTE_SALT = "|qte"
+
+
+def x345_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at the quartiles: the per-arm exact
+    p25/p50/p75 of order value under the hash-bucketed assignment,
+    and their treatment−control gaps — what a mean difference (x243/
+    x320) hides: an intervention that moves the tail but not the
+    median shows up HERE.
+
+    The x333 interval-overlap machinery partitioned by arm: one
+    per-(arm, distinct-value) count relation, one cumulative window
+    over it (value-cardinality-sized per arm), a 3-row quantile grid,
+    and pure integer position logic for the picks.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    arm = (
+        F.substring(
+            F.sha2(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(QTE_SALT)),
+                256,
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    pop = orders.select(
+        F.when(arm, "treatment").otherwise("control").alias("g"), "v"
+    )
+    per_val = pop.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("g").orderBy("v")
+    cum = per_val.withColumn("cumc", F.sum("c").over(wv))
+    ng = per_val.groupBy("g").agg(F.sum("c").alias("n_g"))
+    grid = None
+    for q in QUARTILE_QS:
+        row = orders.sparkSession.range(1).select(F.lit(q).alias("q"))
+        grid = row if grid is None else grid.unionAll(row)
+    picks = (
+        cum.join(F.broadcast(ng), "g")
+        .crossJoin(F.broadcast(grid))
+        .withColumn("pos", F.ceil(F.col("q") * F.col("n_g")).cast("bigint"))
+        .filter(
+            (F.col("cumc") >= F.col("pos"))
+            & (F.col("cumc") - F.col("c") < F.col("pos"))
+        )
+    )
+    wide = picks.groupBy("q").agg(
+        F.max(F.when(F.col("g") == "treatment", F.col("v"))).alias("t_v"),
+        F.max(F.when(F.col("g") == "control", F.col("v"))).alias("c_v"),
+        F.max(F.when(F.col("g") == "treatment", F.col("n_g"))).alias("n_t"),
+        F.max(F.when(F.col("g") == "control", F.col("n_g"))).alias("n_c"),
+    )
+    return wide.select(
+        F.round("q", 2).alias("quantile"),
+        F.col("n_t").cast("bigint").alias("n_treatment"),
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.round("t_v", 6).alias("treatment_value"),
+        F.round("c_v", 6).alias("control_value"),
+        F.round(F.col("t_v") - F.col("c_v"), 6).alias("qte"),
+    ).orderBy("quantile")
+
+
+# ---------------------------------------------------------------------------
+# x346 — power analysis: minimum detectable effect (wave 72)
+# ---------------------------------------------------------------------------
+
+# Φ⁻¹(1 − 0.05/2) and Φ⁻¹(0.8): two-sided α = 5%, power = 80%,
+# pinned as literals via the same inverse-normal used for the FDR
+# thresholds (module constant, not computed per engine)
+MDE_Z_ALPHA = _phi_inv_upper(0.025)
+MDE_Z_BETA = _phi_inv_upper(0.2)
+MDE_REL_TARGET = 0.05  # sizing target: detect a 5% lift
+
+
+def x346_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis from the data you already have:
+    with the observed order-value variance and the x243 segment
+    sizes, the minimum detectable effect at α=5%/power=80% —
+    MDE = (z_{α/2}+z_β)·√(s²(1/n_a+1/n_b)) — absolute and relative,
+    plus the per-arm n required to detect a 5% lift.  This is the
+    "don't launch an underpowered test" gate, computed at corpus
+    scale instead of from a spreadsheet sample.
+
+    One conditional aggregate to (n, Σ, Σ²) per segment; every
+    reported number is closed-form with the z's pinned as module
+    literals (the x296 threshold discipline).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    sample = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin(TTEST_SEG_A, TTEST_SEG_B))
+        .select(
+            (F.col("c_mktsegment") == TTEST_SEG_A).alias("is_a"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    agg = sample.agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("v", "s"),
+        dsum_expr("v * v", "ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    zsum = F.lit(MDE_Z_ALPHA + MDE_Z_BETA)
+    mde = zsum * F.sqrt(
+        var * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    mean = F.col("s") / F.col("n")
+    n_req = (
+        2.0
+        * zsum
+        * zsum
+        * var
+        / ((F.lit(MDE_REL_TARGET) * mean) * (F.lit(MDE_REL_TARGET) * mean))
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean, 6).alias("mde_rel"),
+        F.ceil(n_req).cast("bigint").alias("n_per_arm_for_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x347 — Beta-Bernoulli bandit posterior summaries (wave 72)
+# ---------------------------------------------------------------------------
+
+BANDIT_SUCCESS_PRICE = 150000.0
+BANDIT_Z95 = 1.959963984540054  # pinned, same literal both engines
+
+
+def x347_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Bernoulli posterior summaries per order-priority "arm":
+    with a uniform Beta(1,1) prior and success = high-value order,
+    the posterior mean (x+1)/(n+2), a normal-approx 95% credible
+    interval, and the posterior rank — the nightly summary a
+    Thompson-sampling router logs so humans can see what the bandit
+    believes.
+
+    One conditional aggregate to (n, x) per arm; the posterior
+    algebra is closed-form on the bounded arm relation; rank is a
+    5-row window.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("arm"),
+        (F.col("o_totalprice") > BANDIT_SUCCESS_PRICE)
+        .cast("bigint")
+        .alias("hit"),
+    )
+    per = orders.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("x")
+    )
+    pm = (F.col("x") + 1.0) / (F.col("n") + 2.0)
+    psd = F.sqrt(
+        pm * (1.0 - pm) / (F.col("n") + 3.0)
+    )
+    w = Window.orderBy(F.col("post_mean").desc(), F.col("arm"))
+    return (
+        per.select(
+            "arm",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("x").cast("bigint").alias("n_success"),
+            F.round(pm, 6).alias("post_mean"),
+            F.round(pm - F.lit(BANDIT_Z95) * psd, 6).alias("ci_lo"),
+            F.round(pm + F.lit(BANDIT_Z95) * psd, 6).alias("ci_hi"),
+        )
+        .withColumn("post_rank", F.row_number().over(w).cast("bigint"))
+        .orderBy("post_rank")
+    )

@@ -9162,3 +9162,109 @@ ORACLE_SQL["x344_knn_eval"] = f"""
     GROUP BY true_label
     ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 72 (round 6): QTE, power analysis, bandit posteriors
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x345_quantile_treatment_effect": ST.x345_quantile_treatment_effect,
+        "x346_power_mde": ST.x346_power_mde,
+        "x347_bandit_posteriors": ST.x347_bandit_posteriors,
+    }
+)
+
+ORACLE_SQL["x345_quantile_treatment_effect"] = f"""
+    WITH pop AS MATERIALIZED (
+        SELECT CASE WHEN substr(sha256(concat(CAST(o_orderkey AS VARCHAR),
+                                              '{ST.QTE_SALT}')), 1, 1) < '8'
+                    THEN 'treatment' ELSE 'control' END AS g,
+               o_totalprice AS v
+        FROM orders
+    ), per_val AS (SELECT g, v, COUNT(*) AS c FROM pop GROUP BY 1, 2),
+    cum AS (
+        SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cumc
+        FROM per_val
+    ), ng AS (SELECT g, SUM(c) AS n_g FROM per_val GROUP BY g),
+    grid(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                       (CAST(0.75 AS DOUBLE))),
+    picks AS (
+        SELECT g, v, q, n_g, cumc, c,
+               CAST(ceil(q * n_g) AS BIGINT) AS pos
+        FROM cum JOIN ng USING (g) CROSS JOIN grid
+    ), wide AS (
+        SELECT q,
+               MAX(CASE WHEN g = 'treatment' THEN v END) AS t_v,
+               MAX(CASE WHEN g = 'control' THEN v END) AS c_v,
+               MAX(CASE WHEN g = 'treatment' THEN n_g END) AS n_t,
+               MAX(CASE WHEN g = 'control' THEN n_g END) AS n_c
+        FROM picks WHERE cumc >= pos AND cumc - c < pos
+        GROUP BY q
+    )
+    SELECT ROUND(q, 2) AS quantile,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CAST(n_c AS BIGINT) AS n_control,
+           ROUND(t_v, 6) AS treatment_value,
+           ROUND(c_v, 6) AS control_value,
+           ROUND(t_v - c_v, 6) AS qte
+    FROM wide ORDER BY quantile
+"""
+
+_MDE_Z = f"CAST({ST.MDE_Z_ALPHA + ST.MDE_Z_BETA!r} AS DOUBLE)"
+_MDE_T = f"CAST({ST.MDE_REL_TARGET!r} AS DOUBLE)"
+ORACLE_SQL["x346_power_mde"] = f"""
+    WITH sample AS (
+        SELECT c_mktsegment = '{ST.TTEST_SEG_A}' AS is_a,
+               o_totalprice AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('{ST.TTEST_SEG_A}', '{ST.TTEST_SEG_B}')
+    ), agg AS (
+        SELECT COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+               COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM sample
+    ), d AS (
+        SELECT n_a, n_b,
+               s / n AS mean,
+               (ss - s * s / n) / (n - 1) AS var
+        FROM agg
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mean, 6) AS mean_value,
+           ROUND(sqrt(var), 6) AS sd,
+           ROUND({_MDE_Z} * sqrt(var * (1.0 / n_a + 1.0 / n_b)), 6)
+               AS mde_abs,
+           ROUND({_MDE_Z} * sqrt(var * (1.0 / n_a + 1.0 / n_b)) / mean, 6)
+               AS mde_rel,
+           CAST(ceil(2.0 * {_MDE_Z} * {_MDE_Z} * var
+                     / (({_MDE_T} * mean) * ({_MDE_T} * mean))) AS BIGINT)
+               AS n_per_arm_for_5pct
+    FROM d
+"""
+
+_BANDIT_Z = f"CAST({ST.BANDIT_Z95!r} AS DOUBLE)"
+ORACLE_SQL["x347_bandit_posteriors"] = f"""
+    WITH per AS (
+        SELECT o_orderpriority AS arm, COUNT(*) AS n,
+               SUM(CASE WHEN o_totalprice > {ST.BANDIT_SUCCESS_PRICE!r}
+                   THEN 1 ELSE 0 END) AS x
+        FROM orders GROUP BY 1
+    ), post AS (
+        SELECT arm, n, x,
+               (x + 1.0) / (n + 2.0) AS pm,
+               sqrt(((x + 1.0) / (n + 2.0))
+                    * (1.0 - (x + 1.0) / (n + 2.0)) / (n + 3.0)) AS psd
+        FROM per
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS n_success,
+           ROUND(pm, 6) AS post_mean,
+           ROUND(pm - {_BANDIT_Z} * psd, 6) AS ci_lo,
+           ROUND(pm + {_BANDIT_Z} * psd, 6) AS ci_hi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pm DESC, arm) AS BIGINT)
+               AS post_rank
+    FROM post ORDER BY post_rank
+"""
