@@ -2442,3 +2442,324 @@ def x347_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("post_rank", F.row_number().over(w).cast("bigint"))
         .orderBy("post_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x348 — chi-square goodness-of-fit, weekday order mix (wave 73)
+# ---------------------------------------------------------------------------
+
+
+def x348_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the order weekday mix against a
+    uniform 1/7 expectation — the categorical sibling of x82's
+    independence test: is order volume actually flat across the week,
+    or does the calendar drive load?  (The reference engine would run
+    this as a wc-style map+reduce over dates; mapreduce.go:130-219.)
+
+    One corpus pass to 7 (dow, count) rows; expectation and the χ²
+    contributions are closed-form on that bounded relation.  The
+    statistic itself uses the algebraic identity (uniform expectation)
+    χ² = 7·Σobs²/n − n, so the only sum crossing rows is the
+    integer-exact decimal Σobs² — no float summation-order drift
+    between engines.  ISO weekday (Mon=1) via Spark ``weekday()+1``
+    ↔ DuckDB ``isodow``.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.weekday(F.to_date("o_orderdate")) + 1).alias("dow"))
+        .groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = per.agg(
+        F.sum("observed").alias("n"),
+        F.sum(
+            F.col("observed").cast("decimal(38,0)") * F.col("observed")
+        ).alias("s2"),
+    )
+    exp = F.col("n") / 7.0
+    contrib = (F.col("observed") - exp) * (F.col("observed") - exp) / exp
+    chi2 = (
+        F.lit(7.0) * F.col("s2").cast("double") / F.col("n") - F.col("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row total
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("observed").cast("bigint").alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(contrib, 6).alias("contrib"),
+            F.round(chi2, 6).alias("chi2_stat"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x349 — Jarque-Bera normality test (wave 73)
+# ---------------------------------------------------------------------------
+
+# Order values are rescaled by this constant before the moment sums;
+# skewness and kurtosis are invariant under linear scaling, and the
+# rescale keeps Σx⁴ small enough that DECIMAL(38,6) sums stay exact
+# at any SF (w⁴ ≤ ~1.3e7/row instead of v⁴ ≈ 6e22).  1e4 (not 1e5)
+# on purpose: o_totalprice has 2 decimal digits, so w terminates at
+# exactly 6 — the DECIMAL(38,6) cast is then exact in both engines,
+# where a 7-digit w hits Spark-half-up vs DuckDB-exact-binary tie
+# rounding on ~10% of rows.
+JB_SCALE = 1.0e4
+
+
+def x349_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order value: skewness and excess
+    kurtosis from the first four moments, JB = n/6·(S² + K²/4) — the
+    moment-based screen run before any test that assumes Gaussian
+    residuals (x243/x336 here).
+
+    One corpus pass to four decimal moment sums (values pre-scaled by
+    ``JB_SCALE`` so the quartic sum cannot exhaust DECIMAL(38,6) at
+    100 TB — S and K are scale-invariant); every reported number is
+    closed-form on the 1-row sufficient-statistics relation.
+    """
+    v = F.col("o_totalprice") / F.lit(JB_SCALE)
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .select(v.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum_expr("w", "s1"),
+            dsum_expr("w * w", "s2"),
+            dsum_expr("w * w * w", "s3"),
+            dsum_expr("w * w * w * w", "s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3.0 * m * F.col("s2") / n + 2.0 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * m * F.col("s3") / n
+        + 6.0 * m * m * F.col("s2") / n
+        - 3.0 * m * m * m * m
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    exkurt = m4 / (m2 * m2) - 3.0
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m * JB_SCALE, 6).alias("mean_value"),
+        F.round(F.sqrt(m2) * JB_SCALE, 6).alias("sd_value"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exkurt, 6).alias("excess_kurtosis"),
+        F.round(
+            n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 6
+        ).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x350 — Grubbs outlier test (wave 73)
+# ---------------------------------------------------------------------------
+
+
+def x350_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test on per-customer revenue: G = max|x−x̄|/s plus the
+    identity of the suspect — the single-outlier complement to x83's
+    IQR fences and x140's robust flags (those list many, this names
+    the MOST extreme point with a testable statistic).
+
+    Per-customer revenue is one grouped decimal aggregate; (n, x̄, s)
+    enter as a 1-row broadcast; the suspect is a TakeOrderedAndProject
+    top-1 by (|z| desc, key asc) — no global sort materializes, ties
+    break deterministically.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    gstats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("rev", "s"),
+        dsum_expr("rev * rev", "ss"),
+    ).select(
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = F.abs(F.col("rev") - F.col("mean")) / F.col("sd")
+    return (
+        per.crossJoin(F.broadcast(gstats))  # 1-row stats
+        .select(
+            F.col("o_custkey").cast("bigint").alias("suspect_custkey"),
+            F.round("rev", 6).alias("suspect_revenue"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round("mean", 6).alias("mean_revenue"),
+            F.round("sd", 6).alias("sd_revenue"),
+            F.round(z, 6).alias("g_stat"),
+        )
+        .orderBy(F.col("g_stat").desc(), F.col("suspect_custkey"))
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x351 — Durbin-Watson serial-correlation test (wave 73)
+# ---------------------------------------------------------------------------
+
+
+def x351_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of daily-revenue residuals around an
+    OLS linear trend: DW = Σ(e_t−e_{t−1})²/Σe_t² — the residual
+    autocorrelation check that decides whether x310-style OLS
+    standard errors can be trusted or an AR term is needed.
+
+    The fact table reduces to one decimal row per day FIRST, so the
+    trend fit (closed-form from sufficient stats on day index t),
+    residuals, and the lag-1 window all run on the calendar-bounded
+    series (~2.4k rows at any SF; x245's argument).  Consecutive
+    observed days via a row-lag window ordered by date.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+        .select(
+            "d",
+            F.col("rev").cast("double").alias("y"),
+            F.datediff(F.col("d"), F.lit("1995-01-01")).cast(
+                "double"
+            ).alias("t"),
+        )
+    )
+    fit = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("t", "st"),
+        dsum_expr("y", "sy"),
+        dsum_expr("t * t", "stt"),
+        dsum_expr("t * y", "sty"),
+    ).select(
+        "n",
+        (
+            (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+            / (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+        ).alias("slope"),
+    )
+    fit = fit.crossJoin(
+        F.broadcast(
+            daily.agg(
+                (
+                    F.sum(F.col("y").cast(DECIMAL_T)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("ybar"),
+                (
+                    F.sum(F.col("t").cast(DECIMAL_T)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("tbar"),
+            )
+        )
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "n",
+        (
+            F.col("y")
+            - (
+                F.col("ybar")
+                + F.col("slope") * (F.col("t") - F.col("tbar"))
+            )
+        ).alias("e"),
+    )
+    w = Window.orderBy("d")
+    diff = resid.select(
+        "n",
+        (F.col("e") * F.col("e")).alias("e2"),
+        (F.col("e") - F.lag("e", 1).over(w)).alias("de"),
+    )
+    return diff.agg(
+        F.max(F.col("n")).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum((F.col("de") * F.col("de")).cast(DECIMAL_T)).cast(
+                "double"
+            )
+            / F.sum((F.col("e2")).cast(DECIMAL_T)).cast("double"),
+            6,
+        ).alias("dw_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x352 — Ljung-Box portmanteau test (wave 73)
+# ---------------------------------------------------------------------------
+
+LJUNG_BOX_MAX_LAG = 7
+
+
+def x352_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic over the daily-revenue ACF:
+    Q(K) = n(n+2)·Σ_{k≤K} ρ̂_k²/(n−k) at calendar lags 1..7 — the
+    joint "is there ANY autocorrelation" test that turns x245's
+    per-lag ACF into one decision number per horizon.
+
+    Reuses x245's plan shape verbatim: the corpus collapses to the
+    calendar-bounded daily series, deviations from the 1-row mean
+    broadcast, lagged pairs by calendar self-join (missing days
+    contribute no pair), decimal ratio sums; the cumulative Q is a
+    7-row running window.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    gstats = daily.agg(
+        (
+            dsum(F.col("rev"), "s").cast("double") / F.count(F.lit(1))
+        ).alias("mean"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(gstats)).select(
+        "d", "n_days", (F.col("rev") - F.col("mean")).alias("dev")
+    )
+    denom = dev.agg(
+        dsum_expr("dev * dev", "ss"), F.max("n_days").alias("n_days")
+    )
+    lags = spark.range(1, LJUNG_BOX_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.alias("a")
+    b = dev.crossJoin(F.broadcast(lags)).alias("b")
+    pairs = a.join(
+        b, F.col("b.d") == F.expr("date_add(a.d, b.lag)"), "inner"
+    ).select(
+        F.col("b.lag").alias("lag"),
+        (F.col("a.dev") * F.col("b.dev")).alias("p"),
+    )
+    acf = (
+        pairs.groupBy("lag")
+        .agg(dsum_expr("p", "num"))
+        .crossJoin(F.broadcast(denom))  # 1-row denominator + n
+        .select(
+            "lag",
+            "n_days",
+            (F.col("num") / F.col("ss")).alias("rho"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    w = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.col("rho") * F.col("rho") / (n - F.col("lag"))
+    return (
+        acf.select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round("rho", 6).alias("acf"),
+            (n * (n + 2.0) * term).alias("_q_term"),
+        )
+        .withColumn("q_cum", F.round(F.sum("_q_term").over(w), 6))
+        .drop("_q_term")
+        .orderBy("lag")
+    )

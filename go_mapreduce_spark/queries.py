@@ -9268,3 +9268,177 @@ ORACLE_SQL["x347_bandit_posteriors"] = f"""
                AS post_rank
     FROM post ORDER BY post_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 73 (round 6): classical diagnostics — χ² GOF, Jarque-Bera, Grubbs,
+# Durbin-Watson, Ljung-Box
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x348_chisq_gof": ST.x348_chisq_gof,
+        "x349_jarque_bera": ST.x349_jarque_bera,
+        "x350_grubbs_test": ST.x350_grubbs_test,
+        "x351_durbin_watson": ST.x351_durbin_watson,
+        "x352_ljung_box": ST.x352_ljung_box,
+    }
+)
+
+ORACLE_SQL["x348_chisq_gof"] = """
+    WITH per AS (
+        SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+               COUNT(*) AS observed
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT SUM(observed) AS n,
+               SUM(CAST(observed AS DECIMAL(38,0)) * observed) AS s2
+        FROM per
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(observed AS BIGINT) AS observed,
+           ROUND(n / 7.0, 6) AS expected,
+           ROUND((observed - n / 7.0) * (observed - n / 7.0)
+                 / (n / 7.0), 6) AS contrib,
+           ROUND(7.0 * CAST(s2 AS DOUBLE) / n - n, 6) AS chi2_stat
+    FROM per CROSS JOIN tot
+    ORDER BY dow
+"""
+
+ORACLE_SQL["x349_jarque_bera"] = f"""
+    WITH agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(w * w * w AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(w * w * w * w AS DECIMAL(38,6))) AS DOUBLE)
+                   AS s4
+        FROM (SELECT o_totalprice / CAST({ST.JB_SCALE} AS DOUBLE) AS w
+              FROM orders)
+    ), mom AS (
+        SELECT n, s1 / n AS m,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * s2 / n
+                   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * s3 / n
+                   + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+                   - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM agg
+    ), sk AS (
+        SELECT n, m, m2, m3 / sqrt(m2 * m2 * m2) AS skew,
+               m4 / (m2 * m2) - 3.0 AS exkurt
+        FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(m * {ST.JB_SCALE}, 6) AS mean_value,
+           ROUND(sqrt(m2) * {ST.JB_SCALE}, 6) AS sd_value,
+           ROUND(skew, 6) AS skewness,
+           ROUND(exkurt, 6) AS excess_kurtosis,
+           ROUND(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 6)
+               AS jb_stat
+    FROM sk
+"""
+
+ORACLE_SQL["x350_grubbs_test"] = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM per
+    ), st AS (
+        SELECT n, s / n AS mean,
+               sqrt((ss - s * s / n) / (n - 1)) AS sd
+        FROM g
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS suspect_custkey,
+           ROUND(rev, 6) AS suspect_revenue,
+           CAST(n AS BIGINT) AS n_customers,
+           ROUND(mean, 6) AS mean_revenue,
+           ROUND(sd, 6) AS sd_revenue,
+           ROUND(abs(rev - mean) / sd, 6) AS g_stat
+    FROM per CROSS JOIN st
+    ORDER BY g_stat DESC, suspect_custkey
+    LIMIT 1
+"""
+
+ORACLE_SQL["x351_durbin_watson"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS y,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS DOUBLE) AS t
+        FROM orders GROUP BY 1, 3
+    ), fit AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS st,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(t * t AS DECIMAL(38,6))) AS DOUBLE) AS stt,
+               CAST(SUM(CAST(t * y AS DECIMAL(38,6))) AS DOUBLE) AS sty
+        FROM daily
+    ), co AS (
+        SELECT n, (sty - st * sy / n) / (stt - st * st / n) AS slope,
+               sy / n AS ybar, st / n AS tbar
+        FROM fit
+    ), resid AS (
+        SELECT d, n, y - (ybar + slope * (t - tbar)) AS e
+        FROM daily CROSS JOIN co
+    ), diff AS (
+        SELECT n, e * e AS e2,
+               e - lag(e, 1) OVER (ORDER BY d) AS de
+        FROM resid
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(de * de AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(e2 AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS dw_stat
+    FROM diff
+"""
+
+ORACLE_SQL["x352_ljung_box"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS mean,
+               COUNT(*) AS n_days
+        FROM daily
+    ), dev AS (
+        SELECT d, n_days, rev - mean AS dev FROM daily CROSS JOIN g
+    ), denom AS (
+        SELECT CAST(SUM(CAST(dev * dev AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+               MAX(n_days) AS n_days
+        FROM dev
+    ), lags AS (
+        SELECT CAST(unnest(range(1, {ST.LJUNG_BOX_MAX_LAG} + 1)) AS INT)
+                   AS lag
+    ), pairs AS (
+        SELECT l.lag, a.dev * b.dev AS p
+        FROM dev a CROSS JOIN lags l
+        JOIN dev b ON b.d = a.d + l.lag * INTERVAL 1 DAY
+    ), acf AS (
+        SELECT lag, MIN(n_days) AS n_days,
+               CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / MIN(ss)
+                   AS rho
+        FROM pairs CROSS JOIN denom
+        GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(rho, 6) AS acf,
+           ROUND(SUM(n_days * (n_days + 2.0) * rho * rho
+                     / (n_days - lag))
+                 OVER (ORDER BY lag
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW), 6) AS q_cum
+    FROM acf
+    ORDER BY lag
+"""
