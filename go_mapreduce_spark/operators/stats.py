@@ -2763,3 +2763,239 @@ def x352_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_q_term")
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# x354 — Chow structural-break test (wave 74)
+# ---------------------------------------------------------------------------
+
+# Candidate break: the midpoint-ish calendar year boundary inside the
+# fixture's 1995-01-01..2001-08-01 order window (FIXTURES.md).
+CHOW_BREAK = "1998-01-01"
+
+
+def x354_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue trend at
+    ``CHOW_BREAK``: fit OLS revenue~day separately before/after and
+    pooled, F = ((SSR_p − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)),
+    k = 2 — did the revenue-generating process actually change, or
+    does one line fit the whole window?
+
+    One corpus pass to the calendar-bounded daily series, one grouped
+    aggregate to TWO rows of decimal sufficient statistics (n, Σt,
+    Σy, Σt², Σty, Σy²); pooled sums are the 2-row sum of those exact
+    decimals, and every SSR is closed-form on its sufficient-stats
+    row.  Nothing after the first aggregate exceeds 2 rows.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "y"))
+        .select(
+            (F.col("d") >= F.lit(CHOW_BREAK).cast("date")).alias("post"),
+            F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+            .cast("double")
+            .alias("t"),
+            "y",
+        )
+    )
+    regs = daily.groupBy("post").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("t", "st"),
+        dsum_expr("y", "sy"),
+        dsum_expr("t * t", "stt"),
+        dsum_expr("t * y", "sty"),
+        dsum_expr("y * y", "syy"),
+    )
+    ssr = (
+        F.col("syy")
+        - F.col("sy") * F.col("sy") / F.col("n")
+        - (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+        * (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+        / (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+    )
+    split = regs.select("post", "n", ssr.alias("ssr")).agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(~F.col("post"), F.col("n")).otherwise(0)).alias("n_pre"),
+        F.sum(F.when(F.col("post"), F.col("n")).otherwise(0)).alias("n_post"),
+        F.sum("ssr").alias("ssr_split"),  # 2 addends: order-free
+    )
+    pooled = regs.agg(
+        F.sum("n").alias("n"),
+        F.sum("st").alias("st"),
+        F.sum("sy").alias("sy"),
+        F.sum("stt").alias("stt"),
+        F.sum("sty").alias("sty"),
+        F.sum("syy").alias("syy"),
+    ).select(ssr.alias("ssr_pooled"))
+    f_stat = (
+        (F.col("ssr_pooled") - F.col("ssr_split"))
+        / 2.0
+        / (F.col("ssr_split") / (F.col("n") - 4.0))
+    )
+    return split.crossJoin(F.broadcast(pooled)).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("n_pre").cast("bigint").alias("n_pre"),
+        F.col("n_post").cast("bigint").alias("n_post"),
+        F.round("ssr_split", 3).alias("ssr_split"),
+        F.round("ssr_pooled", 3).alias("ssr_pooled"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x355 — Pettitt rank changepoint test (wave 74)
+# ---------------------------------------------------------------------------
+
+
+def x355_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt nonparametric changepoint on daily revenue: with global
+    ranks r_i, U_t = 2·Σ_{i≤t} r_i − t·(n+1); the break candidate is
+    argmax|U_t| with approximate p ≈ 2·exp(−6K²/(n³+n²)) — the
+    rank-based sibling of x246's CUSUM that no outlier day can drag.
+
+    The corpus collapses to the calendar-bounded daily series; ranks
+    and prefix sums are INTEGER windows over that metadata-sized
+    relation (rank ties broken by date — revenue sums are 2-dp exact,
+    so ranking is engine-stable), and the only float is the final
+    closed-form p.  Output: the 1-row argmax (earliest date on K
+    ties).
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    ranked = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("rev", "d")).alias("rk"),
+    )
+    wd = Window.orderBy("d")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    u = ranked.select(
+        "d",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        (
+            2 * F.sum("rk").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.row_number().over(wd)
+            * (F.count(F.lit(1)).over(wall) + F.lit(1))
+        ).alias("u_t"),
+    )
+    n = F.col("n").cast("double")
+    return (
+        u.orderBy(F.abs("u_t").desc(), "d")
+        .limit(1)
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("d").alias("change_day"),
+            F.col("u_t").cast("bigint").alias("u_stat"),
+            F.abs("u_t").cast("bigint").alias("k_stat"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.exp(
+                        -6.0
+                        * F.abs("u_t")
+                        * F.abs("u_t")
+                        / (n * n * n + n * n)
+                    )
+                    * 2.0,
+                ),
+                6,
+            ).alias("p_approx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x356 — Kaplan-Meier repeat-purchase survival (wave 74)
+# ---------------------------------------------------------------------------
+
+# End of the fixture's order calendar (FIXTURES.md): gaps still open
+# on this date are right-censored, not treated as churn.
+KM_CENSOR_DATE = "2001-08-02"
+# Event-time rows reported (the at-risk bookkeeping always uses the
+# full gap distribution; this only truncates the OUTPUT curve).
+KM_MAX_DAYS = 90
+
+
+def x356_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of the repeat-purchase interval: the
+    probability a customer has NOT yet reordered t days after a
+    purchase, with the final open gap of every customer right-censored
+    at the calendar end — the censoring-aware upgrade of x222's span
+    curve (a plain gap histogram understates long waits because open
+    gaps are silently truncated).
+
+    Per-customer distinct purchase dates → successive gaps via a
+    customer-partitioned lead (event) plus one censored tail row;
+    collapse to the gap-length distribution (bounded by the calendar
+    window, ≤ ~2400 rows at ANY scale), then at-risk counts and the
+    product-limit estimator are integer prefix sums and one exp of a
+    decimal(38,12)-carried Σln(1−d/n) over that bounded relation.
+    """
+    censor = F.lit(KM_CENSOR_DATE).cast("date")
+    purch = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c"), F.to_date("o_orderdate").alias("d"))
+        .distinct()
+    )
+    nxt = F.lead("d").over(Window.partitionBy("c").orderBy("d"))
+    spans = purch.select(
+        F.when(nxt.isNotNull(), F.datediff(nxt, F.col("d")))
+        .otherwise(F.datediff(censor, F.col("d")))
+        .alias("gap"),
+        F.when(nxt.isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    dist = spans.groupBy("gap").agg(
+        F.sum("event").alias("d_i"),
+        F.sum(1 - F.col("event")).alias("c_i"),
+    )
+    wg = Window.orderBy("gap")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    at_risk = dist.select(
+        "gap",
+        "d_i",
+        "c_i",
+        (
+            F.sum(F.col("d_i") + F.col("c_i")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("d_i") + F.col("c_i")).over(
+                    wg.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("d_i") < F.col("n_risk"),
+        F.log(1.0 - F.col("d_i") / F.col("n_risk")),
+    ).otherwise(F.lit(-1.0e6))
+    surv = at_risk.select(
+        "gap",
+        "d_i",
+        "c_i",
+        "n_risk",
+        F.exp(
+            F.sum(term.cast("decimal(38,12)"))
+            .over(wg.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+        ).alias("s"),
+    )
+    return (
+        surv.filter((F.col("d_i") > 0) & (F.col("gap") <= KM_MAX_DAYS))
+        .select(
+            F.col("gap").cast("int").alias("gap_days"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d_i").cast("bigint").alias("n_events"),
+            F.col("c_i").cast("bigint").alias("n_censored"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("gap_days")
+    )

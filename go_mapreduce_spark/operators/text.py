@@ -2179,3 +2179,73 @@ def x337_cross_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x353 — Good-Turing frequency smoothing (wave 74)
+# ---------------------------------------------------------------------------
+
+# Number of frequency classes reported — the GT_MAX_R SMALLEST count
+# values present (the smoothing matters exactly where counts are
+# small; at high r MLE is already reliable).  Rank-based rather than
+# a fixed r<=10 cut because the fixture corpus is dense enough that
+# NO token is that rare — a fixed cut would report nothing.
+GT_MAX_R = 10
+
+
+def x353_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing smoothed token frequencies: for each small count r,
+    the count-of-counts N_r, the adjusted count r* = (r+1)·N_{r+1}/N_r
+    and its smoothed probability r*/N — plus the Good-Turing unseen
+    mass p0 = N_1/N, the number every open-vocabulary LM and OOV-rate
+    estimate (x114) needs.  (The reference engine would compute N_r as
+    a second wc pass over wc output; mapreduce.go:130-219.)
+
+    Two token-keyed aggregates: corpus → per-token counts (map-side
+    combined), counts → count-of-counts (relation bounded by the
+    number of DISTINCT count values ≤ √(2·corpus tokens)).  N_{r+1}
+    attaches by an equi-join on r+1 over that bounded relation —
+    no window ordering, no float summation anywhere before the two
+    final pinned divisions.  Reported rows: the ``GT_MAX_R`` smallest
+    count classes present (see the constant's note).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select(F.explode(lower_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    nr = per_tok.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = nr.agg(
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("n_r")).alias("n_tok"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0)).alias("n1"),
+    )
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nr.orderBy("r")
+        .limit(GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row totals
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("n_r").cast("bigint").alias("n_r"),
+            F.coalesce(F.col("n_r1"), F.lit(0)).cast("bigint").alias("n_r_next"),
+            F.round(
+                (F.col("r") + 1.0)
+                * F.coalesce(F.col("n_r1"), F.lit(0))
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                (F.col("r") + 1.0)
+                * F.coalesce(F.col("n_r1"), F.lit(0))
+                / F.col("n_r")
+                / F.col("n_tok").cast("double"),
+                12,
+            ).alias("p_gt"),
+            F.round(
+                F.col("n1") / F.col("n_tok").cast("double"), 12
+            ).alias("p0_unseen"),
+        )
+        .orderBy("r")
+    )

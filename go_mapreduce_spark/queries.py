@@ -9442,3 +9442,164 @@ ORACLE_SQL["x352_ljung_box"] = f"""
     FROM acf
     ORDER BY lag
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 74 (round 6): Good-Turing smoothing, Chow break, Pettitt
+# changepoint, Kaplan-Meier survival
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x353_good_turing": T.x353_good_turing,
+        "x354_chow_test": ST.x354_chow_test,
+        "x355_pettitt_test": ST.x355_pettitt_test,
+        "x356_kaplan_meier": ST.x356_kaplan_meier,
+    }
+)
+
+ORACLE_SQL["x353_good_turing"] = f"""
+    WITH per_tok AS (
+        SELECT tok, COUNT(*) AS r
+        FROM (SELECT unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> len(t) > 0)) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), nr AS (
+        SELECT r, COUNT(*) AS n_r FROM per_tok GROUP BY r
+    ), low AS (
+        SELECT r, n_r FROM nr ORDER BY r LIMIT {T.GT_MAX_R}
+    ), tot AS (
+        SELECT SUM(CAST(r AS DECIMAL(38,0)) * n_r) AS n_tok,
+               SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS n1
+        FROM nr
+    )
+    SELECT CAST(a.r AS INT) AS r,
+           CAST(a.n_r AS BIGINT) AS n_r,
+           CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r_next,
+           ROUND((a.r + 1.0) * COALESCE(b.n_r, 0) / a.n_r, 6) AS r_star,
+           ROUND((a.r + 1.0) * COALESCE(b.n_r, 0) / a.n_r
+                 / CAST(n_tok AS DOUBLE), 12) AS p_gt,
+           ROUND(n1 / CAST(n_tok AS DOUBLE), 12) AS p0_unseen
+    FROM low a
+    LEFT JOIN nr b ON b.r = a.r + 1
+    CROSS JOIN tot
+    ORDER BY r
+"""
+
+ORACLE_SQL["x354_chow_test"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) >= DATE '{ST.CHOW_BREAK}' AS post,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS y
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), regs AS (
+        SELECT post, COUNT(*) AS n,
+               CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS st,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(t * t AS DECIMAL(38,6))) AS DOUBLE) AS stt,
+               CAST(SUM(CAST(t * y AS DECIMAL(38,6))) AS DOUBLE) AS sty,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM daily GROUP BY post
+    ), split AS (
+        SELECT SUM(n) AS n,
+               SUM(CASE WHEN NOT post THEN n ELSE 0 END) AS n_pre,
+               SUM(CASE WHEN post THEN n ELSE 0 END) AS n_post,
+               SUM(syy - sy * sy / n
+                   - (sty - st * sy / n) * (sty - st * sy / n)
+                     / (stt - st * st / n)) AS ssr_split
+        FROM regs
+    ), pooled AS (
+        SELECT syy - sy * sy / n
+               - (sty - st * sy / n) * (sty - st * sy / n)
+                 / (stt - st * st / n) AS ssr_pooled
+        FROM (SELECT SUM(n) AS n, SUM(st) AS st, SUM(sy) AS sy,
+                     SUM(stt) AS stt, SUM(sty) AS sty, SUM(syy) AS syy
+              FROM regs)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n_pre AS BIGINT) AS n_pre,
+           CAST(n_post AS BIGINT) AS n_post,
+           ROUND(ssr_split, 3) AS ssr_split,
+           ROUND(ssr_pooled, 3) AS ssr_pooled,
+           ROUND((ssr_pooled - ssr_split) / 2.0
+                 / (ssr_split / (n - 4.0)), 6) AS f_stat
+    FROM split CROSS JOIN pooled
+"""
+
+ORACLE_SQL["x355_pettitt_test"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY rev, d) AS rk
+        FROM daily
+    ), u AS (
+        SELECT d, COUNT(*) OVER () AS n,
+               2 * SUM(rk) OVER (ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+               - ROW_NUMBER() OVER (ORDER BY d)
+                 * (COUNT(*) OVER () + 1) AS u_t
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           d AS change_day,
+           CAST(u_t AS BIGINT) AS u_stat,
+           CAST(abs(u_t) AS BIGINT) AS k_stat,
+           ROUND(LEAST(1.0,
+                 exp(-6.0 * CAST(abs(u_t) AS DOUBLE) * abs(u_t)
+                     / (CAST(n AS DOUBLE) * n * n
+                        + CAST(n AS DOUBLE) * n)) * 2.0), 6) AS p_approx
+    FROM u
+    ORDER BY abs(u_t) DESC, d
+    LIMIT 1
+"""
+
+ORACLE_SQL["x356_kaplan_meier"] = f"""
+    WITH purch AS (
+        SELECT DISTINCT o_custkey AS c, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ), spans AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN date_diff('day', d, nxt)
+                    ELSE date_diff('day', d, DATE '{ST.KM_CENSOR_DATE}')
+               END AS gap,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM (SELECT d, lead(d) OVER (PARTITION BY c ORDER BY d) AS nxt
+              FROM purch)
+    ), dist AS (
+        SELECT gap, SUM(event) AS d_i, SUM(1 - event) AS c_i
+        FROM spans GROUP BY gap
+    ), at_risk AS (
+        SELECT gap, d_i, c_i,
+               SUM(d_i + c_i) OVER ()
+               - COALESCE(SUM(d_i + c_i) OVER (
+                     ORDER BY gap
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+        FROM dist
+    ), surv AS (
+        SELECT gap, d_i, c_i, n_risk,
+               exp(CAST(SUM(CAST(CASE WHEN d_i < n_risk
+                          THEN ln(1.0 - CAST(d_i AS DOUBLE) / n_risk)
+                          ELSE -1.0e6 END AS DECIMAL(38,12)))
+                   OVER (ORDER BY gap
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS DOUBLE)) AS s
+        FROM at_risk
+    )
+    SELECT CAST(gap AS INT) AS gap_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d_i AS BIGINT) AS n_events,
+           CAST(c_i AS BIGINT) AS n_censored,
+           ROUND(s, 6) AS survival
+    FROM surv
+    WHERE d_i > 0 AND gap <= {ST.KM_MAX_DAYS}
+    ORDER BY gap_days
+"""
