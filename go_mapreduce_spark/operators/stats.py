@@ -2999,3 +2999,52 @@ def x356_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# x359 — Mann-Kendall trend test (wave 75)
+# ---------------------------------------------------------------------------
+
+
+def x359_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue: S =
+    Σ_{i<j} sign(y_j − y_i) with the normal approximation z =
+    (S∓1)/√(n(n−1)(2n+5)/18) — the significance test conventionally
+    paired with x300's Theil-Sen slope (which estimates the trend MK
+    decides on).
+
+    The corpus collapses to the calendar-bounded daily series first,
+    so the all-pairs comparison is a self-join of a metadata-sized
+    relation (≤ ~2400 rows at ANY corpus scale — pair count is set by
+    the calendar, not the data); S is an exact integer sum, and the
+    only floats are the two closed-form output expressions.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .agg(
+            F.sum(
+                F.signum(F.col("b.rev") - F.col("a.rev")).cast("bigint")
+            ).alias("s")
+        )
+    )
+    n_row = daily.agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    var_s = n * (n - 1.0) * (2.0 * n + 5.0) / 18.0
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1.0) / F.sqrt(var_s)
+    ).when(
+        F.col("s") < 0, (F.col("s") + 1.0) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return s.crossJoin(F.broadcast(n_row)).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("s_stat"),
+        F.round(var_s, 3).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+        F.signum(F.col("s")).cast("int").alias("trend_sign"),
+    )

@@ -2249,3 +2249,168 @@ def x353_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# x357 — Heaps' law vocabulary-growth fit (wave 75)
+# ---------------------------------------------------------------------------
+
+# Cumulative checkpoints along the doc_id axis.  16 points is plenty
+# for a 2-parameter log-log fit, and KEEPS THE GROWTH CURVE BOUNDED:
+# a per-document cumulative window would be an unpartitioned sort of
+# the whole corpus.
+HEAPS_BUCKETS = 16
+
+
+def x357_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·nᵝ of vocabulary growth — the companion
+    to x258's Zipf fit, and the number that says how fast a
+    tokenizer's OOV budget (x114/x177) erodes as the corpus grows.
+
+    The corpus reduces to ``HEAPS_BUCKETS`` doc_id-range checkpoints:
+    per-doc token counts collapse to per-bucket sums (one pass), and
+    each token contributes its FIRST doc's bucket (token-keyed min
+    aggregate, one pass) so cumulative vocabulary is an integer
+    running sum over the 16-row bucket relation — never a
+    corpus-sized window.  The log-log OLS runs on those ≤16 points
+    with decimal-carried sums; β and K broadcast back onto the
+    checkpoint rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", lower_tokens(F.col("text")).alias("toks")
+    )
+    mx = docs.agg((F.max("doc_id") + 1).alias("hi"))
+    bucket = F.floor(
+        F.col("doc_id") * F.lit(HEAPS_BUCKETS) / F.col("hi")
+    ).alias("bucket")
+    toks_per_bucket = (
+        docs.select("doc_id", F.size("toks").alias("n_tok"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(bucket)
+        .agg(F.sum("n_tok").alias("b_toks"))
+    )
+    vocab_per_bucket = (
+        docs.select(F.explode("toks").alias("tok"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.floor(
+                F.col("first_doc") * F.lit(HEAPS_BUCKETS) / F.col("hi")
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("b_vocab"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        toks_per_bucket.join(vocab_per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("b_toks").over(w).alias("n_cum"),
+            F.sum(F.coalesce(F.col("b_vocab"), F.lit(0)))
+            .over(w)
+            .alias("v_cum"),
+        )
+        .filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+        .select(
+            "bucket",
+            "n_cum",
+            "v_cum",
+            F.log(F.col("n_cum").cast("double")).alias("lx"),
+            F.log(F.col("v_cum").cast("double")).alias("ly"),
+        )
+    )
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        dsum_expr("lx", "sx"),
+        dsum_expr("ly", "sy"),
+        dsum_expr("lx * lx", "sxx"),
+        dsum_expr("lx * ly", "sxy"),
+    ).select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k"))
+        ).alias("beta"),
+        F.col("sx").alias("sx"),
+        F.col("sy").alias("sy"),
+        F.col("k").alias("k"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))  # 1-row fit
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_cum").cast("bigint").alias("n_tokens_cum"),
+            F.col("v_cum").cast("bigint").alias("vocab_cum"),
+            F.round("beta", 6).alias("beta"),
+            F.round(
+                F.exp(
+                    F.col("sy") / F.col("k")
+                    - F.col("beta") * F.col("sx") / F.col("k")
+                ),
+                6,
+            ).alias("k_coef"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x358 — intra-document repetition audit (wave 75)
+# ---------------------------------------------------------------------------
+
+# Duplicate-trigram fraction above which a document is flagged as
+# repetitive (the Gopher/MassiveText "repetition" family of filters
+# uses 0.18 for duplicated 3-gram CHARACTER fraction; token fraction
+# at 0.10 is the analogous screen for a token-soup corpus).
+REPETITION_THRESHOLD = 0.10
+
+
+def x358_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition screen: the fraction of token trigrams
+    that are duplicates of an earlier trigram in the SAME document,
+    plus the deepest single repetition — the boilerplate/loop filter
+    every LM curation pipeline runs (complementing x81's entropy and
+    x229's cross-doc novelty, which both miss within-doc loops).
+
+    Explode to (doc, trigram) counts (map-side combined, key bounded
+    by per-doc content), collapse to one row per document; every
+    statistic is a grouped integer aggregate — duplicate fraction is
+    Σ_{c>1}c / Σc on the doc's own count distribution.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", lower_tokens(F.col("text")).alias("toks")
+    )
+    counts = (
+        docs.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_frac = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum(
+        "c"
+    ).cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_trigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("max_repeat"),
+            F.round(dup_frac, 6).alias("dup_frac"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_distinct",
+            "max_repeat",
+            "dup_frac",
+            (F.col("dup_frac") > REPETITION_THRESHOLD)
+            .cast("bigint")
+            .alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -9603,3 +9603,121 @@ ORACLE_SQL["x356_kaplan_meier"] = f"""
     WHERE d_i > 0 AND gap <= {ST.KM_MAX_DAYS}
     ORDER BY gap_days
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 75 (round 6): Heaps' law, repetition audit, Mann-Kendall
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x357_heaps_law": T.x357_heaps_law,
+        "x358_repetition_audit": T.x358_repetition_audit,
+        "x359_mann_kendall": ST.x359_mann_kendall,
+    }
+)
+
+ORACLE_SQL["x357_heaps_law"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), mx AS (
+        SELECT MAX(doc_id) + 1 AS hi FROM documents
+    ), tpb AS (
+        SELECT floor(doc_id * {T.HEAPS_BUCKETS} / hi) AS bucket,
+               SUM(len(toks)) AS b_toks
+        FROM toks CROSS JOIN mx GROUP BY 1
+    ), vpb AS (
+        SELECT floor(first_doc * {T.HEAPS_BUCKETS} / hi) AS bucket,
+               COUNT(*) AS b_vocab
+        FROM (SELECT tok, MIN(doc_id) AS first_doc
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+              GROUP BY tok)
+        CROSS JOIN mx GROUP BY 1
+    ), pts AS (
+        SELECT bucket, n_cum, v_cum,
+               ln(CAST(n_cum AS DOUBLE)) AS lx,
+               ln(CAST(v_cum AS DOUBLE)) AS ly
+        FROM (SELECT t.bucket,
+                     SUM(t.b_toks) OVER (ORDER BY t.bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS n_cum,
+                     SUM(COALESCE(v.b_vocab, 0)) OVER (ORDER BY t.bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS v_cum
+              FROM tpb t LEFT JOIN vpb v ON v.bucket = t.bucket)
+        WHERE n_cum > 0 AND v_cum > 0
+    ), fit AS (
+        SELECT (sxy - sx * sy / k) / (sxx - sx * sx / k) AS beta,
+               sx, sy, k
+        FROM (SELECT COUNT(*) AS k,
+                     CAST(SUM(CAST(lx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(ly AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(lx * lx AS DECIMAL(38,6))) AS DOUBLE)
+                         AS sxx,
+                     CAST(SUM(CAST(lx * ly AS DECIMAL(38,6))) AS DOUBLE)
+                         AS sxy
+              FROM pts)
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_cum AS BIGINT) AS n_tokens_cum,
+           CAST(v_cum AS BIGINT) AS vocab_cum,
+           ROUND(beta, 6) AS beta,
+           ROUND(exp(sy / k - beta * sx / k), 6) AS k_coef
+    FROM pts CROSS JOIN fit
+    ORDER BY bucket
+"""
+
+ORACLE_SQL["x358_repetition_audit"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> len(t) > 0) AS toks
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, sh, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM toks)
+        GROUP BY doc_id, sh
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_repeat,
+           ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac,
+           CAST(ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                      / CAST(SUM(c) AS DOUBLE), 6)
+                > {T.REPETITION_THRESHOLD} AS BIGINT) AS flagged
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["x359_mann_kendall"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT SUM(CAST(sign(b.rev - a.rev) AS BIGINT)) AS s
+        FROM daily a JOIN daily b ON b.d > a.d
+    ), nr AS (SELECT COUNT(*) AS n FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_stat,
+           ROUND(CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0) / 18.0,
+                 3) AS var_s,
+           ROUND(CASE
+                   WHEN s > 0 THEN (s - 1.0)
+                        / sqrt(CAST(n AS DOUBLE) * (n - 1.0)
+                               * (2.0 * n + 5.0) / 18.0)
+                   WHEN s < 0 THEN (s + 1.0)
+                        / sqrt(CAST(n AS DOUBLE) * (n - 1.0)
+                               * (2.0 * n + 5.0) / 18.0)
+                   ELSE 0.0
+                 END, 6) AS z_score,
+           CAST(sign(s) AS INT) AS trend_sign
+    FROM s CROSS JOIN nr
+"""
