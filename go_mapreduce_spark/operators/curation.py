@@ -1537,3 +1537,64 @@ def x332_bloom_fpr_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# x360 — functional-dependency audit (wave 76)
+# ---------------------------------------------------------------------------
+
+# Candidate dependencies to profile: (label, table, determinant,
+# dependent).  A mix of a key anchor (must hold) and plausible
+# business rules (the audit's job is to report which actually hold).
+FD_CANDIDATES = (
+    ("orders.o_orderkey->o_orderstatus", "orders", "o_orderkey", "o_orderstatus"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("lineitem.l_orderkey->l_shipdate", "lineitem", "l_orderkey", "l_shipdate"),
+)
+
+
+def x360_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler: for each candidate A→B, the
+    number of determinant values that map to MORE than one dependent
+    value and the violation rate — schema-discovery's workhorse
+    (does this column actually determine that one, or does the app
+    only wish it did?), complementing x138's FK audit and x273's
+    row-level expectations.
+
+    One grouped count-distinct per candidate (map-side combined; the
+    per-key distinct state is bounded by the dependent's real
+    fan-out), collapsed to a single audit row each and unioned — the
+    output is exactly ``len(FD_CANDIDATES)`` rows at any scale.
+    """
+    parts = []
+    for label, table, det, dep in FD_CANDIDATES:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(det))
+            .agg(F.countDistinct(F.col(dep)).alias("nd"))
+        )
+        parts.append(
+            per_key.agg(
+                F.lit(label).alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("nd").cast("bigint").alias("max_fanout"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "candidate",
+        "n_keys",
+        "n_violating",
+        "max_fanout",
+        F.round(F.col("n_violating") / F.col("n_keys").cast("double"), 6).alias(
+            "violation_rate"
+        ),
+        (F.col("n_violating") == 0).cast("bigint").alias("holds"),
+    ).orderBy("candidate")

@@ -3048,3 +3048,167 @@ def x359_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.signum(F.col("s")).cast("int").alias("trend_sign"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x361 — seasonal-naive forecast backtest, MASE (wave 76)
+# ---------------------------------------------------------------------------
+
+SEASONAL_LAG = 7  # weekly seasonality on the daily revenue series
+
+
+def x361_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster ŷ_t = y_{t−7}
+    against the random-walk baseline ŷ_t = y_{t−1} on daily revenue:
+    MASE = MAE(seasonal)/MAE(naive-1) — the scale-free "is weekly
+    seasonality worth modeling" number (x257 shows the seasonality
+    exists; this says whether it PREDICTS).
+
+    The corpus collapses to the calendar-bounded daily series; both
+    forecasts are lag windows over that metadata-sized relation,
+    errors are decimal-summed, and the evaluation is restricted to
+    days where BOTH lags exist so the two MAEs average over the
+    identical day set.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("p1"),
+        F.lag("rev", SEASONAL_LAG).over(w).alias("p7"),
+    ).filter(F.col("p7").isNotNull())
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        dsum_expr("abs(rev - p1)", "ae1"),
+        dsum_expr("abs(rev - p7)", "ae7"),
+    )
+    mae1 = F.col("ae1") / F.col("n_eval")
+    mae7 = F.col("ae7") / F.col("n_eval")
+    return agg.select(
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        F.round(mae1, 3).alias("mae_naive1"),
+        F.round(mae7, 3).alias("mae_seasonal7"),
+        F.round(mae7 / mae1, 6).alias("mase"),
+        F.round((1.0 - mae7 / mae1) * 100.0, 6).alias("improvement_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x362 — information-gain feature ranking (wave 76)
+# ---------------------------------------------------------------------------
+
+
+def x362_infogain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain ranking of three candidate features (order
+    weekday, order month, customer segment) for predicting order
+    priority: IG = H(label) − H(label|feature) and the gain ratio
+    IG/H(feature) — x301's single-pair MI grown into the
+    feature-selection report a modeling pipeline actually consumes.
+
+    ONE corpus pass: orders⋈customer reduces to the full
+    (dow, month, segment, label) contingency cube (≤ 7·12·5·5 cells,
+    map-side combined); every per-feature contingency is a rollup of
+    that bounded cube, so adding features costs zero extra scans.
+    Entropy terms are exact-integer ratios in double, decimal-carried
+    (x301 rules).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.month("o_orderdate").alias("mon"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("label"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = base.agg(F.sum("c").alias("n"))
+    lab = base.groupBy("label").agg(F.sum("c").alias("cl"))
+    n = F.col("n").cast("double")
+    h_label = (
+        lab.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                ((F.col("cl") / n) * F.log(n / F.col("cl"))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("h_label")
+        )
+    )
+
+    def one(feature: str, fcol: str) -> DataFrame:
+        cells = (
+            base.groupBy(F.col(fcol).cast("string").alias("fv"), "label")
+            .agg(F.sum("c").alias("c"))
+        )
+        marg = cells.groupBy("fv").agg(F.sum("c").alias("cf"))
+        j = (
+            cells.join(marg, "fv")
+            .crossJoin(F.broadcast(tot))
+        )
+        return j.agg(
+            F.lit(feature).alias("feature"),
+            F.countDistinct("fv").cast("bigint").alias("n_values"),
+            F.sum(
+                (
+                    (F.col("c") / n) * F.log(F.col("cf") / F.col("c"))
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("h_cond"),
+        )
+
+    feats = [("dow", "dow"), ("month", "mon"), ("segment", "seg")]
+    out = one(*feats[0])
+    for f in feats[1:]:
+        out = out.unionByName(one(*f))
+
+    def feat_entropy(feature: str, fcol: str) -> DataFrame:
+        marg = base.groupBy(F.col(fcol).cast("string").alias("fv")).agg(
+            F.sum("c").alias("cf")
+        )
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(feature).alias("feature"),
+                F.sum(
+                    ((F.col("cf") / n) * F.log(n / F.col("cf"))).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("h_feat"),
+            )
+        )
+
+    hf = feat_entropy(*feats[0])
+    for f in feats[1:]:
+        hf = hf.unionByName(feat_entropy(*f))
+    ranked = (
+        out.join(hf, "feature")
+        .crossJoin(F.broadcast(h_label))
+        .select(
+            "feature",
+            "n_values",
+            F.round("h_label", 6).alias("h_label"),
+            F.round("h_cond", 6).alias("h_cond"),
+            F.round(F.col("h_label") - F.col("h_cond"), 6).alias("info_gain"),
+            F.round(
+                (F.col("h_label") - F.col("h_cond")) / F.col("h_feat"), 6
+            ).alias("gain_ratio"),
+        )
+    )
+    wr = Window.orderBy(F.col("info_gain").desc(), "feature")
+    return ranked.withColumn(
+        "rank", F.row_number().over(wr).cast("bigint")
+    ).orderBy("rank")

@@ -9721,3 +9721,120 @@ ORACLE_SQL["x359_mann_kendall"] = """
            CAST(sign(s) AS INT) AS trend_sign
     FROM s CROSS JOIN nr
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 76 (round 6): FD audit, seasonal backtest, info-gain ranking
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x360_fd_audit": C.x360_fd_audit,
+        "x361_seasonal_backtest": ST.x361_seasonal_backtest,
+        "x362_infogain_ranking": ST.x362_infogain_ranking,
+    }
+)
+
+_FD_BLOCKS = "\n    UNION ALL ".join(
+    f"""SELECT '{label}' AS candidate,
+               COUNT(*) AS n_keys,
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+               MAX(nd) AS max_fanout
+        FROM (SELECT COUNT(DISTINCT {dep}) AS nd FROM {table} GROUP BY {det})"""
+    for label, table, det, dep in C.FD_CANDIDATES
+)
+ORACLE_SQL["x360_fd_audit"] = f"""
+    WITH audits AS (
+        {_FD_BLOCKS}
+    )
+    SELECT candidate,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_violating AS BIGINT) AS n_violating,
+           CAST(max_fanout AS BIGINT) AS max_fanout,
+           ROUND(n_violating / CAST(n_keys AS DOUBLE), 6) AS violation_rate,
+           CAST(n_violating = 0 AS BIGINT) AS holds
+    FROM audits
+    ORDER BY candidate
+"""
+
+ORACLE_SQL["x361_seasonal_backtest"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT rev,
+               lag(rev, 1) OVER (ORDER BY d) AS p1,
+               lag(rev, {ST.SEASONAL_LAG}) OVER (ORDER BY d) AS p7
+        FROM daily
+    ), agg AS (
+        SELECT COUNT(*) AS n_eval,
+               CAST(SUM(CAST(abs(rev - p1) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS ae1,
+               CAST(SUM(CAST(abs(rev - p7) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS ae7
+        FROM lagged WHERE p7 IS NOT NULL
+    )
+    SELECT CAST(n_eval AS BIGINT) AS n_eval,
+           ROUND(ae1 / n_eval, 3) AS mae_naive1,
+           ROUND(ae7 / n_eval, 3) AS mae_seasonal7,
+           ROUND((ae7 / n_eval) / (ae1 / n_eval), 6) AS mase,
+           ROUND((1.0 - (ae7 / n_eval) / (ae1 / n_eval)) * 100.0, 6)
+               AS improvement_pct
+    FROM agg
+"""
+
+_IG_FEATS = (("dow", "dow"), ("month", "mon"), ("segment", "seg"))
+_IG_BLOCKS = "\n        UNION ALL ".join(
+    f"""SELECT '{name}' AS feature,
+               (SELECT COUNT(DISTINCT CAST({col} AS VARCHAR)) FROM base)
+                   AS n_values,
+               (SELECT CAST(SUM(CAST((c / CAST(n AS DOUBLE))
+                        * ln(cf / CAST(c AS DOUBLE)) AS DECIMAL(38,12)))
+                        AS DOUBLE)
+                FROM (SELECT CAST({col} AS VARCHAR) AS fv, label,
+                             SUM(c) AS c
+                      FROM base GROUP BY 1, 2) cells
+                JOIN (SELECT CAST({col} AS VARCHAR) AS fv, SUM(c) AS cf
+                      FROM base GROUP BY 1) marg USING (fv)
+                CROSS JOIN tot) AS h_cond,
+               (SELECT CAST(SUM(CAST((cf / CAST(n AS DOUBLE))
+                        * ln(n / CAST(cf AS DOUBLE)) AS DECIMAL(38,12)))
+                        AS DOUBLE)
+                FROM (SELECT CAST({col} AS VARCHAR) AS fv, SUM(c) AS cf
+                      FROM base GROUP BY 1) marg
+                CROSS JOIN tot) AS h_feat"""
+    for name, col in _IG_FEATS
+)
+ORACLE_SQL["x362_infogain_ranking"] = f"""
+    WITH base AS (
+        SELECT date_part('dow', CAST(o_orderdate AS DATE)) AS dow,
+               date_part('month', CAST(o_orderdate AS DATE)) AS mon,
+               c_mktsegment AS seg,
+               o_orderpriority AS label,
+               COUNT(*) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3, 4
+    ), tot AS (SELECT SUM(c) AS n FROM base),
+    hl AS (
+        SELECT CAST(SUM(CAST((cl / CAST(n AS DOUBLE))
+                 * ln(n / CAST(cl AS DOUBLE)) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS h_label
+        FROM (SELECT label, SUM(c) AS cl FROM base GROUP BY 1)
+        CROSS JOIN tot
+    ), per_feat AS (
+        {_IG_BLOCKS}
+    )
+    SELECT feature,
+           CAST(n_values AS BIGINT) AS n_values,
+           ROUND(h_label, 6) AS h_label,
+           ROUND(h_cond, 6) AS h_cond,
+           ROUND(h_label - h_cond, 6) AS info_gain,
+           ROUND((h_label - h_cond) / h_feat, 6) AS gain_ratio,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(h_label - h_cond, 6) DESC, feature)
+               AS BIGINT) AS rank
+    FROM per_feat CROSS JOIN hl
+    ORDER BY rank
+"""
