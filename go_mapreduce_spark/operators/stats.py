@@ -3212,3 +3212,362 @@ def x362_infogain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "rank", F.row_number().over(wr).cast("bigint")
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# x363 — split-conformal prediction interval (wave 77)
+# ---------------------------------------------------------------------------
+
+CONFORMAL_SPLIT = "1999-01-01"  # calibrate before, evaluate after
+CONFORMAL_ALPHA = 0.1  # target 90% coverage
+
+
+def x363_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the daily-revenue
+    trend model: fit OLS revenue~day on the calibration window, take
+    the ⌈(n+1)(1−α)⌉-th smallest absolute residual as the
+    distribution-free radius q̂, then report EMPIRICAL coverage of
+    ŷ±q̂ on the held-out window — the finite-sample-valid interval
+    machinery modern forecasting stacks wrap around any point model.
+
+    The corpus collapses to the calendar-bounded daily series; the
+    fit is closed-form on decimal sufficient statistics, the order
+    statistic is one row_number pick over the bounded calibration
+    residuals (date tiebreak → engine-exact), and coverage is one
+    grouped aggregate over the eval window.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "y"))
+        .select(
+            "d",
+            (F.col("d") >= F.lit(CONFORMAL_SPLIT).cast("date")).alias(
+                "held_out"
+            ),
+            F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+            .cast("double")
+            .alias("t"),
+            "y",
+        )
+    )
+    calib = daily.filter(~F.col("held_out"))
+    fit = calib.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_expr("t", "st"),
+        dsum_expr("y", "sy"),
+        dsum_expr("t * t", "stt"),
+        dsum_expr("t * y", "sty"),
+    ).select(
+        "n",
+        (
+            (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+            / (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+        ).alias("slope"),
+        (F.col("sy") / F.col("n")).alias("ybar"),
+        (F.col("st") / F.col("n")).alias("tbar"),
+    )
+    resid = F.abs(
+        F.col("y")
+        - (F.col("ybar") + F.col("slope") * (F.col("t") - F.col("tbar")))
+    )
+    calib_r = calib.crossJoin(F.broadcast(fit)).select(
+        "n", resid.alias("r"), "d"
+    )
+    # conformal rank k = ceil((n+1)(1-alpha)), clamped to n
+    k = F.least(
+        F.ceil((F.col("n") + 1) * F.lit(1.0 - CONFORMAL_ALPHA)).cast(
+            "bigint"
+        ),
+        F.col("n").cast("bigint"),
+    )
+    qhat = (
+        calib_r.withColumn(
+            "rk", F.row_number().over(Window.orderBy("r", "d"))
+        )
+        .filter(F.col("rk") == k)
+        .select(F.col("n").alias("n_calib"), F.col("r").alias("q_hat"))
+    )
+    ev = daily.filter(F.col("held_out")).crossJoin(F.broadcast(fit))
+    return (
+        ev.select(resid.alias("r"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.max("n_calib").cast("bigint").alias("n_calib"),
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.round(F.max("q_hat"), 3).alias("q_hat"),
+            F.lit(1.0 - CONFORMAL_ALPHA).alias("target_coverage"),
+            F.round(
+                F.sum(
+                    F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("empirical_coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x364 — energy distance two-sample test (wave 77)
+# ---------------------------------------------------------------------------
+
+ENERGY_SPLIT = "1998-01-01"
+
+
+def x364_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the pre- and post-1998 daily-revenue
+    distributions: E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — the
+    characteristic-function two-sample test that is zero iff the
+    distributions match, catching shape changes a mean test (x243) or
+    even KS (x291) can under-weight in the tails.
+
+    All three pairwise expectations are self-/cross-joins of the
+    calendar-bounded daily relation (pair count is a CALENDAR
+    constant — ~3M pairs regardless of corpus size), each collapsing
+    immediately to one decimal sum; no row ever fans out past the
+    bounded series.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+        .select(
+            "rev",
+            (F.col("d") >= F.lit(ENERGY_SPLIT).cast("date")).alias("post"),
+        )
+    )
+    x = daily.filter(~F.col("post")).select(F.col("rev").alias("vx"))
+    y = daily.filter(F.col("post")).select(F.col("rev").alias("vy"))
+
+    def pair_sum(a: DataFrame, b: DataFrame, ca: str, cb: str, alias: str):
+        return a.crossJoin(b).agg(
+            dsum_expr(f"abs({ca} - {cb})", alias),
+            F.count(F.lit(1)).alias(f"{alias}_n"),
+        )
+
+    xy = pair_sum(x, y.select(F.col("vy")), "vx", "vy", "sxy")
+    xx = pair_sum(x, x.select(F.col("vx").alias("vx2")), "vx", "vx2", "sxx")
+    yy = pair_sum(y, y.select(F.col("vy").alias("vy2")), "vy", "vy2", "syy")
+    nx = x.agg(F.count(F.lit(1)).alias("n_pre"))
+    ny = y.agg(F.count(F.lit(1)).alias("n_post"))
+    exy = F.col("sxy") / F.col("sxy_n")
+    exx = F.col("sxx") / F.col("sxx_n")
+    eyy = F.col("syy") / F.col("syy_n")
+    return (
+        xy.crossJoin(F.broadcast(xx))
+        .crossJoin(F.broadcast(yy))
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .select(
+            F.col("n_pre").cast("bigint").alias("n_pre"),
+            F.col("n_post").cast("bigint").alias("n_post"),
+            F.round(exy, 3).alias("mean_cross_dist"),
+            F.round(exx, 3).alias("mean_within_pre"),
+            F.round(eyy, 3).alias("mean_within_post"),
+            F.round(2.0 * exy - exx - eyy, 3).alias("energy_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x365 — population stability index drift monitor (wave 77)
+# ---------------------------------------------------------------------------
+
+PSI_SPLIT = "1998-01-01"
+# Fixed log10-width bins: bin = floor(PSI_BINS_PER_DECADE·log10(v)).
+# Data-INDEPENDENT edges on purpose — decile-of-baseline edges would
+# need a global order statistic per snapshot at 100 TB, while fixed
+# log bins make every snapshot embarrassingly parallel and directly
+# comparable across time.
+PSI_BINS_PER_DECADE = 4
+PSI_EPS = 1.0e-6  # zero-cell clamp (standard PSI practice)
+
+
+def x365_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-value distribution,
+    pre- vs post-1998: PSI = Σ_bins (p−q)·ln(p/q) with fixed
+    log-width bins and the conventional ε clamp for empty cells —
+    the model-monitoring drift number (PSI < 0.1 stable, 0.1–0.25
+    watch, > 0.25 act) complementing x233's KL and x307's JS, which
+    bin by category rather than value.
+
+    One corpus pass to (period, bin) counts (map-side combined; bin
+    count is bounded by the price range's decades × bins-per-decade),
+    a full outer alignment of the two bounded histograms, and the
+    PSI sum over that bounded relation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.to_date("o_orderdate") >= F.lit(PSI_SPLIT).cast("date")).alias(
+            "post"
+        ),
+        F.floor(
+            F.log10(F.col("o_totalprice")) * PSI_BINS_PER_DECADE
+        ).alias("bin"),
+    )
+    cells = orders.groupBy("post", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    base = cells.filter(~F.col("post")).select("bin", F.col("c").alias("cb"))
+    cur = cells.filter(F.col("post")).select("bin", F.col("c").alias("cc"))
+    tot = cells.agg(
+        F.sum(F.when(~F.col("post"), F.col("c")).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("post"), F.col("c")).otherwise(0)).alias("nc"),
+    )
+    joined = (
+        base.join(cur, "bin", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+            F.greatest(
+                F.coalesce(F.col("cb"), F.lit(0)) / F.col("nb").cast("double"),
+                F.lit(PSI_EPS),
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("cc"), F.lit(0)) / F.col("nc").cast("double"),
+                F.lit(PSI_EPS),
+            ).alias("q"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        joined.select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("cb").cast("bigint").alias("n_baseline"),
+            F.col("cc").cast("bigint").alias("n_current"),
+            F.round(
+                (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")),
+                9,
+            ).alias("contrib"),
+            F.round(
+                F.sum(
+                    (
+                        (F.col("p") - F.col("q"))
+                        * F.log(F.col("p") / F.col("q"))
+                    ).cast("decimal(38,12)")
+                )
+                .over(w)
+                .cast("double"),
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x366 — log-rank test between survival curves (wave 77)
+# ---------------------------------------------------------------------------
+
+LOGRANK_REGION = "ASIA"  # group 1 = customers in this region
+
+
+def x366_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the x356 repeat-purchase survival
+    curves of ASIA-region customers vs the rest: at each event time,
+    observed group-1 events vs the hypergeometric expectation under
+    H₀ (identical hazards), Z = Σ(O−E)/√ΣV — the standard "do these
+    cohorts churn differently" decision number.
+
+    Same bounded shape as x356: gaps collapse to the calendar-bounded
+    (gap, group) distribution, at-risk counts are integer prefix sums
+    per group, and the O/E/V sums run over that metadata-sized
+    relation.  The region flag enters through the contract-bounded
+    nation⋈region dimension (broadcast by size, 25 rows).
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == LOGRANK_REGION)
+        .select(F.col("n_nationkey").alias("nk"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("nk"),
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("c"),
+            F.col("nk").isNotNull().cast("int").alias("g"),
+        )
+    )
+    censor = F.lit(KM_CENSOR_DATE).cast("date")
+    purch = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"), F.to_date("o_orderdate").alias("d")
+        )
+        .distinct()
+        .join(cust, "c")
+    )
+    nxt = F.lead("d").over(Window.partitionBy("c").orderBy("d"))
+    spans = purch.select(
+        "g",
+        F.when(nxt.isNotNull(), F.datediff(nxt, F.col("d")))
+        .otherwise(F.datediff(censor, F.col("d")))
+        .alias("gap"),
+        F.when(nxt.isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    dist = spans.groupBy("gap").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("event")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 0, F.col("event")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("g") == 1, 1 - F.col("event")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("g") == 0, 1 - F.col("event")).otherwise(0)).alias(
+            "c0"
+        ),
+    )
+    wg = Window.orderBy("gap")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def risk(dcol: str, ccol: str, alias: str) -> Column:
+        removed = F.col(dcol) + F.col(ccol)
+        return (
+            F.sum(removed).over(wall)
+            - F.coalesce(
+                F.sum(removed).over(
+                    wg.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias(alias)
+
+    at_risk = dist.select(
+        "gap", "d1", "d0", risk("d1", "c1", "n1"), risk("d0", "c0", "n0")
+    ).filter(F.col("d1") + F.col("d0") > 0)
+    dt = F.col("d1") + F.col("d0")
+    nt = F.col("n1") + F.col("n0")
+    e1 = dt * F.col("n1") / nt.cast("double")
+    v = F.when(
+        nt > 1,
+        dt
+        * (F.col("n1") / nt.cast("double"))
+        * (1.0 - F.col("n1") / nt.cast("double"))
+        * (nt - dt)
+        / (nt - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    agg = at_risk.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(e1.cast("decimal(38,12)")).cast("double").alias("e1"),
+        F.sum(v.cast("decimal(38,12)")).cast("double").alias("v1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+    )
+    return agg.select(
+        "n_event_times",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("v1", 6).alias("var1"),
+        F.round(
+            (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v1")), 6
+        ).alias("z_score"),
+    )

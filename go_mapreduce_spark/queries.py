@@ -9838,3 +9838,193 @@ ORACLE_SQL["x362_infogain_ranking"] = f"""
     FROM per_feat CROSS JOIN hl
     ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 77 (round 6): conformal interval, energy distance, PSI, log-rank
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x363_conformal_interval": ST.x363_conformal_interval,
+        "x364_energy_distance": ST.x364_energy_distance,
+        "x365_psi_drift": ST.x365_psi_drift,
+        "x366_logrank_test": ST.x366_logrank_test,
+    }
+)
+
+ORACLE_SQL["x363_conformal_interval"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(o_orderdate AS DATE) >= DATE '{ST.CONFORMAL_SPLIT}'
+                   AS held_out,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS y
+        FROM orders GROUP BY 1, 2, 3
+    ), fit AS (
+        SELECT n, (sty - st * sy / n) / (stt - st * st / n) AS slope,
+               sy / n AS ybar, st / n AS tbar
+        FROM (SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS st,
+                     CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(t * t AS DECIMAL(38,6))) AS DOUBLE)
+                         AS stt,
+                     CAST(SUM(CAST(t * y AS DECIMAL(38,6))) AS DOUBLE)
+                         AS sty
+              FROM daily WHERE NOT held_out)
+    ), calib_r AS (
+        SELECT n, abs(y - (ybar + slope * (t - tbar))) AS r, d
+        FROM daily CROSS JOIN fit WHERE NOT held_out
+    ), qhat AS (
+        SELECT n AS n_calib, r AS q_hat
+        FROM (SELECT n, r, d,
+                     ROW_NUMBER() OVER (ORDER BY r, d) AS rk
+              FROM calib_r)
+        WHERE rk = LEAST(CAST(CEIL((n + 1)
+                         * CAST({1.0 - ST.CONFORMAL_ALPHA} AS DOUBLE))
+                         AS BIGINT), n)
+    )
+    SELECT CAST(n_calib AS BIGINT) AS n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(MAX(q_hat), 3) AS q_hat,
+           CAST({1.0 - ST.CONFORMAL_ALPHA} AS DOUBLE) AS target_coverage,
+           ROUND(SUM(CASE WHEN abs(y - (ybar + slope * (t - tbar)))
+                               <= q_hat THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS empirical_coverage
+    FROM daily CROSS JOIN fit CROSS JOIN qhat
+    WHERE held_out
+    GROUP BY n_calib
+"""
+
+ORACLE_SQL["x364_energy_distance"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) >= DATE '{ST.ENERGY_SPLIT}'
+                   AS post,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), x AS (SELECT rev AS vx FROM daily WHERE NOT post),
+    y AS (SELECT rev AS vy FROM daily WHERE post),
+    xy AS (
+        SELECT CAST(SUM(CAST(abs(vx - vy) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxy,
+               COUNT(*) AS sxy_n
+        FROM x CROSS JOIN y
+    ), xx AS (
+        SELECT CAST(SUM(CAST(abs(a.vx - b.vx) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxx,
+               COUNT(*) AS sxx_n
+        FROM x a CROSS JOIN x b
+    ), yy AS (
+        SELECT CAST(SUM(CAST(abs(a.vy - b.vy) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS syy,
+               COUNT(*) AS syy_n
+        FROM y a CROSS JOIN y b
+    ), nx AS (SELECT COUNT(*) AS n_pre FROM x),
+    ny AS (SELECT COUNT(*) AS n_post FROM y)
+    SELECT CAST(n_pre AS BIGINT) AS n_pre,
+           CAST(n_post AS BIGINT) AS n_post,
+           ROUND(sxy / sxy_n, 3) AS mean_cross_dist,
+           ROUND(sxx / sxx_n, 3) AS mean_within_pre,
+           ROUND(syy / syy_n, 3) AS mean_within_post,
+           ROUND(2.0 * sxy / sxy_n - sxx / sxx_n - syy / syy_n, 3)
+               AS energy_dist
+    FROM xy CROSS JOIN xx CROSS JOIN yy CROSS JOIN nx CROSS JOIN ny
+"""
+
+ORACLE_SQL["x365_psi_drift"] = f"""
+    WITH cells AS (
+        SELECT CAST(o_orderdate AS DATE) >= DATE '{ST.PSI_SPLIT}' AS post,
+               CAST(floor(log10(o_totalprice)
+                          * {ST.PSI_BINS_PER_DECADE}) AS BIGINT) AS bin,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(CASE WHEN NOT post THEN c ELSE 0 END) AS nb,
+               SUM(CASE WHEN post THEN c ELSE 0 END) AS nc
+        FROM cells
+    ), joined AS (
+        SELECT COALESCE(b.bin, u.bin) AS bin,
+               COALESCE(b.c, 0) AS cb,
+               COALESCE(u.c, 0) AS cc,
+               GREATEST(COALESCE(b.c, 0) / CAST(nb AS DOUBLE),
+                        CAST({ST.PSI_EPS} AS DOUBLE)) AS p,
+               GREATEST(COALESCE(u.c, 0) / CAST(nc AS DOUBLE),
+                        CAST({ST.PSI_EPS} AS DOUBLE)) AS q
+        FROM (SELECT bin, c FROM cells WHERE NOT post) b
+        FULL OUTER JOIN (SELECT bin, c FROM cells WHERE post) u
+            ON b.bin = u.bin
+        CROSS JOIN tot
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(cb AS BIGINT) AS n_baseline,
+           CAST(cc AS BIGINT) AS n_current,
+           ROUND((p - q) * ln(p / q), 9) AS contrib,
+           ROUND(CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(38,12)))
+                      OVER () AS DOUBLE), 6) AS psi
+    FROM joined
+    ORDER BY bin
+"""
+
+ORACLE_SQL["x366_logrank_test"] = f"""
+    WITH asia AS (
+        SELECT n_nationkey AS nk
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{ST.LOGRANK_REGION}'
+    ), cust AS (
+        SELECT c_custkey AS c,
+               CAST(nk IS NOT NULL AS INT) AS g
+        FROM customer LEFT JOIN asia ON c_nationkey = nk
+    ), purch AS (
+        SELECT DISTINCT o.o_custkey AS c, CAST(o_orderdate AS DATE) AS d, g
+        FROM orders o JOIN cust ON o.o_custkey = cust.c
+    ), spans AS (
+        SELECT g,
+               CASE WHEN nxt IS NOT NULL THEN date_diff('day', d, nxt)
+                    ELSE date_diff('day', d, DATE '{ST.KM_CENSOR_DATE}')
+               END AS gap,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM (SELECT g, d, lead(d) OVER (PARTITION BY c ORDER BY d) AS nxt
+              FROM purch)
+    ), dist AS (
+        SELECT gap,
+               SUM(CASE WHEN g = 1 THEN event ELSE 0 END) AS d1,
+               SUM(CASE WHEN g = 0 THEN event ELSE 0 END) AS d0,
+               SUM(CASE WHEN g = 1 THEN 1 - event ELSE 0 END) AS c1,
+               SUM(CASE WHEN g = 0 THEN 1 - event ELSE 0 END) AS c0
+        FROM spans GROUP BY gap
+    ), at_risk AS (
+        SELECT gap, d1, d0,
+               SUM(d1 + c1) OVER ()
+               - COALESCE(SUM(d1 + c1) OVER (ORDER BY gap
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n1,
+               SUM(d0 + c0) OVER ()
+               - COALESCE(SUM(d0 + c0) OVER (ORDER BY gap
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n0
+        FROM dist
+    ), terms AS (
+        SELECT d1, d0, n1, n0,
+               (d1 + d0) * n1 / CAST(n1 + n0 AS DOUBLE) AS e1,
+               CASE WHEN n1 + n0 > 1 THEN
+                    (d1 + d0) * (n1 / CAST(n1 + n0 AS DOUBLE))
+                    * (1.0 - n1 / CAST(n1 + n0 AS DOUBLE))
+                    * (n1 + n0 - d1 - d0)
+                    / CAST(n1 + n0 - 1 AS DOUBLE)
+               ELSE 0.0 END AS v
+        FROM at_risk WHERE d1 + d0 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           CAST(SUM(d1) AS BIGINT) AS o1,
+           ROUND(CAST(SUM(CAST(e1 AS DECIMAL(38,12))) AS DOUBLE), 6) AS e1,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS var1,
+           ROUND((SUM(d1) - CAST(SUM(CAST(e1 AS DECIMAL(38,12)))
+                                 AS DOUBLE))
+                 / sqrt(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)),
+                 6) AS z_score
+    FROM terms
+"""
