@@ -1552,3 +1552,281 @@ def x286_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_reclaimed",
         F.col("n_versions_reaped").cast("int").alias("n_versions_reaped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish branches (wave 78)
+# ---------------------------------------------------------------------------
+#
+# The WAP pattern (Iceberg branch staging / Delta "blind append to a
+# staging location"): a producer stages an append on a NAMED BRANCH
+# that readers of the table cannot see, an audit job validates the
+# staged rows, and only then does an atomic publish fold the staged
+# files into the next table version — or an abort discards them
+# without a trace.  Staged data files live under _branches/<name>/ so
+# nothing reaches the main data/ directory until publish; the publish
+# itself is a plain manifest commit through the same hard-link OCC
+# gate as every other writer, so it conflicts (and retries) exactly
+# like a normal append.
+
+_BRANCHES = "_branches"
+
+
+def _branch_dir(root: str, branch: str) -> str:
+    return os.path.join(root, _BRANCHES, branch)
+
+
+def _branch_manifest_path(root: str, branch: str) -> str:
+    return os.path.join(root, _BRANCHES, f"{branch}.json")
+
+
+def stage_append(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    branch: str,
+    batch_id: str | None = None,
+) -> dict:
+    """Stage ``df`` as an un-published append on ``branch``.
+
+    Files are written (range-clustered + stats + blooms, same layout
+    discipline as a real append) into the branch's private directory;
+    the staged manifest records the base version for audit context.
+    Re-staging the same branch replaces any previous staging wholesale
+    — a branch holds exactly one candidate batch.
+    """
+    from pyspark.sql.types import StructType
+
+    m = read_manifest(root)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if {f.name for f in df.schema.fields} != {f.name for f in schema.fields}:
+        raise ValueError("staged schema must match the table schema")
+    bdir = _branch_dir(root, branch)
+    if os.path.isdir(bdir):
+        shutil.rmtree(bdir)
+    os.makedirs(bdir, exist_ok=True)
+    files = _write_data_files(spark, df, bdir, 1, m["key_col"])
+    staged = {
+        "branch": branch,
+        "base_version": m["version"],
+        "key_col": m["key_col"],
+        "schema": m["schema"],
+        "files": files,
+        "batch_id": batch_id,
+    }
+    path = _branch_manifest_path(root, branch)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(staged, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return staged
+
+
+def _read_staged(root: str, branch: str) -> dict:
+    with open(_branch_manifest_path(root, branch)) as f:
+        return json.load(f)
+
+
+def staged_rows(spark: SparkSession, root: str, branch: str) -> DataFrame:
+    """Just the rows staged on ``branch`` (what an audit validates)."""
+    from pyspark.sql.types import StructType
+
+    staged = _read_staged(root, branch)
+    schema = StructType.fromJson(json.loads(staged["schema"]))
+    paths = [
+        os.path.join(_branch_dir(root, branch), e["path"])
+        for e in staged["files"]
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def read_branch(spark: SparkSession, root: str, branch: str) -> DataFrame:
+    """The table AS IF the branch were published: base snapshot (at
+    the staged base version) plus staged rows.  Main readers —
+    ``read_table`` — never see any of this."""
+    staged = _read_staged(root, branch)
+    return read_table(spark, root, version=staged["base_version"]).unionByName(
+        staged_rows(spark, root, branch)
+    )
+
+
+def audit_branch(
+    spark: SparkSession, root: str, branch: str, expectations: dict[str, str]
+) -> dict:
+    """Run ``{rule_name: SQL predicate}`` over the STAGED rows in one
+    aggregate; returns ``{"n_staged": n, "violations": {rule: count}}``.
+    A rule's count is rows where the predicate is NOT satisfied
+    (NULL counts as a violation — audits are pessimistic)."""
+    df = staged_rows(spark, root, branch)
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(
+            F.when(F.coalesce(F.expr(pred), F.lit(False)), 0).otherwise(1)
+        ).alias(f"_r{i}")
+        for i, pred in enumerate(expectations.values())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        "n_staged": row["_n"],
+        "violations": {
+            name: int(row[f"_r{i}"] or 0)
+            for i, name in enumerate(expectations.keys())
+        },
+    }
+
+
+def publish_branch(
+    spark: SparkSession, root: str, branch: str, max_retries: int = 3
+) -> int:
+    """Atomically fold the staged files into the next table version.
+
+    Appends commute with appends, so a main-branch commit that landed
+    after staging does NOT invalidate the staged files — publish
+    rebases onto the CURRENT version and retries through the OCC gate
+    like any writer.  Batch-id idempotence is honored: if the staged
+    batch was already published (e.g. a crashed publisher retrying),
+    this is a version-preserving no-op that just cleans the branch.
+    """
+    staged = _read_staged(root, branch)
+    bdir = _branch_dir(root, branch)
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        m = read_manifest(root)
+        if staged["batch_id"] is not None and staged["batch_id"] in m["batch_ids"]:
+            abort_branch(root, branch)
+            return m["version"]
+        if m["schema"] != staged["schema"]:
+            raise ValueError(
+                "table schema changed since staging; re-stage the branch"
+            )
+        version = m["version"] + 1
+        data_dir = os.path.join(root, _DATA)
+        os.makedirs(data_dir, exist_ok=True)
+        entries = []
+        for i, e in enumerate(sorted(staged["files"], key=lambda x: x["path"])):
+            dst = f"v{version:05d}-{i:05d}.parquet"
+            src = os.path.join(bdir, e["path"])
+            dst_abs = os.path.join(data_dir, dst)
+            if os.path.exists(src):  # idempotent across failed attempts
+                os.replace(src, dst_abs)
+            entries.append({**e, "path": f"{_DATA}/{dst}"})
+        try:
+            v = _commit(
+                root,
+                {
+                    "version": version,
+                    "parent": m["version"],
+                    "op": "wap_publish",
+                    "key_col": m["key_col"],
+                    "schema": m["schema"],
+                    "files": m["files"] + entries,
+                    "deletes": m.get("deletes", []),
+                    "batch_ids": m["batch_ids"]
+                    + ([staged["batch_id"]] if staged["batch_id"] else []),
+                },
+            )
+        except CommitConflict as e:
+            # a concurrent writer took this version: move our files to
+            # the next attempt's names on the retry pass
+            for i, ent in enumerate(entries):
+                cur = os.path.join(root, ent["path"])
+                back = os.path.join(bdir, staged["files"][i]["path"])
+                if os.path.exists(cur):
+                    os.replace(cur, back)
+            last_err = e
+            continue
+        abort_branch(root, branch)
+        return v
+    raise last_err  # exhausted retries
+
+
+def abort_branch(root: str, branch: str) -> None:
+    """Discard a staged branch: files and manifest, no table change."""
+    bdir = _branch_dir(root, branch)
+    if os.path.isdir(bdir):
+        shutil.rmtree(bdir)
+    try:
+        os.unlink(_branch_manifest_path(root, branch))
+    except FileNotFoundError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# x367 — WAP pipeline: stage → audit → fix → publish (wave 78)
+# ---------------------------------------------------------------------------
+
+WAP_PRICE_CAP = 400000.0
+WAP_RULES = {
+    "positive_price": "o_totalprice > 0",
+    "price_cap": f"o_totalprice < {WAP_PRICE_CAP}",
+    "status_domain": "o_orderstatus IN ('F', 'O', 'P')",
+}
+
+
+def _wap_demo_root(sf_dir: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"gms_wap_{tag}")
+
+
+def x367_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Write-Audit-Publish: create a base table (orders
+    with key%4<3), stage the key%4==3 slice on an audit branch, run
+    the expectation suite (the price-cap rule genuinely fails on the
+    fixture), ABORT, re-stage only the clean rows, verify the audit
+    is green, publish atomically, and report — per rule — the first
+    audit's violation count alongside the published table's final
+    row count and revenue.  Main readers see versions 1 → 2 only; the
+    dirty staging is never visible.  (Iceberg WAP / branch-audit
+    semantics re-expressed on this engine's manifest+OCC core.)
+    """
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.sources.registry import load_table
+
+    root = _wap_demo_root(sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    orders = load_table(spark, sf_dir, "orders").select(*_DEMO_COLS)
+    k = F.col("o_orderkey")
+    create_table(spark, orders.filter(k % 4 < 3), root, key_col="o_orderkey")
+    raw = orders.filter(k % 4 == 3)
+    stage_append(spark, raw, root, "audit", batch_id="wap-1")
+    first = audit_branch(spark, root, "audit", WAP_RULES)
+    # isolation: main still reads version 1 regardless of staging
+    assert current_version(root) == 1
+    abort_branch(root, "audit")
+    clean = raw
+    for pred in WAP_RULES.values():
+        clean = clean.filter(F.expr(pred))
+    stage_append(spark, clean, root, "audit", batch_id="wap-1")
+    second = audit_branch(spark, root, "audit", WAP_RULES)
+    assert all(v == 0 for v in second["violations"].values()), second
+    publish_branch(spark, root, "audit")
+    final = read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        dsum(F.col("o_totalprice"), "final_revenue"),
+    )
+    rules = sorted(WAP_RULES)
+    rule_rows = None
+    for name in rules:
+        r = spark.range(1).select(
+            F.lit(name).alias("rule"),
+            F.lit(first["violations"][name]).cast("bigint").alias(
+                "n_violations"
+            ),
+        )
+        rule_rows = r if rule_rows is None else rule_rows.unionAll(r)
+    return (
+        rule_rows.crossJoin(F.broadcast(final))
+        .select(
+            "rule",
+            "n_violations",
+            F.lit(first["n_staged"]).cast("bigint").alias("n_staged_raw"),
+            F.lit(second["n_staged"]).cast("bigint").alias("n_published"),
+            F.col("final_rows").cast("bigint"),
+            F.round("final_revenue", 2).alias("final_revenue"),
+        )
+        .orderBy("rule")
+    )

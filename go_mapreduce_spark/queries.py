@@ -10028,3 +10028,53 @@ ORACLE_SQL["x366_logrank_test"] = f"""
                  6) AS z_score
     FROM terms
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 78 (round 6): lakehouse write-audit-publish
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x367_wap_publish": LH.x367_wap_publish})
+
+ORACLE_SQL["x367_wap_publish"] = f"""
+    WITH raw AS (
+        SELECT * FROM orders WHERE o_orderkey % 4 = 3
+    ), clean AS (
+        SELECT * FROM raw
+        WHERE o_totalprice > 0
+          AND o_totalprice < {LH.WAP_PRICE_CAP}
+          AND o_orderstatus IN ('F', 'O', 'P')
+    ), finalt AS (
+        SELECT COUNT(*) AS final_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS final_revenue
+        FROM (SELECT o_totalprice FROM orders WHERE o_orderkey % 4 < 3
+              UNION ALL SELECT o_totalprice FROM clean)
+    ), counts AS (
+        SELECT (SELECT COUNT(*) FROM raw) AS n_staged_raw,
+               (SELECT COUNT(*) FROM clean) AS n_published
+    ), rules AS (
+        SELECT 'positive_price' AS rule,
+               (SELECT COUNT(*) FROM raw
+                WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+                   AS n_violations
+        UNION ALL
+        SELECT 'price_cap',
+               (SELECT COUNT(*) FROM raw
+                WHERE NOT COALESCE(o_totalprice < {LH.WAP_PRICE_CAP},
+                                   FALSE))
+        UNION ALL
+        SELECT 'status_domain',
+               (SELECT COUNT(*) FROM raw
+                WHERE NOT COALESCE(o_orderstatus IN ('F', 'O', 'P'),
+                                   FALSE))
+    )
+    SELECT rule,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_staged_raw AS BIGINT) AS n_staged_raw,
+           CAST(n_published AS BIGINT) AS n_published,
+           CAST(final_rows AS BIGINT) AS final_rows,
+           ROUND(final_revenue, 2) AS final_revenue
+    FROM rules CROSS JOIN counts CROSS JOIN finalt
+    ORDER BY rule
+"""
