@@ -1830,3 +1830,139 @@ def x367_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# x368 — incremental JOIN-MV maintenance (wave 79)
+# ---------------------------------------------------------------------------
+
+
+def _merge_counting_mv(
+    mv: DataFrame, delta: DataFrame, key: str
+) -> DataFrame:
+    """Counting-algorithm merge for a (key, n, decimal-sum) MV: add
+    signed deltas, drop keys whose count reaches zero."""
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    return (
+        mv.join(delta, key, "full_outer")
+        .select(
+            key,
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("v"), F.lit(0).cast(DECIMAL_T))
+                + F.coalesce(F.col("d_v"), F.lit(0).cast(DECIMAL_T))
+            )
+            .cast(DECIMAL_T)
+            .alias("v"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
+def x368_join_mv_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view —
+    per-segment (orders ⋈ customer) counts and revenue — under BOTH a
+    fact CDC batch and a dimension change, without ever re-scanning
+    the base join.  x169 maintains a single-table aggregate; the join
+    case is what breaks naive IVM: a dimension update (a customer
+    switching segment) must move that customer's ENTIRE order history
+    between groups, which a fact-delta rule alone cannot see.
+
+    Two-level counting algorithm: an auxiliary per-customer MV
+    (order count + decimal revenue) absorbs fact deltas, and the
+    segment MV is maintained by (a) fact deltas joined to the OLD
+    dimension and (b) dimension moves replayed against the auxiliary
+    MV — work proportional to churn, exact by decimal associativity.
+    The pytest pins bit-equality with a full recompute; the oracle
+    recomputes the final state closed-form.
+
+    CDC script (deterministic slices of the fixture):
+    facts v1 = orders with key%4<3; then inserts key%4==3, deletes
+    key%16==2, updates key%16==9 (+1000.00); dimension: customers
+    with key%10==7 move to segment 'MOVED'.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+    from go_mapreduce_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    facts_v1 = orders.filter(k % 4 < 3)
+    dim_v1 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+
+    # ---- MV creation (the ONLY full aggregation of the fact table)
+    aux = facts_v1.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DECIMAL_T)).alias("v"),
+    )
+    mv = (
+        aux.join(dim_v1, "ck")
+        .groupBy("seg")
+        .agg(F.sum("n").alias("n"), F.sum("v").cast(DECIMAL_T).alias("v"))
+    )
+
+    # ---- fact CDC: signed delta rows (custkey, d_n, d_v)
+    ins = orders.filter(k % 4 == 3).select(
+        F.col("o_custkey").alias("ck"),
+        F.lit(1).alias("d_n"),
+        F.col("o_totalprice").cast(DECIMAL_T).alias("d_v"),
+    )
+    dels = facts_v1.filter(k % 16 == 2).select(
+        F.col("o_custkey").alias("ck"),
+        F.lit(-1).alias("d_n"),
+        (-F.col("o_totalprice").cast(DECIMAL_T)).alias("d_v"),
+    )
+    upd = facts_v1.filter(k % 16 == 9).select(
+        F.col("o_custkey").alias("ck"),
+        F.lit(0).alias("d_n"),
+        F.lit(1000.0).cast(DECIMAL_T).alias("d_v"),
+    )
+    dfact = (
+        ins.unionByName(dels)
+        .unionByName(upd)
+        .groupBy("ck")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
+    )
+    aux = _merge_counting_mv(aux, dfact, "ck")
+    dseg_fact = (
+        dfact.join(dim_v1, "ck")
+        .groupBy("seg")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
+    )
+    mv = _merge_counting_mv(mv, dseg_fact, "seg")
+
+    # ---- dimension CDC: segment moves replayed against the aux MV
+    moves = dim_v1.filter(F.col("ck") % 10 == 7).select(
+        "ck", F.col("seg").alias("s_old"), F.lit("MOVED").alias("s_new")
+    )
+    moved = moves.join(aux, "ck")
+    dseg_dim = (
+        moved.select(
+            F.col("s_old").alias("seg"),
+            (-F.col("n")).alias("d_n"),
+            (-F.col("v")).cast(DECIMAL_T).alias("d_v"),
+        )
+        .unionByName(
+            moved.select(
+                F.col("s_new").alias("seg"),
+                F.col("n").alias("d_n"),
+                F.col("v").cast(DECIMAL_T).alias("d_v"),
+            )
+        )
+        .groupBy("seg")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
+    )
+    mv = _merge_counting_mv(mv, dseg_dim, "seg")
+
+    return mv.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("v").cast("double"), 2).alias("total_price"),
+    ).orderBy("c_mktsegment")

@@ -1598,3 +1598,87 @@ def x360_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_violating") == 0).cast("bigint").alias("holds"),
     ).orderBy("candidate")
+
+
+# ---------------------------------------------------------------------------
+# x369 — Horvitz-Thompson estimation from a size-biased sample (wave 79)
+# ---------------------------------------------------------------------------
+
+HT_PRICE_SCALE = 500_000.0  # pi target = clamp(price/scale, floor, 1)
+HT_PI_FLOOR = 0.02
+
+
+def x369_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total-revenue estimate from a Poisson
+    size-biased sample: include each order with probability
+    π ∝ its value (big orders almost surely, small ones rarely),
+    estimate the population total as Σ y/π over the sample, and
+    report the HT variance-based SE — the estimator that makes
+    "sample 2% of rows but keep the spend estimate unbiased"
+    legitimate, and the x102 weighted sampler's missing read path.
+
+    Inclusion is the deterministic x102 hex-tick draw (u ≤ tick), so
+    the sample — and therefore every number here — is reproducible
+    across engines and runs; the REALIZED probability (tick+1)/65536
+    feeds the estimator, keeping it exactly unbiased on the grid.
+    One scan; sums via exact decimal.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    pi_target = F.greatest(
+        F.lit(HT_PI_FLOOR),
+        F.least(F.lit(1.0), F.col("o_totalprice") / F.lit(HT_PRICE_SCALE)),
+    )
+    ti = F.floor(pi_target * 65536.0).cast("int") - 1
+    u = F.substring(
+        F.sha2(F.concat(F.col("o_orderkey").cast("string"), F.lit(":ht")), 256),
+        1,
+        4,
+    )
+    drawn = orders.select(
+        "o_totalprice",
+        ti.alias("ti"),
+        (u <= F.format_string("%04x", ti)).alias("inc"),
+        ((ti + 1) / F.lit(65536.0)).alias("pi"),
+    )
+    agg = drawn.agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        dsum_expr("o_totalprice", "true_total"),
+        F.sum(F.when(F.col("inc"), 1).otherwise(0)).alias("n_sample"),
+        F.sum(
+            F.when(F.col("inc"), F.col("o_totalprice") / F.col("pi"))
+            .otherwise(0.0)
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ht_total"),
+        F.sum(
+            F.when(
+                F.col("inc"),
+                (1.0 - F.col("pi"))
+                / (F.col("pi") * F.col("pi"))
+                * F.col("o_totalprice")
+                * F.col("o_totalprice"),
+            )
+            .otherwise(0.0)
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("var_ht"),
+    )
+    return agg.select(
+        F.col("n_pop").cast("bigint").alias("n_pop"),
+        F.col("n_sample").cast("bigint").alias("n_sample"),
+        F.round("ht_total", 2).alias("ht_total"),
+        F.round("true_total", 2).alias("true_total"),
+        F.round(
+            (F.col("ht_total") - F.col("true_total"))
+            / F.col("true_total")
+            * 100.0,
+            6,
+        ).alias("rel_err_pct"),
+        F.round(F.sqrt("var_ht"), 2).alias("se_ht"),
+    )

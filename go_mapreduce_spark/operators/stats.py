@@ -3571,3 +3571,113 @@ def x366_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v1")), 6
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x370 — group-sequential A/B monitoring, O'Brien-Fleming (wave 79)
+# ---------------------------------------------------------------------------
+
+SEQ_SALT = ":seq"
+# Interim-look calendar boundaries (look k = orders strictly before)
+SEQ_LOOKS = ("1996-07-01", "1998-01-01", "1999-07-01", "2001-08-02")
+# Two-sided O'Brien-Fleming z boundaries for K=4 looks at alpha=0.05
+# (Pocock-program values, pinned as literals)
+OBF_BOUNDS = (4.049, 2.863, 2.337, 2.024)
+
+
+def x370_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming spending:
+    hash-assign every order to an arm (x37 string-compare trick),
+    compute the Welch z of order value at four calendar interim
+    looks, and compare each against its OBF boundary — the peeking
+    discipline that lets an experiment stop early without inflating
+    α, one level up from x243's single-look test.
+
+    One corpus pass to (look-interval, arm) sufficient statistics (8
+    rows); looks are CUMULATIVE integer/decimal prefix sums over that
+    bounded relation, so adding interim looks costs rows, not scans.
+    """
+    arm_a = (
+        F.substring(
+            F.sha2(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(SEQ_SALT)),
+                256,
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    buck = F.lit(None).cast("int")
+    for i in range(len(SEQ_LOOKS) - 1, -1, -1):
+        buck = F.when(
+            F.to_date("o_orderdate") < F.lit(SEQ_LOOKS[i]).cast("date"),
+            F.lit(i + 1),
+        ).otherwise(buck)
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            buck.alias("look"),
+            arm_a.cast("int").alias("a"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .filter(F.col("look").isNotNull())
+        .groupBy("look", "a")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum_expr("y", "s"),
+            dsum_expr("y * y", "ss"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("a")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "look",
+        "a",
+        F.sum("n").over(wcum).alias("n"),
+        F.sum(F.col("s").cast(DECIMAL_T)).over(wcum).cast("double").alias("s"),
+        F.sum(F.col("ss").cast(DECIMAL_T)).over(wcum).cast("double").alias("ss"),
+    )
+    a = cum.filter(F.col("a") == 1).select(
+        "look",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = cum.filter(F.col("a") == 0).select(
+        "look",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    bounds = None
+    for i, z in enumerate(OBF_BOUNDS):
+        row = spark.range(1).select(
+            F.lit(i + 1).alias("look"), F.lit(z).alias("obf_bound")
+        )
+        bounds = row if bounds is None else bounds.unionAll(row)
+    va = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1.0
+    )
+    vb = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1.0
+    )
+    z = (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b")) / F.sqrt(
+        va / F.col("n_a") + vb / F.col("n_b")
+    )
+    return (
+        a.join(b, "look")
+        .join(F.broadcast(bounds), "look")
+        .select(
+            F.col("look").cast("int").alias("look"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(z, 6).alias("z_score"),
+            F.col("obf_bound"),
+            (F.abs(z) > F.col("obf_bound")).cast("bigint").alias("crossed"),
+        )
+        .orderBy("look")
+    )

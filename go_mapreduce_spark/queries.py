@@ -10078,3 +10078,139 @@ ORACLE_SQL["x367_wap_publish"] = f"""
     FROM rules CROSS JOIN counts CROSS JOIN finalt
     ORDER BY rule
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 79 (round 6): join-MV IVM, Horvitz-Thompson, sequential monitoring
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x368_join_mv_ivm": LH.x368_join_mv_ivm,
+        "x369_horvitz_thompson": C.x369_horvitz_thompson,
+        "x370_sequential_monitoring": ST.x370_sequential_monitoring,
+    }
+)
+
+ORACLE_SQL["x368_join_mv_ivm"] = """
+    WITH facts_v2 AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 16 = 9 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 4 < 3 AND o_orderkey % 16 <> 2
+        UNION ALL
+        SELECT o_custkey, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 4 = 3
+    ), dim_v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 7 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_price
+    FROM facts_v2 JOIN dim_v2 ON o_custkey = c_custkey
+    GROUP BY seg
+    ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["x369_horvitz_thompson"] = f"""
+    WITH t AS (
+        SELECT o_totalprice,
+               substr(sha256(CAST(o_orderkey AS VARCHAR) || ':ht'), 1, 4)
+                   AS u,
+               CAST(floor(GREATEST({C.HT_PI_FLOOR},
+                          LEAST(1.0, o_totalprice
+                                / CAST({C.HT_PRICE_SCALE} AS DOUBLE)))
+                          * 65536.0) AS INTEGER) - 1 AS ti
+        FROM orders
+    ), d AS (
+        SELECT o_totalprice,
+               (ti + 1) / CAST(65536.0 AS DOUBLE) AS pi,
+               (u <= printf('%04x', ti)) AS inc
+        FROM t
+    ), agg AS (
+        SELECT COUNT(*) AS n_pop,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS true_total,
+               SUM(CASE WHEN inc THEN 1 ELSE 0 END) AS n_sample,
+               CAST(SUM(CAST(CASE WHEN inc THEN o_totalprice / pi
+                                  ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ht_total,
+               CAST(SUM(CAST(CASE WHEN inc THEN
+                                  (1.0 - pi) / (pi * pi)
+                                  * o_totalprice * o_totalprice
+                                  ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS var_ht
+        FROM d
+    )
+    SELECT CAST(n_pop AS BIGINT) AS n_pop,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           ROUND(ht_total, 2) AS ht_total,
+           ROUND(true_total, 2) AS true_total,
+           ROUND((ht_total - true_total) / true_total * 100.0, 6)
+               AS rel_err_pct,
+           ROUND(sqrt(var_ht), 2) AS se_ht
+    FROM agg
+"""
+
+_SEQ_BUCKET = (
+    "CASE "
+    + " ".join(
+        f"WHEN CAST(o_orderdate AS DATE) < DATE '{d}' THEN {i + 1}"
+        for i, d in enumerate(ST.SEQ_LOOKS)
+    )
+    + " ELSE NULL END"
+)
+_OBF_ROWS = "\n        UNION ALL ".join(
+    f"SELECT {i + 1} AS look, CAST({z} AS DOUBLE) AS obf_bound"
+    for i, z in enumerate(ST.OBF_BOUNDS)
+)
+ORACLE_SQL["x370_sequential_monitoring"] = f"""
+    WITH per AS (
+        SELECT look, a, COUNT(*) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM (SELECT {_SEQ_BUCKET} AS look,
+                     CASE WHEN substr(sha256(CAST(o_orderkey AS VARCHAR)
+                                             || '{ST.SEQ_SALT}'), 1, 1)
+                               < '8' THEN 1 ELSE 0 END AS a,
+                     o_totalprice AS y
+              FROM orders)
+        WHERE look IS NOT NULL
+        GROUP BY look, a
+    ), cum AS (
+        SELECT look, a,
+               SUM(n) OVER w AS n,
+               CAST(SUM(CAST(s AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(ss AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss
+        FROM per
+        WINDOW w AS (PARTITION BY a ORDER BY look
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), bounds AS (
+        {_OBF_ROWS}
+    ), j AS (
+        SELECT x.look, x.n AS n_a, x.s AS s_a, x.ss AS ss_a,
+               y.n AS n_b, y.s AS s_b, y.ss AS ss_b, obf_bound
+        FROM (SELECT * FROM cum WHERE a = 1) x
+        JOIN (SELECT * FROM cum WHERE a = 0) y USING (look)
+        JOIN bounds USING (look)
+    )
+    SELECT CAST(look AS INT) AS look,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND((s_a / n_a - s_b / n_b)
+                 / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1.0)) / n_a
+                        + ((ss_b - s_b * s_b / n_b) / (n_b - 1.0)) / n_b),
+                 6) AS z_score,
+           obf_bound,
+           CAST(abs((s_a / n_a - s_b / n_b)
+                / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1.0)) / n_a
+                       + ((ss_b - s_b * s_b / n_b) / (n_b - 1.0)) / n_b))
+                > obf_bound AS BIGINT) AS crossed
+    FROM j
+    ORDER BY look
+"""
