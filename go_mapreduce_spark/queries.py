@@ -10214,3 +10214,64 @@ ORACLE_SQL["x370_sequential_monitoring"] = f"""
     FROM j
     ORDER BY look
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 80 (round 6): streaming PSI drift monitor
+# ---------------------------------------------------------------------------
+
+from go_mapreduce_spark.streaming import events as SE  # noqa: E402
+from go_mapreduce_spark.operators.stats import (  # noqa: E402
+    PSI_BINS_PER_DECADE as _PSI_B,
+    PSI_EPS as _PSI_E,
+)
+
+QUERIES.update({"x371_stream_psi_drift": SE.x371_stream_psi_drift})
+
+ORACLE_SQL["x371_stream_psi_drift"] = f"""
+    -- x36/x343 append-mode finalization predicate, then batch PSI
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+        FROM events
+    ), agg AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+               CAST(floor(log10(value) * {_PSI_B}) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), fin AS (
+        SELECT agg.* FROM agg, wm WHERE ws + INTERVAL 1 DAY <= wm.w
+    ), bd AS (SELECT min(ws) AS b FROM fin),
+    base AS (SELECT bin, n AS cb FROM fin, bd WHERE ws = b),
+    nb AS (SELECT SUM(cb) AS nb FROM base),
+    cur AS (SELECT ws AS w, bin, n AS cc FROM fin),
+    nc AS (SELECT w, SUM(cc) AS nc FROM cur GROUP BY 1),
+    keys AS (
+        SELECT w, bin
+        FROM (SELECT DISTINCT w FROM cur) CROSS JOIN
+             (SELECT bin FROM base)
+        UNION
+        SELECT w, bin FROM cur
+    ), j AS (
+        SELECT k.w,
+               GREATEST(COALESCE(cb, 0) / CAST(nb AS DOUBLE),
+                        CAST({_PSI_E} AS DOUBLE)) AS p,
+               GREATEST(COALESCE(cc, 0) / CAST(nc AS DOUBLE),
+                        CAST({_PSI_E} AS DOUBLE)) AS q
+        FROM keys k
+        LEFT JOIN base USING (bin)
+        LEFT JOIN cur ON cur.w = k.w AND cur.bin = k.bin
+        JOIN nc ON nc.w = k.w
+        CROSS JOIN nb
+    ), psis AS (
+        SELECT w AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               ROUND(CAST(SUM(CAST((p - q) * ln(p / q)
+                                   AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS psi
+        FROM j GROUP BY w
+    )
+    SELECT window_start, n_bins, psi,
+           CAST(psi > 0.25 AS BIGINT) AS drift_alert
+    FROM psis
+    ORDER BY window_start
+"""

@@ -1011,3 +1011,96 @@ def x343_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# x371 — streaming PSI drift monitor (wave 80)
+# ---------------------------------------------------------------------------
+
+
+def x371_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift observability: the stream maintains per-(day
+    window, log-value-bin) counts — O(open windows × bins) state,
+    flat over stream length — and the PSI of every finalized day
+    against the FIRST finalized day is computed batch-side on the
+    drained append sink (x365's monitor pointed at a stream, with
+    x343's stream/batch split of labor).
+
+    PSI per day is a bounded-relation job: histogram bins are capped
+    by the value range's decades × 4, so the batch stage joins a
+    ~30-row window list with a ~25-row baseline histogram regardless
+    of event volume.  The baseline day reports PSI 0 by construction
+    (a self-comparison sanity anchor the tests pin).
+    """
+    from go_mapreduce_spark.operators.stats import (
+        PSI_BINS_PER_DECADE,
+        PSI_EPS,
+    )
+
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    binned = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.floor(F.log10("value") * PSI_BINS_PER_DECADE).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )
+    sink = _replay_to_parquet(spark, sf_dir, "x371", binned)
+    base_day = sink.agg(F.min("window_start").alias("b"))
+    b = (
+        sink.join(F.broadcast(base_day), F.col("window_start") == F.col("b"))
+        .select("bin", F.col("n").alias("cb"))
+    )
+    nb = b.agg(F.sum("cb").alias("nb"))
+    cur = sink.select(F.col("window_start").alias("w"), "bin", F.col("n").alias("cc"))
+    nc = cur.groupBy("w").agg(F.sum("cc").alias("nc"))
+    keys = (
+        cur.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(b.select("bin")))
+        .unionByName(cur.select("w", "bin"))
+        .distinct()
+    )
+    j = (
+        keys.join(F.broadcast(b), "bin", "left")
+        .join(cur, ["w", "bin"], "left")
+        .join(F.broadcast(nc), "w")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w",
+            F.greatest(
+                F.coalesce(F.col("cb"), F.lit(0)) / F.col("nb").cast("double"),
+                F.lit(PSI_EPS),
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("cc"), F.lit(0)) / F.col("nc").cast("double"),
+                F.lit(PSI_EPS),
+            ).alias("q"),
+        )
+    )
+    return (
+        j.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(
+                F.sum(
+                    (
+                        (F.col("p") - F.col("q"))
+                        * F.log(F.col("p") / F.col("q"))
+                    ).cast("decimal(38,12)")
+                ).cast("double"),
+                6,
+            ).alias("psi"),
+        )
+        .select(
+            F.col("w").alias("window_start"),
+            "n_bins",
+            "psi",
+            (F.col("psi") > 0.25).cast("bigint").alias("drift_alert"),
+        )
+        .orderBy("window_start")
+    )
