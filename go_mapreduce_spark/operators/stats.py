@@ -3681,3 +3681,112 @@ def x370_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("look")
     )
+
+
+# ---------------------------------------------------------------------------
+# x372 — doubly-robust off-policy estimate, AIPW (wave 81)
+# ---------------------------------------------------------------------------
+
+AIPW_TARGET_SEGMENT = "AUTOMOBILE"  # target policy: promote this segment
+
+
+def x372_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) value estimate of x342's target policy:
+    v̂ = mean[ Q(x,π(x)) + 1{a=π(x)}/μ(a|x)·(r − Q(x,π(x))) ] with
+    the outcome model Q = per-(segment, action) logged mean reward —
+    the estimator that stays consistent if EITHER the propensities or
+    the outcome model are right, and the reason platforms report DM /
+    IPS / AIPW side by side (all three emitted here).
+
+    Same deterministic sha-logged policy as x342 (the oracle replays
+    the log bit-for-bit); Q is a 10-row grouped aggregate that joins
+    back broadcast; every estimate is one decimal-summed mean.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        dsum_expr("o_totalprice", "r")
+    )
+    h8 = F.substring(
+        F.sha2(
+            F.concat(F.col("c_custkey").cast("string"), F.lit(IPS_SALT)), 256
+        ),
+        1,
+        8,
+    )
+    u = (F.conv(h8, 16, 10).cast("bigint").cast("double") + 0.5) / F.lit(
+        4294967296.0
+    )
+    mu_p = F.when(
+        F.col("c_mktsegment") == IPS_SEGMENT, F.lit(IPS_SEG_P)
+    ).otherwise(F.lit(IPS_BASE_P))
+    logged = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce("r", F.lit(0.0)).alias("r"),
+            (u < mu_p).alias("a"),
+            mu_p.alias("p_a_true"),
+        )
+        .withColumn(
+            "mu",
+            F.when(F.col("a"), F.col("p_a_true")).otherwise(
+                1.0 - F.col("p_a_true")
+            ),
+        )
+        .withColumn(
+            "pi_a", F.col("c_mktsegment") == AIPW_TARGET_SEGMENT
+        )
+    )
+    q = logged.groupBy("c_mktsegment", "a").agg(
+        (
+            F.sum(F.col("r").cast(DECIMAL_T)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("q")
+    )
+    scored = logged.join(
+        F.broadcast(
+            q.select(
+                F.col("c_mktsegment").alias("q_seg"),
+                F.col("a").alias("qa"),
+                "q",
+            )
+        ),
+        (F.col("c_mktsegment") == F.col("q_seg"))
+        & (F.col("pi_a") == F.col("qa")),
+        "left",
+    ).select(
+        F.coalesce("q", F.lit(0.0)).alias("q_pi"),
+        "r",
+        "mu",
+        (F.col("a") == F.col("pi_a")).alias("match"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q_pi").cast(DECIMAL_T)).cast("double").alias("s_dm"),
+        F.sum(
+            F.when(
+                F.col("match"), (F.col("r") - F.col("q_pi")) / F.col("mu")
+            )
+            .otherwise(0.0)
+            .cast(DECIMAL_T)
+        )
+        .cast("double")
+        .alias("s_corr"),
+        F.sum(
+            F.when(F.col("match"), F.col("r") / F.col("mu"))
+            .otherwise(0.0)
+            .cast(DECIMAL_T)
+        )
+        .cast("double")
+        .alias("s_ips"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s_dm") / F.col("n"), 4).alias("v_dm"),
+        F.round(F.col("s_ips") / F.col("n"), 4).alias("v_ips"),
+        F.round(
+            (F.col("s_dm") + F.col("s_corr")) / F.col("n"), 4
+        ).alias("v_aipw"),
+    )
