@@ -56,6 +56,12 @@ def main() -> None:
         spark.range(400_000_000).selectExpr("sum(id * 3 + 1)").collect()
         c = round(time.perf_counter() - t0, 3)
         calib_sec = c if calib_sec is None else min(calib_sec, c)
+    # One-time table-maintenance artifacts belong in warmup, not in a
+    # timed query (round-6 verdict: x194's cold layout write measured
+    # 3.3 s of setup instead of the sub-second DPP scan)
+    from go_mapreduce_spark.operators.relational import ensure_dpp_layout
+
+    ensure_dpp_layout(spark, SF_DIR)
     if os.path.isdir(WARMUP_SF_DIR) and WARMUP_SF_DIR != SF_DIR:
         for name, fn in QUERIES.items():
             # stream-replay queries cost wall-clock in the streaming
@@ -136,6 +142,17 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        head = None
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "total_query_wall_seconds",
@@ -144,6 +161,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_of(SF_DIR),
         "calib_sec": calib_sec,
+        "head": head,
         "ann_recall": ann_recall,
         "ivf_recall": ivf_recall,
         "ivf_recall_clustered": ivf_recall_clustered,
@@ -167,10 +185,20 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_PREV",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_PREV.json"),
     )
-    common_ratio = common_ratio_norm = None
+    common_ratio = common_ratio_norm = prev_head = None
+    prev_stale = None
     if os.path.isfile(prev_path):
         try:
             prev = json.load(open(prev_path))
+            prev_head = prev.get("head")
+            # Round-4's prev lingered two rounds and made the printed
+            # ratios compare against the wrong round (round-6 verdict
+            # #3).  A prev with no recorded head predates the rotation
+            # discipline, and a prev whose head equals the current
+            # HEAD was never rotated after this round's own run —
+            # flag both so the ratios can't masquerade as
+            # round-over-round drift.
+            prev_stale = prev_head is None or prev_head == head
             pq = prev.get("queries", {})
             common = set(pq) & set(timings)
             tot_prev = sum(pq[k] for k in common)
@@ -197,6 +225,8 @@ def main() -> None:
                 "calib_sec": calib_sec,
                 "common_ratio_vs_prev": common_ratio,
                 "common_ratio_calib_norm": common_ratio_norm,
+                "prev_head": prev_head[:10] if prev_head else None,
+                "prev_stale": prev_stale,
                 "queries": slowest,
                 "queries_file": "BENCH_FULL.json",
                 "ann_recall": ann_recall,
