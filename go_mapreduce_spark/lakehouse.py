@@ -1863,6 +1863,52 @@ def _merge_counting_mv(
     )
 
 
+def mv_maintain(
+    aux: DataFrame,
+    mv: DataFrame,
+    dfact: DataFrame,
+    dim_old: DataFrame,
+    moves: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The maintenance-only step of the two-level counting algorithm:
+    given the CURRENT per-customer aux MV and per-segment MV plus a
+    signed fact delta ``dfact`` (ck, d_n, d_v), the OLD dimension, and
+    the dimension moves (ck, s_old, s_new), return the maintained
+    (aux, mv).  Touches ONLY the MVs, the deltas, and the dimension —
+    never the base fact table; tests/test_wave79.py asserts the
+    optimized plan of this step contains no fact-table scan, so a
+    "simplification" into full recompute cannot land silently."""
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    aux = _merge_counting_mv(aux, dfact, "ck")
+    dseg_fact = (
+        dfact.join(dim_old, "ck")
+        .groupBy("seg")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
+    )
+    mv = _merge_counting_mv(mv, dseg_fact, "seg")
+
+    moved = moves.join(aux, "ck")
+    dseg_dim = (
+        moved.select(
+            F.col("s_old").alias("seg"),
+            (-F.col("n")).alias("d_n"),
+            (-F.col("v")).cast(DECIMAL_T).alias("d_v"),
+        )
+        .unionByName(
+            moved.select(
+                F.col("s_new").alias("seg"),
+                F.col("n").alias("d_n"),
+                F.col("v").cast(DECIMAL_T).alias("d_v"),
+            )
+        )
+        .groupBy("seg")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
+    )
+    mv = _merge_counting_mv(mv, dseg_dim, "seg")
+    return aux, mv
+
+
 def x368_join_mv_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a JOIN materialized view —
     per-segment (orders ⋈ customer) counts and revenue — under BOTH a
@@ -1930,36 +1976,11 @@ def x368_join_mv_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ck")
         .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
     )
-    aux = _merge_counting_mv(aux, dfact, "ck")
-    dseg_fact = (
-        dfact.join(dim_v1, "ck")
-        .groupBy("seg")
-        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
-    )
-    mv = _merge_counting_mv(mv, dseg_fact, "seg")
-
     # ---- dimension CDC: segment moves replayed against the aux MV
     moves = dim_v1.filter(F.col("ck") % 10 == 7).select(
         "ck", F.col("seg").alias("s_old"), F.lit("MOVED").alias("s_new")
     )
-    moved = moves.join(aux, "ck")
-    dseg_dim = (
-        moved.select(
-            F.col("s_old").alias("seg"),
-            (-F.col("n")).alias("d_n"),
-            (-F.col("v")).cast(DECIMAL_T).alias("d_v"),
-        )
-        .unionByName(
-            moved.select(
-                F.col("s_new").alias("seg"),
-                F.col("n").alias("d_n"),
-                F.col("v").cast(DECIMAL_T).alias("d_v"),
-            )
-        )
-        .groupBy("seg")
-        .agg(F.sum("d_n").alias("d_n"), F.sum("d_v").cast(DECIMAL_T).alias("d_v"))
-    )
-    mv = _merge_counting_mv(mv, dseg_dim, "seg")
+    aux, mv = mv_maintain(aux, mv, dfact, dim_v1, moves)
 
     return mv.select(
         F.col("seg").alias("c_mktsegment"),

@@ -57,6 +57,63 @@ def test_x368_ivm_equals_recompute(spark, sf_dir):
     assert "MOVED" in got
 
 
+def test_x368_maintenance_never_rescans_base_fact(spark, sf_dir):
+    """Round-6 verdict ask #7: maintenance after the CDC batch must be
+    churn-proportional — driven by the MVs, the deltas, and the
+    dimension only.  Feed mv_maintain() checkpointed MVs and deltas
+    (as a real incremental pipeline would: the MVs are stored tables,
+    the CDC batch arrives from outside) and assert the optimized plan
+    scans NO fact parquet.  If someone "simplifies" maintenance into a
+    recompute over the base orders table, the scan appears and this
+    fails."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    facts_v1 = orders.filter(k % 4 < 3)
+    dim_v1 = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg"))
+        .localCheckpoint()
+    )
+    aux = (
+        facts_v1.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    mv = (
+        aux.join(dim_v1, "ck")
+        .groupBy("seg")
+        .agg(F.sum("n").alias("n"), F.sum("v").cast("decimal(38,6)").alias("v"))
+        .localCheckpoint()
+    )
+    dfact = (
+        orders.filter(k % 4 == 3)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.count(F.lit(1)).alias("d_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("d_v"),
+        )
+        .localCheckpoint()
+    )
+    moves = (
+        dim_v1.filter(F.col("ck") % 10 == 7)
+        .select("ck", F.col("seg").alias("s_old"), F.lit("MOVED").alias("s_new"))
+        .localCheckpoint()
+    )
+    _, mv2 = LH.mv_maintain(aux, mv, dfact, dim_v1, moves)
+    plan = mv2._jdf.queryExecution().optimizedPlan().toString()
+    # every input is a checkpointed LogicalRDD, so ANY parquet relation
+    # in the maintenance plan means a base-table rescan leaked in
+    assert "parquet" not in plan.lower(), plan[:2000]
+    # and the maintained state is still the exact v2 answer
+    rows = {r.seg: r.n for r in mv2.collect()}
+    assert rows.get("MOVED", 0) > 0
+
+
 def test_x369_ht_sanity(spark, sf_dir):
     r = C.x369_horvitz_thompson(spark, sf_dir).collect()[0]
     assert 0 < r.n_sample < r.n_pop

@@ -22,6 +22,11 @@ round-3 verdict asked for and records whether walls stay bounded:
   range vs the same-sized batch spread uniformly — the file-pruning
   defense should make the hot-range merge no worse (it rewrites fewer
   files).
+- orders (round 7): HALF of all orders rewritten onto ONE customer
+  that x368's dimension-CDC script moves between segments — join-MV
+  maintenance under hot-key dimension churn; the skewed lineitem
+  price tie-block also feeds x320's post-fix conditional-aggregate
+  passes.
 
 Usage::
 
@@ -57,8 +62,12 @@ SKEW_QUERIES = [
     "x190_peak_concurrency",
     "x192_cdc_chunks",
     "x219_weighted_median",
+    # round-6 verdict ask #6: the new heavy shapes
+    "x320_permutation_test",  # post-fix conditional-aggregate passes
+    "x368_join_mv_ivm",  # hot-key dimension churn (see orders rewrite)
 ]
-SKEW_FIXTURE_VERSION = 2  # bump when the injection recipe changes
+SKEW_FIXTURE_VERSION = 3  # bump when the injection recipe changes
+HOT_CUST = 7  # ck%10==7 → a dimension MOVER in x368's CDC script
 
 
 def build_skew_dir(spark, sf_dir: str) -> str:
@@ -119,6 +128,26 @@ def build_skew_dir(spark, sf_dir: str) -> str:
         ).otherwise(F.col("l_extendedprice")),
     )
     skew_li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+    # orders: HALF of all orders rewritten onto ONE customer whose key
+    # is ≡7 (mod 10), i.e. a dimension MOVER in x368's CDC script —
+    # the maintenance replay must move 50% of the fact history between
+    # segments through the per-customer aux MV (a single hot group in
+    # the fact aggregation and a single hot aux row in the move join)
+    orders = load_table(spark, sf_dir, "orders")
+    skew_orders = orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(2)) == 0,
+            F.lit(HOT_CUST).cast(orders.schema["o_custkey"].dataType),
+        ).otherwise(F.col("o_custkey")),
+    )
+    skew_orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    # customer unchanged — copied so x368 resolves its dimension from
+    # the same directory
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
