@@ -3827,3 +3827,210 @@ def x372_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_dm") + F.col("s_corr")) / F.col("n"), 4
         ).alias("v_aipw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x372 — Mann-Whitney U rank-sum test (wave 81)
+# ---------------------------------------------------------------------------
+
+MW_Z_CRIT_5 = 1.959963984540054  # two-sided normal 5% (pinned literal)
+
+
+def x372_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test: do URGENT and LOW-priority orders draw
+    from the same order-value distribution?  The rank-based two-sample
+    test that needs no normality — the significance-test completion of
+    x299 (which computes the SAME U statistic as an AUC, without the
+    tie-corrected normal approximation a decision needs).
+
+    No per-row ranking: one grouped aggregate reduces the corpus to
+    per-distinct-value arm counts, ``layout._global_running_sum``
+    supplies the cumulative B counts (range-bucketed, no unpartitioned
+    window), and 2·U = Σ t_a·(2·(cb − t_b) + t_b) is exact integer
+    arithmetic summed through decimal.  The tie correction
+    Σ(t³ − t) comes from the same relation; z uses the normal
+    approximation with ties, no continuity correction (pinned
+    convention, mirrored in the oracle).
+    """
+    from go_mapreduce_spark.operators.layout import _global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    per_val = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("t_a"),
+        F.sum((F.col("o_orderpriority") == "5-LOW").cast("int")).alias("t_b"),
+    )
+    cum = _global_running_sum(per_val, ["val"], F.col("val"), {"t_b": "cb"})
+    agg = cum.agg(
+        dsum_expr("t_a * (2 * (cb - t_b) + t_b)", "u2"),
+        F.sum("t_a").cast("bigint").alias("n_a"),
+        F.sum("t_b").cast("bigint").alias("n_b"),
+        dsum_expr(
+            "(t_a + t_b) * (t_a + t_b) * (t_a + t_b) - (t_a + t_b)", "tie3"
+        ),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("u2") / 2.0
+    mu = na * nb / 2.0
+    var = na * nb / 12.0 * (n + 1.0 - F.col("tie3") / (n * (n - 1.0)))
+    z = (u - mu) / F.sqrt(var)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > F.lit(MW_Z_CRIT_5)).alias("reject_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x373 — McNemar's test for paired binary policies (wave 81)
+# ---------------------------------------------------------------------------
+
+MCN_CHI2_CRIT_5 = 3.841458820694124  # chi-square(1) 95% (pinned literal)
+
+
+def x373_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the DISCORDANT documents of x321's two keep
+    policies (content policy vs size policy, binarized at the keep
+    boundary): does one filter systematically keep documents the other
+    drops?  Cohen's kappa (x321) scores agreement; McNemar is the
+    significance test for a systematic DIRECTION in the disagreement —
+    the question a curation pipeline asks before replacing one filter
+    with the other.
+
+    One corpus pass, two conditional counters (b = A-keep ∧ B-drop,
+    c = A-drop ∧ B-keep), continuity-corrected
+    χ² = (|b − c| − 1)²/(b + c) on the 1-row result.
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tok = F.size(_tokens_ascii(F.col("text")))
+    ar = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
+    keep_a = (n_tok >= KAPPA_A_KEEP_TOK) & (ar >= F.lit(KAPPA_A_KEEP_AR))
+    keep_b = F.col("n_chars") >= KAPPA_B_KEEP_CHARS
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((keep_a & ~keep_b).cast("int")).cast("bigint").alias("b_disc"),
+        F.sum((~keep_a & keep_b).cast("int")).cast("bigint").alias("c_disc"),
+    )
+    d = F.abs(F.col("b_disc") - F.col("c_disc")).cast("double") - 1.0
+    chi2 = d * d / (F.col("b_disc") + F.col("c_disc")).cast("double")
+    return agg.select(
+        "n_docs",
+        "b_disc",
+        "c_disc",
+        F.round(chi2, 6).alias("chi2_cc"),
+        (chi2 > F.lit(MCN_CHI2_CRIT_5)).alias("reject_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x374 — Kendall's tau-b on the daily series (wave 81)
+# ---------------------------------------------------------------------------
+
+
+def x374_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily order count and daily revenue —
+    the concordance twin of Spearman (x290): tau counts pairwise order
+    inversions directly, so a single wild day perturbs it by at most
+    2/(n(n-1)) (Spearman's rank-variance form is more tie-brittle).
+
+    The corpus reduces to ONE row per order date first (count +
+    decimal revenue), so the pairwise stage is calendar-bounded —
+    ~2.4k days → ~3M pairs at ANY scale factor, the x300/x364
+    discipline.  All pair classifications are exact (integer counts,
+    decimal revenue equality), and tau-b's tie denominators come from
+    the same pair counts.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.col("o_totalprice").cast(DECIMAL_T)).alias("y"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).agg(
+        F.sum(
+            (((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by))).cast("int")
+        ).cast("bigint").alias("conc"),
+        F.sum(
+            (((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by))).cast("int")
+        ).cast("bigint").alias("disc"),
+        F.sum((ax == bx).cast("int")).cast("bigint").alias("tie_x"),
+        F.sum((ay == by).cast("int")).cast("bigint").alias("tie_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("tie_x")).cast("double")
+        * (F.col("n0") - F.col("tie_y")).cast("double")
+    )
+    return pairs.select(
+        "n0",
+        "conc",
+        "disc",
+        "tie_x",
+        "tie_y",
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x375 — precision-recall AUC / average precision (wave 81)
+# ---------------------------------------------------------------------------
+
+
+def x375_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of order value as a classifier score
+    for order status (``F`` positive, ``O`` negative) — the
+    class-imbalance-honest companion of x299's ROC-AUC: under rare
+    positives ROC flatters any scorer, PR does not.
+
+    Same scalable shape as x299: per-distinct-score (pos, total)
+    counts, descending-score cumulatives via the range-bucketed
+    running-sum machinery (descending = ascending on the NEGATED
+    score; distinct scores, so no tie-peer ambiguity), then
+    AP = (1/P) Σ_s pos_s · (cpos_s / ctot_s) with each tied score
+    treated as ONE block (pinned convention, mirrored in the oracle).
+    The per-block precision terms are double ratios of exact integers
+    summed through decimal — the engine-stable dsum discipline.
+    """
+    from go_mapreduce_spark.operators.layout import _global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    per_val = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("int")).alias("pos"),
+        F.sum((F.col("o_orderstatus") == "O").cast("int")).alias("neg"),
+    ).withColumn("nval", -F.col("val"))
+    cum = _global_running_sum(
+        per_val, ["nval"], F.col("nval"), {"pos": "cpos", "neg": "cneg"}
+    )
+    agg = cum.agg(
+        dsum_expr(
+            "pos * (CAST(cpos AS DOUBLE) / CAST(cpos + cneg AS DOUBLE))",
+            "ap_num",
+        ),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    ap = F.col("ap_num") / F.col("n_pos").cast("double")
+    baseline = F.col("n_pos") / (F.col("n_pos") + F.col("n_neg")).cast(
+        "double"
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(ap, 6).alias("avg_precision"),
+        F.round(baseline, 6).alias("baseline"),
+        F.round(ap - baseline, 6).alias("lift"),
+    )

@@ -10275,3 +10275,139 @@ ORACLE_SQL["x371_stream_psi_drift"] = f"""
     FROM psis
     ORDER BY window_start
 """
+
+# wave 81 (round 7): Mann-Whitney U, McNemar, Kendall tau-b, PR-AUC
+QUERIES.update(
+    {
+        "x372_mann_whitney": ST.x372_mann_whitney,
+        "x373_mcnemar_test": ST.x373_mcnemar_test,
+        "x374_kendall_tau_daily": ST.x374_kendall_tau_daily,
+        "x375_pr_auc": ST.x375_pr_auc,
+    }
+)
+
+ORACLE_SQL["x372_mann_whitney"] = f"""
+    WITH per_val AS (
+        SELECT o_totalprice AS val,
+               COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS t_a,
+               COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS t_b
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1
+    ), cum AS (
+        SELECT t_a, t_b,
+               SUM(t_b) OVER (ORDER BY val) AS cb
+        FROM per_val
+    ), agg AS (
+        SELECT CAST(SUM(CAST(t_a * (2 * (cb - t_b) + t_b)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS u2,
+               CAST(SUM(t_a) AS BIGINT) AS n_a,
+               CAST(SUM(t_b) AS BIGINT) AS n_b,
+               CAST(SUM(CAST((t_a + t_b) * (t_a + t_b) * (t_a + t_b)
+                             - (t_a + t_b) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS tie3
+        FROM cum
+    ), z AS (
+        SELECT n_a, n_b, u2 / 2.0 AS u,
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0
+                  - tie3 / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                               - 1.0))) AS var
+        FROM agg
+    )
+    SELECT n_a, n_b,
+           ROUND(u, 1) AS u_stat,
+           ROUND((u - mu) / sqrt(var), 6) AS z_score,
+           abs((u - mu) / sqrt(var)) > {ST.MW_Z_CRIT_5!r} AS reject_5pct
+    FROM z
+"""
+
+ORACLE_SQL["x373_mcnemar_test"] = f"""
+    WITH d AS (
+        SELECT len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                               t -> len(t) > 0)) AS n_tok,
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(text)
+                   AS ar,
+               n_chars
+        FROM documents WHERE len(text) > 0
+    ), lab AS (
+        SELECT (n_tok >= {ST.KAPPA_A_KEEP_TOK}
+                AND ar >= {ST.KAPPA_A_KEEP_AR!r}) AS keep_a,
+               (n_chars >= {ST.KAPPA_B_KEEP_CHARS}) AS keep_b
+        FROM d
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN keep_a AND NOT keep_b THEN 1 END)
+                    AS BIGINT) AS b_disc,
+               CAST(COUNT(CASE WHEN NOT keep_a AND keep_b THEN 1 END)
+                    AS BIGINT) AS c_disc
+        FROM lab
+    )
+    SELECT n_docs, b_disc, c_disc,
+           ROUND((CAST(abs(b_disc - c_disc) AS DOUBLE) - 1.0)
+                 * (CAST(abs(b_disc - c_disc) AS DOUBLE) - 1.0)
+                 / CAST(b_disc + c_disc AS DOUBLE), 6) AS chi2_cc,
+           (CAST(abs(b_disc - c_disc) AS DOUBLE) - 1.0)
+           * (CAST(abs(b_disc - c_disc) AS DOUBLE) - 1.0)
+           / CAST(b_disc + c_disc AS DOUBLE) > {ST.MCN_CHI2_CRIT_5!r}
+               AS reject_5pct
+    FROM agg
+"""
+
+ORACLE_SQL["x374_kendall_tau_daily"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               COUNT(*) AS x,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS y
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tie_x,
+               CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tie_y,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b ON a.d < b.d
+    )
+    SELECT n0, conc, disc, tie_x, tie_y,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(n0 - tie_x AS DOUBLE)
+                        * CAST(n0 - tie_y AS DOUBLE)), 6) AS tau_b
+    FROM pairs
+"""
+
+ORACLE_SQL["x375_pr_auc"] = """
+    WITH per_val AS (
+        SELECT o_totalprice AS val,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS pos,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS neg
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1
+    ), cum AS (
+        SELECT pos, neg,
+               SUM(pos) OVER (ORDER BY val DESC) AS cpos,
+               SUM(neg) OVER (ORDER BY val DESC) AS cneg
+        FROM per_val
+    ), agg AS (
+        SELECT CAST(SUM(CAST(pos * (CAST(cpos AS DOUBLE)
+                                    / CAST(cpos + cneg AS DOUBLE))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ap_num,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           ROUND(ap_num / CAST(n_pos AS DOUBLE), 6) AS avg_precision,
+           ROUND(n_pos / CAST(n_pos + n_neg AS DOUBLE), 6) AS baseline,
+           ROUND(ap_num / CAST(n_pos AS DOUBLE)
+                 - n_pos / CAST(n_pos + n_neg AS DOUBLE), 6) AS lift
+    FROM agg
+"""
