@@ -1149,3 +1149,128 @@ def x324_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# x378 — personalized PageRank from a seed set (wave 82)
+# ---------------------------------------------------------------------------
+
+PPR_SEED_NATION = 3
+
+
+def ppr_seeded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = PR_DAMPING,
+    n_iter: int = PR_ITERS,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling mass) return to a
+    SEED distribution instead of uniform — the "importance relative to
+    THESE nodes" ranking behind related-item and local-community
+    queries.  ``seeds`` is a (node) relation; s is uniform on the
+    seeds that exist in the graph, r0 = s, and per round
+
+        r'(x) = (1-d)·s(x) + d·(Σ_{u→x} r(u)/deg(u) + D·s(x))
+
+    so total mass stays exactly 1.  Same plan discipline as
+    ``pagerank_dangling`` (cites mapreduce/mapreduce.go:178-219 for the
+    reduce-side shape): per round one key-partitioned contribution
+    join + decimal aggregate, a 1-row decimal dangling aggregate
+    broadcast back, ranks localCheckpoint-ed to keep lineage flat.
+    """
+    ed = edges.select("u", "v").distinct().persist()
+    m = ed.count()
+    parts = iterative_shuffle_partitions(m)
+    spark = edges.sparkSession
+    with pinned_shuffle_partitions(spark, parts):
+        outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        ed_deg = ed.join(outd, "u").repartition(parts, "u").persist()
+        nodes = (
+            ed.select(F.col("u").alias("node"))
+            .union(ed.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        seed_nodes = nodes.join(
+            seeds.select("node").distinct(), "node", "left_semi"
+        )
+        ns = seed_nodes.count()
+        nodes_s = nodes.join(
+            seed_nodes.withColumn("_sd", F.lit(1)), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("_sd").isNotNull(), F.lit(1.0) / ns)
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        ).persist()
+        out_nodes = outd.select(F.col("u").alias("node"))
+        ranks = nodes_s.select("node", F.col("s").alias("rank"))
+        for _ in range(n_iter):
+            dangling = ranks.join(out_nodes, "node", "left_anti").agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_DEC)).cast("double"),
+                    F.lit(0.0),
+                ).alias("dm")
+            )
+            contrib = ed_deg.join(
+                ranks.withColumnRenamed("node", "u"), "u"
+            ).select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            summed = contrib.groupBy("node").agg(
+                F.sum(F.col("c").cast(_DEC)).cast("double").alias("cs")
+            )
+            ranks = (
+                nodes_s.join(summed, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("s")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("cs", F.lit(0.0))
+                            + F.col("dm") * F.col("s")
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        ed_deg.unpersist()
+        nodes_s.unpersist()
+    ed.unpersist()
+    return ranks
+
+
+def x378_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the customer→supplier purchase graph
+    (x143's graph), teleporting to the customers of ONE nation: which
+    suppliers matter most to that nation's buyers?  Non-seed customers
+    rank only by flow-through, and all mass drains back to the seeds —
+    the ranking x143's global variant cannot express.  Top-25 by rank
+    (ties to node id) keeps the output contract bounded.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + SUPPLIER_NODE_OFFSET).alias("v"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == PPR_SEED_NATION)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    out = ppr_seeded(edges, seeds)
+    return (
+        out.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(25)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+    )

@@ -683,3 +683,70 @@ def x344_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# x377 — k-center greedy coreset selection (wave 82)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+KCENTER_SEED_SENTINEL = 2.0  # cosine distance is ≤ 2; the seed has no
+#                              predecessor set, so its d_min is pinned
+#                              to this "infinitely far" sentinel
+
+
+def x377_kcenter_coreset(
+    spark: SparkSession, sf_dir: str, k: int = KCENTER_K
+) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus: start from
+    the lowest vec_id, then k−1 times pick the vector FARTHEST (max
+    cosine distance, ties to the lowest vec_id) from everything
+    selected so far — the classic 2-approximation for k-center and
+    the diversity-first answer to "which 8 examples summarize this
+    corpus?" (MMR/x297 trades relevance vs diversity; k-center is
+    pure coverage).
+
+    Scale shape: the selected set is ≤ k rows, collected (bounded —
+    the in-plan-training discipline) and re-entering each round as
+    64-float literal arrays, so every round is ONE corpus projection
+    (j sequential-double cosines + least()) and a global top-1 — the
+    corpus never shuffles and is never cached.  k is a constant, so
+    total work is k corpus passes regardless of data volume.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, int(seed.vec_id), KCENTER_SEED_SENTINEL, seed.embedding)]
+    for rank in range(2, k + 1):
+        dmin = F.least(
+            *[
+                F.lit(1.0)
+                - cosine_similarity(F.col("embedding"), lit_vec(vec))
+                for _, _, _, vec in picks
+            ]
+        ) if len(picks) > 1 else (
+            F.lit(1.0)
+            - cosine_similarity(F.col("embedding"), lit_vec(picks[0][3]))
+        )
+        far = (
+            emb.withColumn("d", dmin)
+            .orderBy(F.col("d").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rank, int(far.vec_id), float(far.d), far.embedding))
+    # rounding happens in-plan (F.round ↔ SQL ROUND — the pinned pair);
+    # Python round() is half-even and would drift at 6-dp boundaries
+    return (
+        spark.createDataFrame(
+            [(r, v, d) for r, v, d, _ in picks],
+            "sel_rank int, vec_id bigint, d_raw double",
+        )
+        .select("sel_rank", "vec_id", F.round("d_raw", 6).alias("d_min"))
+        .orderBy("sel_rank")
+    )

@@ -4034,3 +4034,98 @@ def x375_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(baseline, 6).alias("baseline"),
         F.round(ap - baseline, 6).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x376 — ridge regression, closed form from sufficient statistics (wave 82)
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1.0  # L2 penalty on the two slope coefficients only
+
+
+def x376_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression of document length (``n_chars``) on two text
+    features — token count and alphabetic-character count — with an
+    unpenalized intercept: the regularized linear model a quality
+    pipeline fits as a "does metadata match content?" baseline,
+    trained ENTIRELY in-plan.  One corpus pass collapses documents to
+    ten decimal-exact sufficient statistics, and the 3×3 normal
+    equations (X'X + λ·diag(0,1,1)) solve by Cramer's rule as scalar
+    expressions on the 1-row result.  No iteration, no driver-side
+    linear algebra, no matrix library — the d=3 solve IS the plan
+    (x179's power iteration covers the large-d case; closed form wins
+    when d is pinned).
+
+    Every downstream number derives from the same double-cast decimal
+    sums in one pinned expression shape on both engines, so the
+    coefficients and R² are bit-stable.  (lineitem's quantity/price
+    columns are generated independently in the fixtures — no signal to
+    fit; document length IS structurally explained by its features.)
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    li = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    ).select(
+        F.size(_tokens_ascii(F.col("text"))).alias("q"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("d"),
+        F.col("n_chars").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum_expr("q", "sq"),
+        dsum_expr("d", "sd"),
+        dsum_expr("y", "sy"),
+        dsum_expr("q * q", "sqq"),
+        dsum_expr("q * d", "sqd"),
+        dsum_expr("d * d", "sdd"),
+        dsum_expr("q * y", "sqy"),
+        dsum_expr("d * y", "sdy"),
+        dsum_expr("y * y", "syy"),
+    )
+    n = F.col("n").cast("double")
+    lam = F.lit(RIDGE_LAMBDA)
+    # A = [[n, sq, sd], [sq, sqq+λ, sqd], [sd, sqd, sdd+λ]], b = [sy, sqy, sdy]
+    a11 = F.col("sqq") + lam
+    a22 = F.col("sdd") + lam
+    sq, sd, sqd = F.col("sq"), F.col("sd"), F.col("sqd")
+    sy, sqy, sdy = F.col("sy"), F.col("sqy"), F.col("sdy")
+    det = (
+        n * (a11 * a22 - sqd * sqd)
+        - sq * (sq * a22 - sqd * sd)
+        + sd * (sq * sqd - a11 * sd)
+    )
+    b0 = (
+        sy * (a11 * a22 - sqd * sqd)
+        - sq * (sqy * a22 - sqd * sdy)
+        + sd * (sqy * sqd - a11 * sdy)
+    ) / det
+    b1 = (
+        n * (sqy * a22 - sqd * sdy)
+        - sy * (sq * a22 - sqd * sd)
+        + sd * (sq * sdy - sqy * sd)
+    ) / det
+    b2 = (
+        n * (a11 * sdy - sqy * sqd)
+        - sq * (sq * sdy - sqy * sd)
+        + sy * (sq * sqd - a11 * sd)
+    ) / det
+    # SSE = Σy² − 2·b'X'y + b'X'Xb (unpenalized Gram for the fit metric)
+    sse = (
+        F.col("syy")
+        - 2.0 * (b0 * sy + b1 * sqy + b2 * sdy)
+        + (
+            b0 * b0 * n
+            + b1 * b1 * F.col("sqq")
+            + b2 * b2 * F.col("sdd")
+            + 2.0 * (b0 * b1 * sq + b0 * b2 * sd + b1 * b2 * sqd)
+        )
+    )
+    sst = F.col("syy") - sy * sy / n
+    return s.select(
+        "n",
+        F.round(b0, 6).alias("coef_intercept"),
+        F.round(b1, 6).alias("coef_tokens"),
+        F.round(b2, 6).alias("coef_alpha"),
+        F.round(1.0 - sse / sst, 6).alias("r2"),
+    )

@@ -10411,3 +10411,177 @@ ORACLE_SQL["x375_pr_auc"] = """
                  - n_pos / CAST(n_pos + n_neg AS DOUBLE), 6) AS lift
     FROM agg
 """
+
+# wave 82 (round 7): ridge regression, k-center coreset, personalized PR
+QUERIES.update(
+    {
+        "x376_ridge_regression": ST.x376_ridge_regression,
+        "x377_kcenter_coreset": S.x377_kcenter_coreset,
+        "x378_personalized_pagerank": G.x378_personalized_pagerank,
+    }
+)
+
+ORACLE_SQL["x376_ridge_regression"] = f"""
+    WITH feats AS (
+        SELECT len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                               t -> len(t) > 0)) AS q,
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS d,
+               n_chars AS y
+        FROM documents WHERE len(text) > 0
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(q * q AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(q * d AS DECIMAL(38,6))) AS DOUBLE) AS sqd,
+               CAST(SUM(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(q * y AS DECIMAL(38,6))) AS DOUBLE) AS sqy,
+               CAST(SUM(CAST(d * y AS DECIMAL(38,6))) AS DOUBLE) AS sdy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM feats
+    ), p AS (
+        SELECT *, CAST(n AS DOUBLE) AS nd,
+               sqq + {ST.RIDGE_LAMBDA!r} AS a11,
+               sdd + {ST.RIDGE_LAMBDA!r} AS a22
+        FROM s
+    ), cr AS (
+        SELECT *,
+               nd * (a11 * a22 - sqd * sqd)
+               - sq * (sq * a22 - sqd * sd)
+               + sd * (sq * sqd - a11 * sd) AS det
+        FROM p
+    ), bb AS (
+        SELECT *,
+               (sy * (a11 * a22 - sqd * sqd)
+                - sq * (sqy * a22 - sqd * sdy)
+                + sd * (sqy * sqd - a11 * sdy)) / det AS b0,
+               (nd * (sqy * a22 - sqd * sdy)
+                - sy * (sq * a22 - sqd * sd)
+                + sd * (sq * sdy - sqy * sd)) / det AS b1,
+               (nd * (a11 * sdy - sqy * sqd)
+                - sq * (sq * sdy - sqy * sd)
+                + sy * (sq * sqd - a11 * sd)) / det AS b2
+        FROM cr
+    ), fit AS (
+        SELECT *,
+               syy - 2.0 * (b0 * sy + b1 * sqy + b2 * sdy)
+               + (b0 * b0 * nd + b1 * b1 * sqq + b2 * b2 * sdd
+                  + 2.0 * (b0 * b1 * sq + b0 * b2 * sd + b1 * b2 * sqd))
+                   AS sse,
+               syy - sy * sy / nd AS sst
+        FROM bb
+    )
+    SELECT n,
+           ROUND(b0, 6) AS coef_intercept,
+           ROUND(b1, 6) AS coef_tokens,
+           ROUND(b2, 6) AS coef_alpha,
+           ROUND(1.0 - sse / sst, 6) AS r2
+    FROM fit
+"""
+
+
+def _kcenter_oracle(k: int = S.KCENTER_K) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p1 AS MATERIALIZED (
+        SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for j in range(2, k + 1):
+        terms = ", ".join(
+            f"1.0 - list_cosine_similarity(e.v, (SELECT v FROM p{i}))"
+            for i in range(1, j)
+        )
+        dexpr = f"least({terms})" if j > 2 else terms
+        ctes.append(
+            f"""p{j} AS MATERIALIZED (
+        SELECT e.vec_id, e.v, {dexpr} AS d
+        FROM e ORDER BY d DESC, e.vec_id ASC LIMIT 1
+    )"""
+        )
+    picks = "\n    UNION ALL\n    ".join(
+        f"SELECT {j} AS sel_rank, (SELECT vec_id FROM p{j}) AS vec_id,"
+        f" (SELECT ROUND(d, 6) FROM p{j}) AS d_min"
+        for j in range(2, k + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(1 AS INT) AS sel_rank,
+           (SELECT vec_id FROM p1) AS vec_id,
+           CAST({S.KCENTER_SEED_SENTINEL!r} AS DOUBLE) AS d_min
+    UNION ALL
+    {picks}
+    ORDER BY sel_rank
+"""
+
+
+ORACLE_SQL["x377_kcenter_coreset"] = _kcenter_oracle()
+
+
+def _ppr_oracle(
+    damping: float = G.PR_DAMPING,
+    n_iter: int = G.PR_ITERS,
+    nation: int = G.PPR_SEED_NATION,
+) -> str:
+    """x378's chained-CTE replay: x143's dangling machinery with the
+    uniform teleport replaced by the seed distribution s (and dangling
+    mass returned to s)."""
+    t = repr(1.0 - damping)
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""dg{i} AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(CAST(p.rank AS DECIMAL(38,18))),
+                             CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS dm
+        FROM pr{i - 1} p LEFT JOIN outd od ON od.u = p.node
+        WHERE od.u IS NULL
+    ), pr{i} AS MATERIALIZED (
+        SELECT sw.node,
+               CAST({t} AS DOUBLE) * sw.s
+               + CAST({damping!r} AS DOUBLE)
+                 * (COALESCE(CAST(SUM(CAST(p.rank / od.deg AS DECIMAL(38,18)))
+                                  AS DOUBLE), CAST(0 AS DOUBLE))
+                    + dg{i}.dm * sw.s) AS rank
+        FROM sw
+        CROSS JOIN dg{i}
+        LEFT JOIN edges e ON e.v = sw.node
+        LEFT JOIN pr{i - 1} p ON p.node = e.u
+        LEFT JOIN outd od ON od.u = e.u
+        GROUP BY sw.node, sw.s, dg{i}.dm
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS u,
+               l_suppkey + {G.SUPPLIER_NODE_OFFSET} AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+    outd AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    sn AS MATERIALIZED (
+        SELECT n.node FROM nodes n
+        JOIN (SELECT DISTINCT c_custkey AS node FROM customer
+              WHERE c_nationkey = {nation}) s ON s.node = n.node
+    ),
+    ns AS (SELECT COUNT(*) AS ns FROM sn),
+    sw AS MATERIALIZED (
+        SELECT n.node,
+               CASE WHEN s.node IS NOT NULL
+                    THEN CAST(1.0 AS DOUBLE) / ns.ns
+                    ELSE CAST(0 AS DOUBLE) END AS s
+        FROM nodes n LEFT JOIN sn s ON s.node = n.node CROSS JOIN ns
+    ),
+    pr0 AS (SELECT node, s AS rank FROM sw),
+    {rounds_sql},
+    top AS (
+        SELECT node, rank FROM pr{n_iter}
+        ORDER BY rank DESC, node ASC LIMIT 25
+    )
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM top
+    ORDER BY rank DESC, node ASC
+"""
+
+
+ORACLE_SQL["x378_personalized_pagerank"] = _ppr_oracle()
