@@ -4129,3 +4129,260 @@ def x376_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("coef_alpha"),
         F.round(1.0 - sse / sst, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x379 — k-fold cross-validated ridge (wave 83)
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+CV_SALT = "|cvfold"
+
+
+def x379_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the x376 ridge model WITHOUT k
+    training passes: because the model is closed-form in sufficient
+    statistics, ONE corpus pass groups the ten statistics by
+    deterministic fold (hash of doc_id mod K), and each fold's
+    leave-that-fold-out coefficients come from DECIMAL subtraction
+    (total − fold) on the K-row relation — exact, so the per-fold
+    solve is bit-identical to retraining on the complement.  Held-out
+    R² per fold then uses the fold's own statistics.  This is the
+    distributed-CV shape that matters at 100 TB: K× model quality
+    evidence for 1× the scan cost.
+    """
+    from go_mapreduce_spark.operators.text import _tokens_ascii
+
+    # fold assignment is the repo's engine-portable determinism: first
+    # 8 hex chars of a salted sha256, parsed to int (x323's pattern)
+    h8 = F.substring(
+        F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(CV_SALT)), 256),
+        1,
+        8,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    ).select(
+        F.pmod(F.conv(h8, 16, 10).cast("bigint"), F.lit(CV_FOLDS)).alias(
+            "fold"
+        ),
+        F.size(_tokens_ascii(F.col("text"))).alias("q"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("d"),
+        F.col("n_chars").alias("y"),
+    )
+
+    def dec(e: str, a: str):
+        return F.sum(F.expr(e).cast(DECIMAL_T)).alias(a)
+
+    per_fold = docs.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dec("q", "sq"),
+        dec("d", "sd"),
+        dec("y", "sy"),
+        dec("q * q", "sqq"),
+        dec("q * d", "sqd"),
+        dec("d * d", "sdd"),
+        dec("q * y", "sqy"),
+        dec("d * y", "sdy"),
+        dec("y * y", "syy"),
+    )
+    stats = ["n", "sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy", "syy"]
+    tot = per_fold.agg(
+        *[F.sum(c).alias(f"t_{c}") for c in stats]
+    )
+    j = per_fold.crossJoin(F.broadcast(tot))
+    # training statistics = total − fold, exact in decimal
+    tr = {c: (F.col(f"t_{c}") - F.col(c)).cast("double") for c in stats[1:]}
+    tr["n"] = (F.col("t_n") - F.col("n")).cast("double")
+    lam = F.lit(RIDGE_LAMBDA)
+    a11 = tr["sqq"] + lam
+    a22 = tr["sdd"] + lam
+    n, sq, sd, sqd = tr["n"], tr["sq"], tr["sd"], tr["sqd"]
+    sy, sqy, sdy = tr["sy"], tr["sqy"], tr["sdy"]
+    det = (
+        n * (a11 * a22 - sqd * sqd)
+        - sq * (sq * a22 - sqd * sd)
+        + sd * (sq * sqd - a11 * sd)
+    )
+    b0 = (
+        sy * (a11 * a22 - sqd * sqd)
+        - sq * (sqy * a22 - sqd * sdy)
+        + sd * (sqy * sqd - a11 * sdy)
+    ) / det
+    b1 = (
+        n * (sqy * a22 - sqd * sdy)
+        - sy * (sq * a22 - sqd * sd)
+        + sd * (sq * sdy - sqy * sd)
+    ) / det
+    b2 = (
+        n * (a11 * sdy - sqy * sqd)
+        - sq * (sq * sdy - sqy * sd)
+        + sy * (sq * sqd - a11 * sd)
+    ) / det
+    # held-out fit on the fold's OWN statistics (double-cast once)
+    hn = F.col("n").cast("double")
+    hsq, hsd, hsqd = [F.col(c).cast("double") for c in ("sq", "sd", "sqd")]
+    hsy, hsqy, hsdy = [F.col(c).cast("double") for c in ("sy", "sqy", "sdy")]
+    hsqq, hsdd, hsyy = [F.col(c).cast("double") for c in ("sqq", "sdd", "syy")]
+    sse = (
+        hsyy
+        - 2.0 * (b0 * hsy + b1 * hsqy + b2 * hsdy)
+        + (
+            b0 * b0 * hn
+            + b1 * b1 * hsqq
+            + b2 * b2 * hsdd
+            + 2.0 * (b0 * b1 * hsq + b0 * b2 * hsd + b1 * b2 * hsqd)
+        )
+    )
+    sst = hsyy - hsy * hsy / hn
+    return j.select(
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n").alias("n_test"),
+        F.round(b1, 6).alias("coef_tokens"),
+        F.round(b2, 6).alias("coef_alpha"),
+        F.round(1.0 - sse / sst, 6).alias("r2_holdout"),
+    ).orderBy("fold")
+
+
+# ---------------------------------------------------------------------------
+# x380 — multiplicative seasonal decomposition (wave 83)
+# ---------------------------------------------------------------------------
+
+
+def x380_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical multiplicative decomposition of the daily revenue
+    series: trend = centered 7-day moving total (exact integer cents;
+    only days with a FULL window get one — pinned convention),
+    seasonal index per weekday = mean of revenue/trend over those
+    days.  The "is Monday really slow or is that the trend?" question
+    every forecast backtest (x361) starts from.
+
+    The corpus reduces to one decimal row per day first, so every
+    window is calendar-bounded; weekday is pure day-number arithmetic
+    ((days since epoch) mod 7) — no engine-specific DOW function, both
+    sides share the convention 0 = Thursday (1970-01-01).  The only
+    double division is (7·cents)/window_total — a ratio of exact
+    integers — and the per-weekday mean sums those doubles through
+    decimal.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)  # daily relation: bounded
+    trended = (
+        daily.withColumn("win_cents", F.sum("cents").over(w))
+        .withColumn("win_n", F.count(F.lit(1)).over(w))
+        # full 7-day windows only, and contiguous days (no calendar
+        # gaps inside the window): span check pins it
+        .withColumn("d_lo", F.min("d").over(w))
+        .withColumn("d_hi", F.max("d").over(w))
+        .filter(
+            (F.col("win_n") == 7)
+            & (F.col("d_hi") - F.col("d_lo") == 6)
+        )
+        .select(
+            F.pmod(F.col("d"), F.lit(7)).alias("dow"),
+            (
+                (F.col("cents") * 7).cast("double")
+                / F.col("win_cents").cast("double")
+            ).alias("ratio"),
+        )
+    )
+    return (
+        trended.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (
+                F.sum(F.col("ratio").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("idx"),
+        )
+        .select("dow", "n_days", F.round("idx", 6).alias("seasonal_index"))
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x381 — isotonic regression via the exact max-min formula (wave 83)
+# ---------------------------------------------------------------------------
+
+
+def x381_isotonic_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact isotonic (monotone non-decreasing) regression of daily
+    mean order value over time — the shape-constrained trend fit
+    (calibration curves, dose-response, monotone drift) that PAVA
+    computes sequentially.  Sequential pooling does not distribute,
+    but the CLOSED FORM does:
+
+        fit_i = max_{j≤i} min_{k≥j} mean(y_j..y_k)
+
+    The corpus reduces to one exact-cents row per day, interval means
+    come from prefix sums on the bounded daily relation, the inner
+    min is a grouped aggregate over the O(days²) interval relation
+    (calendar-bounded: ~3M pairs at ANY corpus size — the x300/x364
+    discipline), and the outer max is a running window max.  Every
+    mean is (cents diff)/(count), a ratio of exact integers, so both
+    engines agree bit-for-bit.  Output: one row per day with the
+    observed and fitted values; monotonicity is pytest-asserted.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    wo = Window.orderBy("d")  # daily relation: calendar-bounded
+    pre = daily.select(
+        "d",
+        "cents",
+        "cnt",
+        F.sum("cents").over(wo).alias("pc"),
+        F.sum("cnt").over(wo).alias("pn"),
+        F.row_number().over(wo).alias("i"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    intervals = a.join(b, F.col("a.i") <= F.col("b.i")).select(
+        F.col("a.i").alias("j"),
+        (
+            (F.col("b.pc") - F.col("a.pc") + F.col("a.cents")).cast("double")
+            / (F.col("b.pn") - F.col("a.pn") + F.col("a.cnt")).cast("double")
+        ).alias("mean_jk"),
+    )
+    mins = intervals.groupBy("j").agg(F.min("mean_jk").alias("m_j"))
+    fit = pre.join(mins, pre["i"] == mins["j"]).select(
+        "d",
+        "i",
+        (F.col("cents").cast("double") / F.col("cnt").cast("double")).alias(
+            "y"
+        ),
+        F.max("m_j")
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("f"),
+    )
+    return fit.select(
+        "d",
+        F.round(F.col("y") / 100.0, 6).alias("daily_mean"),
+        F.round(F.col("f") / 100.0, 6).alias("isotonic_fit"),
+    ).orderBy("d")

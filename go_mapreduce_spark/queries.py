@@ -10585,3 +10585,165 @@ def _ppr_oracle(
 
 
 ORACLE_SQL["x378_personalized_pagerank"] = _ppr_oracle()
+
+# wave 83 (round 7): CV ridge, seasonal decomposition, isotonic PAVA
+QUERIES.update(
+    {
+        "x379_cv_ridge": ST.x379_cv_ridge,
+        "x380_seasonal_decomposition": ST.x380_seasonal_decomposition,
+        "x381_isotonic_regression": ST.x381_isotonic_regression,
+    }
+)
+
+_CV_V_SQL = "(strpos('0123456789abcdef', substr(h8, 1, 1)) - 1)"
+for _i in range(2, 9):
+    _CV_V_SQL = (
+        f"({_CV_V_SQL} * 16"
+        f" + (strpos('0123456789abcdef', substr(h8, {_i}, 1)) - 1))"
+    )
+ORACLE_SQL["x379_cv_ridge"] = f"""
+    WITH feats0 AS (
+        SELECT substr(sha256(concat(CAST(doc_id AS VARCHAR),
+                                    '{ST.CV_SALT}')), 1, 8) AS h8,
+               len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                               t -> len(t) > 0)) AS q,
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS d,
+               n_chars AS y
+        FROM documents WHERE len(text) > 0
+    ), feats AS (
+        SELECT CAST({_CV_V_SQL} AS BIGINT) % {ST.CV_FOLDS} AS fold,
+               q, d, y
+        FROM feats0
+    ), per_fold AS (
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(q AS DECIMAL(38,6))) AS sq,
+               SUM(CAST(d AS DECIMAL(38,6))) AS sd,
+               SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+               SUM(CAST(q * q AS DECIMAL(38,6))) AS sqq,
+               SUM(CAST(q * d AS DECIMAL(38,6))) AS sqd,
+               SUM(CAST(d * d AS DECIMAL(38,6))) AS sdd,
+               SUM(CAST(q * y AS DECIMAL(38,6))) AS sqy,
+               SUM(CAST(d * y AS DECIMAL(38,6))) AS sdy,
+               SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
+        FROM feats GROUP BY fold
+    ), tot AS (
+        SELECT SUM(n) AS t_n, SUM(sq) AS t_sq, SUM(sd) AS t_sd,
+               SUM(sy) AS t_sy, SUM(sqq) AS t_sqq, SUM(sqd) AS t_sqd,
+               SUM(sdd) AS t_sdd, SUM(sqy) AS t_sqy, SUM(sdy) AS t_sdy,
+               SUM(syy) AS t_syy
+        FROM per_fold
+    ), tr AS (
+        SELECT fold, n,
+               CAST(t_n - n AS DOUBLE) AS nn,
+               CAST(t_sq - sq AS DOUBLE) AS nsq,
+               CAST(t_sd - sd AS DOUBLE) AS nsd,
+               CAST(t_sy - sy AS DOUBLE) AS nsy,
+               CAST(t_sqq - sqq AS DOUBLE) + {ST.RIDGE_LAMBDA!r} AS a11,
+               CAST(t_sqd - sqd AS DOUBLE) AS nsqd,
+               CAST(t_sdd - sdd AS DOUBLE) + {ST.RIDGE_LAMBDA!r} AS a22,
+               CAST(t_sqy - sqy AS DOUBLE) AS nsqy,
+               CAST(t_sdy - sdy AS DOUBLE) AS nsdy,
+               CAST(n AS DOUBLE) AS hn,
+               CAST(sq AS DOUBLE) AS hsq, CAST(sd AS DOUBLE) AS hsd,
+               CAST(sqd AS DOUBLE) AS hsqd,
+               CAST(sy AS DOUBLE) AS hsy, CAST(sqy AS DOUBLE) AS hsqy,
+               CAST(sdy AS DOUBLE) AS hsdy,
+               CAST(sqq AS DOUBLE) AS hsqq, CAST(sdd AS DOUBLE) AS hsdd,
+               CAST(syy AS DOUBLE) AS hsyy
+        FROM per_fold CROSS JOIN tot
+    ), cr AS (
+        SELECT *,
+               nn * (a11 * a22 - nsqd * nsqd)
+               - nsq * (nsq * a22 - nsqd * nsd)
+               + nsd * (nsq * nsqd - a11 * nsd) AS det
+        FROM tr
+    ), bb AS (
+        SELECT *,
+               (nsy * (a11 * a22 - nsqd * nsqd)
+                - nsq * (nsqy * a22 - nsqd * nsdy)
+                + nsd * (nsqy * nsqd - a11 * nsdy)) / det AS b0,
+               (nn * (nsqy * a22 - nsqd * nsdy)
+                - nsy * (nsq * a22 - nsqd * nsd)
+                + nsd * (nsq * nsdy - nsqy * nsd)) / det AS b1,
+               (nn * (a11 * nsdy - nsqy * nsqd)
+                - nsq * (nsq * nsdy - nsqy * nsd)
+                + nsy * (nsq * nsqd - a11 * nsd)) / det AS b2
+        FROM cr
+    ), fit AS (
+        SELECT fold, n, b1, b2,
+               hsyy - 2.0 * (b0 * hsy + b1 * hsqy + b2 * hsdy)
+               + (b0 * b0 * hn + b1 * b1 * hsqq + b2 * b2 * hsdd
+                  + 2.0 * (b0 * b1 * hsq + b0 * b2 * hsd
+                           + b1 * b2 * hsqd)) AS sse,
+               hsyy - hsy * hsy / hn AS sst
+        FROM bb
+    )
+    SELECT CAST(fold AS INT) AS fold, n AS n_test,
+           ROUND(b1, 6) AS coef_tokens,
+           ROUND(b2, 6) AS coef_alpha,
+           ROUND(1.0 - sse / sst, 6) AS r2_holdout
+    FROM fit ORDER BY fold
+"""
+
+ORACLE_SQL["x380_seasonal_decomposition"] = """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), win AS (
+        SELECT d, cents,
+               SUM(cents) OVER w AS win_cents,
+               COUNT(*) OVER w AS win_n,
+               MIN(d) OVER w AS d_lo,
+               MAX(d) OVER w AS d_hi
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), ratios AS (
+        SELECT d % 7 AS dow,
+               CAST(cents * 7 AS DOUBLE) / CAST(win_cents AS DOUBLE)
+                   AS ratio
+        FROM win
+        WHERE win_n = 7 AND d_hi - d_lo = 6
+    )
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS seasonal_index
+    FROM ratios GROUP BY dow ORDER BY dow
+"""
+
+ORACLE_SQL["x381_isotonic_regression"] = """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+                    AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ), pre AS (
+        SELECT d, cents, cnt,
+               SUM(cents) OVER (ORDER BY d) AS pc,
+               SUM(cnt) OVER (ORDER BY d) AS pn,
+               row_number() OVER (ORDER BY d) AS i
+        FROM daily
+    ), intervals AS (
+        SELECT a.i AS j,
+               CAST(b.pc - a.pc + a.cents AS DOUBLE)
+               / CAST(b.pn - a.pn + a.cnt AS DOUBLE) AS mean_jk
+        FROM pre a JOIN pre b ON a.i <= b.i
+    ), mins AS (
+        SELECT j, MIN(mean_jk) AS m_j FROM intervals GROUP BY j
+    ), fit AS (
+        SELECT p.d,
+               CAST(p.cents AS DOUBLE) / CAST(p.cnt AS DOUBLE) AS y,
+               MAX(m.m_j) OVER (ORDER BY p.i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS f
+        FROM pre p JOIN mins m ON p.i = m.j
+    )
+    SELECT d,
+           ROUND(y / 100.0, 6) AS daily_mean,
+           ROUND(f / 100.0, 6) AS isotonic_fit
+    FROM fit ORDER BY d
+"""
