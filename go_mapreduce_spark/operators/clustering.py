@@ -907,3 +907,80 @@ def x334_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# x384 — embedding outlier census (diagonal Mahalanobis) (wave 84)
+# ---------------------------------------------------------------------------
+
+# chi-square(64) 99th percentile (Wilson–Hilferty), pinned literal:
+# the threshold is a convention shared with the oracle, not a fit
+MAHA_CRIT_99 = 93.24
+
+
+def x384_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier census by diagonal Mahalanobis
+    distance: z²(x) = Σ_d (x_d − μ_{l,d})²/σ²_{l,d} against the
+    label's own per-dimension moments — the "which vectors don't
+    belong to their label" screen run before trusting labels for
+    curriculum or contrastive sampling (x334 audits the SHAPE of each
+    label's cloud; this flags individual members).
+
+    Scale shape: one posexplode pass → (label × dim) decimal moment
+    statistics (bounded, broadcast back); a second pass computes each
+    vector's z² as a per-dim double sum through decimal.  Under a
+    correct diagonal-Gaussian model z² ~ χ²(dim), so the pinned 99%
+    cut should flag ≈1% — the census reports the actual rate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id", "label", "pos", F.col("vf").cast("double").alias("v")
+    )
+    stats = vals.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum(F.col("v"), "sv") / F.count(F.lit(1))).alias("mu"),
+        (
+            dsum_expr("v * v", "svv") / F.count(F.lit(1))
+        ).alias("ex2"),
+    ).select(
+        "label",
+        "pos",
+        "mu",
+        (F.col("ex2") - F.col("mu") * F.col("mu")).alias("var"),
+    )
+    z2 = (
+        vals.join(F.broadcast(stats), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            (
+                (F.col("v") - F.col("mu"))
+                * (F.col("v") - F.col("mu"))
+                / F.col("var")
+            ).alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(dsum(F.col("t"), "z2"))
+    )
+    return (
+        z2.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum((F.col("z2") > MAHA_CRIT_99).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("z2"), 6).alias("max_z2"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers") / F.col("n_vectors").cast("double"), 6
+            ).alias("outlier_rate"),
+            "max_z2",
+        )
+        .orderBy("label")
+    )

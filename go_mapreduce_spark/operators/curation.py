@@ -1682,3 +1682,61 @@ def x369_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_err_pct"),
         F.round(F.sqrt("var_ht"), 2).alias("se_ht"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x383 — tokenizer fertility audit per source (wave 84)
+# ---------------------------------------------------------------------------
+
+
+def x383_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per source, BPE-ish tokens per word
+    and characters per token — the "how expensive is this corpus slice
+    to train on" number that decides mixing weights before anyone
+    looks at quality.  High fertility (many subword tokens per word)
+    flags vocabularies the tokenizer fragments; chars/token is the
+    budget conversion every token-budget mix (x105-class) needs.
+
+    One corpus pass, three counters per document (pinned BPE_REGEX,
+    alpha words, chars), integer sums per source; the ratios are
+    ratios of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    per = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), "[^A-Za-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("nc").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_bpe",
+            F.round(
+                F.col("total_bpe") / F.col("total_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("total_chars") / F.col("total_bpe").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

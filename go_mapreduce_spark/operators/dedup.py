@@ -1452,3 +1452,81 @@ def x330_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x382 — SemDeDup: semantic dedup inside coarse clusters (wave 84)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+
+
+def x382_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al.) over the embedding corpus: coarse
+    k-means-style clustering bounds the pair space, then inside each
+    cluster any vector with a cosine-``SEMDEDUP_TAU``-similar neighbor
+    of SMALLER vec_id is dropped (the standard one-pass greedy rule —
+    the keep decision depends only on id order, not on whether the
+    smaller id itself survives, so it is embarrassingly parallel).
+    x13 finds near-dup PAIRS blocked by the fixture label; this is the
+    curation OPERATOR: a per-cluster keep/drop census under a real
+    coarse quantizer.
+
+    Scale shape: assignment is one broadcast-centroid pass (the x56
+    deterministic quantizer, k fixed corpus vectors); the pairwise
+    stage is O(Σ cluster²) like every SemDeDup deployment — the
+    cluster count is the knob that bounds it, never the corpus.
+    """
+    from go_mapreduce_spark.operators.clustering import (
+        KMEANS_K,
+        assign_nearest,
+    )
+    from go_mapreduce_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").between(1, KMEANS_K)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    assign = assign_nearest(emb, centroids).select("vec_id", "centroid_id")
+    vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = vecs.select(
+        F.col("centroid_id").alias("c"),
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+    )
+    b = vecs.select(
+        F.col("centroid_id").alias("c"),
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "c")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            cosine_similarity(F.col("va"), F.col("vb"))
+            >= F.lit(SEMDEDUP_TAU)
+        )
+        .select("c", F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(
+            dropped.select("vec_id").withColumn("_drop", F.lit(1)),
+            "vec_id",
+            "left",
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("_drop"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .select(
+            "centroid_id",
+            "n_vectors",
+            "n_dropped",
+            (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -10747,3 +10747,96 @@ ORACLE_SQL["x381_isotonic_regression"] = """
            ROUND(f / 100.0, 6) AS isotonic_fit
     FROM fit ORDER BY d
 """
+
+# wave 84 (round 7): SemDeDup, tokenizer fertility, embedding outliers
+QUERIES.update(
+    {
+        "x382_semdedup": D.x382_semdedup,
+        "x383_tokenizer_fertility": C.x383_tokenizer_fertility,
+        "x384_embedding_outliers": CL.x384_embedding_outliers,
+    }
+)
+
+ORACLE_SQL["x382_semdedup"] = f"""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings WHERE vec_id BETWEEN 1 AND {CL.KMEANS_K}
+    ), v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), d AS (
+        SELECT v.vec_id, c.centroid_id,
+               list_sum(list_transform(ve, (x, i) -> (x - ce[i]) * (x - ce[i]))) AS d2
+        FROM v CROSS JOIN c
+    ), r AS (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, centroid_id) AS rn
+        FROM d
+    ), asg AS (
+        SELECT vec_id, centroid_id FROM r WHERE rn = 1
+    ), drops AS (
+        SELECT DISTINCT b.vec_id AS dropped_id
+        FROM asg a
+        JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(va.ve, vb.ve)
+              >= {D.SEMDEDUP_TAU!r}
+    )
+    SELECT asg.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(dr.dropped_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(dr.dropped_id) AS BIGINT) AS n_kept
+    FROM asg LEFT JOIN drops dr ON dr.dropped_id = asg.vec_id
+    GROUP BY asg.centroid_id
+    ORDER BY asg.centroid_id
+"""
+
+ORACLE_SQL["x383_tokenizer_fertility"] = f"""
+    WITH per AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text,
+                        '{C.BPE_REGEX.replace("'", "''")}'))
+                    AS BIGINT) AS n_bpe,
+               CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS n_words,
+               CAST(n_chars AS BIGINT) AS nc
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           ROUND(SUM(n_bpe) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+           ROUND(SUM(nc) / CAST(SUM(n_bpe) AS DOUBLE), 6) AS chars_per_token
+    FROM per GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["x384_embedding_outliers"] = f"""
+    WITH vals AS MATERIALIZED (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), stats AS MATERIALIZED (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS ex2
+        FROM vals GROUP BY 1, 2
+    ), z2 AS (
+        SELECT vals.vec_id, vals.label,
+               CAST(SUM(CAST((v - mu) * (v - mu) / (ex2 - mu * mu)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS z2
+        FROM vals JOIN stats
+          ON stats.label = vals.label AND stats.pos = vals.pos
+        GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN z2 > {CL.MAHA_CRIT_99!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN z2 > {CL.MAHA_CRIT_99!r} THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate,
+           ROUND(MAX(z2), 6) AS max_z2
+    FROM z2 GROUP BY label ORDER BY label
+"""
