@@ -1906,3 +1906,115 @@ def x294_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("surviving"), "l_partkey")
         .limit(EXCEPT_ALL_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# x385 — recursive CTE reachability (wave 85)
+# ---------------------------------------------------------------------------
+
+RCTE_MAX_HOPS = 4  # walk rows grow ~24^k (UNION ALL enumerates walks; Spark caps
+# recursion at 1M rows and rejects UNION-distinct) - 4 covers a
+# 25-node dense trade graph and stays ~331k walks at ANY data scale
+
+
+def x385_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (new in Spark 4.x — probed working in
+    this build): minimum-hop reachability over the nation-level trade
+    graph from the lowest exporter nation (data-derived seed — a
+    fixed nation can be edgeless at tiny scale factors).  Everywhere else this repo unrolls
+    fixed iteration counts as chained CTEs (x59/x143/x292) because
+    recursive CTEs historically could not run on Spark; this query
+    pins the NATIVE surface so a user migrating recursive SQL does not
+    have to.  Termination is a pinned hop cap (UNION ALL + hop guard,
+    min-hop by final aggregation) — the same shape DuckDB executes, so
+    the oracle is the identical statement.
+
+    The trade graph (supplier nation → customer nation, distinct) is
+    at most |nations|² edges — metadata-sized by construction; the
+    heavy part is the one corpus join that derives it, which is the
+    same lineitem⋈orders⋈customer⋈supplier spine q5 already plans
+    efficiently.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+            FROM rcte_lineitem l
+            JOIN rcte_orders o ON l.l_orderkey = o.o_orderkey
+            JOIN rcte_customer c ON o.o_custkey = c.c_custkey
+            JOIN rcte_supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+        ),
+        reach (node, hops) AS (
+            SELECT CAST(MIN(u) AS INT) AS node, 0 AS hops FROM edges
+            UNION ALL
+            SELECT e.v AS node, r.hops + 1 AS hops
+            FROM reach r JOIN edges e ON e.u = r.node
+            WHERE r.hops < {RCTE_MAX_HOPS}
+        )
+        SELECT n.n_name,
+               CAST(MIN(r.hops) AS BIGINT) AS min_hops
+        FROM reach r JOIN rcte_nation n ON n.n_nationkey = r.node
+        GROUP BY n.n_name
+        ORDER BY min_hops, n_name
+    """)
+
+
+# ---------------------------------------------------------------------------
+# x386 — ANALYZE-style column statistics census (wave 85)
+# ---------------------------------------------------------------------------
+
+
+def x386_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-input column statistics for the orders table, computed the
+    way ANALYZE TABLE ... FOR COLUMNS would: per column the exact NDV,
+    null fraction, and min/max (as strings — one schema for every
+    type).  This is the table-services census a 100 TB lakehouse runs
+    after every big ingest: selectivity estimation, zone-map sanity,
+    and "did this load null out a column" alerts all read from it.
+
+    One pass per column group via a single wide aggregate (exact
+    count-distincts share the scan; Spark plans them with expand +
+    partial aggregation, no per-column rescans of the parquet).
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count_distinct(F.col(c)).alias(f"ndv_{c}") for c in cols],
+        *[
+            F.sum(F.col(c).isNull().cast("int")).alias(f"nn_{c}")
+            for c in cols
+        ],
+        *[F.min(F.col(c)).cast("string").alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c)).cast("string").alias(f"mx_{c}") for c in cols],
+    )
+    # the per-column output rows are projections of this ONE 1-row
+    # aggregate; checkpoint it so the union does not replay the scan
+    # once per column (x319/x324 bounded-relation discipline)
+    agg = agg.localCheckpoint()
+    rows = None
+    for c in cols:
+        row = agg.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"ndv_{c}").cast("bigint").alias("ndv"),
+            F.round(
+                F.col(f"nn_{c}") / F.col("_n").cast("double"), 6
+            ).alias("null_frac"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("column_name")

@@ -4386,3 +4386,77 @@ def x381_isotonic_regression(
         F.round(F.col("y") / 100.0, 6).alias("daily_mean"),
         F.round(F.col("f") / 100.0, 6).alias("isotonic_fit"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# x387 — Page-Hinkley drift statistic (wave 85)
+# ---------------------------------------------------------------------------
+
+PH_DELTA_CENTS = 500.0  # tolerated per-day mean drift, in cents
+PH_LAMBDA_CENTS = 200_000.0  # alarm threshold, in cents
+
+
+def x387_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change detection on the daily mean order value —
+    the sequential drift alarm (CUSUM's one-sided sibling, x246) that
+    monitors a KPI for a sustained upward shift:
+
+        U_t = Σ_{i≤t} (x_i − mean(x_1..x_i) − δ),
+        PH_t = U_t − min_{s≤t} U_s,  alarm iff max_t PH_t > λ.
+
+    The running mean at every prefix makes this look sequential, but
+    on the calendar-bounded daily relation it is three window passes:
+    prefix sums give mean(x_1..x_i) exactly (integer cents / count),
+    U is a running decimal sum of the residuals, and PH is U minus its
+    running min.  Output: the test summary plus the argmax day — the
+    estimated change point.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    wo = Window.orderBy("d")  # daily relation: calendar-bounded
+    run = daily.select(
+        "d",
+        (F.col("cents").cast("double") / F.col("cnt").cast("double")).alias(
+            "x"
+        ),
+        (
+            F.sum("cents").over(wo).cast("double")
+            / F.sum("cnt").over(wo).cast("double")
+        ).alias("m"),
+    ).select(
+        "d", (F.col("x") - F.col("m") - F.lit(PH_DELTA_CENTS)).alias("resid")
+    )
+    cum = run.select(
+        "d",
+        F.sum(F.col("resid").cast(DECIMAL_T))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("u"),
+    ).select(
+        "d",
+        "u",
+        (
+            F.col("u")
+            - F.min("u").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("ph"),
+    )
+    return cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("ph") / 100.0, 6).alias("ph_max"),
+        F.max(F.struct(F.col("ph"), F.col("d")))["d"]
+        .cast("bigint")
+        .alias("changepoint_day"),
+        (F.max("ph") > F.lit(PH_LAMBDA_CENTS)).alias("drift_alarm"),
+    )

@@ -10840,3 +10840,90 @@ ORACLE_SQL["x384_embedding_outliers"] = f"""
            ROUND(MAX(z2), 6) AS max_z2
     FROM z2 GROUP BY label ORDER BY label
 """
+
+# wave 85 (round 7): recursive CTE, column stats census, Page-Hinkley
+QUERIES.update(
+    {
+        "x385_recursive_cte": RX.x385_recursive_cte,
+        "x386_column_stats": RX.x386_column_stats,
+        "x387_page_hinkley": ST.x387_page_hinkley,
+    }
+)
+
+ORACLE_SQL["x385_recursive_cte"] = f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    reach (node, hops) AS (
+        SELECT CAST(MIN(u) AS INT) AS node, 0 AS hops FROM edges
+        UNION ALL
+        SELECT e.v AS node, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.hops < {RX.RCTE_MAX_HOPS}
+    )
+    SELECT n.n_name,
+           CAST(MIN(r.hops) AS BIGINT) AS min_hops
+    FROM reach r JOIN nation n ON n.n_nationkey = r.node
+    GROUP BY n.n_name
+    ORDER BY min_hops, n_name
+"""
+
+_CSTAT_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+ORACLE_SQL["x386_column_stats"] = "\n    UNION ALL\n    ".join(
+    f"""SELECT '{c}' AS column_name,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           ROUND(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+    for c in _CSTAT_COLS
+) + "\n    ORDER BY column_name"
+
+ORACLE_SQL["x387_page_hinkley"] = f"""
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+                    AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ), run AS (
+        SELECT d,
+               CAST(cents AS DOUBLE) / CAST(cnt AS DOUBLE)
+               - CAST(SUM(cents) OVER (ORDER BY d) AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (ORDER BY d) AS DOUBLE)
+               - {ST.PH_DELTA_CENTS!r} AS resid
+        FROM daily
+    ), cum0 AS (
+        SELECT d,
+               CAST(SUM(CAST(resid AS DECIMAL(38,6)))
+                    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) AS u
+        FROM run
+    ), cum AS (
+        SELECT d, u,
+               u - MIN(u) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ph
+        FROM cum0
+    ), fin AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days, MAX(ph) AS mph FROM cum
+    )
+    SELECT n_days,
+           ROUND(mph / 100.0, 6) AS ph_max,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM cum
+            WHERE ph = (SELECT mph FROM fin)) AS changepoint_day,
+           mph > {ST.PH_LAMBDA_CENTS!r} AS drift_alarm
+    FROM fin
+"""
