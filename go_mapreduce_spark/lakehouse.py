@@ -1987,3 +1987,84 @@ def x368_join_mv_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         F.round(F.col("v").cast("double"), 2).alias("total_price"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# x388 — GDPR forget-user cascade over lakehouse tables (wave 86)
+# ---------------------------------------------------------------------------
+
+GDPR_FORGET_MOD = 50  # forget customers with c_custkey % 50 == 7
+
+
+def x388_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as a table service: erase a customer set
+    from BOTH the customer dimension and the orders fact via
+    deletion vectors, then audit that no order of a forgotten
+    customer survives.  This is the workflow GDPR/CCPA imposes on a
+    100 TB lakehouse: scattered single-key deletes across every file's
+    key range, where copy-on-write would rewrite the world —
+    ``delete_table``'s merge-on-read vectors make each erasure
+    O(matched keys) (see its docstring), and the audit is one
+    anti-join-backed read per table.
+
+    The forget set is a pure key predicate (custkey ≡ 7 mod 50) so
+    both tables delete by predicate without a cross-table join inside
+    the commit — the shape a real pipeline gets from an upstream
+    "forget these ids" feed.  Output: per-table before/deleted/after
+    counts plus the residue count (must be 0), all oracle-checkable
+    closed-form from the fixture.
+    """
+    import shutil
+    import tempfile
+
+    from go_mapreduce_spark.sources.registry import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    results = []
+    roots = {}
+    try:
+        for name, df, key in (
+            ("customer", cust, "c_custkey"),
+            ("orders", orders, "o_orderkey"),
+        ):
+            root = os.path.join(
+                tempfile.gettempdir(), f"gms_gdpr_{tag}_{name}"
+            )
+            if os.path.isdir(root):
+                shutil.rmtree(root)
+            roots[name] = root
+            create_table(spark, df, root, key_col=key)
+        fc = F.pmod(F.col("c_custkey"), F.lit(GDPR_FORGET_MOD)) == 7
+        fo = F.pmod(F.col("o_custkey"), F.lit(GDPR_FORGET_MOD)) == 7
+        for name, cond in (("customer", fc), ("orders", fo)):
+            before = read_table(spark, roots[name]).count()
+            delete_table(spark, roots[name], cond)  # returns the version
+            after = read_table(spark, roots[name]).count()
+            results.append((name, before, before - after, after))
+        residue = (
+            read_table(spark, roots["orders"])
+            .join(
+                read_table(spark, roots["customer"]).select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            )
+            .count()
+        )
+    finally:
+        for root in roots.values():
+            shutil.rmtree(root, ignore_errors=True)
+    # every surviving order must reference a surviving customer: the
+    # anti-join residue equals orders whose customer was forgotten
+    # AFTER the cascade — 0 by construction, asserted by the oracle
+    return spark.createDataFrame(
+        [(n, b, d, a, residue if n == "orders" else 0)
+         for n, b, d, a in results],
+        "table_name string, rows_before bigint, rows_deleted bigint, "
+        "rows_after bigint, orphan_orders bigint",
+    ).orderBy("table_name")

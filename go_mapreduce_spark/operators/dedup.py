@@ -1530,3 +1530,90 @@ def x382_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x389 — capture-recapture estimate of the near-dup population (wave 86)
+# ---------------------------------------------------------------------------
+
+
+def x389_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many near-duplicate pairs does the LSH MISS?  Split the
+    x116 MinHash bands into two independent detectors (bands 0-1 vs
+    bands 2-3): each catches a pair with probability ~J^rows_per_band
+    per band, independently across bands — exactly the
+    capture-recapture setting.  Chapman's estimator
+    N̂ = (n_A+1)(n_B+1)/(m+1) − 1 on the two catch sets then estimates
+    the TOTAL candidate population, caught or not; N̂ − |A∪B| is the
+    expected residual the banding leaves behind.  This turns x316's
+    analytic S-curve into a measured completeness number — the audit a
+    dedup pipeline reports next to its recall target.
+
+    Same scale shape as x117: band bucket joins only, never pairwise
+    in the corpus; the two catch relations meet in one full-outer join
+    on the pair key.
+    """
+    sigs = x116_minhash_signatures(spark, sf_dir)
+    half = (SIG_K // SIG_BAND_ROWS) // 2
+
+    def catch(band_ids):
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig_{b * SIG_BAND_ROWS + r}")
+                                    for r in range(SIG_BAND_ROWS)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in band_ids
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band_id", "bk.band_key")
+        a = bands.select(F.col("doc_id").alias("da"), "band_id", "band_key")
+        b = bands.select(F.col("doc_id").alias("db"), "band_id", "band_key")
+        return (
+            a.join(b, ["band_id", "band_key"])
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db")
+            .distinct()
+        )
+
+    ca = catch(list(range(half))).withColumn("in_a", F.lit(1))
+    cb = catch(list(range(half, 2 * half))).withColumn("in_b", F.lit(1))
+    both = ca.join(cb, ["da", "db"], "full_outer")
+    agg = both.agg(
+        F.sum(F.coalesce("in_a", F.lit(0))).cast("bigint").alias("n_a"),
+        F.sum(F.coalesce("in_b", F.lit(0))).cast("bigint").alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("m_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+    )
+    n_hat = (
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1).cast("double")
+        / (F.col("m_both") + 1).cast("double")
+        - 1.0
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "m_both",
+        "n_union",
+        F.round(n_hat, 6).alias("n_est"),
+        F.round(n_hat - F.col("n_union").cast("double"), 6).alias(
+            "est_missed"
+        ),
+    )

@@ -4460,3 +4460,77 @@ def x387_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("changepoint_day"),
         (F.max("ph") > F.lit(PH_LAMBDA_CENTS)).alias("drift_alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x390 — two-proportion z-test with Wilson intervals (wave 86)
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.959963984540054  # 95% two-sided normal (pinned literal)
+
+
+def x390_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: do lineitems of URGENT orders get
+    returned at a different rate than lineitems of LOW-priority
+    orders?  Reports the pooled-variance z statistic AND a Wilson
+    95% interval per arm — the score interval that behaves at small
+    counts and extreme rates where the Wald interval collapses.
+
+    One joined corpus pass reduces to four counters; everything
+    downstream is closed-form scalar algebra on the 1-row result in
+    one pinned expression shape on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") == "R").alias("ret")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderkey"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+    )
+    agg = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("is_a") & F.col("ret"), 1))
+        .cast("bigint")
+        .alias("k_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.count(F.when(~F.col("is_a") & F.col("ret"), 1))
+        .cast("bigint")
+        .alias("k_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ka, kb = F.col("k_a").cast("double"), F.col("k_b").cast("double")
+    p1, p2 = ka / na, kb / nb
+    pp = (ka + kb) / (na + nb)
+    z = (p1 - p2) / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    zz = F.lit(WILSON_Z * WILSON_Z)
+
+    def wilson_lo(p, n):
+        return (
+            p + zz / (2.0 * n)
+            - F.lit(WILSON_Z)
+            * F.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+        ) / (1.0 + zz / n)
+
+    def wilson_hi(p, n):
+        return (
+            p + zz / (2.0 * n)
+            + F.lit(WILSON_Z)
+            * F.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+        ) / (1.0 + zz / n)
+
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(p1, 6).alias("rate_urgent"),
+        F.round(p2, 6).alias("rate_low"),
+        F.round(z, 6).alias("z_score"),
+        F.round(wilson_lo(p1, na), 6).alias("ci_lo_urgent"),
+        F.round(wilson_hi(p1, na), 6).alias("ci_hi_urgent"),
+        F.round(wilson_lo(p2, nb), 6).alias("ci_lo_low"),
+        F.round(wilson_hi(p2, nb), 6).alias("ci_hi_low"),
+        (F.abs(z) > F.lit(WILSON_Z)).alias("reject_5pct"),
+    )

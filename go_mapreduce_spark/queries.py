@@ -10927,3 +10927,156 @@ ORACLE_SQL["x387_page_hinkley"] = f"""
            mph > {ST.PH_LAMBDA_CENTS!r} AS drift_alarm
     FROM fin
 """
+
+# wave 86 (round 7): GDPR cascade, capture-recapture, two-proportion test
+QUERIES.update(
+    {
+        "x388_gdpr_cascade": LH.x388_gdpr_cascade,
+        "x389_capture_recapture": D.x389_capture_recapture,
+        "x390_two_proportion_test": ST.x390_two_proportion_test,
+    }
+)
+
+ORACLE_SQL["x388_gdpr_cascade"] = f"""
+    WITH c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS before,
+               CAST(COUNT(CASE WHEN c_custkey % {LH.GDPR_FORGET_MOD} = 7
+                           THEN 1 END) AS BIGINT) AS deleted
+        FROM customer
+    ), o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS before,
+               CAST(COUNT(CASE WHEN o_custkey % {LH.GDPR_FORGET_MOD} = 7
+                           THEN 1 END) AS BIGINT) AS deleted
+        FROM orders
+    ), orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey % {LH.GDPR_FORGET_MOD} <> 7
+          AND o_custkey NOT IN (
+              SELECT c_custkey FROM customer
+              WHERE c_custkey % {LH.GDPR_FORGET_MOD} <> 7)
+    )
+    SELECT 'customer' AS table_name, before AS rows_before,
+           deleted AS rows_deleted,
+           CAST(before - deleted AS BIGINT) AS rows_after,
+           CAST(0 AS BIGINT) AS orphan_orders
+    FROM c
+    UNION ALL
+    SELECT 'orders', before, deleted, CAST(before - deleted AS BIGINT),
+           (SELECT n FROM orphans)
+    FROM o
+    ORDER BY table_name
+"""
+
+_CRC_HALF = (D.SIG_K // D.SIG_BAND_ROWS) // 2
+_CRC_BANDS_A = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '|' || ".join(
+        f"sig_{b * D.SIG_BAND_ROWS + r}" for r in range(D.SIG_BAND_ROWS)
+    )
+    + " AS band_key FROM sigs"
+    for b in range(_CRC_HALF)
+)
+_CRC_BANDS_B = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '|' || ".join(
+        f"sig_{b * D.SIG_BAND_ROWS + r}" for r in range(D.SIG_BAND_ROWS)
+    )
+    + " AS band_key FROM sigs"
+    for b in range(_CRC_HALF, 2 * _CRC_HALF)
+)
+ORACLE_SQL["x389_capture_recapture"] = f"""
+    WITH {_SIG_CTES},
+    sigs AS (
+        SELECT doc_id, {_SIG_MINS}
+        FROM shingles GROUP BY doc_id
+    ),
+    ba AS ({_CRC_BANDS_A}),
+    bb AS ({_CRC_BANDS_B}),
+    ca AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM ba a JOIN ba b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    cb AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bb a JOIN bb b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    u AS (
+        SELECT COALESCE(ca.da, cb.da) AS da, COALESCE(ca.db, cb.db) AS db,
+               (ca.da IS NOT NULL) AS in_a, (cb.da IS NOT NULL) AS in_b
+        FROM ca FULL OUTER JOIN cb
+          ON ca.da = cb.da AND ca.db = cb.db
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m_both,
+               CAST(COUNT(*) AS BIGINT) AS n_union
+        FROM u
+    )
+    SELECT n_a, n_b, m_both, n_union,
+           ROUND(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+                 / CAST(m_both + 1 AS DOUBLE) - 1.0, 6) AS n_est,
+           ROUND(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+                 / CAST(m_both + 1 AS DOUBLE) - 1.0
+                 - CAST(n_union AS DOUBLE), 6) AS est_missed
+    FROM agg
+"""
+
+ORACLE_SQL["x390_two_proportion_test"] = f"""
+    WITH agg AS (
+        SELECT CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                            AND l_returnflag = 'R' THEN 1 END)
+                    AS BIGINT) AS k_a,
+               CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW'
+                           THEN 1 END) AS BIGINT) AS n_b,
+               CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW'
+                            AND l_returnflag = 'R' THEN 1 END)
+                    AS BIGINT) AS k_b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), p AS (
+        SELECT n_a, n_b,
+               CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+               CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+               (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp,
+               CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+               {ST.WILSON_Z!r} * {ST.WILSON_Z!r} AS zz
+        FROM agg
+    ), zc AS (
+        SELECT *,
+               (p1 - p2) / sqrt(pp * (1.0 - pp)
+                                * (1.0 / na + 1.0 / nb)) AS z
+        FROM p
+    )
+    SELECT n_a, n_b,
+           ROUND(p1, 6) AS rate_urgent,
+           ROUND(p2, 6) AS rate_low,
+           ROUND(z, 6) AS z_score,
+           ROUND((p1 + zz / (2.0 * na)
+                  - {ST.WILSON_Z!r} * sqrt(p1 * (1.0 - p1) / na
+                                           + zz / (4.0 * na * na)))
+                 / (1.0 + zz / na), 6) AS ci_lo_urgent,
+           ROUND((p1 + zz / (2.0 * na)
+                  + {ST.WILSON_Z!r} * sqrt(p1 * (1.0 - p1) / na
+                                           + zz / (4.0 * na * na)))
+                 / (1.0 + zz / na), 6) AS ci_hi_urgent,
+           ROUND((p2 + zz / (2.0 * nb)
+                  - {ST.WILSON_Z!r} * sqrt(p2 * (1.0 - p2) / nb
+                                           + zz / (4.0 * nb * nb)))
+                 / (1.0 + zz / nb), 6) AS ci_lo_low,
+           ROUND((p2 + zz / (2.0 * nb)
+                  + {ST.WILSON_Z!r} * sqrt(p2 * (1.0 - p2) / nb
+                                           + zz / (4.0 * nb * nb)))
+                 / (1.0 + zz / nb), 6) AS ci_hi_low,
+           abs(z) > {ST.WILSON_Z!r} AS reject_5pct
+    FROM zc
+"""
