@@ -1740,3 +1740,89 @@ def x383_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x391 — leakage-safe train/test split (wave 87)
+# ---------------------------------------------------------------------------
+
+LSPLIT_SALT = "|lsplit"
+LSPLIT_TRAIN_OF_10 = 8  # hash residues 0-7 train, 8-9 test
+
+
+def x391_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split that cannot leak through near-duplicates: the
+    split hash is computed on the document's DEDUP-CLUSTER
+    representative (x27's connected components; singletons represent
+    themselves), so every member of a near-dup cluster lands on the
+    same side BY CONSTRUCTION.  The naive per-document hash split is
+    computed alongside and its straddling-pair count reported — the
+    number every eval-contamination postmortem wishes had been zero.
+    x52 decontaminates against a FIXED eval set; this makes the split
+    itself safe.
+
+    Scale shape: the pair graph and components are the shared
+    x6/x27 machinery (memoized per run); the split itself is one
+    sha256 per document and two bounded join-audits on the pair
+    relation.
+    """
+    from go_mapreduce_spark.operators.dedup import (
+        connected_components,
+        shared_pair_graph,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = shared_pair_graph(spark, sf_dir, 0.8)
+    cl = connected_components(pairs)
+
+    def is_train(col):
+        h8 = F.substring(
+            F.sha2(F.concat(col.cast("string"), F.lit(LSPLIT_SALT)), 256),
+            1,
+            8,
+        )
+        return F.pmod(
+            F.conv(h8, 16, 10).cast("bigint"), F.lit(10)
+        ) < F.lit(LSPLIT_TRAIN_OF_10)
+
+    rep = docs.join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"),
+    )
+    splits = rep.select(
+        "doc_id",
+        is_train(F.col("rep")).alias("tr_cluster"),
+        is_train(F.col("doc_id")).alias("tr_naive"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tr_cluster").alias("ca"),
+        F.col("tr_naive").alias("na"),
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tr_cluster").alias("cb"),
+        F.col("tr_naive").alias("nb"),
+    )
+    audited = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    counts = splits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("tr_cluster").cast("int")).cast("bigint").alias("n_train"),
+    )
+    straddle = audited.agg(
+        F.sum((F.col("ca") != F.col("cb")).cast("int"))
+        .cast("bigint")
+        .alias("straddle_cluster"),
+        F.sum((F.col("na") != F.col("nb")).cast("int"))
+        .cast("bigint")
+        .alias("straddle_naive"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return counts.crossJoin(F.broadcast(straddle)).select(
+        "n_docs",
+        "n_train",
+        (F.col("n_docs") - F.col("n_train")).alias("n_test"),
+        "n_pairs",
+        "straddle_cluster",
+        "straddle_naive",
+    )

@@ -750,3 +750,84 @@ def x377_kcenter_coreset(
         .select("sel_rank", "vec_id", F.round("d_raw", 6).alias("d_min"))
         .orderBy("sel_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x392 — NDCG@k of the kNN retrieval (wave 87)
+# ---------------------------------------------------------------------------
+
+# partial sums of the ideal DCG: IDCG for R relevant items in a top-5
+# list = sum_{i=1..R} 1/log2(i+1), pinned as literals shared with the
+# oracle (libm-stable like KS_C_05)
+NDCG_IDCG = (
+    0.0,
+    1.0,
+    1.6309297535714575,
+    2.1309297535714578,
+    2.5616063116448506,
+    2.9484591188793923,
+)
+
+
+def x392_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the exact cosine retrieval (x3) with same-label
+    neighbors as the relevance signal — the position-discounted
+    ranking metric that tells a retrieval pipeline WHERE its relevant
+    hits land, not just how many (x299/x375 grade classifiers; this
+    grades the ranking).  DCG = Σ rel_i / log2(i+1) over the ranked
+    top-5; IDCG is the pinned partial-sum table indexed by the number
+    of relevant hits, so NDCG is exact and engine-portable.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = x3_knn_cosine(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        knn.withColumn("rnk", F.row_number().over(w))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rnk",
+            (F.col("ql") == F.col("nl")).cast("int").alias("rel"),
+        )
+    )
+    idcg_arr = F.array(*[F.lit(v) for v in NDCG_IDCG])
+    per_q = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+        F.sum(
+            (
+                F.col("rel").cast("double")
+                / F.log2(F.col("rnk").cast("double") + 1.0)
+            ).cast(DECIMAL_T)
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    return per_q.select(
+        "query_id",
+        "n_relevant",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(
+            F.when(F.col("n_relevant") > 0,
+                   F.col("dcg")
+                   / F.element_at(idcg_arr, F.col("n_relevant").cast("int") + 1))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+    ).orderBy("query_id")

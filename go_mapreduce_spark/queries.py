@@ -11080,3 +11080,91 @@ ORACLE_SQL["x390_two_proportion_test"] = f"""
            abs(z) > {ST.WILSON_Z!r} AS reject_5pct
     FROM zc
 """
+
+# wave 87 (round 7): leakage-safe split, NDCG@5
+QUERIES.update(
+    {
+        "x391_leakage_safe_split": C.x391_leakage_safe_split,
+        "x392_ndcg_at_k": S.x392_ndcg_at_k,
+    }
+)
+
+
+def _hexpoly8(col: str) -> str:
+    s = f"(strpos('0123456789abcdef', substr({col}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        s = f"({s} * 16 + (strpos('0123456789abcdef', substr({col}, {i}, 1)) - 1))"
+    return s
+
+
+ORACLE_SQL["x391_leakage_safe_split"] = f"""
+    WITH RECURSIVE {_NEARDUP_CC_CTES},
+    cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+           FROM reach GROUP BY node),
+    rep AS (
+        SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ), hs AS (
+        SELECT doc_id,
+               substr(sha256(concat(CAST(rep AS VARCHAR),
+                                    '{C.LSPLIT_SALT}')), 1, 8) AS hc,
+               substr(sha256(concat(CAST(doc_id AS VARCHAR),
+                                    '{C.LSPLIT_SALT}')), 1, 8) AS hn
+        FROM rep
+    ), spl AS (
+        SELECT doc_id,
+               (CAST({_hexpoly8('hc')} AS BIGINT) % 10
+                < {C.LSPLIT_TRAIN_OF_10}) AS trc,
+               (CAST({_hexpoly8('hn')} AS BIGINT) % 10
+                < {C.LSPLIT_TRAIN_OF_10}) AS trn
+        FROM hs
+    ), counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN trc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train
+        FROM spl
+    ), aud AS (
+        SELECT CAST(SUM(CASE WHEN a.trc <> b.trc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS straddle_cluster,
+               CAST(SUM(CASE WHEN a.trn <> b.trn THEN 1 ELSE 0 END)
+                    AS BIGINT) AS straddle_naive,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN spl a ON a.doc_id = p.doc_a
+        JOIN spl b ON b.doc_id = p.doc_b
+    )
+    SELECT n_docs, n_train,
+           CAST(n_docs - n_train AS BIGINT) AS n_test,
+           n_pairs, straddle_cluster, straddle_naive
+    FROM counts CROSS JOIN aud
+"""
+
+_NDCG_LIST = "[" + ", ".join(repr(v) for v in S.NDCG_IDCG) + "]"
+ORACLE_SQL["x392_ndcg_at_k"] = f"""
+    WITH knn AS ({ORACLE_SQL["x3_knn_cosine"]}),
+    ranked AS (
+        SELECT k.query_id,
+               row_number() OVER (PARTITION BY k.query_id
+                                  ORDER BY k.similarity DESC,
+                                           k.neighbor_id ASC) AS rnk,
+               CASE WHEN eq.label = en.label THEN 1 ELSE 0 END AS rel
+        FROM knn k
+        JOIN embeddings eq ON eq.vec_id = k.query_id
+        JOIN embeddings en ON en.vec_id = k.neighbor_id
+    ), per_q AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS n_relevant,
+               CAST(SUM(CAST(CAST(rel AS DOUBLE)
+                             / log2(CAST(rnk AS DOUBLE) + 1.0)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS dcg
+        FROM ranked GROUP BY query_id
+    )
+    SELECT query_id, n_relevant,
+           ROUND(dcg, 6) AS dcg,
+           ROUND(CASE WHEN n_relevant > 0
+                      THEN dcg / list_extract(
+                               CAST({_NDCG_LIST} AS DOUBLE[]),
+                               CAST(n_relevant AS INT) + 1)
+                      ELSE 0.0 END, 6) AS ndcg
+    FROM per_q ORDER BY query_id
+"""
