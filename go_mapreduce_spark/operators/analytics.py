@@ -2789,3 +2789,108 @@ def x338_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents_at_pos").cast("double") / F.col("total_cents"), 6
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# x394 — Pearson correlation matrix in one pass (wave 88)
+# ---------------------------------------------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def x394_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation matrix over lineitem's four numeric
+    measures from ONE corpus pass: 4 sums + 4 squares + 6 cross
+    products + a count, all decimal-exact, then every pairwise r is
+    scalar algebra on the checkpointed 1-row result (the x386
+    fan-out discipline).  The feature-screening step every modeling
+    pipeline runs first — and the wide-aggregate shape that computes
+    d² statistics in a single scan instead of d² scans.
+    """
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+    from go_mapreduce_spark.sources.registry import load_table
+
+    cols = list(CORR_COLS)
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs.append(dsum_expr(c, f"s_{c}"))
+        aggs.append(dsum_expr(f"{c} * {c}", f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(dsum_expr(f"{a} * {b}", f"sx_{a}_{b}"))
+    wide = li.agg(*aggs).localCheckpoint()
+    n = F.col("_n").cast("double")
+    out = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            r = (
+                n * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ) / F.sqrt(
+                (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            row = wide.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(r, 6).alias("pearson_r"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# x395 — cohort retention triangle (wave 88)
+# ---------------------------------------------------------------------------
+
+RETENTION_MAX_AGE_WEEKS = 8
+
+
+def x395_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event stream: users
+    grouped by first-activity week, retention = fraction of the
+    cohort active again at week offset 1..8 — the table every
+    engagement dashboard opens with (x312 prices the cohorts; this
+    tracks whether they come back).
+
+    Weeks are pure integer arithmetic on epoch days (no engine WEEK
+    function), the cohort assignment is one min-aggregate per user,
+    and the triangle is a (user-week distinct) → (cohort, age) count —
+    two shuffles total, both on keys that grow with users, not
+    events.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7
+        ).alias("wk"),
+    )
+    user_weeks = ev.distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = cohorts.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    aged = (
+        user_weeks.join(cohorts, "user_id")
+        .select("cw", (F.col("wk") - F.col("cw")).alias("age"))
+        .filter(
+            (F.col("age") >= 1) & (F.col("age") <= RETENTION_MAX_AGE_WEEKS)
+        )
+        .groupBy("cw", "age")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        aged.join(sizes, "cw")
+        .select(
+            F.col("cw").cast("bigint").alias("cohort_week"),
+            F.col("age").cast("bigint").alias("age_weeks"),
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -11168,3 +11168,119 @@ ORACLE_SQL["x392_ndcg_at_k"] = f"""
                       ELSE 0.0 END, 6) AS ndcg
     FROM per_q ORDER BY query_id
 """
+
+# wave 88 (round 7): streaming Page-Hinkley, correlation matrix, retention
+QUERIES.update(
+    {
+        "x393_stream_page_hinkley": SE.x393_stream_page_hinkley,
+        "x394_correlation_matrix": AN.x394_correlation_matrix,
+        "x395_retention_triangle": AN.x395_retention_triangle,
+    }
+)
+
+ORACLE_SQL["x393_stream_page_hinkley"] = f"""
+    -- x36/x343 append-mode finalization predicate, then batch PH
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+        FROM events
+    ), agg AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+               SUM(CAST(value AS DECIMAL(38,6))) AS sv,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ), fin AS (
+        SELECT agg.* FROM agg, wm WHERE ws + INTERVAL 1 DAY <= wm.w
+    ), run AS (
+        SELECT ws,
+               CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE)
+               - CAST(SUM(sv) OVER (ORDER BY ws) AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (ORDER BY ws) AS DOUBLE)
+               - {SE.STREAM_PH_DELTA!r} AS resid
+        FROM fin
+    ), cum0 AS (
+        SELECT ws,
+               CAST(SUM(CAST(resid AS DECIMAL(38,6)))
+                    OVER (ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) AS u
+        FROM run
+    ), cum AS (
+        SELECT ws, u,
+               u - MIN(u) OVER (ORDER BY ws ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS ph
+        FROM cum0
+    ), f2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days, MAX(ph) AS mph FROM cum
+    )
+    SELECT n_days,
+           ROUND(mph, 6) AS ph_max,
+           (SELECT CAST(MAX(ws) AS DATE) FROM cum
+            WHERE ph = (SELECT mph FROM f2)) AS changepoint_day,
+           mph > {SE.STREAM_PH_LAMBDA!r} AS drift_alarm
+    FROM f2
+"""
+
+
+def _corr_matrix_oracle() -> str:
+    cols = list(AN.CORR_COLS)
+    stats = ["CAST(COUNT(*) AS BIGINT) AS _n"]
+    for c in cols:
+        stats.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS s_{c}"
+        )
+        stats.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,6))) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            stats.append(
+                f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,6))) AS DOUBLE)"
+                f" AS sx_{a}_{b}"
+            )
+            pairs.append((a, b))
+    branches = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND((CAST(_n AS DOUBLE) * sx_{a}_{b} - s_{a} * s_{b})
+                 / sqrt((CAST(_n AS DOUBLE) * ss_{a} - s_{a} * s_{a})
+                        * (CAST(_n AS DOUBLE) * ss_{b} - s_{b} * s_{b})), 6)
+               AS pearson_r
+    FROM wide"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH wide AS MATERIALIZED (
+        SELECT {', '.join(stats)}
+        FROM lineitem
+    )
+    {branches}
+    ORDER BY col_a, col_b
+"""
+
+
+ORACLE_SQL["x394_correlation_matrix"] = _corr_matrix_oracle()
+
+ORACLE_SQL["x395_retention_triangle"] = f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7)
+                    AS BIGINT) AS wk
+        FROM events
+    ), coh AS (
+        SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY 1
+    ), sizes AS (
+        SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM coh GROUP BY 1
+    ), aged AS (
+        SELECT c.cw, uw.wk - c.cw AS age,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM uw JOIN coh c USING (user_id)
+        WHERE uw.wk - c.cw BETWEEN 1 AND {AN.RETENTION_MAX_AGE_WEEKS}
+        GROUP BY 1, 2
+    )
+    SELECT aged.cw AS cohort_week,
+           CAST(age AS BIGINT) AS age_weeks,
+           n_active, cohort_size,
+           ROUND(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+    FROM aged JOIN sizes ON sizes.cw = aged.cw
+    ORDER BY cohort_week, age_weeks
+"""

@@ -1104,3 +1104,77 @@ def x371_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# x393 — streaming Page-Hinkley changepoint monitor (wave 88)
+# ---------------------------------------------------------------------------
+
+STREAM_PH_DELTA = 1.0
+STREAM_PH_LAMBDA = 500.0
+
+
+def x393_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming changepoint monitor: the stream maintains per-day
+    (decimal value sum, count) — O(open windows) state — and the
+    Page-Hinkley statistic (x387's math) runs batch-side over the
+    watermark-finalized days drained from the append sink, exactly
+    x371's division of labor: the stream does bounded-state
+    aggregation, the sequential-looking scan runs on the bounded
+    daily relation.
+
+    Output: the PH summary (max excursion, estimated changepoint day,
+    alarm against the pinned λ) over the finalized prefix of the
+    stream.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    stream = read_event_stream(
+        spark, _ensure_replay_events(spark, sf_dir), max_files_per_trigger=2
+    )
+    daily = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.sum(F.col("value").cast(DECIMAL_T)).alias("sv"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(F.col("w.start").alias("window_start"), "sv", "cnt")
+    )
+    sink = _replay_to_parquet(spark, sf_dir, "x393", daily)
+    wo = Window.orderBy("window_start")  # finalized days: bounded
+    run = sink.select(
+        "window_start",
+        (F.col("sv").cast("double") / F.col("cnt").cast("double")).alias("x"),
+        (
+            F.sum("sv").over(wo).cast("double")
+            / F.sum("cnt").over(wo).cast("double")
+        ).alias("m"),
+    ).select(
+        "window_start",
+        (F.col("x") - F.col("m") - F.lit(STREAM_PH_DELTA)).alias("resid"),
+    )
+    cum = run.select(
+        "window_start",
+        F.sum(F.col("resid").cast(DECIMAL_T))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("u"),
+    ).select(
+        "window_start",
+        "u",
+        (
+            F.col("u")
+            - F.min("u").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("ph"),
+    )
+    return cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("ph"), 6).alias("ph_max"),
+        F.to_date(
+            F.max(F.struct(F.col("ph"), F.col("window_start")))[
+                "window_start"
+            ]
+        ).alias("changepoint_day"),
+        (F.max("ph") > F.lit(STREAM_PH_LAMBDA)).alias("drift_alarm"),
+    )
