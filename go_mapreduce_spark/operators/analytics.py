@@ -2894,3 +2894,137 @@ def x395_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# x396 — SCD2 point-in-time lookup (wave 89)
+# ---------------------------------------------------------------------------
+
+
+def x396_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the x239 SCD2 dimension: for each
+    user, resolve the state that was valid at the user's mid-history
+    probe instant (midnight of the median activity date — date-level
+    arithmetic, no sub-second precision games).  This is the AS OF
+    join every warehouse fact load performs against a versioned
+    dimension; x239 builds the history, this query proves it resolves.
+
+    One interval-membership join per user (equi on user_id + range on
+    validity) — the dimension side is one row per state CHANGE, so the
+    probe join is metadata-sized per user regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    ).select(
+        "user_id",
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        )
+        .cast("timestamp")
+        .alias("probe_ts"),
+    )
+    dim = x239_scd2_history(spark, sf_dir)
+    return (
+        dim.join(probes, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("probe_ts") < F.col("valid_to"))
+            )
+        )
+        .select(
+            "user_id",
+            "probe_ts",
+            F.col("state").alias("state_at_probe"),
+            "version",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x397 — fixed-effects meta-analysis across regions (wave 89)
+# ---------------------------------------------------------------------------
+
+
+def x397_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-variance fixed-effects meta-analysis: each region
+    contributes a Welch-style URGENT-vs-LOW mean-order-value effect
+    with its own variance (x243's per-arm sufficient statistics, per
+    region), and the pooled estimate weights by precision.  Cochran's
+    Q and I² quantify cross-region heterogeneity — the "is this
+    effect the same everywhere?" readout a multi-market experiment
+    reports.
+
+    One joined corpus pass → (region × arm) sufficient statistics
+    (bounded), then pooling is scalar algebra on the ≤5-row relation.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T, dsum_expr
+    from go_mapreduce_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    rows = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_regionkey").alias("region"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    per = rows.groupBy("region").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        dsum_expr("CASE WHEN is_a THEN y END", "s_a"),
+        dsum_expr("CASE WHEN is_a THEN y * y END", "ss_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        dsum_expr("CASE WHEN NOT is_a THEN y END", "s_b"),
+        dsum_expr("CASE WHEN NOT is_a THEN y * y END", "ss_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("s_a") / na, F.col("s_b") / nb
+    va = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / na) / (na - 1.0)
+    vb = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / nb) / (nb - 1.0)
+    # a region only contributes if both arms can estimate a variance
+    # (n ≥ 2 each) — pinned convention, mirrored in the oracle
+    eff = per.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2)).select(
+        "region",
+        (ma - mb).alias("e"),
+        (va / na + vb / nb).alias("v"),
+    )
+    # inverse-variance weights are ~1e-9 here: scale-6 decimal would
+    # quantize them to zero, so the (bounded, ≤5-row) pooling sums go
+    # through DECIMAL(38,30) — order-independent AND precise
+    meta_dec = "decimal(38,30)"
+    agg = eff.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_regions"),
+        F.sum((1.0 / F.col("v")).cast(meta_dec)).cast("double").alias("sw"),
+        F.sum((F.col("e") / F.col("v")).cast(meta_dec))
+        .cast("double")
+        .alias("swe"),
+        F.sum((F.col("e") * F.col("e") / F.col("v")).cast(meta_dec))
+        .cast("double")
+        .alias("swee"),
+    )
+    pooled = F.col("swe") / F.col("sw")
+    q = F.col("swee") - F.col("swe") * F.col("swe") / F.col("sw")
+    km1 = (F.col("k_regions") - 1).cast("double")
+    i2 = F.greatest(F.lit(0.0), (q - km1) / q)
+    return agg.select(
+        "k_regions",
+        F.round(pooled, 6).alias("pooled_effect"),
+        F.round(F.sqrt(1.0 / F.col("sw")), 6).alias("pooled_se"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(i2, 6).alias("i2"),
+    )

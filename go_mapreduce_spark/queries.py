@@ -11284,3 +11284,80 @@ ORACLE_SQL["x395_retention_triangle"] = f"""
     FROM aged JOIN sizes ON sizes.cw = aged.cw
     ORDER BY cohort_week, age_weeks
 """
+
+# wave 89 (round 7): SCD2 point-in-time lookup, meta-analysis
+QUERIES.update(
+    {
+        "x396_scd2_pit_lookup": AN.x396_scd2_pit_lookup,
+        "x397_meta_analysis": AN.x397_meta_analysis,
+    }
+)
+
+ORACLE_SQL["x396_scd2_pit_lookup"] = f"""
+    WITH dim AS ({ORACLE_SQL["x239_scd2_history"]}),
+    probes AS (
+        SELECT user_id,
+               CAST(MIN(CAST(ts AS DATE))
+                    + CAST(floor((MAX(CAST(ts AS DATE))
+                                  - MIN(CAST(ts AS DATE))) / 2)
+                           AS INT) AS TIMESTAMP) AS probe_ts
+        FROM events GROUP BY user_id
+    )
+    SELECT d.user_id, p.probe_ts,
+           d.state AS state_at_probe,
+           d.version
+    FROM dim d JOIN probes p ON p.user_id = d.user_id
+    WHERE d.valid_from <= p.probe_ts
+      AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+    ORDER BY d.user_id
+"""
+
+ORACLE_SQL["x397_meta_analysis"] = """
+    WITH rows0 AS (
+        SELECT n_regionkey AS region,
+               o_orderpriority = '1-URGENT' AS is_a,
+               o_totalprice AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), per AS (
+        SELECT region,
+               COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+               CAST(SUM(CAST(CASE WHEN is_a THEN y END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s_a,
+               CAST(SUM(CAST(CASE WHEN is_a THEN y * y END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ss_a,
+               COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+               CAST(SUM(CAST(CASE WHEN NOT is_a THEN y END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s_b,
+               CAST(SUM(CAST(CASE WHEN NOT is_a THEN y * y END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ss_b
+        FROM rows0 GROUP BY region
+    ), eff AS (
+        SELECT region,
+               s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE) AS e,
+               (ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+               + (ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS v
+        FROM per
+        WHERE n_a >= 2 AND n_b >= 2
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_regions,
+               CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / v AS DECIMAL(38,30)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(e / v AS DECIMAL(38,30))) AS DOUBLE) AS swe,
+               CAST(SUM(CAST(e * e / v AS DECIMAL(38,30))) AS DOUBLE) AS swee
+        FROM eff
+    )
+    SELECT k_regions,
+           ROUND(swe / sw, 6) AS pooled_effect,
+           ROUND(sqrt(1.0 / sw), 6) AS pooled_se,
+           ROUND(swee - swe * swe / sw, 6) AS q_stat,
+           ROUND(GREATEST(CAST(0 AS DOUBLE),
+                          (swee - swe * swe / sw
+                           - CAST(k_regions - 1 AS DOUBLE))
+                          / (swee - swe * swe / sw)), 6) AS i2
+    FROM agg
+"""
