@@ -1826,3 +1826,59 @@ def x391_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "straddle_cluster",
         "straddle_naive",
     )
+
+
+# ---------------------------------------------------------------------------
+# x398 — Neyman sampling allocation (wave 90)
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+def x398_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman) sample allocation across document sources for
+    a fixed labeling budget: n_h ∝ N_h·S_h, so variable strata get
+    proportionally MORE than their share of rows — the sampling-design
+    step that decides where annotation money goes before x85's
+    deterministic draw executes it.  The proportional allocation is
+    reported alongside as the naive baseline.
+
+    One corpus pass → per-stratum (N_h, decimal moment sums); the
+    allocation is scalar algebra on the ~20-row stratum relation.
+    Integer allocations use the pinned floor(x+0.5) rounding (engine
+    round() half-even differs).
+    """
+    from go_mapreduce_spark.functions.numeric import (
+        DECIMAL_T,
+        dsum,
+        dsum_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("n_chars"), "s1"),
+        dsum_expr("n_chars * n_chars", "s2"),
+    )
+    nh = F.col("n_rows").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / nh) / (nh - 1.0)
+    scored = per.select(
+        "source",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.sqrt(var).alias("s_h"),
+        (nh * F.sqrt(var)).alias("w"),
+    )
+    tot = scored.agg(
+        F.sum(F.col("w").cast(DECIMAL_T)).cast("double").alias("sw"),
+        F.sum("n_rows").cast("double").alias("n_all"),
+    )
+    j = scored.crossJoin(F.broadcast(tot))
+    alloc = F.lit(float(NEYMAN_BUDGET)) * F.col("w") / F.col("sw")
+    prop = F.lit(float(NEYMAN_BUDGET)) * F.col("n_rows") / F.col("n_all")
+    return j.select(
+        "source",
+        "n_rows",
+        F.round("s_h", 6).alias("s_h"),
+        F.floor(alloc + 0.5).cast("bigint").alias("n_neyman"),
+        F.floor(prop + 0.5).cast("bigint").alias("n_proportional"),
+    ).orderBy("source")

@@ -1617,3 +1617,50 @@ def x389_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_missed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x400 — exact-dedup storage dividend (wave 90)
+# ---------------------------------------------------------------------------
+
+
+def x400_dedup_dividend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage/compute dividend of exact dedup, as the one-row
+    report a pipeline owner reads: duplicate groups, redundant copies,
+    characters that vanish when each group keeps one representative,
+    and the corpus-level savings fraction.  x1 lists the survivors;
+    this prices the operation — the number that justifies running it
+    at 100 TB.
+
+    One sha256 group pass (identical text ⇒ identical length, so the
+    per-group savings is (count−1)·n_chars exactly), then a 1-row
+    rollup joined to the corpus total.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+    )
+    groups = docs.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("nc").alias("nc")
+    )
+    agg = groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_texts"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(F.col("cnt") - 1).cast("bigint").alias("n_redundant_docs"),
+        F.sum((F.col("cnt") - 1) * F.col("nc"))
+        .cast("bigint")
+        .alias("chars_saved"),
+        F.sum(F.col("cnt") * F.col("nc")).cast("bigint").alias("chars_total"),
+    )
+    return agg.select(
+        "n_unique_texts",
+        "n_dup_groups",
+        "n_redundant_docs",
+        "chars_saved",
+        "chars_total",
+        F.round(
+            F.col("chars_saved") / F.col("chars_total").cast("double"), 6
+        ).alias("savings_frac"),
+    )

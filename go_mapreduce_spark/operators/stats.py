@@ -4534,3 +4534,56 @@ def x390_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wilson_hi(p2, nb), 6).alias("ci_hi_low"),
         (F.abs(z) > F.lit(WILSON_Z)).alias("reject_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x399 — robust location report: median, MAD, robust outliers (wave 90)
+# ---------------------------------------------------------------------------
+
+MAD_CONSISTENCY = 1.482602218505602  # 1/Phi^-1(3/4), pinned literal
+MAD_Z_CUT = 3.0
+
+
+def x399_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale report for order values: exact median,
+    median absolute deviation, the Gaussian-consistent scaled MAD,
+    and the census of |x − med| > 3·1.4826·MAD robust outliers — the
+    heavy-tail-proof siblings of mean/stddev/z-score that survive the
+    exact corruption x350's Grubbs test hunts.
+
+    Two corpus passes (median, then MAD + census against the 1-row
+    broadcast), both exact interpolated percentiles — the x83
+    machinery, which already hash-matches DuckDB's quantile_cont.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x")
+    )
+    # the 1-row median/MAD relations feed two downstream passes each:
+    # localCheckpoint so each corpus pass runs once (x319/x324 rule)
+    med = orders.agg(F.percentile("x", 0.5).alias("med")).localCheckpoint()
+    dev = orders.crossJoin(F.broadcast(med)).select(
+        "med", F.abs(F.col("x") - F.col("med")).alias("ad")
+    )
+    mad = dev.agg(
+        F.percentile("ad", 0.5).alias("mad"), F.max("med").alias("med")
+    ).localCheckpoint()
+    census = dev.crossJoin(F.broadcast(mad.select("mad"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (
+                F.col("ad")
+                > F.lit(MAD_Z_CUT) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_robust_outliers"),
+    )
+    return census.crossJoin(F.broadcast(mad)).select(
+        "n",
+        F.round("med", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        F.round(F.col("mad") * F.lit(MAD_CONSISTENCY), 6).alias(
+            "mad_scaled"
+        ),
+        "n_robust_outliers",
+    )

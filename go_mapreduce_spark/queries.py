@@ -11361,3 +11361,89 @@ ORACLE_SQL["x397_meta_analysis"] = """
                           / (swee - swe * swe / sw)), 6) AS i2
     FROM agg
 """
+
+# wave 90 (round 7): Neyman allocation, robust location, dedup dividend
+QUERIES.update(
+    {
+        "x398_neyman_allocation": C.x398_neyman_allocation,
+        "x399_robust_location": ST.x399_robust_location,
+        "x400_dedup_dividend": D.x400_dedup_dividend,
+    }
+)
+
+ORACLE_SQL["x398_neyman_allocation"] = f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s2
+        FROM documents GROUP BY source
+    ), scored AS (
+        SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+               sqrt((s2 - s1 * s1 / CAST(n_rows AS DOUBLE))
+                    / (CAST(n_rows AS DOUBLE) - 1.0)) AS s_h,
+               CAST(n_rows AS DOUBLE)
+               * sqrt((s2 - s1 * s1 / CAST(n_rows AS DOUBLE))
+                      / (CAST(n_rows AS DOUBLE) - 1.0)) AS w
+        FROM per
+    ), tot AS (
+        SELECT CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+               CAST(SUM(n_rows) AS DOUBLE) AS n_all
+        FROM scored
+    )
+    SELECT source, n_rows,
+           ROUND(s_h, 6) AS s_h,
+           CAST(floor(CAST({C.NEYMAN_BUDGET} AS DOUBLE) * w / sw + 0.5)
+                AS BIGINT) AS n_neyman,
+           CAST(floor(CAST({C.NEYMAN_BUDGET} AS DOUBLE) * n_rows / n_all
+                      + 0.5) AS BIGINT) AS n_proportional
+    FROM scored CROSS JOIN tot
+    ORDER BY source
+"""
+
+ORACLE_SQL["x399_robust_location"] = f"""
+    WITH med AS (
+        SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+        FROM orders
+    ), dev AS (
+        SELECT med, abs(CAST(o_totalprice AS DOUBLE) - med) AS ad
+        FROM orders CROSS JOIN med
+    ), mad AS (
+        SELECT quantile_cont(ad, 0.5) AS mad, MAX(med) AS med FROM dev
+    ), census AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ad > {ST.MAD_Z_CUT!r}
+                                       * {ST.MAD_CONSISTENCY!r}
+                                       * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_robust_outliers
+        FROM dev CROSS JOIN mad
+    )
+    SELECT n,
+           ROUND(med, 6) AS median,
+           ROUND(mad, 6) AS mad,
+           ROUND(mad * {ST.MAD_CONSISTENCY!r}, 6) AS mad_scaled,
+           n_robust_outliers
+    FROM census CROSS JOIN mad
+"""
+
+ORACLE_SQL["x400_dedup_dividend"] = """
+    WITH g AS (
+        SELECT sha256(text) AS h, COUNT(*) AS cnt,
+               MIN(CAST(n_chars AS BIGINT)) AS nc
+        FROM documents GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_groups,
+               CAST(SUM(cnt - 1) AS BIGINT) AS n_redundant_docs,
+               CAST(SUM((cnt - 1) * nc) AS BIGINT) AS chars_saved,
+               CAST(SUM(cnt * nc) AS BIGINT) AS chars_total
+        FROM g
+    )
+    SELECT n_unique_texts, n_dup_groups, n_redundant_docs,
+           chars_saved, chars_total,
+           ROUND(chars_saved / CAST(chars_total AS DOUBLE), 6)
+               AS savings_frac
+    FROM agg
+"""
