@@ -2068,3 +2068,90 @@ def x388_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, rows_before bigint, rows_deleted bigint, "
         "rows_after bigint, orphan_orders bigint",
     ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# x401 — incremental maintenance of a DISTINCT-COUNT MV (wave 91)
+# ---------------------------------------------------------------------------
+
+
+def x401_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a COUNT(DISTINCT) materialized view
+    — per-segment distinct ordering customers — under the x368 fact
+    CDC script.  Distinct counts are THE classically non-maintainable
+    aggregate: a delete only decrements the distinct count when it
+    removes the customer's LAST order, which a delta rule alone cannot
+    see.  The two-level counting fix: the per-customer aux MV absorbs
+    signed deltas, and the segment MV moves only on 0↔positive
+    transitions of a customer's count (appeared/disappeared), joined
+    to the dimension — churn-proportional, never a rescan.
+
+    The pytest pins bit-equality with a full recompute; the oracle
+    computes the final state closed-form.
+    """
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T  # noqa: F401
+    from go_mapreduce_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    k = F.col("o_orderkey")
+    facts_v1 = orders.filter(k % 4 < 3)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+
+    # ---- MV creation (the only full aggregation of the fact table)
+    aux = facts_v1.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mv = (
+        aux.join(dim, "ck")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+    # ---- fact CDC: signed per-customer deltas
+    ins = orders.filter(k % 4 == 3).select(
+        F.col("o_custkey").alias("ck"), F.lit(1).alias("d_n")
+    )
+    dels = facts_v1.filter(k % 16 == 2).select(
+        F.col("o_custkey").alias("ck"), F.lit(-1).alias("d_n")
+    )
+    dfact = (
+        ins.unionByName(dels).groupBy("ck").agg(F.sum("d_n").alias("d_n"))
+    )
+
+    # ---- maintenance: only 0↔positive transitions touch the MV
+    merged = aux.join(dfact, "ck", "full_outer").select(
+        "ck",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_old"),
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        ).alias("n_new"),
+    )
+    trans = merged.filter(
+        ((F.col("n_old") == 0) & (F.col("n_new") > 0))
+        | ((F.col("n_old") > 0) & (F.col("n_new") == 0))
+    ).select(
+        "ck",
+        F.when(F.col("n_new") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("d"),
+    )
+    dseg = (
+        trans.join(dim, "ck").groupBy("seg").agg(F.sum("d").alias("d"))
+    )
+    return (
+        mv.join(dseg, "seg", "full_outer")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            (
+                F.coalesce(F.col("n_cust"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_distinct_customers"),
+        )
+        .where(F.col("n_distinct_customers") > 0)
+        .orderBy("c_mktsegment")
+    )

@@ -831,3 +831,52 @@ def x392_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# x402 — hard-negative mining for contrastive training (wave 91)
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 3
+
+
+def x402_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each probe embedding, the 3 cosine-
+    NEAREST vectors with a DIFFERENT label — the pairs that teach a
+    contrastive model the most (random negatives are trivially far;
+    these sit on the decision boundary).  Same broadcast-probe shape
+    as x3: the corpus never shuffles, each partition emits its local
+    candidates, the global top-k touches (partitions × k) rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("ql"),
+        F.col("embedding").alias("qe"),
+    )
+    joined = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nl"),
+        F.col("embedding").alias("ne"),
+    ).join(
+        F.broadcast(probes),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("nl") != F.col("ql")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn(
+            "sim_raw", cosine_similarity(F.col("qe"), F.col("ne"))
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARDNEG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("nl").alias("negative_label"),
+            F.round("sim_raw", 6).alias("similarity"),
+        )
+        .orderBy("query_id", F.col("similarity").desc(), "neighbor_id")
+    )

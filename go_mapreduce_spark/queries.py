@@ -11447,3 +11447,51 @@ ORACLE_SQL["x400_dedup_dividend"] = """
                AS savings_frac
     FROM agg
 """
+
+# wave 91 (round 7): distinct-count IVM, hard-negative mining
+QUERIES.update(
+    {
+        "x401_distinct_ivm": LH.x401_distinct_ivm,
+        "x402_hard_negatives": S.x402_hard_negatives,
+    }
+)
+
+ORACLE_SQL["x401_distinct_ivm"] = """
+    WITH facts_v2 AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderkey % 4 < 3 AND o_orderkey % 16 <> 2
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+               AS n_distinct_customers
+    FROM facts_v2 JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["x402_hard_negatives"] = """
+    SELECT query_id, neighbor_id, negative_label,
+           ROUND(similarity, 6) AS similarity
+    FROM (
+        SELECT q.vec_id AS query_id,
+               n.vec_id AS neighbor_id,
+               n.label AS negative_label,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(n.embedding AS DOUBLE[]))
+                   AS similarity,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(n.embedding AS DOUBLE[])) DESC,
+                            n.vec_id ASC) AS rnk
+        FROM embeddings q
+        JOIN embeddings n
+          ON n.vec_id <> q.vec_id AND n.label <> q.label
+        WHERE q.vec_id BETWEEN 1 AND 5
+    ) t
+    WHERE rnk <= 3
+    ORDER BY query_id, similarity DESC, neighbor_id
+"""
