@@ -849,10 +849,17 @@ def x402_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, the global top-k touches (partitions × k) rows.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id").between(1, 5)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("ql"),
-        F.col("embedding").alias("qe"),
+    # the between() filter already bounds probes to 5 rows; limit(5)
+    # states the contract as a REDUCING op so the broadcast-hint lint
+    # can prove the hinted side is bounded
+    probes = (
+        emb.filter(F.col("vec_id").between(1, 5))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("ql"),
+            F.col("embedding").alias("qe"),
+        )
+        .limit(5)
     )
     joined = emb.select(
         F.col("vec_id").alias("neighbor_id"),
