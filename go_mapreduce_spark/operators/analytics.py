@@ -3028,3 +3028,79 @@ def x397_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q_stat"),
         F.round(i2, 6).alias("i2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x403 — Shapley channel attribution (wave 92)
+# ---------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ("click", "signup", "view")
+# Shapley coalition weights for n=3, indexed by |S| ∈ {0,1,2}
+# (pinned literals: |S|!·(n−|S|−1)!/n! = 2/6, 1/6, 2/6)
+SHAPLEY_W = (1.0 / 3.0, 1.0 / 6.0, 1.0 / 3.0)
+
+
+def x403_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Shapley attribution of conversions (purchase
+    events) to the three exposure channels: the game's characteristic
+    function v(S) is the conversion rate of users whose exposure set
+    is EXACTLY S (v ≡ 0 for unobserved sets — pinned), and each
+    channel's credit is the exact 3-player Shapley value.  x226's
+    linear/U-shaped rules split credit by position; Shapley is the
+    order-free axiom-clean split marketing actually argues about.
+
+    One corpus pass → per-user exposure bitmask + conversion flag →
+    an ≤8-row mask relation pivoted to a single row of v values; the
+    24 marginal contributions are scalar expressions on it.
+    Efficiency (Σφ = v(grand) − v(∅)) is pytest-pinned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.max((F.col("event_type") == c).cast("int")).alias(f"c{i}")
+            for i, c in enumerate(SHAPLEY_CHANNELS)
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    masked = per_user.select(
+        (
+            F.col("c0") + 2 * F.col("c1") + 4 * F.col("c2")
+        ).alias("mask"),
+        "conv",
+    )
+    cells = masked.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("k"),
+    )
+    # one row of v(S) for all 8 subsets; unobserved sets pin v = 0
+    vrow = cells.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("mask") == m,
+                        F.col("k") / F.col("n").cast("double"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"v{m}")
+            for m in range(8)
+        ]
+    ).localCheckpoint()
+    out = None
+    for i, c in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << i
+        phi = F.lit(0.0)
+        for s in range(8):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            phi = phi + F.lit(SHAPLEY_W[size]) * (
+                F.col(f"v{s | bit}") - F.col(f"v{s}")
+            )
+        row = vrow.select(
+            F.lit(c).alias("channel"),
+            F.round(phi, 6).alias("shapley_credit"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("channel")

@@ -2018,3 +2018,82 @@ def x386_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# x404 — data-quality expectation suite (wave 92)
+# ---------------------------------------------------------------------------
+
+EXPECT_DATE_LO = "1990-01-01"
+EXPECT_DATE_HI = "2005-12-31"
+
+
+def x404_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Great-Expectations-style validation suite over the orders
+    table, evaluated engine-side: row count, key uniqueness, null
+    checks, value-range and date-range bounds, and referential
+    integrity against customer — each expectation one row with its
+    observed value and pass/fail.  This is the post-ingest gate a
+    100 TB pipeline runs before publishing (x367's WAP audit uses the
+    same class of predicate; this is the reusable standalone report).
+
+    One wide aggregate serves every single-table expectation (shared
+    scan); referential integrity is one anti-join count.  The 1-row
+    aggregate is checkpointed before the per-expectation fan-out.
+    """
+    from go_mapreduce_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("ndv_key"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_cust"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.min(F.to_date("o_orderdate")).cast("string").alias("min_date"),
+        F.max(F.to_date("o_orderdate")).cast("string").alias("max_date"),
+    ).localCheckpoint()
+    orphans = (
+        orders.select("o_custkey")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .localCheckpoint()
+    )
+    checks = [
+        ("row_count_positive", F.col("n").cast("string"), F.col("n") > 0),
+        (
+            "orderkey_unique",
+            F.col("ndv_key").cast("string"),
+            F.col("ndv_key") == F.col("n"),
+        ),
+        (
+            "custkey_not_null",
+            F.col("null_cust").cast("string"),
+            F.col("null_cust") == 0,
+        ),
+        (
+            "totalprice_positive",
+            F.col("min_price").cast("string"),
+            F.col("min_price") > 0.0,
+        ),
+        (
+            "orderdate_in_range",
+            F.concat_ws("..", F.col("min_date"), F.col("max_date")),
+            (F.col("min_date") >= EXPECT_DATE_LO)
+            & (F.col("max_date") <= EXPECT_DATE_HI),
+        ),
+    ]
+    out = None
+    for name, observed, ok in checks:
+        row = wide.select(
+            F.lit(name).alias("expectation"),
+            observed.alias("observed"),
+            ok.alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    ref = orphans.select(
+        F.lit("custkey_ref_integrity").alias("expectation"),
+        F.col("n_orphans").cast("string").alias("observed"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )
+    return out.unionByName(ref).orderBy("expectation")

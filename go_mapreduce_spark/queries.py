@@ -11495,3 +11495,98 @@ ORACLE_SQL["x402_hard_negatives"] = """
     WHERE rnk <= 3
     ORDER BY query_id, similarity DESC, neighbor_id
 """
+
+# wave 92 (round 7): Shapley attribution, expectation suite
+QUERIES.update(
+    {
+        "x403_shapley_attribution": AN.x403_shapley_attribution,
+        "x404_expectation_suite": RX.x404_expectation_suite,
+    }
+)
+
+
+def _shapley_oracle() -> str:
+    chans = AN.SHAPLEY_CHANNELS
+    vcols = ", ".join(
+        f"""COALESCE(MAX(CASE WHEN mask = {m}
+                          THEN k / CAST(n AS DOUBLE) END),
+                 CAST(0 AS DOUBLE)) AS v{m}"""
+        for m in range(8)
+    )
+    branches = []
+    for i, c in enumerate(chans):
+        bit = 1 << i
+        terms = []
+        for s in range(8):
+            if s & bit:
+                continue
+            w = AN.SHAPLEY_W[bin(s).count("1")]
+            terms.append(f"{w!r} * (v{s | bit} - v{s})")
+        phi = " + ".join(terms)
+        branches.append(
+            f"SELECT '{c}' AS channel,"
+            f" ROUND(CAST(0 AS DOUBLE) + {phi}, 6) AS shapley_credit"
+            " FROM vrow"
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    exposures = ",\n               ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, c in enumerate(chans)
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {exposures},
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT c0 + 2 * c1 + 4 * c2 AS mask,
+               COUNT(*) AS n, SUM(conv) AS k
+        FROM per_user GROUP BY 1
+    ), vrow AS (
+        SELECT {vcols}
+        FROM cells
+    )
+    {union}
+    ORDER BY channel
+"""
+
+
+ORACLE_SQL["x403_shapley_attribution"] = _shapley_oracle()
+
+ORACLE_SQL["x404_expectation_suite"] = f"""
+    WITH wide AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_key,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_cust,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+        FROM orders
+    ), orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'row_count_positive' AS expectation,
+           CAST(n AS VARCHAR) AS observed, n > 0 AS passed FROM wide
+    UNION ALL
+    SELECT 'orderkey_unique', CAST(ndv_key AS VARCHAR), ndv_key = n
+    FROM wide
+    UNION ALL
+    SELECT 'custkey_not_null', CAST(null_cust AS VARCHAR), null_cust = 0
+    FROM wide
+    UNION ALL
+    SELECT 'totalprice_positive', CAST(min_price AS VARCHAR),
+           min_price > 0.0 FROM wide
+    UNION ALL
+    SELECT 'orderdate_in_range', min_date || '..' || max_date,
+           min_date >= '{RX.EXPECT_DATE_LO}'
+           AND max_date <= '{RX.EXPECT_DATE_HI}' FROM wide
+    UNION ALL
+    SELECT 'custkey_ref_integrity', CAST(n_orphans AS VARCHAR),
+           n_orphans = 0 FROM orphans
+    ORDER BY expectation
+"""
