@@ -1664,3 +1664,61 @@ def x400_dedup_dividend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chars_saved") / F.col("chars_total").cast("double"), 6
         ).alias("savings_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x406 — duplicate-cluster size spectrum + power-law slope (wave 93)
+# ---------------------------------------------------------------------------
+
+
+def x406_cluster_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The size distribution of near-dup clusters (x27's components)
+    with a log-log OLS slope — duplication in web-scale corpora is
+    famously heavy-tailed, and the spectrum's slope is the one-number
+    summary that says whether dedup savings come from a few giant
+    boilerplate clusters or a long tail of pairs.  Singletons
+    (documents in no pair) enter as size-1 mass so the spectrum
+    covers the whole corpus.
+
+    The components are the shared memoized x27 machinery; everything
+    after is a ≤|distinct sizes|-row relation, and the slope comes
+    from decimal sufficient statistics over ln(size), ln(count).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cl = connected_components(shared_pair_graph(spark, sf_dir, 0.8))
+    sizes = (
+        docs.join(cl, "doc_id", "left")
+        .select(F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"))
+        .groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    )
+    from go_mapreduce_spark.functions.numeric import DECIMAL_T
+
+    lx = F.log(F.col("size").cast("double"))
+    ly = F.log(F.col("n_clusters").cast("double"))
+    fit = sizes.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(lx.cast(DECIMAL_T)).cast("double").alias("sx"),
+        F.sum(ly.cast(DECIMAL_T)).cast("double").alias("sy"),
+        F.sum((lx * ly).cast(DECIMAL_T)).cast("double").alias("sxy"),
+        F.sum((lx * lx).cast(DECIMAL_T)).cast("double").alias("sxx"),
+    ).select(
+        F.when(
+            F.col("k") > 1.0,
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("slope")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            F.round("slope", 6).alias("loglog_slope"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -4587,3 +4587,74 @@ def x399_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_robust_outliers",
     )
+
+
+# ---------------------------------------------------------------------------
+# x405 — exponential goodness-of-fit of inter-arrival times (wave 93)
+# ---------------------------------------------------------------------------
+
+
+def x405_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are per-user event inter-arrival times exponential (i.e., is
+    arrival a Poisson process)?  MLE fit λ̂ = 1/mean, then the exact
+    Kolmogorov distance between the empirical CDF and the fitted
+    1 − e^{−λx} — x291's machinery pointed at a PARAMETRIC null
+    instead of a second sample, with the KS jump evaluated on BOTH
+    sides of each empirical step (the sup lives at a step edge).
+
+    Gaps are integer microseconds (exact), the empirical CDF comes
+    from per-distinct-gap counts + the range-bucketed running sum (no
+    unpartitioned window), and λ̂ enters as a 1-row broadcast.
+    """
+    from go_mapreduce_spark.operators.layout import _global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    )
+    per_gap = gaps.groupBy(F.col("gap_us").alias("g")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = _global_running_sum(per_gap, ["g"], F.col("g"), {"cnt": "ccnt"})
+    lam = gaps.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.sum(F.col("gap_us").cast(DECIMAL_T)).cast("double")
+        ).alias("lam"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).localCheckpoint()
+    scored = cum.crossJoin(F.broadcast(lam)).select(
+        "n",
+        F.abs(
+            F.col("ccnt") / F.col("n").cast("double")
+            - (1.0 - F.exp(-F.col("lam") * F.col("g").cast("double")))
+        ).alias("d_hi"),
+        F.abs(
+            (F.col("ccnt") - F.col("cnt")) / F.col("n").cast("double")
+            - (1.0 - F.exp(-F.col("lam") * F.col("g").cast("double")))
+        ).alias("d_lo"),
+    )
+    d = scored.agg(
+        F.max("n").alias("n"),
+        F.max(F.greatest("d_hi", "d_lo")).alias("d_stat"),
+    )
+    return d.crossJoin(F.broadcast(lam.select("lam"))).select(
+        "n",
+        F.round(F.lit(1e6) * F.col("lam"), 6).alias("lambda_per_sec"),
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(F.lit(KS_C_05) / F.sqrt(F.col("n").cast("double")), 6).alias(
+            "crit_5pct"
+        ),
+        (
+            F.col("d_stat")
+            > F.lit(KS_C_05) / F.sqrt(F.col("n").cast("double"))
+        ).alias("reject_5pct"),
+    )

@@ -11590,3 +11590,84 @@ ORACLE_SQL["x404_expectation_suite"] = f"""
            n_orphans = 0 FROM orphans
     ORDER BY expectation
 """
+
+# wave 93 (round 7): exponential GOF, cluster size spectrum
+QUERIES.update(
+    {
+        "x405_exponential_gof": ST.x405_exponential_gof,
+        "x406_cluster_size_spectrum": D.x406_cluster_size_spectrum,
+    }
+)
+
+ORACLE_SQL["x405_exponential_gof"] = f"""
+    WITH gaps0 AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        FROM events
+    ), gaps AS (
+        SELECT gap_us FROM gaps0 WHERE gap_us IS NOT NULL AND gap_us > 0
+    ), per_gap AS (
+        SELECT gap_us AS g, COUNT(*) AS cnt FROM gaps GROUP BY 1
+    ), cum AS (
+        SELECT g, cnt, SUM(cnt) OVER (ORDER BY g) AS ccnt FROM per_gap
+    ), lam AS (
+        SELECT CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(CAST(gap_us AS DECIMAL(38,6))) AS DOUBLE) AS lam,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM gaps
+    ), scored AS (
+        SELECT n,
+               abs(ccnt / CAST(n AS DOUBLE)
+                   - (1.0 - exp(-lam * CAST(g AS DOUBLE)))) AS d_hi,
+               abs((ccnt - cnt) / CAST(n AS DOUBLE)
+                   - (1.0 - exp(-lam * CAST(g AS DOUBLE)))) AS d_lo
+        FROM cum CROSS JOIN lam
+    ), d AS (
+        SELECT MAX(n) AS n, MAX(GREATEST(d_hi, d_lo)) AS d_stat FROM scored
+    )
+    SELECT d.n,
+           ROUND(CAST(1000000.0 AS DOUBLE) * lam.lam, 6) AS lambda_per_sec,
+           ROUND(d_stat, 6) AS d_stat,
+           ROUND({ST.KS_C_05!r} / sqrt(CAST(d.n AS DOUBLE)), 6)
+               AS crit_5pct,
+           d_stat > {ST.KS_C_05!r} / sqrt(CAST(d.n AS DOUBLE))
+               AS reject_5pct
+    FROM d CROSS JOIN lam
+"""
+
+ORACLE_SQL["x406_cluster_size_spectrum"] = f"""
+    WITH RECURSIVE {_NEARDUP_CC_CTES},
+    cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+           FROM reach GROUP BY node),
+    reps AS (
+        SELECT COALESCE(cl.cluster_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ),
+    csizes AS (SELECT rep, COUNT(*) AS size FROM reps GROUP BY 1),
+    spec AS (
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM csizes GROUP BY 1
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(CAST(ln(CAST(size AS DOUBLE)) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ln(CAST(n_clusters AS DOUBLE))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ln(CAST(size AS DOUBLE))
+                             * ln(CAST(n_clusters AS DOUBLE))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ln(CAST(size AS DOUBLE))
+                             * ln(CAST(size AS DOUBLE))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM spec
+    )
+    SELECT CAST(size AS BIGINT) AS cluster_size, n_clusters,
+           ROUND(CASE WHEN k > 1.0
+                      THEN (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS loglog_slope
+    FROM spec CROSS JOIN fit
+    ORDER BY cluster_size
+"""
