@@ -4658,3 +4658,106 @@ def x405_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(KS_C_05) / F.sqrt(F.col("n").cast("double"))
         ).alias("reject_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x407 — Benjamini-Yekutieli FDR under arbitrary dependence (wave 94)
+# ---------------------------------------------------------------------------
+
+# BY harmonic correction c(m) = Σ_{k=1..m} 1/k, then the step-up
+# thresholds shrink by it: t_i = Φ⁻¹(1 − α·i / (2·m·c(m)))
+BY_HARMONIC = sum(1.0 / k for k in range(1, FDR_M_TESTS + 1))
+BY_Z_THRESHOLDS = {
+    i: _phi_inv_upper(FDR_ALPHA * i / (2 * FDR_M_TESTS * BY_HARMONIC))
+    for i in range(1, FDR_M_TESTS + 1)
+}
+
+
+def x407_fdr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR over the same 25 per-nation hypotheses
+    as x296 — the variant that stays valid under ARBITRARY dependence
+    between the tests (x296's BH assumes positive dependence; the 25
+    nation-vs-rest z's share every "rest" observation, so BY is the
+    defensible default).  The harmonic penalty c(25) ≈ 3.816 makes BY
+    strictly more conservative: its rejection set is a subset of BH's
+    by construction, and the query reports both flags side by side.
+
+    Same plan as x296: one conditional-aggregate pass → 25-row
+    relation; both step-up rules run against module-literal z
+    thresholds (zero inverse-CDF calls in either engine).
+    """
+    zs = _nation_welch_zs(spark, sf_dir)
+
+    def thr_map(d):
+        return F.create_map(
+            *[c for i, t in d.items() for c in (F.lit(i), F.lit(t))]
+        )
+
+    w_rank = Window.orderBy(F.abs(F.col("z")).desc(), F.col("n_name"))
+    ranked = (
+        zs.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("thr_bh", F.element_at(thr_map(FDR_Z_THRESHOLDS), F.col("rnk")))
+        .withColumn("thr_by", F.element_at(thr_map(BY_Z_THRESHOLDS), F.col("rnk")))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    istar_bh = F.max(
+        F.when(F.abs(F.col("z")) >= F.col("thr_bh"), F.col("rnk"))
+    ).over(w_all)
+    istar_by = F.max(
+        F.when(F.abs(F.col("z")) >= F.col("thr_by"), F.col("rnk"))
+    ).over(w_all)
+    return ranked.select(
+        "n_name",
+        F.round("z", 6).alias("z_stat"),
+        F.col("rnk").cast("bigint").alias("rank"),
+        (F.col("rnk") <= F.coalesce(istar_bh, F.lit(0))).alias("rejected_bh"),
+        (F.col("rnk") <= F.coalesce(istar_by, F.lit(0))).alias("rejected_by"),
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# x408 — join-fanout audit (wave 94)
+# ---------------------------------------------------------------------------
+
+
+def x408_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-fanout audit of the orders→lineitem join: the distribution
+    of lines per order (min / exact p50 / exact p99 / max / mean) and
+    the max-to-mean hot-key ratio — the number that predicts join
+    explosion and shuffle skew BEFORE a query hits it (the planning
+    input behind the x47 salting and AQE-skew defenses).
+
+    One key-grouped count (the join's own shuffle shape), then exact
+    interpolated percentiles over the per-key relation — bounded by
+    distinct keys, not rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("fanout")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("fanout").cast("bigint").alias("min_fanout"),
+        F.round(F.percentile(F.col("fanout").cast("double"), 0.5), 6).alias(
+            "p50_fanout"
+        ),
+        F.round(F.percentile(F.col("fanout").cast("double"), 0.99), 6).alias(
+            "p99_fanout"
+        ),
+        F.max("fanout").cast("bigint").alias("max_fanout"),
+        F.round(
+            F.sum(F.col("fanout").cast(DECIMAL_T)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_fanout"),
+        F.round(
+            F.max("fanout").cast("double")
+            / (
+                F.sum(F.col("fanout").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("hot_key_ratio"),
+    )

@@ -11671,3 +11671,90 @@ ORACLE_SQL["x406_cluster_size_spectrum"] = f"""
     FROM spec CROSS JOIN fit
     ORDER BY cluster_size
 """
+
+# wave 94 (round 7): BY FDR, join-fanout audit
+QUERIES.update(
+    {
+        "x407_fdr_by": ST.x407_fdr_by,
+        "x408_fanout_audit": ST.x408_fanout_audit,
+    }
+)
+
+_BY_THR_SQL = "(VALUES " + ", ".join(
+    f"({i}, CAST({t!r} AS DOUBLE))" for i, t in ST.BY_Z_THRESHOLDS.items()
+) + ")"
+ORACLE_SQL["x407_fdr_by"] = f"""
+    WITH per_nation AS (
+        SELECT n_name,
+               COUNT(*) AS n_i,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_i,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss_i
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ), tot AS (
+        SELECT SUM(n_i) AS n_all,
+               CAST(SUM(CAST(s_i AS DECIMAL(38,6))) AS DOUBLE) AS s_all,
+               CAST(SUM(CAST(ss_i AS DECIMAL(38,6))) AS DOUBLE) AS ss_all
+        FROM per_nation
+    ), z AS (
+        SELECT n_name, n_i,
+               (s_i / CAST(n_i AS DOUBLE)
+                - (s_all - s_i) / CAST(n_all - n_i AS DOUBLE))
+               / sqrt(
+                   ((ss_i - s_i * s_i / CAST(n_i AS DOUBLE))
+                    / (CAST(n_i AS DOUBLE) - 1)) / CAST(n_i AS DOUBLE)
+                   + (((ss_all - ss_i)
+                       - (s_all - s_i) * (s_all - s_i)
+                         / CAST(n_all - n_i AS DOUBLE))
+                      / (CAST(n_all - n_i AS DOUBLE) - 1))
+                     / CAST(n_all - n_i AS DOUBLE)
+                 ) AS zv
+        FROM per_nation CROSS JOIN tot
+    ), ranked AS (
+        SELECT n_name, zv,
+               ROW_NUMBER() OVER (ORDER BY abs(zv) DESC, n_name) AS rnk
+        FROM z
+    ), tbh(i, t) AS (SELECT * FROM {_FDR_THR_SQL}),
+    tby(i, t) AS (SELECT * FROM {_BY_THR_SQL}),
+    thr AS (
+        SELECT ranked.*, tbh.t AS thr_bh, tby.t AS thr_by
+        FROM ranked
+        JOIN tbh ON tbh.i = ranked.rnk
+        JOIN tby ON tby.i = ranked.rnk
+    ), sel AS (
+        SELECT *,
+               MAX(CASE WHEN abs(zv) >= thr_bh THEN rnk END) OVER ()
+                   AS istar_bh,
+               MAX(CASE WHEN abs(zv) >= thr_by THEN rnk END) OVER ()
+                   AS istar_by
+        FROM thr
+    )
+    SELECT n_name,
+           ROUND(zv, 6) AS z_stat,
+           CAST(rnk AS BIGINT) AS rank,
+           rnk <= COALESCE(istar_bh, 0) AS rejected_bh,
+           rnk <= COALESCE(istar_by, 0) AS rejected_by
+    FROM sel ORDER BY rank
+"""
+
+ORACLE_SQL["x408_fanout_audit"] = """
+    WITH per_key AS (
+        SELECT l_orderkey, COUNT(*) AS fanout FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(fanout) AS BIGINT) AS min_fanout,
+           ROUND(quantile_cont(CAST(fanout AS DOUBLE), 0.5), 6)
+               AS p50_fanout,
+           ROUND(quantile_cont(CAST(fanout AS DOUBLE), 0.99), 6)
+               AS p99_fanout,
+           CAST(MAX(fanout) AS BIGINT) AS max_fanout,
+           ROUND(CAST(SUM(CAST(fanout AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_fanout,
+           ROUND(CAST(MAX(fanout) AS DOUBLE)
+                 / (CAST(SUM(CAST(fanout AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*)), 6) AS hot_key_ratio
+    FROM per_key
+"""
