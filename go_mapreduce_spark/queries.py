@@ -10758,9 +10758,15 @@ QUERIES.update(
 )
 
 ORACLE_SQL["x382_semdedup"] = f"""
-    WITH c AS (
+    WITH kk AS (
+        SELECT GREATEST({CL.KMEANS_K},
+                        CAST(CEIL(COUNT(*) /
+                                  CAST({CL.TARGET_CLUSTER_ROWS} AS DOUBLE))
+                             AS BIGINT)) AS k
+        FROM embeddings
+    ), c AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
-        FROM embeddings WHERE vec_id BETWEEN 1 AND {CL.KMEANS_K}
+        FROM embeddings WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)
     ), v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
     ), d AS (
@@ -10773,11 +10779,16 @@ ORACLE_SQL["x382_semdedup"] = f"""
                                   ORDER BY d2, centroid_id) AS rn
         FROM d
     ), asg AS (
-        SELECT vec_id, centroid_id FROM r WHERE rn = 1
+        SELECT vec_id, centroid_id,
+               CAST((row_number() OVER (PARTITION BY centroid_id
+                                        ORDER BY vec_id) - 1)
+                    // {D.SEMDEDUP_CLUSTER_CAP} AS INTEGER) AS sub
+        FROM r WHERE rn = 1
     ), drops AS (
         SELECT DISTINCT b.vec_id AS dropped_id
         FROM asg a
-        JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        JOIN asg b ON a.centroid_id = b.centroid_id
+                  AND a.sub = b.sub AND a.vec_id < b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id
         WHERE list_cosine_similarity(va.ve, vb.ve)
