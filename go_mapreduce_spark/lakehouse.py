@@ -2033,11 +2033,10 @@ def x388_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("customer", cust, "c_custkey"),
             ("orders", orders, "o_orderkey"),
         ):
-            root = os.path.join(
-                tempfile.gettempdir(), f"gms_gdpr_{tag}_{name}"
-            )
-            if os.path.isdir(root):
-                shutil.rmtree(root)
+            # per-run unique root: a fixed path keyed only by the sf
+            # tag races under concurrent pytest/bench runs (round-7
+            # ADVICE) — mkdtemp gives each invocation its own tables
+            root = tempfile.mkdtemp(prefix=f"gms_gdpr_{tag}_{name}_")
             roots[name] = root
             create_table(spark, df, root, key_col=key)
         fc = F.pmod(F.col("c_custkey"), F.lit(GDPR_FORGET_MOD)) == 7

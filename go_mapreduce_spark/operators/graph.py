@@ -1194,6 +1194,11 @@ def ppr_seeded(
             seeds.select("node").distinct(), "node", "left_semi"
         )
         ns = seed_nodes.count()
+        if ns == 0:
+            raise ValueError(
+                "ppr_seeded: no seed node is present in the graph — "
+                "the teleport distribution would be undefined"
+            )
         nodes_s = nodes.join(
             seed_nodes.withColumn("_sd", F.lit(1)), "node", "left"
         ).select(

@@ -3750,13 +3750,15 @@ def x370_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x372 — doubly-robust off-policy estimate, AIPW (wave 81)
+# x409 — doubly-robust off-policy estimate, AIPW (wave 81; renumbered
+# from x372 in round 8 — the id collided with x372_mann_whitney and
+# this operator was never registered; now both registered, unique ids)
 # ---------------------------------------------------------------------------
 
 AIPW_TARGET_SEGMENT = "AUTOMOBILE"  # target policy: promote this segment
 
 
-def x372_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x409_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doubly-robust (AIPW) value estimate of x342's target policy:
     v̂ = mean[ Q(x,π(x)) + 1{a=π(x)}/μ(a|x)·(r − Q(x,π(x))) ] with
     the outcome model Q = per-(segment, action) logged mean reward —

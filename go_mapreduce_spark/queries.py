@@ -11769,3 +11769,61 @@ ORACLE_SQL["x408_fanout_audit"] = """
                     / COUNT(*)), 6) AS hot_key_ratio
     FROM per_key
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 95 (round 8): AIPW registered under a unique id (was dead code
+# sharing x372 with mann_whitney — round-7 ADVICE)
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x409_doubly_robust": ST.x409_doubly_robust})
+
+ORACLE_SQL["x409_doubly_robust"] = f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS r
+        FROM orders GROUP BY 1
+    ), base AS (
+        SELECT c_mktsegment, COALESCE(r, 0.0) AS r,
+               substr(sha256(concat(CAST(c_custkey AS VARCHAR),
+                                    '{ST.IPS_SALT}')), 1, 8) AS h8,
+               CASE WHEN c_mktsegment = '{ST.IPS_SEGMENT}'
+                    THEN {ST.IPS_SEG_P!r} ELSE {ST.IPS_BASE_P!r} END
+                   AS p_a_true
+        FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+    ), logged AS (
+        SELECT c_mktsegment, r, p_a_true,
+               ((CAST({_IPS_V_SQL} AS BIGINT) + 0.5) / 4294967296.0)
+                   < p_a_true AS a,
+               c_mktsegment = '{ST.AIPW_TARGET_SEGMENT}' AS pi_a
+        FROM base
+    ), lg AS (
+        SELECT *,
+               CASE WHEN a THEN p_a_true ELSE 1.0 - p_a_true END AS mu
+        FROM logged
+    ), q AS (
+        SELECT c_mktsegment AS q_seg, a AS qa,
+               CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS q
+        FROM lg GROUP BY 1, 2
+    ), scored AS (
+        SELECT COALESCE(q.q, 0.0) AS q_pi, lg.r, lg.mu,
+               lg.a = lg.pi_a AS match
+        FROM lg LEFT JOIN q
+          ON lg.c_mktsegment = q.q_seg AND lg.pi_a = q.qa
+    ), agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(q_pi AS DECIMAL(38,6))) AS DOUBLE) AS s_dm,
+               CAST(SUM(CAST(CASE WHEN match THEN (r - q_pi) / mu
+                                  ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s_corr,
+               CAST(SUM(CAST(CASE WHEN match THEN r / mu
+                                  ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s_ips
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(s_dm / n, 4) AS v_dm,
+           ROUND(s_ips / n, 4) AS v_ips,
+           ROUND((s_dm + s_corr) / n, 4) AS v_aipw
+    FROM agg
+"""

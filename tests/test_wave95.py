@@ -67,3 +67,25 @@ def test_x382_default_k_matches_semdedup_k(spark, sf_dir):
     # one output row per NON-EMPTY cluster; never more than k
     assert len(rows) <= CL.semdedup_k(n)
     assert sum(r.n_vectors for r in rows) == n
+
+
+def test_x409_aipw_estimates(spark, sf_dir):
+    from go_mapreduce_spark.operators import stats as ST
+
+    r = ST.x409_doubly_robust(spark, sf_dir).collect()[0]
+    assert r.n > 0
+    # all three estimators positive on an all-positive reward corpus
+    assert r.v_dm > 0 and r.v_ips > 0 and r.v_aipw > 0
+    # AIPW is DM plus a correction — it must land in the same decade
+    assert 0.1 < r.v_aipw / r.v_dm < 10
+
+
+def test_ppr_seeded_rejects_empty_seed_set(spark):
+    import pytest
+
+    from go_mapreduce_spark.operators.graph import ppr_seeded
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u int, v int")
+    seeds = spark.createDataFrame([(99,)], "node int")  # not in graph
+    with pytest.raises(ValueError, match="no seed node"):
+        ppr_seeded(edges, seeds, n_iter=1)

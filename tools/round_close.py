@@ -92,8 +92,19 @@ def main() -> int:
     waves_in_log = {int(w) for w in re.findall(r"\b[Ww]ave (\d+)", log)}
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
     # wave rows appear as `| wave N (round R) |` table rows (round 5+)
-    # or `Wave N (round R):` prose headings (rounds 1-4)
-    waves_in_cov = {int(w) for w in re.findall(r"\b[Ww]ave (\d+)\b", cov)}
+    # or `Wave(s) N[–M][suffix] (round R):` headings (rounds 1-4) —
+    # anchored to those two LINE-START shapes so a prose
+    # cross-reference to "wave N" elsewhere cannot satisfy the gate
+    # (round-7 ADVICE); range headings like `Waves 7–8` expand
+    waves_in_cov = set()
+    for lo, hi in re.findall(
+        r"^(?:\| *)?[Ww]aves? (\d+)(?:[–-](\d+))?[a-z]{0,2} *\(",
+        cov,
+        re.M,
+    ):
+        lo = int(lo)
+        for w in range(lo, (int(hi) if hi else lo) + 1):
+            waves_in_cov.add(w)
     missing_w = sorted(waves_in_log - waves_in_cov)
     check(
         not missing_w,
