@@ -72,14 +72,38 @@ def main() -> None:
             fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
 
+    # I/O-noise discipline (round-7 verdict #6): same-HEAD full-bench
+    # totals swung 713.6→967.6 s with the CPU calib probe FLAT — the
+    # inflation concentrated in /tmp-materializing queries (lakehouse
+    # churn, streaming replay sinks, localCheckpoint iteratives:
+    # x388 4→24 s, x393 2.7→17.7 s, pagerank 10.8→49.2 s).  Those
+    # classes get min-of-3: a single sample under disk contention
+    # measures the contention, not the engine.  Rule: min-of-3 when
+    # the first run exceeds 5 s (catches the checkpoint iteratives)
+    # or the query lives in a streaming/lakehouse module and exceeds
+    # 1.5 s (catches replay sinks and table churn below 5 s).
+    IO_REPS = 3
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    min_of: dict[str, int] = {}
+
+    def _timed_run(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        d = time.perf_counter() - t0
         # queries may persist shared intermediates (dedup indexes);
         # drop them so each timing stands alone
         spark.catalog.clearCache()
+        return d
+
+    for name, fn in QUERIES.items():
+        wall = _timed_run(fn)
+        mod = getattr(fn, "__module__", "") or ""
+        io_class = "streaming" in mod or "lakehouse" in mod
+        if wall > 5.0 or (io_class and wall > 1.5):
+            for _ in range(IO_REPS - 1):
+                wall = min(wall, _timed_run(fn))
+            min_of[name] = IO_REPS
+        timings[name] = round(wall, 3)
 
     # ANN quality gate: recall of the sign-LSH approximate top-k vs
     # the exact x3 answer at the SAME scale factor — the approximate
@@ -165,6 +189,7 @@ def main() -> None:
         "ann_recall": ann_recall,
         "ivf_recall": ivf_recall,
         "ivf_recall_clustered": ivf_recall_clustered,
+        "min_of": min_of,
     }
     # The driver captures only a ~2 KiB tail of stdout: a single line
     # carrying all per-query timings no longer fits (BENCH_r02 lost its
@@ -227,6 +252,7 @@ def main() -> None:
                 "common_ratio_calib_norm": common_ratio_norm,
                 "prev_head": prev_head[:10] if prev_head else None,
                 "prev_stale": prev_stale,
+                "min_of_3_count": len(min_of),
                 "queries": slowest,
                 "queries_file": "BENCH_FULL.json",
                 "ann_recall": ann_recall,

@@ -98,3 +98,72 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     metadata-sized (see operators/layout.py's inventory windows).
     """
     return [ln for ln in window_lines(df) if ln.count("], [") < 2]
+
+# Tables whose row counts scale with SF — a window with no PARTITION BY
+# may never consume one of these without an intervening aggregate/limit
+# (round-7 verdict ask #5: the WindowExec warnings in the bench log were
+# policed by convention only; this makes the discipline a gate).
+DATA_SIZED_TABLES = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "documents",
+    "embeddings",
+    "events",
+)
+
+
+def _plan_children(node) -> list:
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _subtree_reaches_data_scan(node) -> bool:
+    """True if this physical subtree can deliver data-table-sized row
+    counts: it reaches a file scan of a data-sized table without an
+    intervening aggregate / limit / top-k (those bound the output to
+    group-count / k rows regardless of what they scan)."""
+    name = node.nodeName()
+    if (
+        "Aggregate" in name
+        or "Limit" in name
+        or name.startswith("TakeOrdered")
+    ):
+        return False
+    kids = _plan_children(node)
+    if not kids:
+        head = node.toString().splitlines()[0]
+        return any(f"{t}.parquet" in head for t in DATA_SIZED_TABLES)
+    return any(_subtree_reaches_data_scan(k) for k in kids)
+
+
+def windows_over_unbounded_input(df: DataFrame) -> list[str]:
+    """Single-partition Window nodes (empty PARTITION BY) whose input
+    subtree reaches a data-sized table scan with no bounding
+    aggregate/limit in between — the one-task scale-killer.  Bounded
+    shapes (replicate grids, per-day rollups, d-row matrices, windows
+    over aggregate outputs) pass because the aggregate/limit below the
+    window terminates the walk.  Uses the pre-execution sparkPlan (AQE
+    never changes a window's partition spec), so no execution happens.
+    """
+    plan = df._jdf.queryExecution().sparkPlan()  # type: ignore[attr-defined]
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name.startswith("Window"):
+            try:
+                nparts = node.partitionSpec().size()
+            except Exception:
+                nparts = None  # node variant without a spec: skip
+            if nparts == 0 and any(
+                _subtree_reaches_data_scan(k) for k in _plan_children(node)
+            ):
+                bad.append(node.simpleString(120))
+        for k in _plan_children(node):
+            walk(k)
+
+    walk(plan)
+    return bad
