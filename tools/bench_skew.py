@@ -65,8 +65,11 @@ SKEW_QUERIES = [
     # round-6 verdict ask #6: the new heavy shapes
     "x320_permutation_test",  # post-fix conditional-aggregate passes
     "x368_join_mv_ivm",  # hot-key dimension churn (see orders rewrite)
+    # round-7 verdict ask #7: the round-7 heavy shapes
+    "x378_personalized_pagerank",  # hot customer (orders) + hot supplier (lineitem)
+    "x382_semdedup",  # one dominant cluster — the cluster-cap worst case
 ]
-SKEW_FIXTURE_VERSION = 3  # bump when the injection recipe changes
+SKEW_FIXTURE_VERSION = 4  # bump when the injection recipe changes
 HOT_CUST = 7  # ck%10==7 → a dimension MOVER in x368's CDC script
 
 
@@ -116,18 +119,47 @@ def build_skew_dir(spark, sf_dir: str) -> str:
     hot_price = li.agg(
         F.percentile_approx(F.col("l_extendedprice").cast("double"), F.lit(0.5))
     ).first()[0]
+    li_slot = F.pmod(
+        F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+        F.lit(HOT_FRACTION_MOD),
+    )
     skew_li = li.withColumn(
         "l_extendedprice",
         F.when(
-            F.pmod(
-                F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
-                F.lit(HOT_FRACTION_MOD),
-            )
-            == 0,
+            li_slot == 0,
             F.lit(hot_price).cast(li.schema["l_extendedprice"].dataType),
         ).otherwise(F.col("l_extendedprice")),
+    ).withColumn(
+        # disjoint 20%: ONE hot supplier receiving edges from most
+        # customers — the receive-side hot key in x378's per-round
+        # PPR contribution aggregate (the send side is already hot:
+        # the orders rewrite below funnels half the orders through
+        # one customer, whose out-edge set spans ~all suppliers)
+        "l_suppkey",
+        F.when(
+            li_slot == 2, F.lit(1).cast(li.schema["l_suppkey"].dataType)
+        ).otherwise(F.col("l_suppkey")),
     )
     skew_li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+    # embeddings: ~60% of vectors rewritten onto centroid 1's vector —
+    # ONE dominant coarse cluster, the worst case for cluster-bounded
+    # SemDeDup (x382).  The SEMDEDUP_CLUSTER_CAP sub-split is the
+    # designed defense: pair work stays ~N·cap/2 instead of m².
+    emb = load_table(spark, sf_dir, "embeddings")
+    donor = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    donor_lit = F.array(*[F.lit(float(v)) for v in donor]).cast(
+        emb.schema["embedding"].dataType
+    )
+    skew_emb = emb.withColumn(
+        "embedding",
+        F.when(
+            (F.col("vec_id") > 16)
+            & (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(HOT_FRACTION_MOD)) < 3),
+            donor_lit,
+        ).otherwise(F.col("embedding")),
+    )
+    skew_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
     # orders: HALF of all orders rewritten onto ONE customer whose key
     # is ≡7 (mod 10), i.e. a dimension MOVER in x368's CDC script —
