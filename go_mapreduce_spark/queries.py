@@ -11827,3 +11827,24 @@ ORACLE_SQL["x409_doubly_robust"] = f"""
            ROUND((s_dm + s_corr) / n, 4) AS v_aipw
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 96 (round 8): SQLite connector — partitioned Arrow reads, real
+# filter pushdown (pushFilters -> WHERE), two-phase parallel writes
+# ---------------------------------------------------------------------------
+
+from go_mapreduce_spark.sources import sqlite_source as SQ  # noqa: E402
+
+QUERIES.update({"x410_sqlite_roundtrip": SQ.x410_sqlite_roundtrip})
+
+ORACLE_SQL["x410_sqlite_roundtrip"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE),
+                 2) AS total_value
+    FROM orders
+    WHERE o_totalprice > 200000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
