@@ -12,9 +12,12 @@ row-at-a-time Python tuples.
 Scale notes: per-file partitioning means parallelism = shard count
 (the writer controls it); a production connector would also split
 WITHIN large files at line boundaries exactly like the reference
-does.  Filters/column pruning stop at the source boundary for Python
-data sources today — the honest trade vs a native DSv2 connector,
-and why parquet remains the primary format; this is the escape hatch
+does.  Column pruning stops at the source boundary for Python data
+sources, and THIS reader pushes no filters (a raw text scan has no
+index to exploit) — but since Spark 4.1 the API does support filter
+pushdown via ``pushFilters``, which the SQLite connector
+(sqlite_source.py) implements against a system that can actually use
+it.  Parquet remains the primary format; this is the escape hatch
 for systems Spark has no reader for.
 """
 
