@@ -11848,3 +11848,36 @@ ORACLE_SQL["x410_sqlite_roundtrip"] = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 97 (round 8): SQLite streaming surfaces — rowid-watermark reads
+# (restart-safe) and the exactly-once per-epoch stream sink
+# ---------------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "x411_sqlite_stream_ingest": SQ.x411_sqlite_stream_ingest,
+        "x412_sqlite_stream_sink": SQ.x412_sqlite_stream_sink,
+    }
+)
+
+ORACLE_SQL["x411_sqlite_stream_ingest"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE),
+                 2) AS total_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["x412_sqlite_stream_sink"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE),
+                 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -130,6 +130,12 @@ class SqliteDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return SqliteWriter(schema, self.options, overwrite)
 
+    def simpleStreamReader(self, schema: StructType):
+        return SqliteStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return SqliteStreamWriter(schema, self.options, overwrite)
+
 
 class SqliteReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -338,21 +344,12 @@ def register(spark) -> None:
     _REGISTERED_SESSIONS.add(key)
 
 
-def x410_sqlite_roundtrip(spark, sf_dir: str):
-    """End-to-end loop through the SQLite connector: ``orders`` is
-    written INTO a sqlite database through the two-phase parallel
-    writer, read BACK through the partitioned Arrow reader with a
-    price predicate pushed into SQLite (``pushFilters`` → WHERE), and
-    aggregated per priority.  The oracle is the same aggregate over
-    the parquet table, so a fault anywhere in the cycle — type
-    round-trip, stage merge, dropped/duplicated rowid range, a
-    mis-compiled pushed filter — hash-mismatches.
-    """
+def _ensure_orders_db(spark, sf_dir: str) -> str:
+    """Build the sqlite orders mirror once per sf tag through the
+    two-phase parallel writer; reuse on later calls (constant disk,
+    same discipline as the stream-replay scratch dirs)."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from go_mapreduce_spark.functions.numeric import dsum
     from go_mapreduce_spark.sources.registry import load_table
 
     register(spark)
@@ -375,6 +372,24 @@ def x410_sqlite_roundtrip(spark, sf_dir: str):
         )
         with open(marker, "w") as fh:
             fh.write("ok\n")
+    return db
+
+
+def x410_sqlite_roundtrip(spark, sf_dir: str):
+    """End-to-end loop through the SQLite connector: ``orders`` is
+    written INTO a sqlite database through the two-phase parallel
+    writer, read BACK through the partitioned Arrow reader with a
+    price predicate pushed into SQLite (``pushFilters`` → WHERE), and
+    aggregated per priority.  The oracle is the same aggregate over
+    the parquet table, so a fault anywhere in the cycle — type
+    round-trip, stage merge, dropped/duplicated rowid range, a
+    mis-compiled pushed filter — hash-mismatches.
+    """
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    db = _ensure_orders_db(spark, sf_dir)
     back = (
         spark.read.format("gms_sqlite")
         .option("path", db)
@@ -390,4 +405,293 @@ def x410_sqlite_roundtrip(spark, sf_dir: str):
             F.round(dsum(F.col("o_totalprice"), "s"), 2).alias("total_value"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming surfaces (wave 97): rowid-watermark incremental reads and an
+# exactly-once per-epoch stream sink — the full connector surface a real
+# operational-store integration needs (batch r/w + stream r/w).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+)
+
+
+class SqliteStreamReader(SimpleDataSourceStreamReader):
+    """Incremental reads from an append-only SQLite table: the offset
+    is the high-water rowid, each micro-batch is ``rowid > start AND
+    rowid <= snapshot-max`` — the CDC-lite contract every operational
+    store supports without triggers.  ``readBetweenOffsets`` replays a
+    committed range deterministically (rowids of already-read rows
+    never change in an append-only table), which is what makes
+    checkpoint recovery exactly-once.  Simple-reader batches flow
+    through the driver: right for control/dimension streams, not bulk
+    facts (documented trade; the bulk path is the batch reader)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.table = options["table"]
+        self._conv = [
+            _FROM_TEXT.get(f.dataType.simpleString()) for f in schema.fields
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"rowid": 0}
+
+    def _rows(self, lo: int, hi: int) -> list:
+        # a LIST, not a generator: the harness pickles the prefetched
+        # batch into the offset log (generators are unpicklable)
+        cols = ", ".join(f'"{f.name}"' for f in self.schema.fields)
+        con = sqlite3.connect(self.path)
+        try:
+            cur = con.execute(
+                f'SELECT {cols} FROM "{self.table}" '
+                "WHERE rowid > ? AND rowid <= ?",
+                (lo, hi),
+            )
+            return [
+                tuple(
+                    c(v) if (c and v is not None) else v
+                    for c, v in zip(self._conv, row)
+                )
+                for row in cur
+            ]
+        finally:
+            con.close()
+
+    def read(self, start: dict):
+        con = sqlite3.connect(self.path)
+        try:
+            (hi,) = con.execute(
+                f'SELECT COALESCE(MAX(rowid), 0) FROM "{self.table}"'
+            ).fetchone()
+        finally:
+            con.close()
+        lo = int(start["rowid"])
+        # iter(list): the wrapper needs a genuine ITERATOR (it calls
+        # next() to validate empty batches) that is also copy.copy-able
+        # for replay chaining — a list_iterator is both; a bare list or
+        # generator each fail one side of that contract
+        if hi <= lo:
+            return iter([]), start
+        return iter(self._rows(lo, hi)), {"rowid": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["rowid"]), int(end["rowid"]))
+
+
+class SqliteStreamWriter(DataSourceStreamWriter):
+    """Exactly-once per-epoch sink: tasks stage private .db files (the
+    batch writer's two-phase shape) and the driver commit merges them
+    INSIDE one transaction together with a ``(batch_id)`` marker row —
+    a replayed epoch (post-crash retry) sees its marker and drops the
+    stages instead of double-applying.  The same idempotence contract
+    as the lakehouse streaming upsert (streaming/upsert.py), against
+    an external single-writer store."""
+
+    MARKER_TABLE = "_gms_stream_commits"
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.path = options["path"]
+        self.table = options["table"]
+
+    def _ddl(self) -> str:
+        cols = ", ".join(
+            f'"{f.name}" {_spark_to_sqlite(f.dataType)}' for f in self.schema.fields
+        )
+        return f'CREATE TABLE IF NOT EXISTS "{self.table}" ({cols})'
+
+    def write(self, iterator):
+        stage = f"{self.path}.stage-{uuid.uuid4().hex}"
+        con = sqlite3.connect(stage)
+        n = 0
+        try:
+            con.execute(self._ddl())
+            ph = ", ".join("?" * len(self.schema.fields))
+            ins = f'INSERT INTO "{self.table}" VALUES ({ph})'
+            batch = []
+            for row in iterator:
+                batch.append(tuple(_to_sqlite_value(v) for v in row))
+                n += 1
+                if len(batch) >= 10_000:
+                    con.executemany(ins, batch)
+                    batch = []
+            if batch:
+                con.executemany(ins, batch)
+            con.commit()
+        finally:
+            con.close()
+        return _StageCommit(stage_path=stage, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        con = sqlite3.connect(self.path)
+        try:
+            con.execute(self._ddl())
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{self.MARKER_TABLE}" '
+                "(batch_id INTEGER PRIMARY KEY)"
+            )
+            con.commit()
+            seen = con.execute(
+                f'SELECT 1 FROM "{self.MARKER_TABLE}" WHERE batch_id = ?',
+                (batchId,),
+            ).fetchone()
+            if seen is None:
+                # ATTACH is illegal inside a transaction: attach all
+                # stages first, then apply every merge AND the marker
+                # in ONE transaction — a crash mid-epoch leaves no
+                # marker, so the retry re-applies atomically
+                aliases = []
+                for i, m in enumerate(messages):
+                    alias = f"stage{i}"
+                    con.execute(
+                        f"ATTACH DATABASE ? AS {alias}", (m.stage_path,)
+                    )
+                    aliases.append(alias)
+                con.execute("BEGIN")
+                for alias in aliases:
+                    con.execute(
+                        f'INSERT INTO main."{self.table}" '
+                        f'SELECT * FROM {alias}."{self.table}"'
+                    )
+                con.execute(
+                    f'INSERT INTO "{self.MARKER_TABLE}" VALUES (?)', (batchId,)
+                )
+                con.commit()
+                for alias in aliases:
+                    con.execute(f"DETACH DATABASE {alias}")
+        finally:
+            con.close()
+        for m in messages:
+            if m is not None and os.path.isfile(m.stage_path):
+                os.remove(m.stage_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.isfile(m.stage_path):
+                os.remove(m.stage_path)
+
+
+def x411_sqlite_stream_ingest(spark, sf_dir: str):
+    """Incremental ingest FROM an operational store: the sqlite orders
+    mirror is drained through the rowid-watermark stream reader into a
+    parquet sink (availableNow), then the SAME stream is restarted on
+    the SAME checkpoint — the recovered offset must ingest ZERO new
+    rows, or the per-priority counts double and the oracle (the same
+    aggregate over the parquet truth) hash-mismatches.  This is the
+    CDC-lite shape for dimension/control tables: the operational store
+    needs no triggers or binlog, just append-only rowids.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+
+    db = _ensure_orders_db(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"gms_sqlite_stream_{tag}")
+    out_dir = os.path.join(base, "ingest_out")
+    ckpt_dir = os.path.join(base, "ingest_ckpt")
+    for d in (out_dir, ckpt_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    def drain():
+        q = (
+            spark.readStream.format("gms_sqlite")
+            .option("path", db)
+            .option("table", "orders")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    drain()  # restart on the same checkpoint: offset must hold
+    sunk = spark.read.parquet(out_dir)
+    return (
+        sunk.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(dsum(F.col("o_totalprice"), "s"), 2).alias("total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def x412_sqlite_stream_sink(spark, sf_dir: str):
+    """Exactly-once streaming writes INTO the operational store: the
+    events replay source (multi-file parquet, 2 files per trigger →
+    multiple epochs) is sunk through the per-epoch-marker sqlite
+    stream writer, restarted once on the same checkpoint (replayed
+    epochs must be dropped by their markers), and the sqlite table is
+    read back through the batch reader for the per-type aggregate.
+    The oracle is the same aggregate over raw events, so a
+    double-applied epoch, lost stage, or marker bug hash-mismatches.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_mapreduce_spark.functions.numeric import dsum
+    from go_mapreduce_spark.streaming.events import _ensure_replay_events
+
+    register(spark)
+    events_dir = _ensure_replay_events(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"gms_sqlite_stream_{tag}")
+    db = os.path.join(base, "events_sink.db")
+    ckpt_dir = os.path.join(base, "sink_ckpt")
+    os.makedirs(base, exist_ok=True)
+    if os.path.isdir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
+    if os.path.isfile(db):
+        os.remove(db)
+    schema = spark.read.parquet(events_dir).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(events_dir)
+            .selectExpr("event_id", "user_id", "event_type", "value")
+            .writeStream.format("gms_sqlite")
+            .option("path", db)
+            .option("table", "events_sink")
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    drain()  # restart: epoch markers must drop any replayed batch
+    back = (
+        spark.read.format("gms_sqlite")
+        .option("path", db)
+        .option("table", "events_sink")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(dsum(F.col("value"), "s"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
     )

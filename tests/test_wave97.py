@@ -1,0 +1,117 @@
+"""Wave-97 (round 8): SQLite streaming surfaces — rowid-watermark
+incremental reads (offset recovery = no re-ingest) and the
+exactly-once per-epoch stream sink (marker-table idempotence)."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import pytest
+
+from go_mapreduce_spark.sources import sqlite_source as SQ
+
+
+@pytest.fixture()
+def db(tmp_path, spark):
+    SQ.register(spark)
+    path = str(tmp_path / "s.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE t (id INTEGER, v REAL)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, i * 1.0) for i in range(1, 51)]
+    )
+    con.commit()
+    con.close()
+    return path
+
+
+def test_stream_reader_offsets_and_replay(db):
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id bigint, v double")
+    r = SQ.SqliteStreamReader(schema, {"path": db, "table": "t"})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert len(list(rows)) == 50 and end == {"rowid": 50}
+    # no new data → offset unchanged, empty batch
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
+    # append → only the delta is read
+    con = sqlite3.connect(db)
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, i * 1.0) for i in range(51, 61)]
+    )
+    con.commit()
+    con.close()
+    rows3, end3 = r.read(end)
+    got = [t[0] for t in rows3]
+    assert got == list(range(51, 61)) and end3 == {"rowid": 60}
+    # committed-range replay is deterministic
+    replay = [t[0] for t in r.readBetweenOffsets(end, end3)]
+    assert replay == got
+
+
+def test_stream_sink_epoch_markers_are_exactly_once(tmp_path, spark):
+    from pyspark.sql.types import StructType
+
+    SQ.register(spark)
+    out = str(tmp_path / "sink.db")
+    schema = StructType.fromDDL("id bigint, v double")
+    w = SQ.SqliteStreamWriter(schema, {"path": out, "table": "t"}, False)
+    msg = w.write(iter([(1, 1.0), (2, 2.0)]))
+    w.commit([msg], batchId=0)
+    # a replayed epoch (same batchId) must be dropped, not re-applied
+    msg2 = w.write(iter([(1, 1.0), (2, 2.0)]))
+    w.commit([msg2], batchId=0)
+    # a NEW epoch applies
+    msg3 = w.write(iter([(3, 3.0)]))
+    w.commit([msg3], batchId=1)
+    con = sqlite3.connect(out)
+    n, s = con.execute("SELECT COUNT(*), SUM(id) FROM t").fetchone()
+    marks = [r[0] for r in con.execute(
+        f'SELECT batch_id FROM "{SQ.SqliteStreamWriter.MARKER_TABLE}" ORDER BY 1'
+    )]
+    con.close()
+    assert (n, s) == (3, 6)
+    assert marks == [0, 1]
+    # stages cleaned up in all three paths
+    assert not [f for f in os.listdir(tmp_path) if ".stage-" in f]
+
+
+def test_x411_stream_ingest_is_restart_safe(spark, sf_dir, duck):
+    got = {
+        (r.o_orderpriority, r.n_orders, r.total_value)
+        for r in SQ.x411_sqlite_stream_ingest(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT o_orderpriority, COUNT(*),
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                              AS DOUBLE), 2)
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_x412_stream_sink_is_exactly_once(spark, sf_dir, duck):
+    got = {
+        (r.event_type, r.n_events, r.total_value)
+        for r in SQ.x412_sqlite_stream_sink(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT event_type, COUNT(*),
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                              AS DOUBLE), 4)
+            FROM events GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
