@@ -1479,94 +1479,70 @@ def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact and keeps every chunk a single codegen stage (a broadcast
     # nested-loop join per chunk measured ~2× slower)
     obs = obs.localCheckpoint()
-    cut_lit = F.lit(obs.select("cut").first()[0])
+    cut_val = obs.select("cut").first()[0]
     per = PERM_B // PERM_CHUNKS
-    wide = None
+    # The whole replicate stage is ONE spark.sql statement — the x254
+    # round-8 finding taken to its end: PySpark analyzes eagerly per
+    # transformation, so the previous Column-built chunk loop paid
+    # 4.3 s of Py4J build + 5.1 s of incremental analysis against
+    # 0.24 s of execution at sf0.1; one statement is analyzed once
+    # (measured 8.0 → ~3.5 s cold call, hash identical).
+    li.createOrReplaceTempView("v_x320_li")
+    obs.createOrReplaceTempView("v_x320_obs")
+    ctes = []
     for c in range(PERM_CHUNKS):
-        bs = range(c * per + 1, (c + 1) * per + 1)
+        bs = list(range(c * per + 1, (c + 1) * per + 1))
         # named-column hash projection (the x254 discipline): each
         # sha256 is computed once per row, shared by its hex windows;
         # each chunk only hashes the seeds its replicates need
         hneed = sorted({(b - 1) // 16 for b in bs})
-        hashed = li.select(
-            "rev",
-            *[
-                F.sha2(
-                    F.concat(
-                        F.col("l_orderkey").cast("string"),
-                        F.lit("_"),
-                        F.col("l_linenumber").cast("string"),
-                        F.lit("|perm"),
-                        F.lit(str(i)),
-                    ),
-                    256,
-                ).alias(f"_h{i}")
-                for i in hneed
-            ],
+        hsel = ", ".join(
+            "sha2(concat(CAST(l_orderkey AS STRING), '_', "
+            f"CAST(l_linenumber AS STRING), '|perm', '{i}'), 256) AS _h{i}"
+            for i in hneed
         )
-        labs = hashed.select(
-            "rev",
-            *[
-                (
-                    F.substring(
-                        F.col(f"_h{(b - 1) // 16}"),
-                        ((b - 1) % 16) * 4 + 1,
-                        4,
-                    )
-                    < cut_lit
-                ).alias(f"_lab{b}")
-                for b in bs
-            ],
+        lsel = ", ".join(
+            f"substring(_h{(b - 1) // 16}, {((b - 1) % 16) * 4 + 1}, 4)"
+            f" < '{cut_val}' AS _lab{b}"
+            for b in bs
         )
-        aggs = [
-            F.sum(
-                F.when(F.col(f"_lab{b}"), F.col("rev")).cast(DECIMAL_T)
-            ).alias(f"_s1_{b}")
+        aggs = ", ".join(
+            f"sum(CAST(CASE WHEN _lab{b} THEN rev END AS {DECIMAL_T}))"
+            f" AS _s1_{b}, count(CASE WHEN _lab{b} THEN 1 END) AS _c1_{b}"
             for b in bs
-        ] + [
-            F.count(F.when(F.col(f"_lab{b}"), 1)).alias(f"_c1_{b}")
-            for b in bs
-        ]
+        )
         if c == 0:
-            aggs = [
-                F.sum(F.col("rev").cast(DECIMAL_T)).alias("_s_tot"),
-                F.count(F.lit(1)).alias("_c_tot"),
-            ] + aggs
-        chunk = labs.agg(*aggs)
-        wide = chunk if wide is None else wide.crossJoin(chunk)
-    d_bs = F.array(
-        *[
-            F.col(f"_s1_{b}").cast("double") / F.col(f"_c1_{b}")
-            - (F.col("_s_tot") - F.col(f"_s1_{b}")).cast("double")
-            / (F.col("_c_tot") - F.col(f"_c1_{b}"))
-            for b in range(1, PERM_B + 1)
-        ]
-    )
-    return (
-        wide.crossJoin(F.broadcast(obs))
-        .select(
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
-            F.round(F.col("d_obs"), 6).alias("obs_diff"),
-            F.lit(PERM_B).cast("bigint").alias("n_replicates"),
-            F.size(
-                F.filter(d_bs, lambda d: F.abs(d) >= F.abs(F.col("d_obs")))
+            aggs = (
+                f"sum(CAST(rev AS {DECIMAL_T})) AS _s_tot, "
+                "count(1) AS _c_tot, " + aggs
             )
-            .cast("bigint")
-            .alias("n_extreme"),
+        ctes.append(
+            f"c{c} AS (SELECT {aggs} FROM (SELECT rev, {lsel} FROM "
+            f"(SELECT rev, {hsel} FROM v_x320_li)))"
         )
-        .select(
-            "n_a",
-            "n_b",
-            "obs_diff",
-            "n_replicates",
-            "n_extreme",
-            F.round(
-                (F.col("n_extreme") + 1)
-                / (F.col("n_replicates") + 1).cast("double"),
-                6,
-            ).alias("p_value"),
+    d_bs = ", ".join(
+        f"CAST(_s1_{b} AS DOUBLE) / _c1_{b}"
+        f" - CAST(_s_tot - _s1_{b} AS DOUBLE) / (_c_tot - _c1_{b})"
+        for b in range(1, PERM_B + 1)
+    )
+    joins = " CROSS JOIN ".join(f"c{c}" for c in range(PERM_CHUNKS))
+    return spark.sql(
+        f"""
+        WITH {', '.join(ctes)},
+        scored AS (
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(d_obs, 6) AS obs_diff,
+                   CAST({PERM_B} AS BIGINT) AS n_replicates,
+                   CAST(size(filter(array({d_bs}),
+                        d -> abs(d) >= abs(d_obs))) AS BIGINT) AS n_extreme
+            FROM {joins} CROSS JOIN v_x320_obs
         )
+        SELECT n_a, n_b, obs_diff, n_replicates, n_extreme,
+               round((n_extreme + 1) / CAST(n_replicates + 1 AS DOUBLE), 6)
+                   AS p_value
+        FROM scored
+        """
     )
 
 
