@@ -11881,3 +11881,21 @@ ORACLE_SQL["x412_sqlite_stream_sink"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 98 (round 8): query-option reads — the aggregate runs inside
+# SQLite, Spark receives the answer relation
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x413_sqlite_query_option": SQ.x413_sqlite_query_option})
+
+ORACLE_SQL["x413_sqlite_query_option"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0,
+                 2) AS total_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

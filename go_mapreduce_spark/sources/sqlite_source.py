@@ -100,16 +100,45 @@ class _RowidRange(InputPartition):
         self.hi = hi
 
 
+_PY_TO_SPARK = {int: "bigint", float: "double", str: "string", bytes: "binary"}
+
+
 class SqliteDataSource(DataSource):
     """``spark.read.format("gms_sqlite")`` / ``df.write.format(
-    "gms_sqlite")`` with options ``path`` (db file), ``table``, and
-    optionally ``partitions`` (read parallelism, default 8)."""
+    "gms_sqlite")`` with options ``path`` (db file), ``table`` OR
+    ``query`` (JDBC's ``dbtable = (subquery)`` shape: an arbitrary
+    SELECT evaluated INSIDE SQLite — ship the answer, not the table;
+    single input partition, since a derived relation has no rowid to
+    range-split), and optionally ``partitions`` (read parallelism for
+    table reads, default 8).
+
+    NaN caveat (documented, tested): SQLite has no NaN — binding
+    ``float('nan')`` stores SQL NULL, so a NaN double round-trips as
+    null through the writer.  ±Infinity round-trips exactly."""
 
     @classmethod
     def name(cls) -> str:
         return "gms_sqlite"
 
     def schema(self):
+        if "query" in self.options:
+            # a derived relation has no PRAGMA metadata: sniff the
+            # first row's Python types (sqlite is dynamically typed
+            # per-value anyway); all-NULL columns default to string —
+            # pass an explicit .schema(...) to override
+            con = sqlite3.connect(self.options["path"])
+            try:
+                cur = con.execute(
+                    f"SELECT * FROM ({self.options['query']}) LIMIT 1"
+                )
+                names = [d[0] for d in cur.description]
+                row = cur.fetchone() or [None] * len(names)
+            finally:
+                con.close()
+            return ", ".join(
+                f"{n} {_PY_TO_SPARK.get(type(v), 'string')}"
+                for n, v in zip(names, row)
+            )
         con = sqlite3.connect(self.options["path"])
         try:
             info = con.execute(
@@ -141,7 +170,8 @@ class SqliteReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.path = options["path"]
-        self.table = options["table"]
+        self.query = options.get("query")
+        self.table = None if self.query else options["table"]
         self.n_partitions = int(options.get("partitions", _DEFAULT_PARTITIONS))
         self._where: list[str] = []
         self._params: list = []
@@ -184,6 +214,11 @@ class SqliteReader(DataSourceReader):
 
     # -- partition planning --------------------------------------------------
     def partitions(self):
+        if self.query is not None:
+            # derived relation: no rowid to split on; SQLite does the
+            # heavy lifting inside the query, the (small) answer rides
+            # one partition
+            return [_RowidRange(0, 0)]
         con = sqlite3.connect(self.path)
         try:
             lo, hi = con.execute(
@@ -207,12 +242,22 @@ class SqliteReader(DataSourceReader):
 
         cols = [f.name for f in self.schema.fields]
         col_list = ", ".join(f'"{c}"' for c in cols)
-        sql = f'SELECT {col_list} FROM "{self.table}" WHERE rowid BETWEEN ? AND ?'
-        if self._where:
-            sql += " AND " + " AND ".join(self._where)
+        if self.query is not None:
+            sql = f"SELECT {col_list} FROM ({self.query})"
+            params = list(self._params)
+            if self._where:
+                sql += " WHERE " + " AND ".join(self._where)
+        else:
+            sql = (
+                f'SELECT {col_list} FROM "{self.table}" '
+                "WHERE rowid BETWEEN ? AND ?"
+            )
+            params = [partition.lo, partition.hi, *self._params]
+            if self._where:
+                sql += " AND " + " AND ".join(self._where)
         con = sqlite3.connect(self.path)
         try:
-            cur = con.execute(sql, [partition.lo, partition.hi, *self._params])
+            cur = con.execute(sql, params)
             conv = [
                 _FROM_TEXT.get(f.dataType.simpleString()) for f in self.schema.fields
             ]
@@ -695,3 +740,34 @@ def x412_sqlite_stream_sink(spark, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+def x413_sqlite_query_option(spark, sf_dir: str):
+    """Ship the ANSWER, not the table: the per-priority order census
+    is computed INSIDE SQLite via the ``query`` option (JDBC's
+    ``dbtable = (subquery)`` shape) — Spark reads five rows, not
+    150k.  Money is aggregated as exact integer cents inside SQLite
+    (float SUM order would not be engine-portable; integer addition
+    is), converted back to a rounded double in Spark.  The oracle
+    recomputes the census from parquet, so a wrong subquery result,
+    type sniff, or cents conversion hash-mismatches.
+    """
+    from pyspark.sql import functions as F
+
+    db = _ensure_orders_db(spark, sf_dir)
+    q = (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS INTEGER)) AS total_cents "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    back = (
+        spark.read.format("gms_sqlite")
+        .option("path", db)
+        .option("query", q)
+        .load()
+    )
+    return back.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("total_cents") / 100.0, 2).alias("total_value"),
+    ).orderBy("o_orderpriority")
