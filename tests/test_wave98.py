@@ -77,3 +77,81 @@ def test_x413_matches_duckdb(spark, sf_dir, duck):
         ).fetchall()
     }
     assert got == want
+
+
+# --- differential fuzz: adversarial values through the connector ---------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_FUZZ = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_vals = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.one_of(
+        st.none(),
+        st.text(max_size=12),  # unicode, quotes, control chars
+    ),
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, width=64),  # ±inf included; NaN→NULL is
+    ),                                          # pinned separately above
+    st.one_of(st.none(), st.binary(max_size=8)),
+)
+
+
+@_FUZZ
+@given(st.lists(_vals, min_size=1, max_size=25))
+def test_fuzz_roundtrip_writer_reader(spark, tmp_path_factory, rows):
+    SQ.register(spark)
+    out = str(tmp_path_factory.mktemp("fz") / "t.db")
+    # unique id column so order-insensitive compare is exact
+    data = [(i, *r) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "rid bigint, i bigint, s string, d double, b binary"
+    )
+    df.write.format("gms_sqlite").mode("overwrite").option("path", out).option(
+        "table", "t"
+    ).save()
+    back = (
+        spark.read.format("gms_sqlite")
+        .option("path", out)
+        .option("table", "t")
+        .option("partitions", "3")
+        .load()
+        .collect()
+    )
+    got = sorted((r.rid, r.i, r.s, r.d, bytes(r.b) if r.b is not None else None) for r in back)
+    want = sorted((rid, i, s, d, b) for rid, i, s, d, b in data)
+    assert got == want
+
+
+@_FUZZ
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    st.integers(-60, 60),
+)
+def test_fuzz_pushdown_equals_spark_side_filter(spark, tmp_path_factory, xs, cut):
+    import sqlite3 as _sq
+
+    SQ.register(spark)
+    out = str(tmp_path_factory.mktemp("fz") / "p.db")
+    con = _sq.connect(out)
+    con.execute("CREATE TABLE t (x INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    con.commit()
+    con.close()
+    base = (
+        spark.read.format("gms_sqlite")
+        .option("path", out)
+        .option("table", "t")
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    pushed = sorted(r.x for r in base.filter(F.col("x") > cut).collect())
+    spark_side = sorted(x for x in xs if x > cut)
+    assert pushed == spark_side
