@@ -53,6 +53,105 @@ def semdedup_k(n_rows: int) -> int:
     return max(KMEANS_K, -(-int(n_rows) // TARGET_CLUSTER_ROWS))
 
 
+def semdedup_supers(k: int) -> int:
+    """Super-centroid count for the two-level quantizer: the exact
+    integer ceil(sqrt(k)), computed float-free (floor-isqrt plus a
+    correction) so the DuckDB oracle's FLOOR(SQRT())+CASE replay is
+    bit-identical even when a float sqrt lands a hair above or below
+    the true root."""
+    import math
+
+    m0 = math.isqrt(int(k))
+    return m0 if m0 * m0 >= k else m0 + 1
+
+
+def assign_nearest_two_level(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_super: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level (coarse-then-fine) nearest-centroid assignment — the
+    sub-quadratic replacement for :func:`assign_nearest` when the
+    centroid count k itself grows with the corpus (SemDeDup sizes
+    k ∝ N, so flat assignment is N·k = N²/TARGET_CLUSTER_ROWS — the
+    round-8 verdict's last quadratic term).
+
+    The first ``n_super`` centroids (by centroid_id) double as
+    super-centroids.  Every centroid maps to its nearest super
+    (k·m distances, negligible); every vector maps to its nearest
+    super (N·m distances), then to the true nearest centroid among
+    that super-cluster's members (N·E[k/m] distances).  With
+    m = ceil(sqrt(k)) the total is N·2√k instead of N·k.  All
+    tie-breaks are struct-min on (d2, id) so the assignment replays
+    exactly in SQL.  Degenerate-duplicate safety: if super j's
+    embedding duplicates super i<j, ties send both centroids and
+    vectors to i, so no vector can land in an empty super-cluster
+    and the inner join below loses no rows.
+
+    Shuffle story at 100 TB: the super table (√k rows) is broadcast;
+    the centroid→super map (k rows) joins vectors on an EQUI key
+    (super_id) with no broadcast hint, so AQE broadcasts it at small
+    scale and falls back to a hash-partitioned shuffle join when
+    k ∝ N outgrows the broadcast threshold — the corpus shuffles by
+    super_id once, and both group-bys collapse map-side (each
+    vector's candidate rows share a partition).
+
+    centroids: (centroid_id, ce) with ids 1..k contiguous.
+    Returns (id_col, centroid_id).
+    """
+    supers = centroids.filter(F.col("centroid_id") <= n_super).select(
+        F.col("centroid_id").alias("super_id"), F.col("ce").alias("se")
+    )
+    cmap = (
+        centroids.crossJoin(F.broadcast(supers))
+        .groupBy("centroid_id")
+        .agg(
+            F.min(
+                F.struct(
+                    l2_dist2(F.col("ce"), F.col("se")).alias("d2"),
+                    F.col("super_id").alias("super_id"),
+                )
+            ).alias("m")
+        )
+        .select("centroid_id", F.col("m.super_id").alias("super_id"))
+        .join(centroids, "centroid_id")
+    )
+    vsup = (
+        corpus.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        )
+        .crossJoin(F.broadcast(supers))
+        .groupBy("__id", "__v")
+        .agg(
+            F.min(
+                F.struct(
+                    l2_dist2(F.col("__v"), F.col("se")).alias("d2"),
+                    F.col("super_id").alias("super_id"),
+                )
+            ).alias("m")
+        )
+        .select("__id", "__v", F.col("m.super_id").alias("super_id"))
+    )
+    return (
+        vsup.join(cmap, "super_id")
+        .groupBy("__id")
+        .agg(
+            F.min(
+                F.struct(
+                    l2_dist2(F.col("__v"), F.col("ce")).alias("d2"),
+                    F.col("centroid_id").alias("centroid_id"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("m.centroid_id").alias("centroid_id"),
+        )
+    )
+
+
 def assign_nearest(
     corpus: DataFrame,
     centroids: DataFrame,

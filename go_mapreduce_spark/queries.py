@@ -10764,20 +10764,52 @@ ORACLE_SQL["x382_semdedup"] = f"""
                                   CAST({CL.TARGET_CLUSTER_ROWS} AS DOUBLE))
                              AS BIGINT)) AS k
         FROM embeddings
+    ), mm AS (
+        -- exact integer ceil(sqrt(k)): floor(sqrt) + correction, so a
+        -- float sqrt landing a hair off the true root cannot change m
+        -- (mirrors clustering.semdedup_supers, which uses isqrt)
+        SELECT CASE WHEN m0 * m0 >= k THEN m0 ELSE m0 + 1 END AS m
+        FROM (SELECT k, CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT)
+                         AS m0 FROM kk)
     ), c AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
         FROM embeddings WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)
+    ), sup AS (
+        SELECT centroid_id AS super_id, ce AS se
+        FROM c WHERE centroid_id <= (SELECT m FROM mm)
     ), v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-    ), d AS (
-        SELECT v.vec_id, c.centroid_id,
-               list_sum(list_transform(ve, (x, i) -> (x - ce[i]) * (x - ce[i]))) AS d2
-        FROM v CROSS JOIN c
+    ), cmap AS (
+        -- each of the k centroids routes to its nearest super-centroid
+        SELECT centroid_id, super_id, ce FROM (
+            SELECT c.centroid_id, s.super_id, c.ce,
+                   row_number() OVER (
+                       PARTITION BY c.centroid_id
+                       ORDER BY list_sum(list_transform(ce,
+                           (x, i) -> (x - se[i]) * (x - se[i]))), s.super_id
+                   ) AS rn
+            FROM c CROSS JOIN sup s
+        ) WHERE rn = 1
+    ), vsup AS (
+        -- coarse route: each vector to its nearest super-centroid
+        SELECT vec_id, ve, super_id FROM (
+            SELECT v.vec_id, v.ve, s.super_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(ve,
+                           (x, i) -> (x - se[i]) * (x - se[i]))), s.super_id
+                   ) AS rn
+            FROM v CROSS JOIN sup s
+        ) WHERE rn = 1
     ), r AS (
+        -- fine route: nearest centroid within the super-cluster only
         SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d2, centroid_id) AS rn
-        FROM d
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_sum(list_transform(ve,
+                       (x, i) -> (x - ce[i]) * (x - ce[i]))), centroid_id
+               ) AS rn
+        FROM vsup JOIN cmap USING (super_id)
     ), asg AS (
         SELECT vec_id, centroid_id,
                CAST((row_number() OVER (PARTITION BY centroid_id
