@@ -98,7 +98,12 @@ def main() -> None:
     for name, fn in QUERIES.items():
         wall = _timed_run(fn)
         mod = getattr(fn, "__module__", "") or ""
-        io_class = "streaming" in mod or "lakehouse" in mod
+        # modules whose queries materialize /tmp state (checkpoints,
+        # table churn, stream replays, staged sqlite dbs) — the class
+        # where same-HEAD disk contention dominated r7/r8 drift
+        io_class = (
+            "streaming" in mod or "lakehouse" in mod or "sqlite_source" in mod
+        )
         if wall > 5.0 or (io_class and wall > 1.5):
             for _ in range(IO_REPS - 1):
                 wall = min(wall, _timed_run(fn))

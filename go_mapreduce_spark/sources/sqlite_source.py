@@ -122,23 +122,46 @@ class SqliteDataSource(DataSource):
 
     def schema(self):
         if "query" in self.options:
-            # a derived relation has no PRAGMA metadata: sniff the
-            # first row's Python types (sqlite is dynamically typed
-            # per-value anyway); all-NULL columns default to string —
-            # pass an explicit .schema(...) to override
+            # a derived relation has no PRAGMA metadata (python's
+            # sqlite3 cursor.description carries names only, no
+            # decltypes for expressions): sniff Python value types
+            # from the first rows — sqlite is dynamically typed
+            # per-value anyway.  Per column the first NON-NULL value
+            # in the sample decides; a column that is all-NULL in the
+            # sample defaults to string.  An EMPTY result cannot be
+            # sniffed at all, so it raises with guidance instead of
+            # silently typing everything string and failing later as
+            # an opaque cast/Arrow error.  Note the sniff costs one
+            # extra (LIMIT-bounded) evaluation of the subquery before
+            # the real read — pass an explicit .schema(...) to skip
+            # it and to pin types on derived relations.
             con = sqlite3.connect(self.options["path"])
             try:
                 cur = con.execute(
-                    f"SELECT * FROM ({self.options['query']}) LIMIT 1"
+                    f"SELECT * FROM ({self.options['query']}) LIMIT 100"
                 )
                 names = [d[0] for d in cur.description]
-                row = cur.fetchone() or [None] * len(names)
+                rows = cur.fetchall()
             finally:
                 con.close()
-            return ", ".join(
-                f"{n} {_PY_TO_SPARK.get(type(v), 'string')}"
-                for n, v in zip(names, row)
-            )
+            if not rows:
+                raise ValueError(
+                    "gms_sqlite: cannot infer a schema for query "
+                    f"{self.options['query']!r} — it returned no rows "
+                    "to sniff types from; pass an explicit .schema(...)"
+                )
+            cols = []
+            for i, n in enumerate(names):
+                t = next(
+                    (
+                        _PY_TO_SPARK[type(r[i])]
+                        for r in rows
+                        if r[i] is not None and type(r[i]) in _PY_TO_SPARK
+                    ),
+                    "string",
+                )
+                cols.append(f"{n} {t}")
+            return ", ".join(cols)
         con = sqlite3.connect(self.options["path"])
         try:
             info = con.execute(
@@ -309,10 +332,55 @@ class _StageCommit(WriterCommitMessage):
     n_rows: int
 
 
+# SQLite's default compile-time attach ceiling (SQLITE_MAX_ATTACHED)
+# is 10 — a commit that ATTACHed one stage per task would fail with
+# "too many attached databases" on any write wider than ~10
+# partitions.  Stage merges therefore attach in chunks safely below
+# the ceiling, collecting rows into a TEMP table first.
+_MAX_ATTACH = 8
+
+
+def _stage_rows_into_temp(con, table: str, cols_sql: str, messages) -> str:
+    """Copy every task's staged rows into a TEMP table on ``con``,
+    ATTACHing at most ``_MAX_ATTACH`` stage files at a time.  TEMP
+    tables live outside the main database file, so the caller can
+    apply staging→target (plus any epoch marker) in ONE final
+    transaction: a crash anywhere before that COMMIT leaves the
+    target untouched, with no partial merge to detect or roll back.
+    ATTACH itself is illegal inside a transaction, which is why the
+    collection phase runs in autocommit.  Returns the temp table
+    name."""
+    tmp = "_gms_stage_rows"
+    con.execute(f'DROP TABLE IF EXISTS temp."{tmp}"')
+    con.execute(f'CREATE TEMP TABLE "{tmp}" ({cols_sql})')
+    con.commit()
+    msgs = [m for m in messages if m is not None]
+    for at in range(0, len(msgs), _MAX_ATTACH):
+        aliases = []
+        for i, m in enumerate(msgs[at : at + _MAX_ATTACH]):
+            alias = f"stage{i}"
+            con.execute(f"ATTACH DATABASE ? AS {alias}", (m.stage_path,))
+            aliases.append(alias)
+        for alias in aliases:
+            con.execute(
+                f'INSERT INTO temp."{tmp}" SELECT * FROM {alias}."{table}"'
+            )
+        # python sqlite3 (legacy isolation) implicitly BEGINs on the
+        # INSERTs above; close that transaction or DETACH reports the
+        # stage "database is locked" — temp-table writes only, the
+        # main db is still untouched at this point
+        con.commit()
+        for alias in aliases:
+            con.execute(f"DETACH DATABASE {alias}")
+    return tmp
+
+
 class SqliteWriter(DataSourceWriter):
     """Two-phase write: each task stages a private sqlite file (the
     only safe parallel shape for a single-writer store); the driver
-    commit ATTACHes and merges the stages into the target table."""
+    commit collects the stages (chunked ATTACH, see
+    :func:`_stage_rows_into_temp`) and applies them to the target
+    table in one transaction."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self.schema = schema
@@ -320,11 +388,13 @@ class SqliteWriter(DataSourceWriter):
         self.table = options["table"]
         self.overwrite = overwrite
 
-    def _ddl(self) -> str:
-        cols = ", ".join(
+    def _cols_sql(self) -> str:
+        return ", ".join(
             f'"{f.name}" {_spark_to_sqlite(f.dataType)}' for f in self.schema.fields
         )
-        return f'CREATE TABLE IF NOT EXISTS "{self.table}" ({cols})'
+
+    def _ddl(self) -> str:
+        return f'CREATE TABLE IF NOT EXISTS "{self.table}" ({self._cols_sql()})'
 
     def write(self, iterator):
         stage = f"{self.path}.stage-{uuid.uuid4().hex}"
@@ -351,22 +421,26 @@ class SqliteWriter(DataSourceWriter):
     def commit(self, messages):
         con = sqlite3.connect(self.path)
         try:
+            tmp = _stage_rows_into_temp(
+                con, self.table, self._cols_sql(), messages
+            )
+            # overwrite-drop, DDL, and every stage's rows land in ONE
+            # transaction (SQLite DDL is transactional) — a driver
+            # crash mid-commit leaves the previous table intact, never
+            # a partially merged target
+            con.execute("BEGIN")
             if self.overwrite:
                 con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
             con.execute(self._ddl())
+            con.execute(
+                f'INSERT INTO main."{self.table}" '
+                f'SELECT * FROM temp."{tmp}"'
+            )
             con.commit()
-            for m in messages:
-                con.execute("ATTACH DATABASE ? AS stage", (m.stage_path,))
-                con.execute(
-                    f'INSERT INTO main."{self.table}" '
-                    f'SELECT * FROM stage."{self.table}"'
-                )
-                con.commit()
-                con.execute("DETACH DATABASE stage")
         finally:
             con.close()
         for m in messages:
-            if os.path.isfile(m.stage_path):
+            if m is not None and os.path.isfile(m.stage_path):
                 os.remove(m.stage_path)
 
     def abort(self, messages):
@@ -392,31 +466,36 @@ def register(spark) -> None:
 def _ensure_orders_db(spark, sf_dir: str) -> str:
     """Build the sqlite orders mirror once per sf tag through the
     two-phase parallel writer; reuse on later calls (constant disk,
-    same discipline as the stream-replay scratch dirs)."""
+    same discipline as the stream-replay scratch dirs).
+
+    Concurrency-safe: the mirror is built at a UNIQUE temp path and
+    ``os.replace``d into the shared name atomically, so the shared
+    path either doesn't exist or is a complete database — two
+    concurrent runs each build their own copy and the last rename
+    wins with identical content (no build-then-marker window where
+    both write the same file, the race round-7 ADVICE flagged for
+    x388 and round-8 ADVICE re-flagged here)."""
     import tempfile
+    import uuid as _uuid
 
     from go_mapreduce_spark.sources.registry import load_table
 
     register(spark)
     tag = os.path.basename(os.path.normpath(sf_dir))
     db = os.path.join(tempfile.gettempdir(), f"gms_sqlite_{tag}.db")
-    marker = db + "._built"
-    if not os.path.isfile(marker):
+    if not os.path.isfile(db):
+        build = f"{db}.build-{_uuid.uuid4().hex}"
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority", "o_totalprice"
         )
-        for p in (db, marker):
-            if os.path.isfile(p):
-                os.remove(p)
         (
             orders.write.format("gms_sqlite")
             .mode("overwrite")
-            .option("path", db)
+            .option("path", build)
             .option("table", "orders")
             .save()
         )
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+        os.replace(build, db)
     return db
 
 
@@ -545,11 +624,13 @@ class SqliteStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
         self.table = options["table"]
 
-    def _ddl(self) -> str:
-        cols = ", ".join(
+    def _cols_sql(self) -> str:
+        return ", ".join(
             f'"{f.name}" {_spark_to_sqlite(f.dataType)}' for f in self.schema.fields
         )
-        return f'CREATE TABLE IF NOT EXISTS "{self.table}" ({cols})'
+
+    def _ddl(self) -> str:
+        return f'CREATE TABLE IF NOT EXISTS "{self.table}" ({self._cols_sql()})'
 
     def write(self, iterator):
         stage = f"{self.path}.stage-{uuid.uuid4().hex}"
@@ -587,29 +668,25 @@ class SqliteStreamWriter(DataSourceStreamWriter):
                 (batchId,),
             ).fetchone()
             if seen is None:
-                # ATTACH is illegal inside a transaction: attach all
-                # stages first, then apply every merge AND the marker
-                # in ONE transaction — a crash mid-epoch leaves no
-                # marker, so the retry re-applies atomically
-                aliases = []
-                for i, m in enumerate(messages):
-                    alias = f"stage{i}"
-                    con.execute(
-                        f"ATTACH DATABASE ? AS {alias}", (m.stage_path,)
-                    )
-                    aliases.append(alias)
+                # collect stages through a TEMP table (chunked ATTACH,
+                # ≤ _MAX_ATTACH at a time — an epoch wider than
+                # SQLite's 10-attach ceiling would otherwise fail at
+                # commit), then apply staging→target AND the marker in
+                # ONE transaction — a crash mid-epoch leaves no marker
+                # and an untouched target, so the retry re-applies
+                # atomically
+                tmp = _stage_rows_into_temp(
+                    con, self.table, self._cols_sql(), messages
+                )
                 con.execute("BEGIN")
-                for alias in aliases:
-                    con.execute(
-                        f'INSERT INTO main."{self.table}" '
-                        f'SELECT * FROM {alias}."{self.table}"'
-                    )
+                con.execute(
+                    f'INSERT INTO main."{self.table}" '
+                    f'SELECT * FROM temp."{tmp}"'
+                )
                 con.execute(
                     f'INSERT INTO "{self.MARKER_TABLE}" VALUES (?)', (batchId,)
                 )
                 con.commit()
-                for alias in aliases:
-                    con.execute(f"DETACH DATABASE {alias}")
         finally:
             con.close()
         for m in messages:

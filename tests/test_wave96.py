@@ -137,7 +137,7 @@ def test_x410_roundtrip_matches_parquet(spark, sf_dir, duck):
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    built = os.path.join(tempfile.gettempdir(), f"gms_sqlite_{tag}.db._built")
+    built = os.path.join(tempfile.gettempdir(), f"gms_sqlite_{tag}.db")
     if os.path.isfile(built):
         os.remove(built)  # force a fresh parallel write
     got = {
