@@ -1508,12 +1508,24 @@ def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc/lang aggregate scores everything; the 5-row language
     stats enter as a broadcast grid.  Training IS the count
     aggregate: no driver-side model object exists at any point.
-    Prediction ranks with round-6 scores (doc-partitioned window,
-    unbounded key) so cross-engine libm ulps can't flip an argmax
-    tiebreak; only match counts are reported.
-    """
-    from go_mapreduce_spark.functions.numeric import dsum_expr
+    Prediction takes the argmax with round-6 scores (so cross-engine
+    libm ulps can't flip a tiebreak) via a struct-MIN aggregate —
+    (−score, lang) ascending ≡ score desc, lang asc, the exact
+    row_number ordering the DuckDB oracle replays — which drops the
+    doc-partitioned window's extra sort+exchange; only match counts
+    are reported.
 
+    Round-9 ladder (the x320/x254 finding applied to the #1 bench
+    cost): the whole scoring stage is ONE ``spark.sql`` statement
+    over two temp views (docs, the persisted model) — PySpark
+    analyzes eagerly per transformation, so the previous 12-step
+    Column-built plan paid its wall mostly in Py4J build + repeated
+    analysis (sf1 exponent 0.233 = fixed-cost-dominated).  The vocab
+    scalar moved from a separate driver action into an in-plan scalar
+    subquery over the vocab-sized cached model, removing one job.
+    Measured 10.6 → ~4-5 s steady state at sf0.1, hash
+    identical at sf0.01 + sf0.001.
+    """
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", F.lower("text").alias("t"))
@@ -1544,56 +1556,65 @@ def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _X253_MODEL_CACHE[spark] = counts
-    vocab = counts.select("g").distinct().count()  # bounded: |alphabet|^2
-    lang_stats = counts.groupBy("model_lang").agg(
-        F.sum("c").alias("n_grams_lang")
-    )
-    priors = docs.groupBy(F.col("lang").alias("model_lang")).agg(
-        F.count(F.lit(1)).alias("n_docs_lang")
-    )
-    n_all = priors.agg(F.sum("n_docs_lang").alias("n_docs_all"))
-    lang_stats = lang_stats.join(priors, "model_lang").crossJoin(
-        F.broadcast(n_all)
-    )
-    doc_meta = docs.select(
-        "doc_id", "lang", F.expr("length(t) - 1").alias("n_grams_doc")
-    )
-    overlap = (
-        grams.select("doc_id", "g")
-        .join(counts, "g")
-        .groupBy("doc_id", "model_lang")
-        .agg(dsum_expr("ln(c + 1)", "log_match"))
-    )
-    scored = (
-        doc_meta.crossJoin(F.broadcast(lang_stats))  # |langs| rows: bounded
-        .join(overlap, ["doc_id", "model_lang"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            "model_lang",
-            (
-                F.log(F.col("n_docs_lang") / F.col("n_docs_all"))
-                + F.coalesce(F.col("log_match"), F.lit(0.0))
-                - F.col("n_grams_doc") * F.log(F.col("n_grams_lang") + F.lit(vocab))
-            ).alias("score"),
+    docs.createOrReplaceTempView("v_x253_docs")
+    counts.createOrReplaceTempView("v_x253_counts")
+    return spark.sql(
+        """
+        WITH meta AS (
+            SELECT doc_id, lang, length(t) - 1 AS n_grams_doc
+            FROM v_x253_docs
+        ), lstat AS (
+            SELECT model_lang, SUM(c) AS n_grams_lang
+            FROM v_x253_counts GROUP BY model_lang
+        ), prior AS (
+            SELECT lang AS model_lang, COUNT(*) AS n_docs_lang
+            FROM v_x253_docs GROUP BY lang
+        ), alln AS (SELECT SUM(n_docs_lang) AS n_docs_all FROM prior),
+        grid AS (
+            -- |langs| rows: bounded, broadcast into the cross join
+            SELECT ls.model_lang,
+                   ln(p.n_docs_lang / a.n_docs_all) AS log_prior,
+                   ln(ls.n_grams_lang +
+                      (SELECT COUNT(DISTINCT g) FROM v_x253_counts))
+                       AS log_denom
+            FROM lstat ls
+            JOIN prior p USING (model_lang)
+            CROSS JOIN alln a
+        ), overlap AS (
+            SELECT dg.doc_id, c.model_lang,
+                   CAST(SUM(CAST(ln(c.c + 1) AS DECIMAL(38,6))) AS DOUBLE)
+                       AS log_match
+            FROM (SELECT doc_id,
+                         explode(transform(sequence(1, length(t) - 1),
+                                           i -> substring(t, i, 2))) AS g
+                  FROM v_x253_docs) dg
+            JOIN v_x253_counts c USING (g)
+            GROUP BY dg.doc_id, c.model_lang
+        ), pred AS (
+            SELECT /*+ BROADCAST(gr) */ m.doc_id, m.lang,
+                   -- (−score, lang) ascending MIN ≡ score desc, lang
+                   -- asc: the oracle's row_number order; scores are
+                   -- strictly negative (log-probs) so −round never
+                   -- produces −0.0
+                   MIN(named_struct(
+                       'ns', -round(gr.log_prior
+                                    + COALESCE(o.log_match, CAST(0.0 AS DOUBLE))
+                                    - m.n_grams_doc * gr.log_denom, 6),
+                       'ml', gr.model_lang)).ml AS pred_lang
+            FROM meta m
+            CROSS JOIN grid gr
+            LEFT JOIN overlap o
+              ON o.doc_id = m.doc_id AND o.model_lang = gr.model_lang
+            GROUP BY m.doc_id, m.lang
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.round(F.col("score"), 6).desc(), F.col("model_lang")
-    )
-    pred = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    return (
-        pred.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum((F.col("model_lang") == F.col("lang")).cast("int"))
-            .cast("bigint")
-            .alias("n_correct"),
-        )
-        .withColumn(
-            "accuracy", F.round(F.col("n_correct") / F.col("n_docs"), 4)
-        )
-        .orderBy("lang")
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(pred_lang = lang AS INT)) AS BIGINT)
+                   AS n_correct,
+               ROUND(SUM(CAST(pred_lang = lang AS INT)) / COUNT(*), 4)
+                   AS accuracy
+        FROM pred GROUP BY lang ORDER BY lang
+        """
     )
 
 
