@@ -5,12 +5,16 @@ payloads travel as opaque ``binary`` columns with a typed metadata
 struct alongside; decode / feature-extract / resize / frame-sample
 run as Arrow-batched Pandas functions over ``mapInPandas``.
 
-The actual codec work is STUBBED — image/audio libraries are not in
-this container — behind ``set_decoder``:
+Codec work is pluggable behind ``set_decoder``:
 - default ``"fake"`` decoder: deterministic, pure-Python header parse
   + content-hash features (real Spark plumbing, fake pixels);
-- ``"strict"`` raises NotImplementedError, marking exactly where a
-  real codec (PIL/ffmpeg) plugs in.
+- ``"png"``: REAL pixel decode for PNG payloads via the stdlib codec
+  (functions/png.py — zlib inflate + per-scanline unfilter), fake
+  features elsewhere;
+- ``"pil"``: Pillow-backed image decode when the wheel is present;
+- ``"strict"``: real decode where a real codec exists (PNG), raises
+  NotImplementedError for formats that still need PIL/ffmpeg —
+  marking exactly where they plug in.
 
 What IS real and tested: the schema contract, the Arrow batch path,
 partition-preserving execution, and batch-shape independence (results
@@ -83,8 +87,14 @@ def set_decoder(mode: str) -> None:
     - ``'fake'`` (default): deterministic stub — header parse +
       content-hash features.  Keeps the x35 oracle reproducible
       anywhere, codecs or not.
-    - ``'strict'``: raises NotImplementedError at decode time,
-      marking exactly where a real codec plugs in.
+    - ``'png'``: real pixel decode for ``format == 'png'`` payloads
+      via the zero-dependency stdlib codec (functions/png.py);
+      16-bin luma-histogram features, the same contract as 'pil'.
+      Other formats keep the fake features.  Corrupt PNG bytes fail
+      loudly (ValueError), as a real codec would.
+    - ``'strict'``: real decode where a real codec exists (PNG via
+      the stdlib codec); raises NotImplementedError for formats that
+      still require PIL/ffmpeg — marking exactly where they plug in.
     - ``'pil'``: real image decode via Pillow (true width/height +
       16-bin grayscale-histogram features); non-image kinds keep the
       fake features.  Registration fails fast with ImportError if
@@ -93,8 +103,10 @@ def set_decoder(mode: str) -> None:
       any Python dependency).
     """
     global _DECODER_MODE
-    if mode not in ("fake", "strict", "pil"):
-        raise ValueError("decoder mode must be 'fake', 'strict', or 'pil'")
+    if mode not in ("fake", "strict", "pil", "png"):
+        raise ValueError(
+            "decoder mode must be 'fake', 'strict', 'pil', or 'png'"
+        )
     if mode == "pil" and not pil_available():
         raise ImportError(
             "set_decoder('pil') requires Pillow; it is not importable here — "
@@ -131,11 +143,25 @@ def make_decode_batch(mode: str):
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if mode == "strict":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; install and register "
-                    "a codec-backed decoder via multimodal.set_decoder"
-                )
-            if mode == "pil":
+                # real decode where a real codec exists; the raise is
+                # narrowed to the formats that still need PIL/ffmpeg
+                features = []
+                for b, f in zip(pdf["payload"], pdf["format"]):
+                    if f != "png":
+                        raise NotImplementedError(
+                            f"real {f} decode requires PIL/ffmpeg; install and "
+                            "register a codec-backed decoder via "
+                            "multimodal.set_decoder"
+                        )
+                    features.append(_png_features(bytes(b)))
+            elif mode == "png":
+                features = [
+                    _png_features(bytes(b))
+                    if f == "png"
+                    else _fake_features(bytes(b))
+                    for b, f in zip(pdf["payload"], pdf["format"])
+                ]
+            elif mode == "pil":
                 features = [
                     _pil_features(bytes(b))
                     if k == "image"
@@ -158,6 +184,15 @@ def make_decode_batch(mode: str):
             )
 
     return decode_batch
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """Real PNG features via the stdlib codec: FEATURE_DIM-bin luma
+    histogram, unit-normalized — the same contract as
+    :func:`_pil_features` but with zero dependencies."""
+    from go_mapreduce_spark.functions.png import decode_png, gray_histogram
+
+    return [float(x) for x in gray_histogram(decode_png(payload), FEATURE_DIM)]
 
 
 def _pil_features(payload: bytes) -> list[float]:
@@ -328,6 +363,81 @@ def x122_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_copies") - 1) * F.col("n_bytes")).alias("reclaim_bytes"),
         )
         .orderBy("canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x414: REAL PNG decode via the stdlib codec (wave 99)
+# ---------------------------------------------------------------------------
+
+PNG_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media_png.parquet",
+)
+
+PNG_DECODE_SCHEMA = (
+    "media_id bigint, width int, height int, channels int, "
+    "bit_depth int, n_pixels bigint, luma_total bigint"
+)
+
+
+def x414_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode through the multimodal plumbing: inflate +
+    unfilter every committed PNG payload (fixtures/media_png.parquet,
+    tools/make_png_fixture.py — genuine PNGs spanning all five
+    supported color types with every scanline filter exercised) and
+    emit per-image dimensions, channel count, and the EXACT integer
+    luma total.
+
+    The oracle never touches the payload bytes: every image parameter
+    is arithmetic on media_id (see the generator's docstring), so
+    DuckDB recomputes width/height/channels/luma from first
+    principles — a wrong unfilter branch, palette expansion, or luma
+    mix hash-mismatches.  All-integer output; no float rounding in
+    the contract.  ``sf_dir`` ignored (payloads are scale-free, same
+    as x35).  The per-pixel Python loop is the documented slow path —
+    at cluster scale a C-backed codec (PIL) plugs into the identical
+    Arrow-batched ``mapInPandas`` shape.
+    """
+    from go_mapreduce_spark.functions.png import decode_png, luma_stats
+    from go_mapreduce_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def decode_pngs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_png(bytes(payload))
+                total, n = luma_stats(d)
+                recs.append(
+                    (
+                        int(mid),
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        d["bit_depth"],
+                        n,
+                        total,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "bit_depth",
+                    "n_pixels",
+                    "luma_total",
+                ],
+            )
+
+    media = spark.read.parquet(PNG_FIXTURE_PATH).select("media_id", "payload")
+    return media.mapInPandas(decode_pngs, schema=PNG_DECODE_SCHEMA).orderBy(
+        "media_id"
     )
 
 

@@ -11931,3 +11931,51 @@ ORACLE_SQL["x413_sqlite_query_option"] = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 99 (round 9): real PNG decode via the stdlib codec — the
+# multimodal plug-point upgraded from deterministic fake to a working
+# codec for one format (zlib inflate + per-scanline unfilter,
+# functions/png.py); the oracle recomputes every decode result from
+# media_id arithmetic without touching the payload bytes
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x414_png_decode": MM.x414_png_decode})
+
+ORACLE_SQL["x414_png_decode"] = f"""
+    WITH m AS (
+        SELECT media_id
+        FROM read_parquet('{MM.PNG_FIXTURE_PATH}/*.parquet')
+    ), c AS (
+        SELECT media_id,
+               4 + media_id % 13 AS width,
+               3 + media_id % 7 AS height,
+               (media_id * 37) % 251 AS v,
+               media_id % 5 AS cts
+        FROM m
+    ), grid AS (
+        SELECT c.*, t.x FROM c CROSS JOIN range(16) t(x)
+        WHERE t.x < c.width
+    ), lum AS (
+        -- one scanline's exact integer luma; rows are identical so
+        -- the image total is height * row_luma (generator docstring:
+        -- tools/make_png_fixture.py)
+        SELECT media_id, SUM(CASE
+               WHEN cts IN (0, 3) THEN (v + 3*x) % 256
+               WHEN cts = 2 THEN (v + 5*(((v + 3*x) % 256) % 16)) % 256
+               ELSE (299*((v + 3*x) % 256) + 587*((v + 3*x + 85) % 256)
+                     + 114*((v + 3*x + 170) % 256)) // 1000
+             END) AS row_luma
+        FROM grid GROUP BY media_id
+    )
+    SELECT c.media_id,
+           CAST(c.width AS INT) AS width,
+           CAST(c.height AS INT) AS height,
+           CAST(CASE c.cts WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
+                           WHEN 3 THEN 2 ELSE 4 END AS INT) AS channels,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(c.width * c.height AS BIGINT) AS n_pixels,
+           CAST(c.height * l.row_luma AS BIGINT) AS luma_total
+    FROM c JOIN lum l USING (media_id) ORDER BY c.media_id
+"""

@@ -37,11 +37,66 @@ def test_features_unit_norm(spark, media):
         assert abs(norm - 1.0) < 1e-5
 
 
-def test_strict_mode_raises(spark, media):
+def test_strict_mode_raises_for_non_png(spark, media):
+    """Strict mode's raise is narrowed to formats without a real
+    codec — wav/mp4 still raise; PNG decodes for real (see the
+    dedicated strict-png test below)."""
     M.set_decoder("strict")
     try:
-        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-            M.decode_media(media).collect()
+        with pytest.raises(Exception, match="NotImplementedError|decode requires"):
+            M.decode_media(media.filter(F.col("format") != "png")).collect()
+    finally:
+        M.set_decoder("fake")
+
+
+def _real_png_df(spark, value: int = 200, media_id: int = 900001):
+    from go_mapreduce_spark.functions.png import encode_png
+
+    payload = encode_png(8, 4, 0, bytes([value]) * 32)
+    return spark.createDataFrame(
+        [(media_id, "image", "png", bytearray(payload), 8, 4, -1)],
+        M.MEDIA_SCHEMA,
+    )
+
+
+def test_strict_mode_decodes_real_png(spark):
+    """Strict mode performs REAL decode for PNG via the stdlib codec:
+    a solid-gray 200 image concentrates its whole luma histogram in
+    bin 200//16 = 12."""
+    M.set_decoder("strict")
+    try:
+        r = M.decode_media(_real_png_df(spark)).collect()[0]
+        assert r.features[12] == pytest.approx(1.0)
+        assert sum(x * x for x in r.features) ** 0.5 == pytest.approx(1.0)
+    finally:
+        M.set_decoder("fake")
+
+
+def test_strict_mode_rejects_fake_png_bytes(spark, media):
+    """Bytes labeled png that are not a PNG must fail loudly under
+    strict — no silent fake fallback."""
+    M.set_decoder("strict")
+    try:
+        with pytest.raises(Exception, match="not a PNG|bad signature"):
+            M.decode_media(media.filter(F.col("format") == "png")).collect()
+    finally:
+        M.set_decoder("fake")
+
+
+def test_png_mode_mixes_real_and_fake(spark, media):
+    """'png' mode: real decode for PNG payloads, deterministic fake
+    features for everything else — batch-shape independent."""
+    M.set_decoder("png")
+    try:
+        mixed = _real_png_df(spark, value=40).union(
+            media.filter(F.col("format") != "png")
+        )
+        rows = {r.media_id: r for r in M.decode_media(mixed).collect()}
+        assert rows[900001].features[40 // 16] == pytest.approx(1.0)
+        # non-png rows keep the content-hash fake features
+        wav = next(r for r in rows.values() if r.format == "wav")
+        assert sum(x * x for x in wav.features) ** 0.5 == pytest.approx(1.0)
+        assert max(wav.features) < 0.99
     finally:
         M.set_decoder("fake")
 
