@@ -361,6 +361,58 @@ def x41_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+CLUSTER_VIEW_K = 8       # planted clusters: vec_id % 8 → one-hot anchor
+CLUSTER_VIEW_PULL = 2.5  # anchor weight vs the unit-normalized vector
+
+
+def clustered_embeddings_view(emb: DataFrame) -> DataFrame:
+    """Deterministic CLUSTERED view of the embeddings table — the
+    corpus regime IVF exists for, derived in-plan from the fixture
+    (no synthetic data): each vector is unit-normalized, then pulled
+    toward one of ``CLUSTER_VIEW_K`` orthogonal one-hot anchors
+    chosen by ``vec_id % K``.  With pull 2.5 against a unit residual,
+    intra-cluster cosine ≳ 0.86 and cross-cluster ≲ 0.2 — real
+    neighbor structure with the fixture's own vectors as noise.
+
+    Pure JVM expression work (transform lambda over the array), so
+    the view costs one projection at any scale and the clustered
+    corpus inherits the source's partitioning.
+    """
+    nrm = F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12))
+    anchor_pos = (F.col("vec_id") % CLUSTER_VIEW_K).cast("int")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double") / nrm
+                + F.when(i == anchor_pos, F.lit(float(CLUSTER_VIEW_PULL)))
+                .otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def x41b_ivf_clustered(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """The trained-quantizer IVF on a CLUSTERED corpus — the
+    operator's declared contract regime, promoted from bench footnote
+    to a first-class registry entry (round-8 verdict ask): top-5
+    approximate neighbors for vec_id 1..10 over
+    :func:`clustered_embeddings_view`.  No SQL oracle (ANN output is
+    index-specific); the recall contract is pytest-gated ≥ 0.9
+    against exact brute force at BOTH committed scale factors
+    (tests/test_similarity.py::test_ivf_clustered_recall_gate), and
+    bench.py tracks ``ivf_recall_clustered`` every run.
+    """
+    emb = clustered_embeddings_view(load_table(spark, sf_dir, "embeddings"))
+    probe = emb.filter(F.col("vec_id").between(1, 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ann_ivf_topk(emb, probe, k=k).orderBy(
+        "query_id", F.col("similarity").desc(), "neighbor_id"
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

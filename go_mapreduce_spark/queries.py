@@ -111,6 +111,10 @@ QUERIES: dict[str, QueryFn] = {
     "x40_grouped_median": C.x40_grouped_median,
     # --- IVF approximate nearest neighbors (recall-tested, no oracle) ---
     "x41_ann_ivf": S.x41_ann_ivf,
+    # x41b: the trained quantizer on a CLUSTERED corpus — the
+    # operator's contract regime; recall ≥ 0.9 pytest-gated at both
+    # committed sfs (wave 99, round-8 verdict ask #6)
+    "x41b_ivf_clustered": S.x41b_ivf_clustered,
     # --- grouped-agg pandas UDAF surface ---
     "x42_pandas_udaf_geomean": U.x42_pandas_udaf_geomean,
     # --- streaming session-window replay (≡ batch x12) ---

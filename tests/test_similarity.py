@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from go_mapreduce_spark.operators.similarity import ann_lsh_topk, brute_force_topk
@@ -91,6 +92,46 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
     recall = len(approx & truth) / len(truth)
     assert recall >= 0.8, f"IVF recall {recall:.2f} below bound"
+
+
+@pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+)
+def test_ivf_clustered_recall_gate(spark, sf):
+    """The shipped ANN's recall story as a test, not a bench
+    footnote: the trained quantizer on the clustered view of the
+    FIXTURE embeddings (x41b's corpus) must reach ≥ 0.9 recall vs
+    exact brute force at both committed scale factors."""
+    import os
+
+    from go_mapreduce_spark.operators.similarity import (
+        ann_ivf_topk,
+        clustered_embeddings_view,
+    )
+
+    if not os.path.isdir(sf):
+        pytest.skip(f"{sf} not generated")
+    emb = clustered_embeddings_view(load_table(spark, sf, "embeddings"))
+    q = _queries(emb, 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(emb, q, k=5).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.9, f"clustered IVF recall {recall:.2f} below gate"
+
+
+def test_x41b_registry_entry_shape(spark, sf_dir):
+    from go_mapreduce_spark.operators.similarity import x41b_ivf_clustered
+
+    rows = x41b_ivf_clustered(spark, sf_dir).collect()
+    assert len(rows) == 10 * 5
+    assert all(r.neighbor_id != r.query_id for r in rows)
 
 
 def test_ann_ivf_is_deterministic(spark, sf_dir):
