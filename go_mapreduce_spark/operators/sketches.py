@@ -5,9 +5,13 @@ single most expensive aggregates in a pipeline (full shuffle of every
 distinct value).  Sketches make them single-pass, fixed-memory, and
 mergeable — the right default for monitoring-grade answers.
 
-No DuckDB oracle by design: sketch estimates are
-implementation-specific.  Tests assert relative-error bounds against
-the exact answers instead (the contract a sketch actually makes).
+Sketch ESTIMATES are implementation-specific, so raw estimates never
+enter an oracle hash.  Where the error contract is checkable in-plan
+(x26 rank error, x284 set-algebra bounds) the query emits exact
+columns plus contract FLAGS and DuckDB pins the flags — a bound
+oracle that fails when the sketch breaks its promise.  The rest
+(x25/x260/x271) stay rows-only with pytest error bounds vs exact
+(the contract a sketch actually makes).
 """
 
 from __future__ import annotations
@@ -33,12 +37,19 @@ def x25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def x26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna quantile sketch: p50/p90/p99 of order totals
-    per order status (accuracy 1/10000)."""
+QUANTILE_PS = (0.5, 0.9, 0.99)
+QUANTILE_ACCURACY = 10000  # GK rank error ε = 1/accuracy
+
+
+def approx_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Greenwald-Khanna estimates: p50/p90/p99 of order totals
+    per order status (accuracy 1/10000) — the user-facing surface.
+    Estimates are sketch-implementation-specific, so this relation is
+    pytest-bounded, not oracle-hashed; the oracle-gated contract
+    check is :func:`x26_approx_quantiles`."""
     orders = load_table(spark, sf_dir, "orders")
     pct = F.percentile_approx(
-        "o_totalprice", [0.5, 0.9, 0.99], accuracy=10000
+        "o_totalprice", list(QUANTILE_PS), accuracy=QUANTILE_ACCURACY
     ).alias("p")
     return (
         orders.groupBy("o_orderstatus")
@@ -51,6 +62,72 @@ def x26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def x26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile sketch WITH its error contract
+    checked in-plan (round-8 verdict ask #7: a bound oracle instead
+    of rows-only): for each (order status, p) the sketch's estimate
+    is re-ranked EXACTLY against the data — n_less/n_leq counts in
+    one conditional-aggregate pass over the broadcast 9-row estimate
+    grid — and the emitted flag asserts the estimate's exact rank
+    interval [n_less+1, n_leq] intersects the target window
+    p·n ± (ε·n + 1.5) with ε = 1/accuracy (the +1.5 covers the
+    p·n vs p·(n−1)+1 indexing conventions; a wrong quantile is off
+    by hundreds of ranks at any sf, so the slop costs no power).
+
+    Output is engine-portable BY CONSTRUCTION — (status, p, exact
+    count, flag), no sketch values — so DuckDB recomputes the counts
+    and pins every flag TRUE: the CORRECTNESS row now FAILS if the
+    sketch's rank-error contract breaks, not just if it crashes.
+    Estimates themselves remain available via
+    :func:`approx_quantile_estimates`.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    pct = F.percentile_approx(
+        "o_totalprice", list(QUANTILE_PS), accuracy=QUANTILE_ACCURACY
+    ).alias("ests")
+    grid = (
+        orders.groupBy("o_orderstatus")
+        .agg(pct)
+        .select(
+            "o_orderstatus",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(float(p)) for p in QUANTILE_PS]).alias("p"),
+                    F.col("ests").alias("est"),
+                )
+            ).alias("pe"),
+        )
+        .select("o_orderstatus", F.col("pe.p").alias("p"), F.col("pe.est").alias("est"))
+    )
+    eps = 1.0 / QUANTILE_ACCURACY
+    ranked = (
+        orders.join(F.broadcast(grid), "o_orderstatus")
+        .groupBy("o_orderstatus", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_totalprice") < F.col("est"), 1)).alias(
+                "n_less"
+            ),
+            F.count(F.when(F.col("o_totalprice") <= F.col("est"), 1)).alias(
+                "n_leq"
+            ),
+        )
+    )
+    slop = F.lit(eps) * F.col("n") + F.lit(1.5)
+    target = F.col("p") * F.col("n")
+    return ranked.select(
+        "o_orderstatus",
+        "p",
+        F.col("n").cast("bigint").alias("n_orders"),
+        (
+            ((F.col("n_less") + 1) <= target + slop)
+            & (F.col("n_leq") >= target - slop)
+        ).alias("rank_err_ok"),
+    ).orderBy("o_orderstatus", "p")
 
 
 HH_CAPACITY = 30  # Misra-Gries counters per partition; threshold N/30
@@ -289,16 +366,36 @@ def x284_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta sketches, stated honestly in-docstring and bounded in the
     pytest against the exact join answer).  One scan builds both
     segment sketches; the algebra is a 1-row combine.
+
+    Round-9 bound oracle (verdict ask #7): the output carries no raw
+    sketch values — instead the exact per-segment distincts and exact
+    intersection (both engines compute those) plus three in-plan
+    contract flags: per-segment HLL relative error ≤ 5% (lgK 12 →
+    rsd ≈ 1.6%, 3σ), the union inequality |A∪B| ≤ |A|+|B|, and the
+    inclusion-exclusion intersection within the pytest's honest 10%
+    of exact.  DuckDB recomputes the exact columns and pins every
+    flag TRUE, so the CORRECTNESS row fails if any sketch error
+    contract breaks — not just if the query crashes.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = ev.filter(F.col("event_type").isin("view", "purchase")).agg(
+    seg = ev.filter(F.col("event_type").isin("view", "purchase"))
+    sk = seg.agg(
         F.hll_sketch_agg(F.when(F.col("event_type") == "view", F.col("user_id"))).alias("sk_v"),
         F.hll_sketch_agg(
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("sk_p"),
         F.hll_sketch_agg("user_id").alias("sk_u"),
+        # exact per-segment distincts ride the same pass
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase"),
     )
     est = sk.select(
+        "n_view",
+        "n_purchase",
         F.hll_sketch_estimate("sk_v").alias("est_view"),
         F.hll_sketch_estimate("sk_p").alias("est_purchase"),
         F.hll_sketch_estimate("sk_u").alias("est_union"),
@@ -315,23 +412,23 @@ def x284_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
-    return (
-        est.crossJoin(F.broadcast(exact))
-        .select(
-            F.col("est_view").cast("bigint").alias("est_view"),
-            F.col("est_purchase").cast("bigint").alias("est_purchase"),
-            F.col("est_union").cast("bigint").alias("est_union"),
-            (F.col("est_view") + F.col("est_purchase") - F.col("est_union"))
-            .cast("bigint")
-            .alias("est_intersection"),
-            F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
-        )
-        .withColumn(
-            "rel_err",
-            F.round(
-                F.abs(F.col("est_intersection") - F.col("exact_intersection"))
-                / F.col("exact_intersection"),
-                6,
-            ),
-        )
+    est_inter = F.col("est_view") + F.col("est_purchase") - F.col("est_union")
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("n_view").cast("bigint").alias("n_view"),
+        F.col("n_purchase").cast("bigint").alias("n_purchase"),
+        F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+        (
+            (F.abs(F.col("est_view") - F.col("n_view")) <= 0.05 * F.col("n_view"))
+            & (
+                F.abs(F.col("est_purchase") - F.col("n_purchase"))
+                <= 0.05 * F.col("n_purchase")
+            )
+        ).alias("seg_est_ok"),
+        (F.col("est_union") <= F.col("est_view") + F.col("est_purchase")).alias(
+            "union_le_sum"
+        ),
+        (
+            F.abs(est_inter - F.col("exact_intersection"))
+            <= 0.10 * F.col("exact_intersection")
+        ).alias("inter_rel_err_ok"),
     )

@@ -82,8 +82,10 @@ QUERIES: dict[str, QueryFn] = {
     "x22_pandas_udf_tokens": U.x22_pandas_udf_tokens,
     # --- sliding window ---
     "x24_sliding_window": WIN.x24_sliding_window,
-    # --- sketches (no oracle: estimates are implementation-specific;
-    #     error-bound tests vs exact in tests/test_scale.py) ---
+    # --- sketches (x25: no oracle — estimates are implementation-
+    #     specific; error-bound tests vs exact in tests/test_scale.py.
+    #     x26 got a BOUND oracle in wave 99: its output is the
+    #     in-plan rank-error contract, DuckDB pins the flags) ---
     "x25_approx_distinct": SK.x25_approx_distinct,
     "x26_approx_quantiles": SK.x26_approx_quantiles,
     # --- iterative graph algorithm + grouped z-score (window plan;
@@ -6752,7 +6754,8 @@ ORACLE_SQL["x283_degree_assortativity"] = """
 
 QUERIES.update(
     {
-        # x284 is sketch-based: rows-only driver check (see x260)
+        # x284 got a BOUND oracle in wave 99: exact columns + pinned
+        # error-contract flags (see the wave-99 block)
         "x284_sketch_intersection": SK.x284_sketch_intersection,
         "x285_conversion_latency": AN.x285_conversion_latency,
         "x286_vacuum_audit": LH.x286_vacuum_audit,
@@ -11982,4 +11985,38 @@ ORACLE_SQL["x414_png_decode"] = f"""
            CAST(c.width * c.height AS BIGINT) AS n_pixels,
            CAST(c.height * l.row_luma AS BIGINT) AS luma_total
     FROM c JOIN lum l USING (media_id) ORDER BY c.media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 99 (cont.): BOUND oracles for the sketch family (round-8
+# verdict ask #7) — x26/x284 now emit engine-portable exact columns
+# plus in-plan error-contract flags; DuckDB recomputes the exact
+# columns and pins every flag TRUE, so these CORRECTNESS rows fail
+# when a sketch's error contract breaks, not just when it crashes
+# ---------------------------------------------------------------------------
+
+_X26_PS = ", ".join(f"CAST({p} AS DOUBLE)" for p in SK.QUANTILE_PS)
+
+ORACLE_SQL["x26_approx_quantiles"] = f"""
+    SELECT o_orderstatus, p,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS rank_err_ok
+    FROM orders CROSS JOIN (SELECT UNNEST([{_X26_PS}]) AS p) t
+    GROUP BY o_orderstatus, p
+    ORDER BY o_orderstatus, p
+"""
+
+ORACLE_SQL["x284_sketch_intersection"] = """
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS BIGINT)
+               AS exact_intersection,
+           TRUE AS seg_est_ok,
+           TRUE AS union_le_sum,
+           TRUE AS inter_rel_err_ok
 """

@@ -89,7 +89,9 @@ def test_approx_distinct_error_bound(spark, sf_dir):
 
 
 def test_approx_quantiles_bounds(spark, sf_dir):
-    rows = x26_approx_quantiles(spark, sf_dir).collect()
+    from go_mapreduce_spark.operators.sketches import approx_quantile_estimates
+
+    rows = approx_quantile_estimates(spark, sf_dir).collect()
     orders = load_table(spark, sf_dir, "orders")
     for r in rows:
         vals = sorted(
@@ -101,3 +103,52 @@ def test_approx_quantiles_bounds(spark, sf_dir):
         # p50 within the central half of the data
         lo, hi = vals[int(0.25 * len(vals))], vals[min(int(0.75 * len(vals)), len(vals) - 1)]
         assert lo <= r.p50 <= hi
+
+
+def test_approx_quantiles_contract_flags(spark, sf_dir):
+    """x26's declared surface is the rank-error contract itself: one
+    row per (status, p), every flag TRUE on healthy data — the same
+    flags the DuckDB bound oracle pins."""
+    rows = x26_approx_quantiles(spark, sf_dir).collect()
+    assert len(rows) == 9  # 3 statuses x 3 quantiles
+    assert all(r.rank_err_ok for r in rows), rows
+    assert {r.p for r in rows} == {0.5, 0.9, 0.99}
+
+
+def test_approx_quantiles_flag_catches_broken_sketch(spark, sf_dir):
+    """The contract check has power: re-ranking a WRONG estimate
+    (p50's value claimed as p99) must flip the flag."""
+    from go_mapreduce_spark.operators.sketches import QUANTILE_ACCURACY
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    # claim the true median is the 99th percentile
+    grid = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", 0.5, accuracy=QUANTILE_ACCURACY
+            ).alias("est")
+        )
+        .select("o_orderstatus", F.lit(0.99).alias("p"), "est")
+    )
+    eps = 1.0 / QUANTILE_ACCURACY
+    ranked = (
+        orders.join(F.broadcast(grid), "o_orderstatus")
+        .groupBy("o_orderstatus", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_totalprice") < F.col("est"), 1)).alias("n_less"),
+            F.count(F.when(F.col("o_totalprice") <= F.col("est"), 1)).alias("n_leq"),
+        )
+    )
+    slop = F.lit(eps) * F.col("n") + F.lit(1.5)
+    target = F.col("p") * F.col("n")
+    flags = ranked.select(
+        (
+            ((F.col("n_less") + 1) <= target + slop)
+            & (F.col("n_leq") >= target - slop)
+        ).alias("ok")
+    ).collect()
+    assert all(not r.ok for r in flags), flags
