@@ -315,9 +315,13 @@ def x260_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching raw data again.  Union of per-day sketches is exactly
     how "distinct users this quarter" avoids a quarter-long rescan.
 
-    No DuckDB oracle (estimates are implementation-specific, module
-    contract above); the pytest bounds relative error vs exact and
-    pins union-vs-direct-build consistency.
+    Round-9 bound oracle (same pattern as x26/x284): the output
+    carries no raw estimate — exact columns both engines compute,
+    plus the in-plan flag that the unioned estimate lands within 5%
+    of exact (lgK 12 → rse ≈ 0.8%; the pytest keeps bounding the raw
+    estimate and pins union-vs-direct-build consistency).  DuckDB
+    pins the flag TRUE, so a merge that loses or duplicates sketch
+    state fails the CORRECTNESS gate.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("d"), "user_id"
@@ -337,13 +341,11 @@ def x260_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("n_day_sketches").cast("bigint").alias("n_day_sketches"),
-            F.col("approx_users").cast("bigint").alias("approx_users"),
             F.col("exact_users").cast("bigint").alias("exact_users"),
-            F.round(
+            (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                6,
-            ).alias("rel_err"),
+                <= 0.05 * F.col("exact_users")
+            ).alias("union_rel_err_ok"),
         )
         .orderBy("event_type")
     )

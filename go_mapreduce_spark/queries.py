@@ -6112,9 +6112,8 @@ QUERIES.update(
     {
         "x258_zipf_fit": T.x258_zipf_fit,
         "x259_token_burstiness": T.x259_token_burstiness,
-        # x260 is sketch-based: no SQL oracle by design (see module
-        # docstring); the driver records a rows-only check and the
-        # pytest bounds relative error vs exact.
+        # x260 got a BOUND oracle in wave 99: exact columns + a
+        # pinned union-error flag (see the wave-99 block)
         "x260_hll_sketch_union": SK.x260_hll_sketch_union,
     }
 )
@@ -12019,4 +12018,15 @@ ORACLE_SQL["x284_sketch_intersection"] = """
            TRUE AS seg_est_ok,
            TRUE AS union_le_sum,
            TRUE AS inter_rel_err_ok
+"""
+
+ORACLE_SQL["x260_hll_sketch_union"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS n_day_sketches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_rel_err_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
 """
