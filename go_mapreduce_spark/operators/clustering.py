@@ -451,8 +451,17 @@ def x130_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       d-key aggregate computes Σx_i once, broadcast-joined onto the
       pair sums twice.  Measured 11.5 s → the product-only aggregate
       at sf0.1 — same hash gate, identical decimal sums.
+    - The 2080×-per-row fan-out must not run in one task: the sf
+      fixture is a single parquet file, so the whole explode+agg was
+      one core (6.7 s at sf0.1); ``spread_for_fanout`` round-robins
+      the d-bounded input across the session's parallelism first
+      (1.0 s), a NO-OP whenever the scan already has enough
+      partitions (any real corpus).  Decimal sums keep the result
+      bit-identical under any partitioning.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    emb = spread_for_fanout(load_table(spark, sf_dir, "embeddings"))
     dec = "decimal(38,12)"
     ex = emb.select(
         "embedding", F.posexplode("embedding").alias("dim_i", "xi")

@@ -36,6 +36,31 @@ def iterative_shuffle_partitions(n_rows: int, floor: int = 4) -> int:
     return max(floor, math.ceil(n_rows / _ITER_ROWS_PER_PARTITION))
 
 
+def spread_for_fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure a relation about to pay a large PER-ROW fan-out (a d²
+    pair explode, a per-frame decode grid) has at least ``min_parts``
+    partitions (default: the session's shuffle-partition setting).
+
+    The pathology this fixes: a small-but-expensive relation read
+    from one parquet file runs its whole fan-out in ONE task — x130's
+    2080-products-per-row explode measured 6.7 s single-task vs 1.0 s
+    spread (sf0.1).  The guard makes it scale-safe: when the scan
+    already has ≥ ``min_parts`` partitions (any real corpus at
+    100 TB), this is a NO-OP — no shuffle is added; when it has
+    fewer, the relation is by premise small, so the round-robin
+    shuffle moves only those rows BEFORE the multiplier applies.
+    Only safe where downstream results are partition-invariant (the
+    decimal-sum discipline of functions/numeric.py) — order- or
+    partition-sensitive plans must not use it."""
+    if min_parts is None:
+        min_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 @contextlib.contextmanager
 def pinned_shuffle_partitions(spark, n: int):
     """Pin ``spark.sql.shuffle.partitions`` for a driver-side loop's
