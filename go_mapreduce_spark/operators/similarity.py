@@ -588,6 +588,14 @@ def x297_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bounded-loop discipline as x224's decode.  All vector
     math is the sequential-double ``functions/vectors.py`` kernel,
     bit-identical in DuckDB.
+
+    ``picked`` is localCheckpointed PER STEP (the x319/x324 bounded-
+    relation discipline): each step references it twice (anti-join
+    ids + broadcast embeddings), so the lazy union's plan DOUBLED per
+    step — 2^K subtree copies by the end, all re-analyzed and
+    re-executed at every action.  Checkpointing the ≤ K-row relation
+    makes each step's plan flat; measured 7.1 → 3.4 s at sf0.1,
+    output bit-identical.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dims = emb.select(F.posexplode("embedding").alias("pos", "x"))
@@ -623,7 +631,7 @@ def x297_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         F.lit(0.0).alias("max_sim"),
         (F.lit(lam) * F.col("rel")).alias("score"),
-    )
+    ).localCheckpoint()
     for step in range(2, MMR_K + 1):
         sel_ids = picked.select("vec_id")
         cand = rel.join(F.broadcast(sel_ids), "vec_id", "left_anti")
@@ -659,7 +667,7 @@ def x297_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
         )
-        picked = picked.unionAll(pick)
+        picked = picked.unionAll(pick).localCheckpoint()
     return picked.select(
         F.col("pick").cast("bigint").alias("pick"),
         F.col("vec_id").cast("bigint").alias("vec_id"),
