@@ -183,16 +183,19 @@ def _ivf_centroids(
 
         # A production IVF index trains its quantizer ONCE and
         # persists it alongside the partitioned corpus; memoizing on
-        # the analyzed plan (same immutable source + transforms →
-        # same data) mirrors that, so repeated index probes in one
-        # session don't re-run Lloyd.  Expression ids (vec_id#1057L)
-        # are per-DataFrame-instantiation noise — two load_table()
-        # calls on the same path must hit the same entry — so they
-        # are stripped from the key.
-        import re as _re
-
+        # the CANONICALIZED plan (same immutable source + transforms
+        # → same data) mirrors that, so repeated index probes in one
+        # session don't re-run Lloyd.  ``semanticHash`` normalizes
+        # expression AND lambda-variable ids (the previous
+        # regex-stripped plan string left lambda numbering in, so
+        # transform-bearing corpora like x41b's clustered view never
+        # hit), and the backing file list pins the key to the actual
+        # source paths — the plan's Relation toString omits them, so
+        # without it two scale factors of the same table would have
+        # SHARED a key (wrong centroids on the second corpus).
         key = (
-            _re.sub(r"#\d+", "#", corpus._jdf.queryExecution().analyzed().toString()),
+            corpus.semanticHash(),
+            tuple(sorted(corpus.inputFiles())),
             n_cells,
             IVF_TRAIN_ITERS,
         )
