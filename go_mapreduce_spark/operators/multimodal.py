@@ -8,12 +8,13 @@ run as Arrow-batched Pandas functions over ``mapInPandas``.
 Codec work is pluggable behind ``set_decoder``:
 - default ``"fake"`` decoder: deterministic, pure-Python header parse
   + content-hash features (real Spark plumbing, fake pixels);
-- ``"png"``: REAL pixel decode for PNG payloads via the stdlib codec
-  (functions/png.py — zlib inflate + per-scanline unfilter), fake
+- ``"png"``: REAL decode for the stdlib-codec formats — PNG pixels
+  via functions/png.py (zlib inflate + per-scanline unfilter) and
+  WAV samples via functions/wav.py (RIFF walk + PCM unpack) — fake
   features elsewhere;
 - ``"pil"``: Pillow-backed image decode when the wheel is present;
-- ``"strict"``: real decode where a real codec exists (PNG), raises
-  NotImplementedError for formats that still need PIL/ffmpeg —
+- ``"strict"``: real decode where a real codec exists (PNG, WAV),
+  raises NotImplementedError for formats that still need PIL/ffmpeg —
   marking exactly where they plug in.
 
 What IS real and tested: the schema contract, the Arrow batch path,
@@ -87,14 +88,16 @@ def set_decoder(mode: str) -> None:
     - ``'fake'`` (default): deterministic stub — header parse +
       content-hash features.  Keeps the x35 oracle reproducible
       anywhere, codecs or not.
-    - ``'png'``: real pixel decode for ``format == 'png'`` payloads
-      via the zero-dependency stdlib codec (functions/png.py);
-      16-bin luma-histogram features, the same contract as 'pil'.
-      Other formats keep the fake features.  Corrupt PNG bytes fail
-      loudly (ValueError), as a real codec would.
-    - ``'strict'``: real decode where a real codec exists (PNG via
-      the stdlib codec); raises NotImplementedError for formats that
-      still require PIL/ffmpeg — marking exactly where they plug in.
+    - ``'png'``: real decode for the zero-dependency stdlib-codec
+      formats — ``'png'`` payloads via functions/png.py (16-bin
+      luma-histogram features, the same contract as 'pil') and
+      ``'wav'`` payloads via functions/wav.py (16-bin amplitude
+      histogram).  Other formats keep the fake features.  Corrupt
+      bytes fail loudly (ValueError), as a real codec would.
+    - ``'strict'``: real decode where a real codec exists (PNG, WAV
+      via the stdlib codecs); raises NotImplementedError for formats
+      that still require PIL/ffmpeg — marking exactly where they
+      plug in.
     - ``'pil'``: real image decode via Pillow (true width/height +
       16-bin grayscale-histogram features); non-image kinds keep the
       fake features.  Registration fails fast with ImportError if
@@ -147,17 +150,22 @@ def make_decode_batch(mode: str):
                 # narrowed to the formats that still need PIL/ffmpeg
                 features = []
                 for b, f in zip(pdf["payload"], pdf["format"]):
-                    if f != "png":
+                    if f == "png":
+                        features.append(_png_features(bytes(b)))
+                    elif f == "wav":
+                        features.append(_wav_features(bytes(b)))
+                    else:
                         raise NotImplementedError(
                             f"real {f} decode requires PIL/ffmpeg; install and "
                             "register a codec-backed decoder via "
                             "multimodal.set_decoder"
                         )
-                    features.append(_png_features(bytes(b)))
             elif mode == "png":
                 features = [
                     _png_features(bytes(b))
                     if f == "png"
+                    else _wav_features(bytes(b))
+                    if f == "wav"
                     else _fake_features(bytes(b))
                     for b, f in zip(pdf["payload"], pdf["format"])
                 ]
@@ -193,6 +201,16 @@ def _png_features(payload: bytes) -> list[float]:
     from go_mapreduce_spark.functions.png import decode_png, gray_histogram
 
     return [float(x) for x in gray_histogram(decode_png(payload), FEATURE_DIM)]
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """Real WAV features via the stdlib codec: FEATURE_DIM-bin
+    amplitude histogram, unit-normalized — the audio analogue of
+    :func:`_png_features`, same vector contract so decoded audio
+    drops into the similarity/dedup operators unchanged."""
+    from go_mapreduce_spark.functions.wav import amplitude_histogram, decode_wav
+
+    return [float(x) for x in amplitude_histogram(decode_wav(payload), FEATURE_DIM)]
 
 
 def _pil_features(payload: bytes) -> list[float]:
@@ -437,6 +455,86 @@ def x414_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = spark.read.parquet(PNG_FIXTURE_PATH).select("media_id", "payload")
     return media.mapInPandas(decode_pngs, schema=PNG_DECODE_SCHEMA).orderBy(
+        "media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x415: REAL WAV decode via the stdlib codec (wave 100)
+# ---------------------------------------------------------------------------
+
+WAV_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media_wav.parquet",
+)
+
+WAV_DECODE_SCHEMA = (
+    "media_id bigint, sample_rate int, channels int, bit_depth int, "
+    "n_frames bigint, n_samples bigint, sum_abs bigint, peak int, "
+    "duration_us bigint"
+)
+
+
+def x415_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode through the multimodal plumbing: RIFF chunk
+    walk + PCM unpack of every committed WAV payload
+    (fixtures/media_wav.parquet, tools/make_wav_fixture.py — genuine
+    PCM WAVs spanning both bit depths, mono/stereo, four sample
+    rates, ancillary chunks on every third clip) and emit per-clip
+    framing plus EXACT integer amplitude statistics.
+
+    The oracle never touches the payload bytes: every clip parameter
+    is arithmetic on media_id (see the generator's docstring), so
+    DuckDB recomputes rate/channels/framing/amplitude sums from first
+    principles — a wrong chunk walk, excess-128 recenter, or frame
+    split hash-mismatches.  All-integer output; no float rounding in
+    the contract.  ``sf_dir`` ignored (payloads are scale-free, same
+    as x414).  The per-sample Python unpack is the documented slow
+    path — at cluster scale a C-backed decoder (soundfile/ffmpeg)
+    plugs into the identical Arrow-batched ``mapInPandas`` shape.
+    """
+    from go_mapreduce_spark.functions.wav import amplitude_stats, decode_wav
+    from go_mapreduce_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def decode_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                sum_abs, peak, n_samples = amplitude_stats(d)
+                recs.append(
+                    (
+                        int(mid),
+                        d["sample_rate"],
+                        d["channels"],
+                        d["bit_depth"],
+                        d["n_frames"],
+                        n_samples,
+                        sum_abs,
+                        peak,
+                        d["n_frames"] * 1_000_000 // d["sample_rate"],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "channels",
+                    "bit_depth",
+                    "n_frames",
+                    "n_samples",
+                    "sum_abs",
+                    "peak",
+                    "duration_us",
+                ],
+            )
+
+    media = spark.read.parquet(WAV_FIXTURE_PATH).select("media_id", "payload")
+    return media.mapInPandas(decode_wavs, schema=WAV_DECODE_SCHEMA).orderBy(
         "media_id"
     )
 

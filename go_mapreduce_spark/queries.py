@@ -12030,3 +12030,50 @@ ORACLE_SQL["x260_hll_sketch_union"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 100 (round 9): real WAV decode via the stdlib codec — the
+# multimodal plug-point's second real format, this time AUDIO (RIFF
+# chunk walk + PCM unpack, functions/wav.py); the oracle recomputes
+# every decode result — framing AND exact integer amplitude sums —
+# from media_id arithmetic without touching the payload bytes
+# (generator contract: tools/make_wav_fixture.py)
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x415_wav_decode": MM.x415_wav_decode})
+
+ORACLE_SQL["x415_wav_decode"] = f"""
+    WITH m AS (
+        SELECT media_id
+        FROM read_parquet('{MM.WAV_FIXTURE_PATH}/*.parquet')
+    ), c AS (
+        SELECT media_id,
+               CASE media_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                                 WHEN 2 THEN 16000 ELSE 22050 END AS rate,
+               1 + media_id % 2 AS channels,
+               CASE WHEN media_id % 3 = 0 THEN 8 ELSE 16 END AS bit_depth,
+               25 + (media_id * 11) % 40 AS n_frames,
+               (media_id * 37) % 97 AS v
+        FROM m
+    ), grid AS (
+        SELECT c.*, t.t, ch.ch
+        FROM c CROSS JOIN range(65) t(t) CROSS JOIN range(2) ch(ch)
+        WHERE t.t < c.n_frames AND ch.ch < c.channels
+    ), amp AS (
+        SELECT media_id,
+               SUM(ABS((v + 7*t + 13*ch) % 201 - 100)) AS sum_abs,
+               MAX(ABS((v + 7*t + 13*ch) % 201 - 100)) AS peak
+        FROM grid GROUP BY media_id
+    )
+    SELECT c.media_id,
+           CAST(c.rate AS INT) AS sample_rate,
+           CAST(c.channels AS INT) AS channels,
+           CAST(c.bit_depth AS INT) AS bit_depth,
+           CAST(c.n_frames AS BIGINT) AS n_frames,
+           CAST(c.n_frames * c.channels AS BIGINT) AS n_samples,
+           CAST(a.sum_abs AS BIGINT) AS sum_abs,
+           CAST(a.peak AS INT) AS peak,
+           CAST(c.n_frames * 1000000 // c.rate AS BIGINT) AS duration_us
+    FROM c JOIN amp a USING (media_id) ORDER BY c.media_id
+"""

@@ -39,12 +39,14 @@ def test_features_unit_norm(spark, media):
 
 def test_strict_mode_raises_for_non_png(spark, media):
     """Strict mode's raise is narrowed to formats without a real
-    codec — wav/mp4 still raise; PNG decodes for real (see the
-    dedicated strict-png test below)."""
+    codec — mp4 still raises; PNG and WAV decode for real (see the
+    dedicated strict tests below)."""
     M.set_decoder("strict")
     try:
         with pytest.raises(Exception, match="NotImplementedError|decode requires"):
-            M.decode_media(media.filter(F.col("format") != "png")).collect()
+            M.decode_media(
+                media.filter(~F.col("format").isin("png", "wav"))
+            ).collect()
     finally:
         M.set_decoder("fake")
 
@@ -57,6 +59,40 @@ def _real_png_df(spark, value: int = 200, media_id: int = 900001):
         [(media_id, "image", "png", bytearray(payload), 8, 4, -1)],
         M.MEDIA_SCHEMA,
     )
+
+
+def _real_wav_df(spark, media_id: int = 900002):
+    from go_mapreduce_spark.functions.wav import encode_wav
+
+    payload = encode_wav(8000, 1, 16, [0] * 16)  # 16 frames of silence
+    return spark.createDataFrame(
+        [(media_id, "audio", "wav", bytearray(payload), -1, -1, 2)],
+        M.MEDIA_SCHEMA,
+    )
+
+
+def test_strict_mode_decodes_real_wav(spark):
+    """Strict mode performs REAL decode for WAV via the stdlib codec:
+    pure silence concentrates the whole amplitude histogram in the
+    middle bin."""
+    M.set_decoder("strict")
+    try:
+        r = M.decode_media(_real_wav_df(spark)).collect()[0]
+        assert r.features[8] == pytest.approx(1.0)
+        assert sum(x * x for x in r.features) ** 0.5 == pytest.approx(1.0)
+    finally:
+        M.set_decoder("fake")
+
+
+def test_strict_mode_rejects_fake_wav_bytes(spark, media):
+    """Bytes labeled wav that are not a WAV must fail loudly under
+    strict — no silent fake fallback."""
+    M.set_decoder("strict")
+    try:
+        with pytest.raises(Exception, match="not a WAV|RIFF"):
+            M.decode_media(media.filter(F.col("format") == "wav")).collect()
+    finally:
+        M.set_decoder("fake")
 
 
 def test_strict_mode_decodes_real_png(spark):
@@ -84,19 +120,24 @@ def test_strict_mode_rejects_fake_png_bytes(spark, media):
 
 
 def test_png_mode_mixes_real_and_fake(spark, media):
-    """'png' mode: real decode for PNG payloads, deterministic fake
-    features for everything else — batch-shape independent."""
+    """'png' mode: real decode for the stdlib-codec formats (png AND
+    wav), deterministic fake features for everything else —
+    batch-shape independent."""
     M.set_decoder("png")
     try:
         mixed = _real_png_df(spark, value=40).union(
-            media.filter(F.col("format") != "png")
+            _real_wav_df(spark).union(
+                media.filter(~F.col("format").isin("png", "wav"))
+            )
         )
         rows = {r.media_id: r for r in M.decode_media(mixed).collect()}
         assert rows[900001].features[40 // 16] == pytest.approx(1.0)
-        # non-png rows keep the content-hash fake features
-        wav = next(r for r in rows.values() if r.format == "wav")
-        assert sum(x * x for x in wav.features) ** 0.5 == pytest.approx(1.0)
-        assert max(wav.features) < 0.99
+        # silence concentrates the REAL amplitude histogram mid-bin
+        assert rows[900002].features[8] == pytest.approx(1.0)
+        # formats without a stdlib codec keep the content-hash fakes
+        mp4 = next(r for r in rows.values() if r.format == "mp4")
+        assert sum(x * x for x in mp4.features) ** 0.5 == pytest.approx(1.0)
+        assert max(mp4.features) < 0.99
     finally:
         M.set_decoder("fake")
 
