@@ -2810,8 +2810,15 @@ def x394_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_mapreduce_spark.functions.numeric import dsum_expr
     from go_mapreduce_spark.sources.registry import load_table
 
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
     cols = list(CORR_COLS)
-    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    # 15 decimal(38,6) sums per row is BigDecimal-bound: spread an
+    # under-split scan before the partial agg (NO-OP at real scale;
+    # decimal sums are partition-invariant, hash unchanged)
+    li = spread_for_fanout(
+        load_table(spark, sf_dir, "lineitem").select(*cols)
+    )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
     for c in cols:
         aggs.append(dsum_expr(c, f"s_{c}"))

@@ -1735,8 +1735,12 @@ def x276_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards — NULL semantics must match exactly.
     """
     from go_mapreduce_spark.functions.numeric import DECIMAL_T
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # try_divide + decimal sums per row on an under-split scan run
+    # near-single-core: spread first (NO-OP at real scale; the
+    # grouped decimal sums are partition-invariant)
+    li = spread_for_fanout(load_table(spark, sf_dir, "lineitem"))
     ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
     return (
         li.groupBy("l_linestatus")
@@ -1981,8 +1985,12 @@ def x386_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation, no per-column rescans of the parquet).
     """
     from go_mapreduce_spark.sources.registry import load_table
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
 
-    orders = load_table(spark, sf_dir, "orders")
+    # the exact-NDV aggregate expands every row ×(1 + n_cols): spread
+    # an under-split scan before the expand (NO-OP at real scale;
+    # count/NDV/min/max are partition-invariant)
+    orders = spread_for_fanout(load_table(spark, sf_dir, "orders"))
     cols = [
         "o_orderkey",
         "o_custkey",

@@ -37,14 +37,21 @@ def iterative_shuffle_partitions(n_rows: int, floor: int = 4) -> int:
 
 
 def spread_for_fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Ensure a relation about to pay a large PER-ROW fan-out (a d²
-    pair explode, a per-frame decode grid) has at least ``min_parts``
-    partitions (default: the session's shuffle-partition setting).
+    """Ensure a relation about to pay large PER-ROW work — a d² pair
+    explode, a per-frame decode grid, or a wide non-compact-decimal
+    aggregate (precision > 18 sums are BigDecimal-backed, ~10² the
+    cost of a long add) — has at least ``min_parts`` partitions
+    (default: the session's shuffle-partition setting).
 
     The pathology this fixes: a small-but-expensive relation read
-    from one parquet file runs its whole fan-out in ONE task — x130's
-    2080-products-per-row explode measured 6.7 s single-task vs 1.0 s
-    spread (sf0.1).  The guard makes it scale-safe: when the scan
+    from one parquet file runs its whole per-row work in ONE or very
+    few tasks — x130's 2080-products-per-row explode measured 6.7 s
+    single-task vs 1.0 s spread, and x394's 15-way decimal(38,6)
+    aggregate 3.6 s on a 3-split scan vs 1.1 s spread (sf0.1).  For a
+    pure aggregate the shuffle happens BEFORE the partial agg — only
+    acceptable because the guard fires solely on under-split inputs,
+    which are by premise small.  The guard makes it scale-safe: when
+    the scan
     already has ≥ ``min_parts`` partitions (any real corpus at
     100 TB), this is a NO-OP — no shuffle is added; when it has
     fewer, the relation is by premise small, so the round-robin
