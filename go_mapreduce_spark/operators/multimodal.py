@@ -540,6 +540,93 @@ def x415_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x416: streaming media decode (wave 100) — the WAV codec through the
+# Structured Streaming path
+# ---------------------------------------------------------------------------
+
+
+def x416_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental media decode: replay the committed WAV fixture as a
+    4-file parquet stream (availableNow, maxFilesPerTrigger=1 → four
+    micro-batches) through the SAME Arrow-batched ``mapInPandas``
+    decode as x415, append-sinked to parquet — the shape of a media
+    ingest pipeline that decodes clips as they land instead of in a
+    nightly batch.
+
+    Stateless transform → append mode needs no watermark; the file
+    sink keeps driver memory flat and the checkpoint makes the replay
+    restart-safe (the streaming suite's exactly-once discipline).
+    Result rows are identical to the batch x415 by construction —
+    decode depends only on row content, never on batch boundaries —
+    so the oracle is the same media_id arithmetic.  ``sf_dir`` only
+    namespaces the replay scratch dir (payloads are scale-free).
+    """
+    from go_mapreduce_spark.functions.wav import amplitude_stats, decode_wav
+    from go_mapreduce_spark.session import ensure_package_on_executors
+    from go_mapreduce_spark.streaming.events import (
+        _replay_base,
+        _replay_to_parquet,
+    )
+
+    ensure_package_on_executors(spark)
+
+    src_dir = os.path.join(_replay_base(sf_dir), "media_wav_src")
+    if not os.path.isfile(os.path.join(src_dir, "_SUCCESS")):
+        (
+            spark.read.parquet(WAV_FIXTURE_PATH)
+            .select("media_id", "payload")
+            .repartitionByRange(4, "media_id")
+            .sortWithinPartitions("media_id")
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+
+    def decode_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                sum_abs, peak, n_samples = amplitude_stats(d)
+                recs.append(
+                    (
+                        int(mid),
+                        d["sample_rate"],
+                        d["channels"],
+                        d["bit_depth"],
+                        d["n_frames"],
+                        n_samples,
+                        sum_abs,
+                        peak,
+                        d["n_frames"] * 1_000_000 // d["sample_rate"],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "channels",
+                    "bit_depth",
+                    "n_frames",
+                    "n_samples",
+                    "sum_abs",
+                    "peak",
+                    "duration_us",
+                ],
+            )
+
+    stream = (
+        spark.readStream.schema("media_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .mapInPandas(decode_wavs, schema=WAV_DECODE_SCHEMA)
+    )
+    return _replay_to_parquet(spark, sf_dir, "media_decode", stream).orderBy(
+        "media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # x196: payload byte-frequency audit (corruption / randomness signal)
 # ---------------------------------------------------------------------------
 

@@ -12077,3 +12077,16 @@ ORACLE_SQL["x415_wav_decode"] = f"""
            CAST(c.n_frames * 1000000 // c.rate AS BIGINT) AS duration_us
     FROM c JOIN amp a USING (media_id) ORDER BY c.media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 100 (cont.): streaming media decode — the WAV codec through
+# Structured Streaming (4-file availableNow replay, one clip-batch per
+# trigger, append to a parquet sink with a checkpoint).  Decode depends
+# only on row content, never on batch boundaries, so the oracle is the
+# identical media_id arithmetic as batch x415
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x416_stream_media_decode": MM.x416_stream_media_decode})
+
+ORACLE_SQL["x416_stream_media_decode"] = ORACLE_SQL["x415_wav_decode"]

@@ -192,3 +192,18 @@ def test_frame_sample_plan_explodes_grid(spark, media):
     for mid, n in per_video.items():
         expected = (durations[mid] - 1) // 1000 + 1
         assert n == expected
+
+
+def test_stream_decode_equals_batch(spark):
+    """x416's streaming decode must emit exactly the batch x415 rows:
+    decode depends only on row content, never on micro-batch
+    boundaries — the invariant that lets one codec serve both the
+    backfill and the live ingest path.  Run twice: the per-call
+    checkpoint recreation makes every invocation a full deterministic
+    replay (restart safety)."""
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in M.x415_wav_decode(spark, sf).collect()]
+    stream1 = [tuple(r) for r in M.x416_stream_media_decode(spark, sf).collect()]
+    stream2 = [tuple(r) for r in M.x416_stream_media_decode(spark, sf).collect()]
+    assert stream1 == batch
+    assert stream2 == batch
