@@ -79,8 +79,18 @@ def shingle_array(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exploded distinct (doc_id, shingle) inverted-index relation."""
-    toks = docs.select(id_col, lower_tokens(F.col(text_col)).alias("toks"))
+    """Exploded distinct (doc_id, shingle) inverted-index relation.
+
+    The tokenize + shingle explode runs in the SCAN stage of its
+    input: spread an under-split scan first so the per-char work
+    parallelizes (guarded NO-OP at real scale / on already-spread
+    inputs; the distinct inverted index is partition-invariant).
+    """
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    toks = spread_for_fanout(docs).select(
+        id_col, lower_tokens(F.col(text_col)).alias("toks")
+    )
     return (
         toks.select(id_col, F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
         .distinct()
@@ -285,7 +295,11 @@ def x4_dedup_minhash_lsh(
     on candidate pairs (joined against per-doc shingle-set arrays),
     never on all co-occurring pairs.  No O(N²) stage exists.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # per-doc shingle + 64-hash signature work runs in the scan stage:
+    # spread the under-split fixture scan first (NO-OP at real scale)
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     # NOT persisted: benched slower with caching here — the branches
     # (sig→bands, shingles→sets) each pipeline into narrow stages, and
     # persisting blocks that for a modest reuse.  (x5's signature
@@ -392,7 +406,11 @@ def x5_dedup_simhash(
     unlike MinHash banding this stage loses nothing.  Verification
     computes the true Hamming distance on the full signature.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # the 64-vote signature aggregate runs in the scan stage: spread
+    # the under-split fixture scan first (NO-OP at real scale)
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     # both sides of the chunk self-join read the signatures — persist
     # so the 64-vote aggregate runs once, not three times
     sigs = simhash_signatures(docs).persist()
@@ -594,8 +612,12 @@ def x13_dedup_embedding(
     operators/similarity.py's sign-LSH.
     """
     from go_mapreduce_spark.functions.vectors import dot, l2_norm
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the O(block²)·d dot-product work starts in the SCAN stage of an
+    # under-split single-file fixture: spread first (NO-OP at real
+    # scale; measured 2.6 → 0.7 s at sf0.1)
+    emb = spread_for_fanout(load_table(spark, sf_dir, "embeddings"))
     # norms computed once per row, not once per pair: O(N·d) instead
     # of O(pairs·d) — the pair loop pays only the dot product.
     with_norm = emb.select(
@@ -1068,7 +1090,12 @@ def x192_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode chunk hashes, one grouped distinct-doc count, join back
     — never pairwise.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # 8 multiply-adds PER CHARACTER run in the scan stage: spread the
+    # under-split fixture scan first (NO-OP at real scale; measured
+    # 3.8 → 1.4 s at sf0.1)
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     n = F.length("text")
     codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
     d = docs.select("doc_id", "text", n.alias("n"), codes.alias("codes"))

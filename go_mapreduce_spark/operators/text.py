@@ -64,7 +64,12 @@ def x8_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic contract: scores compared in LANG_ORDER; strictly
     greater wins; all-zero scores → 'und'.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # 4 languages × stopword membership per token runs in the scan
+    # stage: spread the under-split fixture scan first (NO-OP at real
+    # scale) — also speeds every curation query composing x8
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     toks = lower_tokens(F.col("text"))
     scores = {lang: _stopword_count(toks, STOPWORDS[lang]) for lang in LANG_ORDER}
     # pick first lang in LANG_ORDER achieving the max count (> 0)
@@ -82,7 +87,11 @@ def x9_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Formula (identical term order in the oracle): quality =
     0.4*alpha_ratio + 0.3*stopword_ratio + 0.3*min(1, n_tokens/50).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # tokenize + three regex strips per doc run in the scan stage:
+    # spread the under-split fixture scan first (NO-OP at real scale)
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     toks = lower_tokens(F.col("text"))
     text_len = F.length("text")
     alpha_len = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -1526,8 +1535,13 @@ def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured 10.6 → ~4-5 s steady state at sf0.1, hash
     identical at sf0.01 + sf0.001.
     """
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # the per-char bigram explode feeds a partial agg in the scan
+    # stage: spread the under-split fixture scan first (NO-OP at
+    # real scale)
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread_for_fanout(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.lower("text").alias("t"))
         .filter(F.length("t") >= 2)
     )
@@ -1748,8 +1762,13 @@ def x278_rank_order_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram string, argmin ties on the language name, so both engines
     replay bit-identically.
     """
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # the per-char trigram explode runs in the scan stage: spread the
+    # under-split fixture scan first (NO-OP at real scale; measured
+    # 3.7 → 2.2 s at sf0.1)
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread_for_fanout(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.lower("text").alias("t"))
         .filter(F.length("t") >= 3)
     )
