@@ -87,6 +87,13 @@ def main() -> None:
     min_of: dict[str, int] = {}
 
     def _timed_run(fn) -> float:
+        # flush the write-back backlog BEFORE the timer starts: the
+        # r7-r9 contention drift was earlier queries' dirty /tmp pages
+        # (checkpoints, replay sinks, staged dbs) being flushed by the
+        # kernel DURING later queries' timed windows, billing query A's
+        # I/O to query B.  sync(2) waits for completion, so its cost
+        # lands in bench overhead, not in any query's wall.
+        os.sync()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         d = time.perf_counter() - t0

@@ -152,3 +152,25 @@ def test_approx_quantiles_flag_catches_broken_sketch(spark, sf_dir):
         ).alias("ok")
     ).collect()
     assert all(not r.ok for r in flags), flags
+
+
+def test_spread_for_fanout_guard_contract(spark):
+    """The spread helper must repartition an under-split relation to
+    the session's shuffle-partition count, be a NO-OP on an input
+    that already has enough partitions (the 100 TB case — no shuffle
+    added where it matters), and never change aggregate results
+    (partition-invariant decimal discipline)."""
+    from go_mapreduce_spark.functions.numeric import dsum_expr
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(0, 10_000).coalesce(1)
+    spread = spread_for_fanout(narrow)
+    assert narrow.rdd.getNumPartitions() == 1
+    assert spread.rdd.getNumPartitions() == n_parts
+    wide = spark.range(0, 10_000).repartition(n_parts + 3)
+    assert spread_for_fanout(wide) is wide  # no-op, not a new plan
+    agg = lambda df: df.selectExpr("cast(id as double) as x").agg(
+        dsum_expr("x * x", "ss")
+    ).collect()[0].ss
+    assert agg(narrow) == agg(spread)
