@@ -79,7 +79,9 @@ def main() -> None:
     # x388 4→24 s, x393 2.7→17.7 s, pagerank 10.8→49.2 s).  Those
     # classes get min-of-3: a single sample under disk contention
     # measures the contention, not the engine.  Rule: min-of-3 when
-    # the first run exceeds 5 s (catches the checkpoint iteratives)
+    # the first run exceeds 3 s (round 9: the 3-5 s band - x254, x314,
+    # x281 - was single-sampled and carried cold-scan contention into
+    # committed walls; their isolated steady states are 2-3 s)
     # or the query lives in a streaming/lakehouse module and exceeds
     # 1.5 s (catches replay sinks and table churn below 5 s).
     IO_REPS = 3
@@ -111,7 +113,7 @@ def main() -> None:
         io_class = (
             "streaming" in mod or "lakehouse" in mod or "sqlite_source" in mod
         )
-        if wall > 5.0 or (io_class and wall > 1.5):
+        if wall > 3.0 or (io_class and wall > 1.5):
             for _ in range(IO_REPS - 1):
                 wall = min(wall, _timed_run(fn))
             min_of[name] = IO_REPS
