@@ -218,11 +218,21 @@ def x52_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_mapreduce_spark.operators.dedup import doc_shingles
 
+    # No spread on either branch: x52 probes set membership (semi
+    # join), so the shingle explode feeds a distinct shuffle that
+    # already parallelizes downstream work; per-branch spreads each
+    # add a full-text shuffle + an `.rdd` planning round-trip that
+    # cost more than the single-task tokenize they save (A/B'd
+    # round 10; same reasoning as x195).
     docs = load_table(spark, sf_dir, "documents")
     is_holdout = F.pmod(F.col("doc_id"), F.lit(DECON_HOLDOUT_MOD)) == 0
-    bench_sh = doc_shingles(docs.filter(is_holdout)).select("sh").distinct()
+    bench_sh = (
+        doc_shingles(docs.filter(is_holdout), spread=False)
+        .select("sh")
+        .distinct()
+    )
     train = docs.filter(~is_holdout)
-    train_sh = doc_shingles(train)
+    train_sh = doc_shingles(train, spread=False)
 
     sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
@@ -700,6 +710,12 @@ def x195_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_mapreduce_spark.operators.dedup import doc_shingles
 
+    # No spread on either branch (r9 driver regression 1.44 -> 4.77 s
+    # came from per-branch spread_for_fanout inside doc_shingles, and
+    # a shared pre-filter spread still measured 2.3 s vs 1.17 s
+    # without): the semi-join census shape does all heavy work after
+    # the distinct shuffle, which parallelizes regardless of scan
+    # splits, so the spread buys nothing here at any scale.
     docs = load_table(spark, sf_dir, "documents")
     pfx = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
     tagged = docs.withColumn(
@@ -709,11 +725,13 @@ def x195_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test"),
     )
     train_sh = (
-        doc_shingles(tagged.filter(F.col("split") == "train"))
+        doc_shingles(tagged.filter(F.col("split") == "train"), spread=False)
         .select("sh")
         .distinct()
     )
-    test_sh = doc_shingles(tagged.filter(F.col("split") == "test"))  # already distinct
+    test_sh = doc_shingles(  # already distinct
+        tagged.filter(F.col("split") == "test"), spread=False
+    )
     sizes = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     leaked = (
         test_sh.join(train_sh, "sh", "left_semi")

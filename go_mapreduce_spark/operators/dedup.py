@@ -78,17 +78,34 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(lower_tokens(text), n)
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread: bool = True,
+) -> DataFrame:
     """Exploded distinct (doc_id, shingle) inverted-index relation.
 
     The tokenize + shingle explode runs in the SCAN stage of its
     input: spread an under-split scan first so the per-char work
     parallelizes (guarded NO-OP at real scale / on already-spread
     inputs; the distinct inverted index is partition-invariant).
+
+    ``spread=False`` for semi-join-only consumers (x52/x195) that
+    shingle filtered branches of one scan: their heavy work all
+    happens AFTER the distinct shuffle (which parallelizes
+    regardless of scan splits), so per-branch spreads only add a
+    full-text shuffle + an `.rdd` planning round-trip per branch
+    (r9 driver: x195 1.44 -> 4.77 s; removing them restores 1.17 s
+    steady at sf0.1, and a shared pre-filter spread was still 2×
+    slower than none).  Keep the default for pair-generating
+    consumers (x4/x6), where the explode fan-out runs map-side in
+    the scan stage and single-task tokenize genuinely serializes.
     """
     from go_mapreduce_spark.operators.scale import spread_for_fanout
 
-    toks = spread_for_fanout(docs).select(
+    src = spread_for_fanout(docs) if spread else docs
+    toks = src.select(
         id_col, lower_tokens(F.col(text_col)).alias("toks")
     )
     return (
