@@ -587,38 +587,48 @@ def x179_pca_power_iteration(
         ).alias("varr"),
         F.lit(0.0).alias("nrm"),
     )
-    for _ in range(rounds):
-        u = crow.crossJoin(F.broadcast(v.select("varr"))).select(
-            "dim_i",
-            _ordered_sum(
+    # The loop iterates a d-row and a 1-row relation: pin shuffle
+    # partitions to 1 and disable AQE for its lifetime (the corpus-
+    # sized covariance above materialized OUTSIDE this context, under
+    # session confs).  In-loop checkpoints are lazy — lineage is cut
+    # at call time, compute defers into the next round's DAG — with
+    # an eager final one so the chain materializes under the pinned
+    # confs (same A/B'd cadence as graph.pagerank_dangling).
+    from go_mapreduce_spark.operators.scale import iterative_plan_confs
+
+    with iterative_plan_confs(spark, 1):
+        for i in range(rounds):
+            u = crow.crossJoin(F.broadcast(v.select("varr"))).select(
+                "dim_i",
+                _ordered_sum(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(EMB_DIM)),
+                        lambda k: F.element_at(F.col("carr"), k)
+                        * F.element_at(F.col("varr"), k),
+                    )
+                ).alias("dot"),
+            )
+            g = u.groupBy().agg(
                 F.transform(
-                    F.sequence(F.lit(1), F.lit(EMB_DIM)),
-                    lambda k: F.element_at(F.col("carr"), k)
-                    * F.element_at(F.col("varr"), k),
+                    F.array_sort(F.collect_list(F.struct("dim_i", "dot"))),
+                    lambda s: s["dot"],
+                ).alias("uarr")
+            )
+            v = (
+                g.select(
+                    "uarr",
+                    F.sqrt(
+                        _ordered_sum(F.transform(F.col("uarr"), lambda x: x * x))
+                    ).alias("nrm"),
                 )
-            ).alias("dot"),
-        )
-        g = u.groupBy().agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim_i", "dot"))),
-                lambda s: s["dot"],
-            ).alias("uarr")
-        )
-        v = (
-            g.select(
-                "uarr",
-                F.sqrt(
-                    _ordered_sum(F.transform(F.col("uarr"), lambda x: x * x))
-                ).alias("nrm"),
+                .select(
+                    F.transform(
+                        F.col("uarr"), lambda x: x / F.col("nrm")
+                    ).alias("varr"),
+                    "nrm",
+                )
+                .localCheckpoint(eager=i + 1 == rounds)
             )
-            .select(
-                F.transform(
-                    F.col("uarr"), lambda x: x / F.col("nrm")
-                ).alias("varr"),
-                "nrm",
-            )
-            .localCheckpoint()
-        )
     return v.select(
         F.posexplode("varr").alias("dim", "loading"), "nrm"
     ).select(

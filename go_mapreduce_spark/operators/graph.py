@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_mapreduce_spark.operators.scale import (
+    iterative_plan_confs,
     iterative_shuffle_partitions,
     pinned_shuffle_partitions,
 )
@@ -242,23 +243,39 @@ def pagerank_dangling(
 
     r'(x) = (1-d)/n + d·(Σ_{u→x} r(u)/deg(u) + D/n),  D = Σ_{dangling} r(u)
 
-    Per round: the same one key-partitioned join + decimal aggregate
-    as ``pagerank``, plus a 1-row decimal aggregate for D (ranks
-    anti-joined against out-degree nodes) cross-joined back in-plan —
-    no driver collect inside the loop.  Decimal sums keep every round
-    partition-invariant and oracle-replayable.
+    Per round: one key-partitioned contribution join + decimal
+    aggregate as in ``pagerank``, plus a 1-row decimal aggregate for
+    D cross-joined back in-plan — no driver collect inside the loop.
+    Decimal sums keep every round partition-invariant and
+    oracle-replayable.
 
-    ``ranks`` is referenced TWICE per round (D and the contribution
-    join), so it is localCheckpoint-ed every round by default —
-    without that the lineage doubles per iteration (2^k subplans; the
-    oracle needs MATERIALIZED CTEs for exactly the same reason).  The
-    checkpoint is node-sized, the cheapest thing in the loop.
+    Round-overhead discipline (r9 verdict: the per-round SHAPE was
+    already minimal; round overhead was the cost):
+
+    - The dangling-node SET is loop-invariant, so ``ranks`` carries a
+      precomputed ``is_dangling`` flag and D is a filter + aggregate —
+      the former per-round anti-join against out-degree nodes is
+      hoisted out of the loop entirely (same decimal sum over the
+      same rows: results bit-identical).
+    - ``ranks`` is referenced twice per round (D and the contribution
+      join), so unchecked lineage doubles per iteration (2^k
+      subplans; the oracle needs MATERIALIZED CTEs for the same
+      reason).  ``localCheckpoint(eager=False)`` every round cuts the
+      LOGICAL lineage immediately (the plan becomes RDD-backed at
+      call time) while deferring materialization to the round that
+      consumes it — the 25 per-round eager jobs collapse into the
+      final action's DAG (A/B'd r10: lazy 6.8 s vs eager 7.3 s, and
+      checkpointing every 2nd round instead measured WORSE, 8.6 s,
+      because the doubled un-cut reference recomputes).
+    - AQE is disabled for the loop (``iterative_plan_confs``): 25
+      fixed-shape rounds × runtime re-optimization rediscovers the
+      pinned shape every round (A/B'd 6.4 vs 7.9 s).
     """
     ed = edges.select("u", "v").distinct().persist()
     m = ed.count()
     parts = iterative_shuffle_partitions(m)
     spark = edges.sparkSession
-    with pinned_shuffle_partitions(spark, parts):
+    with iterative_plan_confs(spark, parts):
         outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         ed_deg = ed.join(outd, "u").repartition(parts, "u").persist()
         nodes = (
@@ -275,10 +292,15 @@ def pagerank_dangling(
             return nodes.withColumn("rank", F.lit(0.0))
         teleport = (1.0 - damping) / n
         out_nodes = outd.select(F.col("u").alias("node"))
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        # loop-invariant dangling flag, hoisted: one anti-join shape
+        # total instead of one per round
+        nodes_f = nodes.join(
+            out_nodes.withColumn("_o", F.lit(1)), "node", "left"
+        ).select("node", F.col("_o").isNull().alias("is_dangling")).persist()
+        ranks = nodes_f.withColumn("rank", F.lit(1.0 / n))
         for i in range(n_iter):
             dangling = (
-                ranks.join(out_nodes, "node", "left_anti")
+                ranks.filter(F.col("is_dangling"))
                 .agg(
                     F.coalesce(
                         F.sum(F.col("rank").cast(_DEC)).cast("double"),
@@ -296,10 +318,11 @@ def pagerank_dangling(
                 F.sum(F.col("c").cast(_DEC)).cast("double").alias("s")
             )
             ranks = (
-                nodes.join(summed, "node", "left")
+                nodes_f.join(summed, "node", "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     "node",
+                    "is_dangling",
                     (
                         F.lit(teleport)
                         + F.lit(damping)
@@ -310,12 +333,17 @@ def pagerank_dangling(
                     ).alias("rank"),
                 )
             )
-            if (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint()
-        if n_iter % checkpoint_every != 0:
-            ranks = ranks.localCheckpoint()
+            # in-loop checkpoints are LAZY (lineage cut now, compute
+            # deferred into the consuming round's DAG); the final one
+            # is EAGER so the whole chain materializes inside the
+            # pinned-conf context, before the caches unpersist below
+            last = i + 1 == n_iter
+            if (i + 1) % checkpoint_every == 0 or last:
+                ranks = ranks.localCheckpoint(eager=last)
+        ranks = ranks.select("node", "rank")
         ed_deg.unpersist()
         nodes.unpersist()
+        nodes_f.unpersist()
     ed.unpersist()
     return ranks
 
@@ -468,11 +496,11 @@ def bfs_khop(edges_sym: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS) -
     edges_sym = edges_sym.persist()
     m = edges_sym.count()
     spark = edges_sym.sparkSession
-    with pinned_shuffle_partitions(spark, iterative_shuffle_partitions(m)):
+    with iterative_plan_confs(spark, iterative_shuffle_partitions(m)):
         dist = (
             seeds.select("node", F.lit(0).alias("dist"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         frontier = dist.select("node")
         for r in range(1, rounds + 1):
@@ -484,7 +512,12 @@ def bfs_khop(edges_sym: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS) -
             new = nbrs.join(dist, "node", "left_anti").select(
                 "node", F.lit(r).alias("dist")
             )
-            dist = dist.union(new).localCheckpoint()
+            # lazy in-loop / eager final checkpoint cadence: lineage
+            # is cut at call time either way; the eager last round
+            # materializes the whole chain inside the pinned confs,
+            # before the edge cache is released (pagerank_dangling
+            # documents the A/B)
+            dist = dist.union(new).localCheckpoint(eager=r == rounds)
             frontier = new
     edges_sym.unpersist()
     return dist
@@ -1163,6 +1196,7 @@ def ppr_seeded(
     seeds: DataFrame,
     damping: float = PR_DAMPING,
     n_iter: int = PR_ITERS,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Personalized PageRank: teleport (and dangling mass) return to a
     SEED distribution instead of uniform — the "importance relative to
@@ -1182,7 +1216,7 @@ def ppr_seeded(
     m = ed.count()
     parts = iterative_shuffle_partitions(m)
     spark = edges.sparkSession
-    with pinned_shuffle_partitions(spark, parts):
+    with iterative_plan_confs(spark, parts):
         outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         ed_deg = ed.join(outd, "u").repartition(parts, "u").persist()
         nodes = (
@@ -1199,18 +1233,27 @@ def ppr_seeded(
                 "ppr_seeded: no seed node is present in the graph — "
                 "the teleport distribution would be undefined"
             )
-        nodes_s = nodes.join(
-            seed_nodes.withColumn("_sd", F.lit(1)), "node", "left"
-        ).select(
-            "node",
-            F.when(F.col("_sd").isNotNull(), F.lit(1.0) / ns)
-            .otherwise(F.lit(0.0))
-            .alias("s"),
-        ).persist()
         out_nodes = outd.select(F.col("u").alias("node"))
-        ranks = nodes_s.select("node", F.col("s").alias("rank"))
-        for _ in range(n_iter):
-            dangling = ranks.join(out_nodes, "node", "left_anti").agg(
+        # s (teleport prob) AND the loop-invariant dangling flag are
+        # both carried in the iterated relation: the per-round D
+        # aggregate is then a filter + 1-row agg, no join (same
+        # decimal sum over the same rows — bit-identical results;
+        # pagerank_dangling documents the round-overhead rationale).
+        nodes_s = (
+            nodes.join(seed_nodes.withColumn("_sd", F.lit(1)), "node", "left")
+            .join(out_nodes.withColumn("_o", F.lit(1)), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("_sd").isNotNull(), F.lit(1.0) / ns)
+                .otherwise(F.lit(0.0))
+                .alias("s"),
+                F.col("_o").isNull().alias("is_dangling"),
+            )
+            .persist()
+        )
+        ranks = nodes_s.select("node", "s", "is_dangling", F.col("s").alias("rank"))
+        for i in range(n_iter):
+            dangling = ranks.filter(F.col("is_dangling")).agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast(_DEC)).cast("double"),
                     F.lit(0.0),
@@ -1230,6 +1273,8 @@ def ppr_seeded(
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     "node",
+                    "s",
+                    "is_dangling",
                     (
                         F.lit(1.0 - damping) * F.col("s")
                         + F.lit(damping)
@@ -1239,8 +1284,12 @@ def ppr_seeded(
                         )
                     ).alias("rank"),
                 )
-                .localCheckpoint()
             )
+            # lazy in-loop, eager final — see pagerank_dangling
+            last = i + 1 == n_iter
+            if (i + 1) % checkpoint_every == 0 or last:
+                ranks = ranks.localCheckpoint(eager=last)
+        ranks = ranks.select("node", "rank")
         ed_deg.unpersist()
         nodes_s.unpersist()
     ed.unpersist()

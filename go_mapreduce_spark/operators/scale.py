@@ -69,6 +69,34 @@ def spread_for_fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
 
 @contextlib.contextmanager
+def iterative_plan_confs(spark, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` AND disable AQE for a
+    driver-side iterative loop's lifetime (composes
+    :func:`pinned_shuffle_partitions` with
+    ``spark.sql.adaptive.enabled=false``), restoring both on exit.
+
+    Why AQE off here: an iterative loop re-plans the SAME fixed-shape
+    round 10–25×; every round's stages then pay AQE's runtime
+    re-optimization (stats collection, logical re-plan, stage
+    re-submission) to rediscover a shape the loop author already
+    pinned — measured 6.4 s vs 7.9 s on x143's 25-round PageRank at
+    sf0.1 with partitions pinned either way.  Skew safety does NOT
+    regress: round shuffles are keyed on node ids whose fan-in is
+    degree-bounded by the contribution-list design, and partition
+    count is already sized to the relation by
+    :func:`iterative_shuffle_partitions`; one-pass scan-heavy plans
+    should keep AQE on.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with pinned_shuffle_partitions(spark, n):
+            yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+@contextlib.contextmanager
 def pinned_shuffle_partitions(spark, n: int):
     """Pin ``spark.sql.shuffle.partitions`` for a driver-side loop's
     lifetime, restoring on exit (same discipline as the streaming
