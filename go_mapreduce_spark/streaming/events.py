@@ -177,8 +177,12 @@ def streaming_dedup(docs: DataFrame, watermark_col: str = "ts", watermark: str =
 
 
 # State-store fan-out per micro-batch for fixture-scale replays; see
-# _replay_to_parquet's docstring for the sizing rationale.
-REPLAY_SHUFFLE_PARTITIONS = 8
+# _replay_to_parquet's docstring for the sizing rationale.  8 -> 4 in
+# round 10: interleaved min-of-3 over the six heaviest replays at
+# sf0.1 measured 11.1 s total at 4 vs 13.2 s at 8 — store open/commit
+# count still dominates micro-batch volume at bench scale.  Raise for
+# production-volume streams (per-partition data becomes the bound).
+REPLAY_SHUFFLE_PARTITIONS = 4
 
 # Final global watermark of the last drained replay, per query name
 # (ISO-8601 string from the query progress, or None when the query
@@ -247,7 +251,8 @@ def _replay_to_parquet(
     micro-batch, so a 32-partition session pays 32 store
     open/commit cycles per trigger regardless of data volume —
     store-count overhead, not data, dominated the replay wall clock
-    (x65 at sf0.1: 12.2s → 3.6s at 8 partitions).  Size this to
+    (x65 at sf0.1: 12.2s → 3.6s at 8 partitions, −16% more across
+    the family at 4).  Size this to
     micro-batch volume: raise it for a production-volume stream,
     where per-partition data — not store fan-out — is the bound.
     Results are partition-count-invariant (determinism suite).
