@@ -57,6 +57,12 @@ def encode_wav(
         "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bit_depth
     )
     if bit_depth == 8:
+        # enforce the documented -128..127 contract: the 16-bit path
+        # range-checks for free via struct.pack('h'), and a silent
+        # (s+128)&0xFF wrap would produce corrupt-but-valid audio
+        bad = next((s for s in samples if not -128 <= s <= 127), None)
+        if bad is not None:
+            raise ValueError(f"8-bit sample {bad} outside -128..127")
         data = bytes((s + 128) & 0xFF for s in samples)
     else:
         data = struct.pack(f"<{len(samples)}h", *samples)
@@ -82,13 +88,16 @@ def decode_wav(data: bytes) -> dict:
     declared = struct.unpack("<I", data[4:8])[0]
     if declared + 8 > len(data):
         raise ValueError("truncated WAV: RIFF size exceeds payload")
+    # walk only the DECLARED RIFF container: a fmt/data chunk in
+    # trailing garbage past it must not be honored
+    end = min(len(data), 8 + declared)
     pos, fmt, pcm = 12, None, None
-    while pos + 8 <= len(data):
+    while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + size]
-        if len(body) < size:
+        if pos + 8 + size > end:
             raise ValueError(f"truncated WAV: {fourcc!r} chunk cut short")
+        body = data[pos + 8 : pos + 8 + size]
         if fourcc == b"fmt ":
             if size < 16:
                 raise ValueError("malformed fmt chunk")

@@ -475,6 +475,47 @@ WAV_DECODE_SCHEMA = (
     "duration_us bigint"
 )
 
+_WAV_DECODE_COLUMNS = [
+    "media_id",
+    "sample_rate",
+    "channels",
+    "bit_depth",
+    "n_frames",
+    "n_samples",
+    "sum_abs",
+    "peak",
+    "duration_us",
+]
+
+
+def _decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch WAV decode shared by batch x415 and streaming x416
+    (their row-identity contract REQUIRES one implementation): per
+    payload, RIFF chunk walk + PCM unpack + exact integer amplitude
+    stats, emitted under ``_WAV_DECODE_COLUMNS`` ≡
+    ``WAV_DECODE_SCHEMA``."""
+    from go_mapreduce_spark.functions.wav import amplitude_stats, decode_wav
+
+    for pdf in batches:
+        recs = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            d = decode_wav(bytes(payload))
+            sum_abs, peak, n_samples = amplitude_stats(d)
+            recs.append(
+                (
+                    int(mid),
+                    d["sample_rate"],
+                    d["channels"],
+                    d["bit_depth"],
+                    d["n_frames"],
+                    n_samples,
+                    sum_abs,
+                    peak,
+                    d["n_frames"] * 1_000_000 // d["sample_rate"],
+                )
+            )
+        yield pd.DataFrame(recs, columns=_WAV_DECODE_COLUMNS)
+
 
 def x415_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio decode through the multimodal plumbing: RIFF chunk
@@ -494,47 +535,12 @@ def x415_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — at cluster scale a C-backed decoder (soundfile/ffmpeg)
     plugs into the identical Arrow-batched ``mapInPandas`` shape.
     """
-    from go_mapreduce_spark.functions.wav import amplitude_stats, decode_wav
     from go_mapreduce_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
 
-    def decode_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_wav(bytes(payload))
-                sum_abs, peak, n_samples = amplitude_stats(d)
-                recs.append(
-                    (
-                        int(mid),
-                        d["sample_rate"],
-                        d["channels"],
-                        d["bit_depth"],
-                        d["n_frames"],
-                        n_samples,
-                        sum_abs,
-                        peak,
-                        d["n_frames"] * 1_000_000 // d["sample_rate"],
-                    )
-                )
-            yield pd.DataFrame(
-                recs,
-                columns=[
-                    "media_id",
-                    "sample_rate",
-                    "channels",
-                    "bit_depth",
-                    "n_frames",
-                    "n_samples",
-                    "sum_abs",
-                    "peak",
-                    "duration_us",
-                ],
-            )
-
     media = spark.read.parquet(WAV_FIXTURE_PATH).select("media_id", "payload")
-    return media.mapInPandas(decode_wavs, schema=WAV_DECODE_SCHEMA).orderBy(
+    return media.mapInPandas(_decode_wav_batches, schema=WAV_DECODE_SCHEMA).orderBy(
         "media_id"
     )
 
@@ -561,7 +567,6 @@ def x416_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is the same media_id arithmetic.  ``sf_dir`` only
     namespaces the replay scratch dir (payloads are scale-free).
     """
-    from go_mapreduce_spark.functions.wav import amplitude_stats, decode_wav
     from go_mapreduce_spark.session import ensure_package_on_executors
     from go_mapreduce_spark.streaming.events import (
         _replay_base,
@@ -571,7 +576,28 @@ def x416_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_executors(spark)
 
     src_dir = os.path.join(_replay_base(sf_dir), "media_wav_src")
-    if not os.path.isfile(os.path.join(src_dir, "_SUCCESS")):
+    # cache validity is keyed on the FIXTURE CONTENT (mtime+size in
+    # the marker), not just a _SUCCESS flag: regenerating
+    # fixtures/media_wav.parquet invalidates the replay copy instead
+    # of silently serving stale payloads from /tmp
+    fx_stat = [
+        (os.path.basename(p), int(st.st_mtime_ns), st.st_size)
+        for p in sorted(
+            os.path.join(WAV_FIXTURE_PATH, f)
+            for f in os.listdir(WAV_FIXTURE_PATH)
+            if f.endswith(".parquet")
+        )
+        for st in (os.stat(p),)
+    ] if os.path.isdir(WAV_FIXTURE_PATH) else [
+        ("file", int(os.stat(WAV_FIXTURE_PATH).st_mtime_ns), os.stat(WAV_FIXTURE_PATH).st_size)
+    ]
+    marker = os.path.join(src_dir, "_FIXTURE_KEY")
+    key = repr(fx_stat)
+    valid = False
+    if os.path.isfile(os.path.join(src_dir, "_SUCCESS")) and os.path.isfile(marker):
+        with open(marker) as fh:
+            valid = fh.read() == key
+    if not valid:
         (
             spark.read.parquet(WAV_FIXTURE_PATH)
             .select("media_id", "payload")
@@ -580,46 +606,14 @@ def x416_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(src_dir)
         )
-
-    def decode_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_wav(bytes(payload))
-                sum_abs, peak, n_samples = amplitude_stats(d)
-                recs.append(
-                    (
-                        int(mid),
-                        d["sample_rate"],
-                        d["channels"],
-                        d["bit_depth"],
-                        d["n_frames"],
-                        n_samples,
-                        sum_abs,
-                        peak,
-                        d["n_frames"] * 1_000_000 // d["sample_rate"],
-                    )
-                )
-            yield pd.DataFrame(
-                recs,
-                columns=[
-                    "media_id",
-                    "sample_rate",
-                    "channels",
-                    "bit_depth",
-                    "n_frames",
-                    "n_samples",
-                    "sum_abs",
-                    "peak",
-                    "duration_us",
-                ],
-            )
+        with open(marker, "w") as fh:
+            fh.write(key)
 
     stream = (
         spark.readStream.schema("media_id bigint, payload binary")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .mapInPandas(decode_wavs, schema=WAV_DECODE_SCHEMA)
+        .mapInPandas(_decode_wav_batches, schema=WAV_DECODE_SCHEMA)
     )
     return _replay_to_parquet(spark, sf_dir, "media_decode", stream).orderBy(
         "media_id"
