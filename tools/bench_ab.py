@@ -48,11 +48,26 @@ def main() -> None:
     ap.add_argument("--curr", default="BENCH_FULL.json")
     ap.add_argument("--min-delta", type=float, default=0.8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--force",
+        nargs="*",
+        default=[],
+        help="query names to include regardless of the local delta "
+        "(round-9 verdict ask #4: the selection must UNION the "
+        "driver's committed regressions, which a differing local "
+        "capture can miss)",
+    )
     args = ap.parse_args()
 
     prev = json.load(open(args.prev))
     curr = json.load(open(args.curr))
     regs = pick_set(prev, curr, args.min_delta)
+    picked = {q for q, _, _ in regs}
+    for q in args.force:
+        if q not in picked:
+            regs.append(
+                (q, prev["queries"].get(q, 0.0), curr["queries"].get(q, 0.0))
+            )
     names = [q for q, _, _ in regs]
     print(f"mechanical A/B set ({len(names)} queries, delta>{args.min_delta}s):")
     for q, a, b in regs:
@@ -98,7 +113,10 @@ def main() -> None:
             f"top regressions, picked mechanically: every common query "
             f"with delta > {args.min_delta}s vs the prior round's detail"
         ),
-        "selection_rule": f"curr - prev > {args.min_delta}s, sorted by delta",
+        "selection_rule": (
+            f"curr - prev > {args.min_delta}s, sorted by delta, "
+            f"UNION forced driver regressions {sorted(args.force)}"
+        ),
         "n": args.reps,
         "calib_sec": calib,
         "sf_dir": SF_DIR,
