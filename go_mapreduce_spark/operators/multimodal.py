@@ -154,11 +154,13 @@ def make_decode_batch(mode: str):
                         features.append(_png_features(bytes(b)))
                     elif f == "wav":
                         features.append(_wav_features(bytes(b)))
+                    elif f in ("jpeg", "jpg"):
+                        features.append(_jpeg_features(bytes(b)))
                     else:
                         raise NotImplementedError(
-                            f"real {f} decode requires PIL/ffmpeg; install and "
-                            "register a codec-backed decoder via "
-                            "multimodal.set_decoder"
+                            f"real {f} decode requires ffmpeg (video is the "
+                            "one remaining fake-decoded kind); register a "
+                            "codec-backed decoder via multimodal.set_decoder"
                         )
             elif mode == "png":
                 features = [
@@ -166,6 +168,8 @@ def make_decode_batch(mode: str):
                     if f == "png"
                     else _wav_features(bytes(b))
                     if f == "wav"
+                    else _jpeg_features(bytes(b))
+                    if f in ("jpeg", "jpg")
                     else _fake_features(bytes(b))
                     for b, f in zip(pdf["payload"], pdf["format"])
                 ]
@@ -211,6 +215,23 @@ def _wav_features(payload: bytes) -> list[float]:
     from go_mapreduce_spark.functions.wav import amplitude_histogram, decode_wav
 
     return [float(x) for x in amplitude_histogram(decode_wav(payload), FEATURE_DIM)]
+
+
+def _jpeg_features(payload: bytes) -> list[float]:
+    """Real JPEG features via the stdlib baseline codec
+    (functions/jpeg.py): FEATURE_DIM-bin luma histogram over decoded
+    pixels (gray channel, or the G channel of RGB as the luma proxy),
+    unit-normalized — same vector contract as :func:`_png_features`."""
+    from go_mapreduce_spark.functions.jpeg import decode_jpeg
+
+    d = decode_jpeg(payload)
+    px = d["pixels"]
+    luma = px if d["channels"] == 1 else px[1::3]
+    counts = [0] * FEATURE_DIM
+    for s in luma:
+        counts[s * FEATURE_DIM // 256] += 1
+    norm = sum(c * c for c in counts) ** 0.5 or 1.0
+    return [c / norm for c in counts]
 
 
 def _pil_features(payload: bytes) -> list[float]:
@@ -616,6 +637,88 @@ def x416_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_decode_wav_batches, schema=WAV_DECODE_SCHEMA)
     )
     return _replay_to_parquet(spark, sf_dir, "media_decode", stream).orderBy(
+        "media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x417: REAL baseline-JPEG decode via the stdlib codec (round 10)
+# ---------------------------------------------------------------------------
+
+JPEG_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media_jpeg.parquet",
+)
+
+JPEG_DECODE_SCHEMA = (
+    "media_id bigint, width int, height int, channels int, "
+    "n_pixels bigint, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def x417_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG decode through the multimodal plumbing: canonical-
+    Huffman entropy decode + dequantize + 8×8 IDCT + fixed-point
+    YCbCr→RGB of every committed baseline-JPEG payload
+    (fixtures/media_jpeg.parquet, tools/make_jpeg_fixture.py —
+    genuine SOF0 streams, gray and 4:4:4 color, edge-cropped
+    dimensions, COM segments, restart intervals) and emit per-image
+    dimensions plus EXACT integer per-channel sums.
+
+    JPEG is lossy in general; the fixture restricts itself to the
+    codec's EXACT subspace — constant-per-block samples under unity
+    quantization are DC-only and the IDCT returns them bit-perfectly,
+    and the RGB transform is integer fixed-point (functions/jpeg.py
+    module docstring) — so the oracle recomputes every decoded pixel
+    from media_id arithmetic in SQL without touching payload bytes: a
+    wrong Huffman walk, DC predictor, restart resync, dequant, IDCT
+    scale, edge crop, or color-transform constant hash-mismatches.
+    All-integer output.  ``sf_dir`` ignored (payloads are scale-free,
+    same as x414/x415).  The per-coefficient Python loop is the
+    documented slow path — at cluster scale a C codec (libjpeg-turbo
+    via PIL) plugs into the identical Arrow-batched ``mapInPandas``
+    shape.
+    """
+    from go_mapreduce_spark.functions.jpeg import decode_jpeg, rgb_sums
+    from go_mapreduce_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def decode_jpegs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_jpeg(bytes(payload))
+                sr, sg, sb, n = rgb_sums(d)
+                recs.append(
+                    (
+                        int(mid),
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        n,
+                        sr,
+                        sg,
+                        sb,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_pixels",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    media = spark.read.parquet(JPEG_FIXTURE_PATH).select("media_id", "payload")
+    return media.mapInPandas(decode_jpegs, schema=JPEG_DECODE_SCHEMA).orderBy(
         "media_id"
     )
 

@@ -12136,3 +12136,66 @@ IO_TMP_STATE_QUERIES: frozenset[str] = (
     )
     | (_IO_EXPLICIT & frozenset(QUERIES))
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 101 (round 10): real baseline-JPEG decode — canonical-Huffman
+# entropy decode + dequant + IDCT + fixed-point YCbCr->RGB via the
+# stdlib codec (functions/jpeg.py).  The fixture restricts itself to
+# the codec's EXACT subspace (constant-per-block samples, unity quant
+# -> DC-only blocks round-trip bit-perfectly; RGB transform is integer
+# fixed-point), so the oracle replays every decoded pixel from
+# media_id arithmetic without touching payload bytes — see
+# tools/make_jpeg_fixture.py for the parameter contract.
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x417_jpeg_decode": MM.x417_jpeg_decode})
+
+ORACLE_SQL["x417_jpeg_decode"] = """
+    WITH m AS (SELECT range AS i FROM range(48)),
+    p AS (
+        SELECT i,
+               1 + i % 3 AS wb,
+               1 + i % 2 AS hb,
+               8*(1 + i % 3) - i % 5 AS width,
+               8*(1 + i % 2) - i % 3 AS height,
+               (i*37) % 251 AS v,
+               (i*53) % 199 AS v2,
+               (i*29) % 173 AS v3,
+               CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END AS channels
+        FROM m
+    ), g AS (
+        SELECT p.*, bx.range AS bx, byy.range AS byy,
+               LEAST(8, width - 8*bx.range)
+                 * LEAST(8, height - 8*byy.range) AS npix,
+               (v + 17*bx.range + 29*byy.range) % 256 AS yv,
+               ((v2 + 11*bx.range) % 256) - 128 AS cb,
+               ((v3 + 7*byy.range) % 256) - 128 AS cr
+        FROM p CROSS JOIN range(3) bx CROSS JOIN range(2) byy
+        WHERE bx.range < wb AND byy.range < hb
+    ), c AS (
+        SELECT i, channels, width, height, npix,
+            CASE WHEN channels = 1 THEN yv ELSE
+                LEAST(255, GREATEST(0, yv + CAST(FLOOR(
+                    (91881*cr + 32768) / 65536.0) AS BIGINT)))
+            END AS r,
+            CASE WHEN channels = 1 THEN yv ELSE
+                LEAST(255, GREATEST(0, yv - CAST(FLOOR(
+                    (22554*cb + 46802*cr + 32768) / 65536.0) AS BIGINT)))
+            END AS g2,
+            CASE WHEN channels = 1 THEN yv ELSE
+                LEAST(255, GREATEST(0, yv + CAST(FLOOR(
+                    (116130*cb + 32768) / 65536.0) AS BIGINT)))
+            END AS b
+        FROM g
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(MIN(width) AS INT) AS width,
+           CAST(MIN(height) AS INT) AS height,
+           CAST(MIN(channels) AS INT) AS channels,
+           CAST(MIN(width) * MIN(height) AS BIGINT) AS n_pixels,
+           CAST(SUM(r * npix) AS BIGINT) AS sum_r,
+           CAST(SUM(g2 * npix) AS BIGINT) AS sum_g,
+           CAST(SUM(b * npix) AS BIGINT) AS sum_b
+    FROM c GROUP BY i ORDER BY media_id
+"""
