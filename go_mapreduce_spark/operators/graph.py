@@ -71,7 +71,7 @@ def pagerank(
     # small scale and edge volume at large scale
     parts = iterative_shuffle_partitions(m)
     spark = edges.sparkSession
-    with pinned_shuffle_partitions(spark, parts):
+    with iterative_plan_confs(spark, parts):
         ranks = _pagerank_rounds(ed, damping, n_iter, checkpoint_every, symmetric, parts)
     ed.unpersist()
     return ranks
@@ -130,13 +130,13 @@ def _pagerank_rounds(
                     + F.lit(damping) * F.coalesce("s", F.lit(0.0))
                 ).alias("rank"),
             )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
-    if n_iter % checkpoint_every != 0:
-        # materialize the tail rounds while the pinned partitioning is
-        # still in force — otherwise the caller's action re-plans them
-        # at the session default and re-exchanges the cached graph
-        ranks = ranks.localCheckpoint()
+        # lazy in-loop / eager final: the eager last checkpoint
+        # materializes the whole chain while the pinned confs are
+        # still in force — otherwise the caller's action re-plans at
+        # the session default and re-exchanges the cached graph
+        last = i + 1 == n_iter
+        if (i + 1) % checkpoint_every == 0 or last:
+            ranks = ranks.localCheckpoint(eager=last)
     ed_deg.unpersist()
     nodes.unpersist()
     return ranks
@@ -397,7 +397,7 @@ def kcore_edges(e: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> D
     references it three times — unchecked that's 3^R subplans).
     """
     cur = e.select("u", "v")
-    for _ in range(rounds):
+    for r in range(rounds):
         und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         keep = (
             und.groupBy("u")
@@ -405,11 +405,14 @@ def kcore_edges(e: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> D
             .filter(F.col("deg") >= k)
             .select("u")
         )
+        # lazy in-loop / eager final (see pagerank_dangling): lineage
+        # is cut at call time, so the 3-refs-per-round blowup is
+        # still bounded while per-round eager jobs collapse
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=r + 1 == rounds)
         )
     return cur
 
@@ -564,22 +567,23 @@ def cheapest_path(
     edges_w = edges_w.persist()
     m = edges_w.count()
     spark = edges_w.sparkSession
-    with pinned_shuffle_partitions(spark, iterative_shuffle_partitions(m)):
+    with iterative_plan_confs(spark, iterative_shuffle_partitions(m)):
         dist = (
             seeds.select("node", F.lit(0.0).alias("cost"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        for _ in range(rounds):
+        for r in range(rounds):
             cand = dist.join(edges_w, dist.node == edges_w.u).select(
                 F.col("v").alias("node"),
                 (F.col("cost") + F.col("w")).alias("cost"),
             )
+            # lazy in-loop / eager final (see pagerank_dangling)
             dist = (
                 dist.unionByName(cand)
                 .groupBy("node")
                 .agg(F.min("cost").alias("cost"))
-                .localCheckpoint()
+                .localCheckpoint(eager=r + 1 == rounds)
             )
     edges_w.unpersist()
     return dist
@@ -784,7 +788,7 @@ def eigenvector_centrality(
     m = ed.count()
     parts = iterative_shuffle_partitions(m)
     spark = edges.sparkSession
-    with pinned_shuffle_partitions(spark, parts):
+    with iterative_plan_confs(spark, parts):
         ed_p = ed.repartition(parts, "u").persist()
         nodes = ed_p.select(F.col("u").alias("node")).distinct()
         n = nodes.count()
@@ -807,10 +811,13 @@ def eigenvector_centrality(
             scores = raw.crossJoin(F.broadcast(tot)).select(
                 "node", (F.col("s") / F.col("t")).alias("score")
             )
-            if (i + 1) % checkpoint_every == 0:
-                scores = scores.localCheckpoint()
-        if n_iter % checkpoint_every != 0:
-            scores = scores.localCheckpoint()
+            # lazy in-loop / eager final cadence (pagerank_dangling
+            # documents the A/B); lineage is cut at call time either
+            # way, so the 2-refs-per-round subplan doubling stays
+            # bounded at 2^checkpoint_every
+            last = i + 1 == n_iter
+            if (i + 1) % checkpoint_every == 0 or last:
+                scores = scores.localCheckpoint(eager=last)
     ed_p.unpersist()
     ed.unpersist()
     return scores
@@ -863,7 +870,7 @@ def pagerank_weighted(
     m = ed.count()
     parts = iterative_shuffle_partitions(m)
     spark = edges.sparkSession
-    with pinned_shuffle_partitions(spark, parts):
+    with iterative_plan_confs(spark, parts):
         strength = ed.groupBy("u").agg(F.sum("w").alias("wsum"))
         ed_s = ed.join(strength, "u").repartition(parts, "u").persist()
         nodes = ed.select(F.col("u").alias("node")).distinct().persist()
@@ -889,10 +896,10 @@ def pagerank_weighted(
                 "node",
                 (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("rank"),
             )
-            if (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint()
-        if n_iter % checkpoint_every != 0:
-            ranks = ranks.localCheckpoint()
+            # lazy in-loop / eager final (see pagerank_dangling)
+            last = i + 1 == n_iter
+            if (i + 1) % checkpoint_every == 0 or last:
+                ranks = ranks.localCheckpoint(eager=last)
     ed_s.unpersist()
     nodes.unpersist()
     ed.unpersist()

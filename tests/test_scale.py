@@ -174,3 +174,46 @@ def test_spread_for_fanout_guard_contract(spark):
         dsum_expr("x * x", "ss")
     ).collect()[0].ss
     assert agg(narrow) == agg(spread)
+
+
+def test_iterative_plan_confs_contract(spark):
+    """iterative_plan_confs must pin shuffle partitions AND disable
+    AQE inside the context, restore BOTH on exit (including on
+    error), and nest cleanly with an outer pinned context."""
+    from go_mapreduce_spark.operators.scale import iterative_plan_confs
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    with iterative_plan_confs(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    # restoration on error
+    try:
+        with iterative_plan_confs(spark, 5):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+
+def test_lazy_localcheckpoint_cuts_lineage_and_matches_eager(spark):
+    """The lazy in-loop / eager final checkpoint cadence the graph
+    loops rely on: eager=False must already return an RDD-backed
+    plan (lineage cut at call time) and produce identical results to
+    the eager path."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    lazy = df.localCheckpoint(eager=False)
+    # RDD-backed logical plan: the optimized plan must not contain
+    # the original Range source anymore
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan
+    a = sorted(lazy.groupBy("k").count().collect())
+    b = sorted(df.localCheckpoint().groupBy("k").count().collect())
+    assert a == b
