@@ -1937,26 +1937,42 @@ def x385_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most |nations|² edges — metadata-sized by construction; the
     heavy part is the one corpus join that derives it, which is the
     same lineitem⋈orders⋈customer⋈supplier spine q5 already plans
-    efficiently.
+    efficiently.  That corpus join is MATERIALIZED (localCheckpoint)
+    before entering the recursion: a non-recursive CTE referenced
+    from the recursive step is re-planned per iteration step in this
+    build, so leaving ``edges`` inline re-ran the 4-way corpus join
+    once per hop (A/B'd r10: 4.04 → 2.44 s at sf0.1; rows
+    identical).  The recursive surface itself stays native — that is
+    the point of this query; DuckDB materializes its CTEs anyway, so
+    the oracle statement is unchanged.
     """
+    from pyspark.sql import functions as F
+
     from go_mapreduce_spark.sources.registry import load_table
 
-    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rcte_nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("rcte_edges")
     return spark.sql(f"""
-        WITH RECURSIVE edges AS (
-            SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
-            FROM rcte_lineitem l
-            JOIN rcte_orders o ON l.l_orderkey = o.o_orderkey
-            JOIN rcte_customer c ON o.o_custkey = c.c_custkey
-            JOIN rcte_supplier s ON l.l_suppkey = s.s_suppkey
-            WHERE s.s_nationkey <> c.c_nationkey
-        ),
-        reach (node, hops) AS (
-            SELECT CAST(MIN(u) AS INT) AS node, 0 AS hops FROM edges
+        WITH RECURSIVE reach (node, hops) AS (
+            SELECT CAST(MIN(u) AS INT) AS node, 0 AS hops FROM rcte_edges
             UNION ALL
             SELECT e.v AS node, r.hops + 1 AS hops
-            FROM reach r JOIN edges e ON e.u = r.node
+            FROM reach r JOIN rcte_edges e ON e.u = r.node
             WHERE r.hops < {RCTE_MAX_HOPS}
         )
         SELECT n.n_name,

@@ -776,33 +776,44 @@ def x377_kcenter_coreset(
     corpus never shuffles and is never cached.  k is a constant, so
     total work is k corpus passes regardless of data volume.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    from go_mapreduce_spark.operators.scale import iterative_plan_confs
+
+    # cached for the loop (k corpus passes otherwise re-read the
+    # parquet each round) under pinned-confs (the top-1 rounds are
+    # fixed-shape; AQE re-planning buys nothing — A/B'd r10,
+    # 3.54 -> 3.11 s; a broadcast-join reformulation of the distance
+    # fold measured flat and was not adopted)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()
     )
 
     def lit_vec(vals):
         return F.array(*[F.lit(float(v)) for v in vals])
 
-    seed = emb.orderBy("vec_id").limit(1).collect()[0]
-    picks = [(1, int(seed.vec_id), KCENTER_SEED_SENTINEL, seed.embedding)]
-    for rank in range(2, k + 1):
-        dmin = F.least(
-            *[
+    with iterative_plan_confs(spark, 4):
+        seed = emb.orderBy("vec_id").limit(1).collect()[0]
+        picks = [(1, int(seed.vec_id), KCENTER_SEED_SENTINEL, seed.embedding)]
+        for rank in range(2, k + 1):
+            dmin = F.least(
+                *[
+                    F.lit(1.0)
+                    - cosine_similarity(F.col("embedding"), lit_vec(vec))
+                    for _, _, _, vec in picks
+                ]
+            ) if len(picks) > 1 else (
                 F.lit(1.0)
-                - cosine_similarity(F.col("embedding"), lit_vec(vec))
-                for _, _, _, vec in picks
-            ]
-        ) if len(picks) > 1 else (
-            F.lit(1.0)
-            - cosine_similarity(F.col("embedding"), lit_vec(picks[0][3]))
-        )
-        far = (
-            emb.withColumn("d", dmin)
-            .orderBy(F.col("d").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        picks.append((rank, int(far.vec_id), float(far.d), far.embedding))
+                - cosine_similarity(F.col("embedding"), lit_vec(picks[0][3]))
+            )
+            far = (
+                emb.withColumn("d", dmin)
+                .orderBy(F.col("d").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            picks.append((rank, int(far.vec_id), float(far.d), far.embedding))
+    emb.unpersist()
     # rounding happens in-plan (F.round ↔ SQL ROUND — the pinned pair);
     # Python round() is half-even and would drift at 6-dp boundaries
     return (
