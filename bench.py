@@ -66,8 +66,14 @@ def main() -> None:
         for name, fn in QUERIES.items():
             # stream-replay queries cost wall-clock in the streaming
             # machinery (temp write + triggers), not codegen — warming
-            # them doubles bench time for no measurement benefit
-            if name.startswith(("x36_", "x43_", "x65_", "x89_", "x90_", "x118_", "x134_", "x135_", "x151_")):
+            # them doubles bench time for no measurement benefit.
+            # Skip mechanically by module (the old name-prefix list
+            # silently stopped covering stream queries added after
+            # x151; their sf0.001 replays wasted ~20 s of warmup).
+            # Their min-of-3 first rep absorbs the one-time session
+            # streaming warmup instead.
+            mod = getattr(fn, "__module__", "") or ""
+            if "streaming" in mod:
                 continue
             fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
