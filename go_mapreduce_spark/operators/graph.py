@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from go_mapreduce_spark.operators.scale import (
     iterative_plan_confs,
     iterative_shuffle_partitions,
-    pinned_shuffle_partitions,
 )
 
 PR_DAMPING = 0.85
@@ -108,7 +107,6 @@ def _pagerank_rounds(
 
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    prev_cached = None
     for i in range(n_iter):
         contrib = ed_deg.join(ranks.withColumnRenamed("node", "u"), "u").select(
             F.col("v").alias("node"),
