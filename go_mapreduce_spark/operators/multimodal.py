@@ -9,13 +9,16 @@ Codec work is pluggable behind ``set_decoder``:
 - default ``"fake"`` decoder: deterministic, pure-Python header parse
   + content-hash features (real Spark plumbing, fake pixels);
 - ``"png"``: REAL decode for the stdlib-codec formats — PNG pixels
-  via functions/png.py (zlib inflate + per-scanline unfilter) and
-  WAV samples via functions/wav.py (RIFF walk + PCM unpack) — fake
-  features elsewhere;
+  via functions/png.py (zlib inflate + per-scanline unfilter), WAV
+  samples via functions/wav.py (RIFF walk + PCM unpack), baseline
+  JPEG via functions/jpeg.py (Huffman + IDCT + fixed-point color),
+  and uncompressed-AVI video via functions/avi.py — fake features
+  elsewhere;
 - ``"pil"``: Pillow-backed image decode when the wheel is present;
-- ``"strict"``: real decode where a real codec exists (PNG, WAV),
-  raises NotImplementedError for formats that still need PIL/ffmpeg —
-  marking exactly where they plug in.
+- ``"strict"``: real decode where a real codec exists (PNG, WAV,
+  JPEG, AVI — all four media kinds), raises NotImplementedError only
+  for compressed video (mp4/h264), marking exactly where ffmpeg
+  plugs in.
 
 What IS real and tested: the schema contract, the Arrow batch path,
 partition-preserving execution, and batch-shape independence (results
@@ -89,15 +92,17 @@ def set_decoder(mode: str) -> None:
       content-hash features.  Keeps the x35 oracle reproducible
       anywhere, codecs or not.
     - ``'png'``: real decode for the zero-dependency stdlib-codec
-      formats — ``'png'`` payloads via functions/png.py (16-bin
-      luma-histogram features, the same contract as 'pil') and
-      ``'wav'`` payloads via functions/wav.py (16-bin amplitude
-      histogram).  Other formats keep the fake features.  Corrupt
-      bytes fail loudly (ValueError), as a real codec would.
-    - ``'strict'``: real decode where a real codec exists (PNG, WAV
-      via the stdlib codecs); raises NotImplementedError for formats
-      that still require PIL/ffmpeg — marking exactly where they
-      plug in.
+      formats — ``'png'`` via functions/png.py (16-bin luma-histogram
+      features, the same contract as 'pil'), ``'wav'`` via
+      functions/wav.py (16-bin amplitude histogram), ``'jpeg'`` via
+      functions/jpeg.py, and ``'avi'`` video via functions/avi.py
+      (per-frame-pooled luma histogram).  Other formats keep the
+      fake features.  Corrupt bytes fail loudly (ValueError), as a
+      real codec would.
+    - ``'strict'``: real decode where a real codec exists (PNG, WAV,
+      JPEG, AVI — all four media kinds via the stdlib codecs);
+      raises NotImplementedError only for compressed video
+      (mp4/h264) — marking exactly where ffmpeg plugs in.
     - ``'pil'``: real image decode via Pillow (true width/height +
       16-bin grayscale-histogram features); non-image kinds keep the
       fake features.  Registration fails fast with ImportError if
@@ -156,11 +161,13 @@ def make_decode_batch(mode: str):
                         features.append(_wav_features(bytes(b)))
                     elif f in ("jpeg", "jpg"):
                         features.append(_jpeg_features(bytes(b)))
+                    elif f == "avi":
+                        features.append(_avi_features(bytes(b)))
                     else:
                         raise NotImplementedError(
-                            f"real {f} decode requires ffmpeg (video is the "
-                            "one remaining fake-decoded kind); register a "
-                            "codec-backed decoder via multimodal.set_decoder"
+                            f"real {f} decode requires ffmpeg (compressed "
+                            "video: mp4/h264); register a codec-backed "
+                            "decoder via multimodal.set_decoder"
                         )
             elif mode == "png":
                 features = [
@@ -170,6 +177,8 @@ def make_decode_batch(mode: str):
                     if f == "wav"
                     else _jpeg_features(bytes(b))
                     if f in ("jpeg", "jpg")
+                    else _avi_features(bytes(b))
+                    if f == "avi"
                     else _fake_features(bytes(b))
                     for b, f in zip(pdf["payload"], pdf["format"])
                 ]
@@ -230,6 +239,22 @@ def _jpeg_features(payload: bytes) -> list[float]:
     counts = [0] * FEATURE_DIM
     for s in luma:
         counts[s * FEATURE_DIM // 256] += 1
+    norm = sum(c * c for c in counts) ** 0.5 or 1.0
+    return [c / norm for c in counts]
+
+
+def _avi_features(payload: bytes) -> list[float]:
+    """Real video features via the stdlib AVI codec: FEATURE_DIM-bin
+    luma histogram pooled over ALL frames (luma = the G channel, the
+    dominant CCIR 601 term), unit-normalized — same vector contract
+    as :func:`_png_features`."""
+    from go_mapreduce_spark.functions.avi import decode_avi
+
+    d = decode_avi(payload)
+    counts = [0] * FEATURE_DIM
+    for f in d["frames"]:
+        for s in f[1::3]:
+            counts[s * FEATURE_DIM // 256] += 1
     norm = sum(c * c for c in counts) ** 0.5 or 1.0
     return [c / norm for c in counts]
 
@@ -720,6 +745,90 @@ def x417_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = spark.read.parquet(JPEG_FIXTURE_PATH).select("media_id", "payload")
     return media.mapInPandas(decode_jpegs, schema=JPEG_DECODE_SCHEMA).orderBy(
         "media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x418: REAL video decode via the stdlib AVI codec (round 10)
+# ---------------------------------------------------------------------------
+
+AVI_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media_avi.parquet",
+)
+
+AVI_DECODE_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "n_frames int, duration_us bigint, sum_r bigint, sum_g bigint, "
+    "sum_b bigint"
+)
+
+
+def x418_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real VIDEO decode through the multimodal plumbing: RIFF/AVI
+    container walk + per-frame BI_RGB DIB decode of every committed
+    AVI payload (fixtures/media_avi.parquet,
+    tools/make_avi_fixture.py — genuine uncompressed AVIs with
+    hdrl/strh/strf headers, idx1 indexes, JUNK chunks on every third
+    file) — emitting ONE ROW PER FRAME with exact integer channel
+    sums, the frame-explode shape every video pipeline fans out to
+    (frame sampling, per-frame feature extraction).
+
+    Uncompressed DIB frames round-trip bit-exactly (bottom-up padded
+    BGR → top-down RGB is pure byte shuffling), so the oracle replays
+    every decoded pixel from (media_id, frame_idx) arithmetic in SQL
+    without touching payload bytes: a wrong row order, BGR swap,
+    stride padding, chunk walk, or rate/scale duration hash-
+    mismatches.  All-integer output.  ``sf_dir`` ignored (payloads
+    are scale-free, same as x414/x415/x417).  With this, ALL FOUR
+    media kinds decode real bytes from the stdlib (PNG x414, WAV
+    x415, JPEG x417, AVI video x418); the strict-mode raise now
+    covers only formats that genuinely need a C codec (mp4/h264).
+    """
+    from go_mapreduce_spark.functions.avi import decode_avi, frame_rgb_sums
+    from go_mapreduce_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def decode_avis(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_avi(bytes(payload))
+                dur = d["n_frames"] * 1_000_000 * d["scale"] // d["rate"]
+                for t, (sr, sg, sb) in enumerate(frame_rgb_sums(d)):
+                    recs.append(
+                        (
+                            int(mid),
+                            t,
+                            d["width"],
+                            d["height"],
+                            d["n_frames"],
+                            dur,
+                            sr,
+                            sg,
+                            sb,
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "duration_us",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    media = spark.read.parquet(AVI_FIXTURE_PATH).select("media_id", "payload")
+    return media.mapInPandas(decode_avis, schema=AVI_DECODE_SCHEMA).orderBy(
+        "media_id", "frame_idx"
     )
 
 

@@ -12199,3 +12199,41 @@ ORACLE_SQL["x417_jpeg_decode"] = """
            CAST(SUM(b * npix) AS BIGINT) AS sum_b
     FROM c GROUP BY i ORDER BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 101 (cont.): real VIDEO decode — uncompressed RIFF-AVI (BI_RGB
+# DIB frames) via the stdlib codec (functions/avi.py), one row per
+# frame.  Frames round-trip bit-exactly (no quantization), so the
+# oracle replays every decoded pixel from (media_id, frame_idx)
+# arithmetic — see tools/make_avi_fixture.py for the contract.  With
+# this, all four media kinds decode real bytes from the stdlib.
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x418_avi_decode": MM.x418_avi_decode})
+
+ORACLE_SQL["x418_avi_decode"] = """
+    WITH m AS (SELECT range AS i FROM range(48)),
+    p AS (
+        SELECT i,
+               4 + i % 9 AS w,
+               3 + i % 5 AS h,
+               2 + i % 4 AS nf,
+               CASE i % 3 WHEN 0 THEN 10 WHEN 1 THEN 24 ELSE 30 END AS rate
+        FROM m
+    ), f AS (
+        SELECT p.*, t.range AS t
+        FROM p CROSS JOIN range(5) t
+        WHERE t.range < nf
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(t AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(nf * 1000000 // rate AS BIGINT) AS duration_us,
+           CAST((((i*37) % 251 + 7*t)  % 256) * w * h AS BIGINT) AS sum_r,
+           CAST((((i*53) % 199 + 11*t) % 256) * w * h AS BIGINT) AS sum_g,
+           CAST((((i*29) % 173 + 13*t) % 256) * w * h AS BIGINT) AS sum_b
+    FROM f ORDER BY media_id, frame_idx
+"""
