@@ -101,9 +101,13 @@ def decode_avi(data: bytes) -> dict:
                 _expect(bisize >= 40, "malformed BITMAPINFOHEADER")
                 _expect(comp == 0, "unsupported biCompression (BI_RGB only)")
                 _expect(bc == 24, f"unsupported bit count {bc} (24-bit only)")
+                # negative biHeight = top-down DIB; _decode_dib_frame
+                # assumes bottom-up row order, so reject rather than
+                # silently decode vertically flipped (round-10 advice)
+                _expect(bih > 0, "unsupported top-down DIB (negative biHeight)")
                 bitcount, compression = bc, comp
                 if width is None:
-                    width, height = biw, abs(bih)
+                    width, height = biw, bih
             elif fourcc in (b"00db", b"00dc"):
                 _expect(
                     width is not None and bitcount == 24,

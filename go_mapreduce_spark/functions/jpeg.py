@@ -215,6 +215,12 @@ def decode_jpeg(data: bytes) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # skip them so the segment length is read from the right offset
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

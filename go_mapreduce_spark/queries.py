@@ -12128,14 +12128,26 @@ _IO_EXPLICIT = frozenset({
     "x388_gdpr_cascade",
     "x416_stream_media_decode",
 })
-IO_TMP_STATE_QUERIES: frozenset[str] = (
-    frozenset(
-        name
-        for name, fn in QUERIES.items()
-        if any(h in (getattr(fn, "__module__", "") or "") for h in _IO_MODULE_HINTS)
+def io_tmp_state_queries() -> frozenset[str]:
+    """The I/O-class tag set, computed from the LIVE registry at call
+    time.  A module-level frozenset here would snapshot QUERIES
+    mid-module and silently miss any stream/iterative query registered
+    below this point (round-10 advice) — so the scan runs on demand and
+    ``IO_TMP_STATE_QUERIES`` is exposed via module ``__getattr__``."""
+    return (
+        frozenset(
+            name
+            for name, fn in QUERIES.items()
+            if any(h in (getattr(fn, "__module__", "") or "") for h in _IO_MODULE_HINTS)
+        )
+        | (_IO_EXPLICIT & frozenset(QUERIES))
     )
-    | (_IO_EXPLICIT & frozenset(QUERIES))
-)
+
+
+def __getattr__(name: str):
+    if name == "IO_TMP_STATE_QUERIES":
+        return io_tmp_state_queries()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,14 @@ def test_fixture_payloads_decode_and_match_contract():
             assert sr == (((i * 37) % 251 + 7 * tdx) % 256) * wh
             assert sg == (((i * 53) % 199 + 11 * tdx) % 256) * wh
             assert sb == (((i * 29) % 173 + 13 * tdx) % 256) * wh
+
+
+def test_topdown_dib_rejected():
+    """Negative biHeight (top-down DIB) would decode vertically flipped
+    under the bottom-up row walk — must raise, not silently flip."""
+    w, h = 4, 3
+    data = bytearray(encode_avi(w, h, _const_frames(w, h, [(1, 2, 3)])))
+    i = data.find(b"strf") + 8  # BITMAPINFOHEADER: biSize, biWidth, biHeight
+    data[i + 8 : i + 12] = struct.pack("<i", -h)
+    with pytest.raises(ValueError, match="top-down"):
+        decode_avi(bytes(data))

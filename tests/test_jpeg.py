@@ -194,3 +194,15 @@ def test_fixture_payloads_decode_and_match_contract():
         else:
             e = _fix_rgb(v % 256, (i * 53) % 199 % 256, (i * 29) % 173 % 256)
             assert tuple(d["pixels"][0:3]) == e
+
+
+def test_ff_fill_bytes_before_marker_skipped():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; the segment walk must resync past them."""
+    vals = [[40, 90], [130, 220]]
+    data = bytearray(encode_jpeg_from_coeffs(16, 16, [const_block_coeffs(vals)]))
+    i = data.find(b"\xff\xdb")  # pad before the DQT marker
+    padded = bytes(data[:i]) + b"\xff\xff\xff" + bytes(data[i:])
+    d = decode_jpeg(padded)
+    assert (d["width"], d["height"]) == (16, 16)
+    assert d == decode_jpeg(bytes(data))
