@@ -16,8 +16,9 @@ Codec work is pluggable behind ``set_decoder``:
   elsewhere;
 - ``"pil"``: Pillow-backed image decode when the wheel is present;
 - ``"strict"``: real decode where a real codec exists (PNG, WAV,
-  JPEG, AVI — all four media kinds), raises NotImplementedError only
-  for compressed video (mp4/h264), marking exactly where ffmpeg
+  JPEG, raw AVI, and — round 11 — Motion-JPEG AVI, so compressed
+  video decodes for real too), raises NotImplementedError only for
+  inter-frame codecs (mp4/h264), marking exactly where ffmpeg
   plugs in.
 
 What IS real and tested: the schema contract, the Arrow batch path,
@@ -165,9 +166,10 @@ def make_decode_batch(mode: str):
                         features.append(_avi_features(bytes(b)))
                     else:
                         raise NotImplementedError(
-                            f"real {f} decode requires ffmpeg (compressed "
-                            "video: mp4/h264); register a codec-backed "
-                            "decoder via multimodal.set_decoder"
+                            f"real {f} decode requires ffmpeg (inter-frame "
+                            "codecs: mp4/h264; intra-coded MJPEG-AVI decodes "
+                            "natively); register a codec-backed decoder via "
+                            "multimodal.set_decoder"
                         )
             elif mode == "png":
                 features = [
@@ -828,6 +830,77 @@ def x418_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = spark.read.parquet(AVI_FIXTURE_PATH).select("media_id", "payload")
     return media.mapInPandas(decode_avis, schema=AVI_DECODE_SCHEMA).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x419: REAL compressed-video decode — Motion-JPEG in AVI (round 11)
+# ---------------------------------------------------------------------------
+
+MJPEG_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media_mjpeg.parquet",
+)
+
+MJPEG_DECODE_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "n_frames int, duration_us bigint, sum_r bigint, sum_g bigint, "
+    "sum_b bigint"
+)
+
+
+def x419_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED-video decode: Motion-JPEG AVIs
+    (fixtures/media_mjpeg.parquet, tools/make_mjpeg_fixture.py)
+    decoded end-to-end by composing the two stdlib codecs — the
+    RIFF/AVI container walk of functions/avi.py dispatching each
+    '00dc' chunk into functions/jpeg.py's baseline-JPEG entropy
+    decoder (canonical Huffman + dequant + IDCT + fixed-point
+    YCbCr→RGB).  One row per frame with exact integer channel sums,
+    same shape as x418.
+
+    The frames are confined to the JPEG codec's exact subspace
+    (DC-only blocks under unity quantization round-trip bit-
+    perfectly), so the x417 per-pixel oracle arithmetic carries over
+    verbatim with per-frame offsets — the oracle replays every
+    decoded pixel of every frame from (media_id, frame_idx) in SQL.
+    With this, the strict-mode raise covers ONLY inter-frame codecs
+    (h264/mp4), which genuinely need ffmpeg; every intra-coded media
+    kind (PNG, WAV, JPEG, raw AVI, MJPEG AVI) decodes real bytes
+    from the stdlib.  ``sf_dir`` ignored (payloads are scale-free).
+    """
+    from go_mapreduce_spark.functions.avi import decode_avi, frame_rgb_sums
+    from go_mapreduce_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def decode_mjpegs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_avi(bytes(payload))
+                if d["codec"] != "mjpg":
+                    raise ValueError("x419 fixture must be MJPG-coded")
+                dur = d["n_frames"] * 1_000_000 * d["scale"] // d["rate"]
+                for t, (sr, sg, sb) in enumerate(frame_rgb_sums(d)):
+                    recs.append(
+                        (
+                            int(mid), t, d["width"], d["height"],
+                            d["n_frames"], dur, sr, sg, sb,
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "n_frames", "duration_us", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    media = spark.read.parquet(MJPEG_FIXTURE_PATH).select("media_id", "payload")
+    return media.mapInPandas(decode_mjpegs, schema=MJPEG_DECODE_SCHEMA).orderBy(
         "media_id", "frame_idx"
     )
 

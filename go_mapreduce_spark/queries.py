@@ -12249,3 +12249,73 @@ ORACLE_SQL["x418_avi_decode"] = """
            CAST((((i*29) % 173 + 13*t) % 256) * w * h AS BIGINT) AS sum_b
     FROM f ORDER BY media_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 102 (round 11): real COMPRESSED-video decode — Motion-JPEG in
+# AVI, composing the two round-10 codecs: functions/avi.py's RIFF
+# container walk dispatches each '00dc' chunk into functions/jpeg.py's
+# baseline-JPEG entropy decoder.  Frames are confined to the JPEG
+# exact subspace (DC-only blocks, unity quantization), so the x417
+# per-pixel oracle arithmetic carries over verbatim with per-frame
+# offsets — see tools/make_mjpeg_fixture.py for the contract.  The
+# strict-mode raise now covers only inter-frame codecs (h264/mp4).
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x419_mjpeg_decode": MM.x419_mjpeg_decode})
+
+ORACLE_SQL["x419_mjpeg_decode"] = """
+    WITH m AS (SELECT range AS i FROM range(48)),
+    p AS (
+        SELECT i,
+               1 + i % 3 AS wb,
+               1 + i % 2 AS hb,
+               8*(1 + i % 3) - i % 5 AS width,
+               8*(1 + i % 2) - i % 3 AS height,
+               2 + i % 3 AS nf,
+               CASE i % 3 WHEN 0 THEN 10 WHEN 1 THEN 24 ELSE 30 END AS rate,
+               (i*37) % 251 AS v,
+               (i*53) % 199 AS v2,
+               (i*29) % 173 AS v3,
+               CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END AS channels
+        FROM m
+    ), f AS (
+        SELECT p.*, t.range AS t
+        FROM p CROSS JOIN range(4) t
+        WHERE t.range < nf
+    ), g AS (
+        SELECT f.*, bx.range AS bx, byy.range AS byy,
+               LEAST(8, width - 8*bx.range)
+                 * LEAST(8, height - 8*byy.range) AS npix,
+               (v + 17*bx.range + 29*byy.range + 19*t) % 256 AS yv,
+               ((v2 + 11*bx.range + 5*t) % 256) - 128 AS cb,
+               ((v3 + 7*byy.range + 3*t) % 256) - 128 AS cr
+        FROM f CROSS JOIN range(3) bx CROSS JOIN range(2) byy
+        WHERE bx.range < wb AND byy.range < hb
+    ), c AS (
+        SELECT i, t, width, height, nf, rate, npix,
+            CASE WHEN channels = 1 THEN yv ELSE
+                LEAST(255, GREATEST(0, yv + CAST(FLOOR(
+                    (91881*cr + 32768) / 65536.0) AS BIGINT)))
+            END AS r,
+            CASE WHEN channels = 1 THEN yv ELSE
+                LEAST(255, GREATEST(0, yv - CAST(FLOOR(
+                    (22554*cb + 46802*cr + 32768) / 65536.0) AS BIGINT)))
+            END AS g2,
+            CASE WHEN channels = 1 THEN yv ELSE
+                LEAST(255, GREATEST(0, yv + CAST(FLOOR(
+                    (116130*cb + 32768) / 65536.0) AS BIGINT)))
+            END AS b
+        FROM g
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(t AS INT) AS frame_idx,
+           CAST(MIN(width) AS INT) AS width,
+           CAST(MIN(height) AS INT) AS height,
+           CAST(MIN(nf) AS INT) AS n_frames,
+           CAST(MIN(nf) * 1000000 // MIN(rate) AS BIGINT) AS duration_us,
+           CAST(SUM(r * npix) AS BIGINT) AS sum_r,
+           CAST(SUM(g2 * npix) AS BIGINT) AS sum_g,
+           CAST(SUM(b * npix) AS BIGINT) AS sum_b
+    FROM c GROUP BY i, t ORDER BY media_id, frame_idx
+"""
