@@ -26,17 +26,36 @@ def db(tmp_path, spark):
     return path
 
 
-def test_stream_reader_offsets_and_replay(db):
+def _drain_range(r, start, end):
+    ids = []
+    for part in r.partitions(start, end):
+        for batch in r.read(part):
+            ids.extend(batch.column("id").to_pylist())
+    return ids
+
+
+def test_stream_reader_offsets_partitions_and_replay(db):
     from pyspark.sql.types import StructType
 
     schema = StructType.fromDDL("id bigint, v double")
-    r = SQ.SqliteStreamReader(schema, {"path": db, "table": "t"})
+    r = SQ.SqliteStreamReader(
+        schema,
+        {"path": db, "table": "t", "stream_rows_per_partition": "16"},
+    )
     start = r.initialOffset()
-    rows, end = r.read(start)
-    assert len(list(rows)) == 50 and end == {"rowid": 50}
-    # no new data → offset unchanged, empty batch
-    rows2, end2 = r.read(end)
-    assert list(rows2) == [] and end2 == end
+    end = r.latestOffset()
+    assert start == {"rowid": 0} and end == {"rowid": 50}
+    # partition planning: ~16 rows per split, disjoint (lo, hi] cover
+    parts = r.partitions(start, end)
+    assert len(parts) == 4
+    assert parts[0].lo == 0 and parts[-1].hi == 50
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo
+    # per-partition Arrow reads reassemble the full range exactly once
+    ids = _drain_range(r, start, end)
+    assert sorted(ids) == list(range(1, 51))
+    # empty range plans no partitions
+    assert r.partitions(end, end) == []
     # append → only the delta is read
     con = sqlite3.connect(db)
     con.executemany(
@@ -44,12 +63,12 @@ def test_stream_reader_offsets_and_replay(db):
     )
     con.commit()
     con.close()
-    rows3, end3 = r.read(end)
-    got = [t[0] for t in rows3]
-    assert got == list(range(51, 61)) and end3 == {"rowid": 60}
-    # committed-range replay is deterministic
-    replay = [t[0] for t in r.readBetweenOffsets(end, end3)]
-    assert replay == got
+    end2 = r.latestOffset()
+    assert end2 == {"rowid": 60}
+    got = _drain_range(r, end, end2)
+    assert sorted(got) == list(range(51, 61))
+    # committed-range replay (checkpoint recovery) is deterministic
+    assert _drain_range(r, end, end2) == got
 
 
 def test_stream_sink_epoch_markers_are_exactly_once(tmp_path, spark):
