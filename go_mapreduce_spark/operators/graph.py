@@ -68,7 +68,7 @@ def pagerank(
     # every round re-shuffles only ranks (≤ |V| rows) and aggregates
     # ≤ |E| contributions, so partition-count overhead dominates at
     # small scale and edge volume at large scale
-    parts = iterative_shuffle_partitions(m)
+    parts = iterative_shuffle_partitions(m, cpu_bound=True)
     spark = edges.sparkSession
     with iterative_plan_confs(spark, parts):
         ranks = _pagerank_rounds(ed, damping, n_iter, checkpoint_every, symmetric, parts)
@@ -271,7 +271,7 @@ def pagerank_dangling(
     """
     ed = edges.select("u", "v").distinct().persist()
     m = ed.count()
-    parts = iterative_shuffle_partitions(m)
+    parts = iterative_shuffle_partitions(m, cpu_bound=True)
     spark = edges.sparkSession
     with iterative_plan_confs(spark, parts):
         outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -784,7 +784,7 @@ def eigenvector_centrality(
     """
     ed = edges.select("u", "v").distinct().persist()
     m = ed.count()
-    parts = iterative_shuffle_partitions(m)
+    parts = iterative_shuffle_partitions(m, cpu_bound=True)
     spark = edges.sparkSession
     with iterative_plan_confs(spark, parts):
         ed_p = ed.repartition(parts, "u").persist()
@@ -866,7 +866,7 @@ def pagerank_weighted(
     """
     ed = edges.select("u", "v", "w").persist()
     m = ed.count()
-    parts = iterative_shuffle_partitions(m)
+    parts = iterative_shuffle_partitions(m, cpu_bound=True)
     spark = edges.sparkSession
     with iterative_plan_confs(spark, parts):
         strength = ed.groupBy("u").agg(F.sum("w").alias("wsum"))
@@ -1219,7 +1219,7 @@ def ppr_seeded(
     """
     ed = edges.select("u", "v").distinct().persist()
     m = ed.count()
-    parts = iterative_shuffle_partitions(m)
+    parts = iterative_shuffle_partitions(m, cpu_bound=True)
     spark = edges.sparkSession
     with iterative_plan_confs(spark, parts):
         outd = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))

@@ -23,8 +23,22 @@ from pyspark.sql import functions as F
 # for a 10-round PageRank on a graph that fits in one partition.
 _ITER_ROWS_PER_PARTITION = 4_000_000
 
+# Parallelism-regime divisor (round 11): between "fits in 4
+# partitions" and "memory-bound at 4M rows each" there is a band
+# where the loop is CPU-bound and wants one partition per ~75k rows
+# up to the executor-core count.  Measured at sf0.1 (x143, ~600k
+# edges, interleaved min-of-3): 4 parts 8.71 s vs 8 parts 6.65 s
+# (−24%); at sf0.01 (~60k edges) 4 parts still wins (3.38 vs 3.73 —
+# scheduling dominates), which is exactly what this two-regime rule
+# returns.  The loop-floor measurement behind it (BENCH_FLOOR.json):
+# the pure per-round scheduling cost is ~0.21–0.25 s while the real
+# per-round cost was ~0.42–0.45 s — data work, parallelizable.
+_ITER_ROWS_PER_CORE = 75_000
 
-def iterative_shuffle_partitions(n_rows: int, floor: int = 4) -> int:
+
+def iterative_shuffle_partitions(
+    n_rows: int, floor: int = 4, cpu_bound: bool = False
+) -> int:
     """Shuffle-partition count sized to the relation an iterative loop
     re-shuffles every round: ``ceil(n_rows / 4M)``, floored at 4.
 
@@ -32,8 +46,31 @@ def iterative_shuffle_partitions(n_rows: int, floor: int = 4) -> int:
     (measured 2× faster: scheduling overhead, not data, dominates),
     while a 10^10-edge graph at 100 TB gets ~2500, independent of the
     session default that was sized for scan-heavy one-pass queries.
+
+    ``cpu_bound=True`` (round 11) adds a middle regime for loops that
+    re-shuffle the FULL relation every round (the pagerank family's
+    contribution join): one partition per ~75k rows, capped at the
+    cluster's default parallelism.  A/B'd interleaved at sf0.1:
+    x143 8.37→7.20 s min-of-3 (−14%; the loop-floor measurement in
+    BENCH_FLOOR.json showed data work, not scheduling, was ~half the
+    per-round cost).  Frontier-shrinking loops (BFS k-hop, cheapest
+    path) must NOT opt in: their per-round relations collapse after
+    round 1 and the extra tasks only add scheduling (x164 measured
+    +37% with the regime applied).
+
+    Results are partition-count-invariant (decimal sums; proven at
+    {1,7,32} in test_determinism.py), so this is purely a speed knob.
     """
-    return max(floor, math.ceil(n_rows / _ITER_ROWS_PER_PARTITION))
+    base = max(floor, math.ceil(n_rows / _ITER_ROWS_PER_PARTITION))
+    if not cpu_bound:
+        return base
+    try:
+        from pyspark.sql import SparkSession
+
+        cores = SparkSession.getActiveSession().sparkContext.defaultParallelism
+    except Exception:
+        cores = 32
+    return max(base, min(math.ceil(n_rows / _ITER_ROWS_PER_CORE), cores))
 
 
 def spread_for_fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -279,6 +279,7 @@ class TsvStreamReader(DataSourceStreamReader):
             f.name: arrow_types[f.dataType.simpleString()]
             for f in self._schema.fields
         }
+        target = pa.schema([(n, types[n]) for n in names])
         for p in partition.paths:
             if os.path.getsize(p) == 0:
                 continue
@@ -288,9 +289,10 @@ class TsvStreamReader(DataSourceStreamReader):
                 parse_options=_tsv_parse_options(),
                 convert_options=pacsv.ConvertOptions(column_types=types),
             )
-            for batch in table.to_batches():
-                for row in batch.to_pylist():
-                    yield tuple(row[n] for n in names)
+            # yield Arrow batches directly (the stream-read contract
+            # supports them): rows never pass through Python objects —
+            # round-11 amortization, same shape as the sqlite reader
+            yield from table.cast(target).to_batches()
 
     def commit(self, end: dict) -> None:
         # engine progress is durable in the streaming checkpoint; the
@@ -381,7 +383,7 @@ def x213_custom_stream_source(spark, sf_dir: str):
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
-        .trigger(processingTime="200 milliseconds")
+        .trigger(processingTime="50 milliseconds")
         .start()
     )
     import re as _re
@@ -399,7 +401,7 @@ def x213_custom_stream_source(spark, sf_dir: str):
                 m = _re.search(r"index\D+(\d+)", str(eo) or "")
                 if m and int(m.group(1)) >= n_files:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError("x213 stream did not drain in 120s")
     finally:
@@ -501,9 +503,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
         names = [f.name for f in self._schema.fields]
         for p in partition.paths:
-            table = pq.read_table(p, columns=names)
-            for row in table.to_pylist():
-                yield tuple(row[n] for n in names)
+            # Arrow batches straight through — no per-row Python
+            # objects (round-11 amortization; parquet written by Spark
+            # with this exact schema, so types line up by construction)
+            yield from pq.read_table(p, columns=names).to_batches()
 
     def commit(self, end: dict) -> None:
         _write_marker(self.marker, "version", end["version"])
@@ -568,7 +571,7 @@ def x215_lakehouse_stream_source(spark, sf_dir: str):
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
-        .trigger(processingTime="200 milliseconds")
+        .trigger(processingTime="50 milliseconds")
         .start()
     )
     import re as _re
@@ -584,7 +587,7 @@ def x215_lakehouse_stream_source(spark, sf_dir: str):
                 m = _re.search(r"version\D+(\d+)", str(eo) or "")
                 if m and int(m.group(1)) >= n_versions:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError("x215 stream did not drain in 120s")
     finally:
