@@ -45,11 +45,23 @@ def _expect(cond: bool, msg: str) -> None:
 
 
 def decode_avi(data: bytes) -> dict:
-    """Decode an uncompressed-RGB AVI byte string → ``{width, height,
-    n_frames, rate, scale, frames}`` with ``frames`` a list of
-    ``bytes`` (width·height·3 interleaved RGB, top-down rows).
-    Raises ``ValueError`` on non-AVI bytes or features outside the
-    supported scope (see module docstring)."""
+    """Decode an uncompressed-RGB or Motion-JPEG AVI byte string →
+    ``{width, height, n_frames, rate, scale, codec, frames}`` with
+    ``frames`` a list of ``bytes`` (width·height·3 interleaved RGB,
+    top-down rows).  Raises ``ValueError`` on non-AVI bytes or
+    features outside the supported scope (see module docstring) —
+    the decode boundary converts low-level errors a corrupted
+    container can reach into that contract (mutation-fuzzed in
+    tests/test_codec_fuzz.py)."""
+    try:
+        return _decode_avi(data)
+    except (IndexError, KeyError, struct.error, RecursionError) as e:
+        raise ValueError(
+            f"malformed AVI stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_avi(data: bytes) -> dict:
     _expect(
         len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ",
         "not an AVI: bad RIFF/AVI signature",

@@ -203,7 +203,21 @@ def decode_jpeg(data: bytes) -> dict:
     channels, pixels}`` with ``pixels`` a ``bytes`` of
     width·height·channels interleaved samples (gray, or RGB via the
     fixed-point transform in the module docstring).  Raises
-    ``ValueError`` on non-JPEG bytes or features outside scope."""
+    ``ValueError`` on non-JPEG bytes or features outside scope —
+    the decode boundary converts the low-level errors a CORRUPTED
+    stream can reach (short unpack, out-of-range table id, truncated
+    Huffman spec) into that contract, because the strict-mode
+    dispatch and the MJPEG-AVI fallback both key on ValueError
+    (mutation-fuzzed in tests/test_codec_fuzz.py; round 11)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"malformed JPEG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg(data: bytes) -> dict:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

@@ -52,7 +52,22 @@ def decode_png(data: bytes) -> dict:
     bit_depth, color_type, pixels}`` with ``pixels`` a ``bytes`` of
     ``width*height*channels`` interleaved samples (palette expanded
     to RGB).  Raises ``ValueError`` on non-PNG bytes or features
-    outside the supported scope (see module docstring)."""
+    outside the supported scope (see module docstring) — the decode
+    boundary converts low-level errors a corrupted stream can reach
+    (short unpack, zlib inflate failure, bad filter index) into that
+    contract (mutation-fuzzed in tests/test_codec_fuzz.py)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    try:
+        return _decode_png(data)
+    except (IndexError, KeyError, _struct.error, _zlib.error) as e:
+        raise ValueError(
+            f"malformed PNG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_png(data: bytes) -> dict:
     if len(data) < 8 or data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8

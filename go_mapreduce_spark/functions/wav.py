@@ -82,7 +82,18 @@ def decode_wav(data: bytes) -> dict:
     n_frames, samples}`` with ``samples`` a list of SIGNED ints,
     frame-interleaved (8-bit recentered from excess-128).  Raises
     ``ValueError`` on non-WAV bytes or features outside the supported
-    scope (see module docstring)."""
+    scope (see module docstring) — the decode boundary converts any
+    low-level error a corrupted stream could reach into that contract
+    (mutation-fuzzed in tests/test_codec_fuzz.py)."""
+    try:
+        return _decode_wav(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"malformed WAV stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_wav(data: bytes) -> dict:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE signature")
     declared = struct.unpack("<I", data[4:8])[0]
