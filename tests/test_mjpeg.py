@@ -168,3 +168,40 @@ def test_fixture_payloads_decode_and_match_contract():
                     eg += g * npix
                     eb += b * npix
             assert (sr, sg, sb) == (er, eg, eb), (i, t_idx)
+
+
+def test_mjpeg_roundtrip_property():
+    """Property over the exact subspace: ANY constant-per-block frame
+    grid with edge crops round-trips bit-exactly through
+    encode_jpeg_from_coeffs -> encode_avi_mjpeg -> decode_avi."""
+    import random
+
+    rng = random.Random(99)
+    for _ in range(40):
+        wb, hb = rng.randint(1, 4), rng.randint(1, 3)
+        w = 8 * wb - rng.randint(0, 7)
+        h = 8 * hb - rng.randint(0, 7)
+        n_frames = rng.randint(1, 4)
+        color = rng.random() < 0.5
+        jpegs, expected = [], []
+        for _t in range(n_frames):
+            yv = [[rng.randrange(256) for _ in range(wb)] for _ in range(hb)]
+            comps = [const_block_coeffs(yv)]
+            if color:
+                cbv = [[rng.randrange(256) for _ in range(wb)] for _ in range(hb)]
+                crv = [[rng.randrange(256) for _ in range(wb)] for _ in range(hb)]
+                comps += [const_block_coeffs(cbv), const_block_coeffs(crv)]
+            f = encode_jpeg_from_coeffs(w, h, comps)
+            jpegs.append(f)
+            d = decode_jpeg(f)
+            px = d["pixels"]
+            if d["channels"] == 1:
+                rgb = bytearray(w * h * 3)
+                rgb[0::3] = px
+                rgb[1::3] = px
+                rgb[2::3] = px
+                px = bytes(rgb)
+            expected.append(px)
+        dec = decode_avi(encode_avi_mjpeg(w, h, jpegs, rate=rng.choice((10, 24, 30))))
+        assert (dec["width"], dec["height"], dec["n_frames"]) == (w, h, n_frames)
+        assert dec["frames"] == expected
