@@ -50,12 +50,16 @@ def main() -> None:
     # (0.442–0.60 s back-to-back, round 5) while the 263-query raw
     # total moved 1.0% — the min is the probe's stable floor, a lone
     # sample mostly measures scheduler jitter.
-    calib_sec = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(400_000_000).selectExpr("sum(id * 3 + 1)").collect()
-        c = round(time.perf_counter() - t0, 3)
-        calib_sec = c if calib_sec is None else min(calib_sec, c)
+    def calib_probe() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(400_000_000).selectExpr("sum(id * 3 + 1)").collect()
+            c = round(time.perf_counter() - t0, 3)
+            best = c if best is None else min(best, c)
+        return best
+
+    calib_sec = calib_probe()
     # One-time table-maintenance artifacts belong in warmup, not in a
     # timed query (round-6 verdict: x194's cold layout write measured
     # 3.3 s of setup instead of the sub-second DPP scan)
@@ -208,6 +212,14 @@ def main() -> None:
     except OSError:
         head = None
 
+    # Within-capture drift flag (round 11): the SAME probe re-run
+    # after the last timed query.  The r10 and first r11 captures were
+    # contention-polluted and it only showed up as cross-round ratio
+    # noise; calib_drift_ratio >> 1 marks a capture whose tail ran on
+    # a slower host than its head — treat its per-query walls as
+    # A/B-selection input, not as committed regressions.
+    calib_sec_end = calib_probe()
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "total_query_wall_seconds",
@@ -216,6 +228,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_of(SF_DIR),
         "calib_sec": calib_sec,
+        "calib_sec_end": calib_sec_end,
+        "calib_drift_ratio": (
+            round(calib_sec_end / calib_sec, 3) if calib_sec else None
+        ),
         "head": head,
         "ann_recall": ann_recall,
         "ivf_recall": ivf_recall,
@@ -300,6 +316,9 @@ def main() -> None:
                 "sf": sf_of(SF_DIR),
                 "n_queries": len(timings),
                 "calib_sec": calib_sec,
+                "calib_drift_ratio": (
+                    round(calib_sec_end / calib_sec, 3) if calib_sec else None
+                ),
                 "common_ratio_vs_prev": common_ratio,
                 "common_ratio_calib_norm": common_ratio_norm,
                 "prev_head": prev_head[:10] if prev_head else None,
