@@ -217,3 +217,25 @@ def test_lazy_localcheckpoint_cuts_lineage_and_matches_eager(spark):
     a = sorted(lazy.groupBy("k").count().collect())
     b = sorted(df.localCheckpoint().groupBy("k").count().collect())
     assert a == b
+
+
+def test_iterative_shuffle_partitions_regimes(spark):
+    """Pin the three partition regimes at the measured break-evens
+    (round 11, BENCH_FLOOR.json + interleaved sf0.1/sf0.01 A/Bs):
+    fixture graphs floor at 4; cpu_bound mid-size graphs get
+    ~n/75k up to default parallelism; huge graphs get n/4M
+    regardless of cpu_bound.  Frontier loops (no cpu_bound) must be
+    unaffected by the middle regime at every size below 4M rows."""
+    from go_mapreduce_spark.operators.scale import iterative_shuffle_partitions as f
+
+    cores = spark.sparkContext.defaultParallelism
+    # frontier rule: flat at 4 until the 4M-per-partition regime
+    assert f(100) == 4
+    assert f(600_000) == 4
+    assert f(3_999_999) == 4
+    assert f(40_000_000) == 10
+    # cpu_bound: same floor, core-capped middle regime, same top
+    assert f(100, cpu_bound=True) == 4
+    assert f(60_000, cpu_bound=True) == 4
+    assert f(600_000, cpu_bound=True) == min(8, max(4, cores))
+    assert f(10_000_000_000, cpu_bound=True) == 2500
