@@ -24,6 +24,15 @@ from go_mapreduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The ONLY timed names allowed outside the query registry (round-11
+# verdict ask #5: BENCH_FULL's timed set must reconcile with the
+# registry by rule — tools/round_close.py check f enforces
+# timed == QUERIES ∪ BENCH_ONLY_TIMED).  These two are the recall-GATE
+# harness timings: they run the same operator calls as the registry's
+# x420_ann_lsh / x41_ann_ivf but collect real rows so the wall and the
+# recall number come from the same execution.
+BENCH_ONLY_TIMED = ("ann_lsh_topk", "ann_ivf_topk")
+
 
 def sf_of(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
@@ -220,6 +229,68 @@ def main() -> None:
     # A/B-selection input, not as committed regressions.
     calib_sec_end = calib_probe()
 
+    # Load the previous round's committed detail ONCE — used both by
+    # the drift requeue below and the round-over-round ratios printed
+    # at the end.
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PREV",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_PREV.json"),
+    )
+    prev = None
+    if os.path.isfile(prev_path):
+        try:
+            prev = json.load(open(prev_path))
+        except ValueError:
+            prev = None
+
+    # Drift requeue (round-11 verdict ask #1): two consecutive driver
+    # captures shipped 15- and 19-query "regression" tails that each
+    # next round's interleaved A/B adjudicated 0/N real — pure host
+    # drift during the capture.  Close the loop AT CAPTURE TIME: when
+    # the capture self-flags (calib_drift_ratio outside [0.7, 1.4]),
+    # re-run every common query whose wall grew > 0.8 s vs prev
+    # min-of-3 and commit the steady walls.  By this point the probe
+    # has already measured the host's end state, so the re-runs are
+    # the same-session steady evidence the A/B would otherwise have
+    # to produce a round later.
+    drift_ratio = round(calib_sec_end / calib_sec, 3) if calib_sec else None
+    drift_requeue = None
+    if (
+        prev is not None
+        and drift_ratio is not None
+        and not (0.7 <= drift_ratio <= 1.4)
+    ):
+        pq = prev.get("queries", {})
+        suspects = sorted(
+            (
+                (name, timings[name] - pq[name])
+                for name in timings
+                if name in pq and name in QUERIES and timings[name] - pq[name] > 0.8
+            ),
+            key=lambda t: -t[1],
+        )
+        drift_requeue = {
+            "rule": (
+                "calib_drift_ratio outside [0.7, 1.4] -> re-run every "
+                "common query with delta > 0.8 s vs prev, min-of-3, "
+                "commit min(first_pass, steady)"
+            ),
+            "calib_drift_ratio": drift_ratio,
+            "queries": {},
+        }
+        for name, _delta in suspects:
+            fn = QUERIES[name]
+            steady = min(_timed_run(fn) for _ in range(3))
+            drift_requeue["queries"][name] = {
+                "prev": pq[name],
+                "first_pass": timings[name],
+                "steady_min3": round(steady, 3),
+            }
+            timings[name] = round(min(timings[name], steady), 3)
+            min_of[name] = max(min_of.get(name, 1), 3)
+        # third probe: records which host state the steady walls ran on
+        drift_requeue["calib_sec_post_requeue"] = calib_probe()
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "total_query_wall_seconds",
@@ -245,6 +316,7 @@ def main() -> None:
         "ivf_recall_fixture": "uniform-noise (0.6 = IVF-on-noise floor; see x41b)",
         "ivf_recall_clustered_fixture": "clustered (representative gate)",
         "min_of": min_of,
+        "drift_requeue": drift_requeue,
         # Harness policy fingerprint (round-9 ADVICE): ratios vs a
         # prev capture are only valid when the prev ran the SAME
         # timing policy.  The r9 driver capture (BENCH_FULL head
@@ -274,15 +346,10 @@ def main() -> None:
     # set, normalizing by the calib_sec ratio so a slower VM doesn't
     # read as a slower engine.  common_ratio_calib_norm ≈ 1.0 means
     # flat real performance regardless of host throttling.
-    prev_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_PREV",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_PREV.json"),
-    )
     common_ratio = common_ratio_norm = prev_head = None
     prev_stale = None
-    if os.path.isfile(prev_path):
+    if prev is not None:
         try:
-            prev = json.load(open(prev_path))
             prev_head = prev.get("head")
             # Round-4's prev lingered two rounds and made the printed
             # ratios compare against the wrong round (round-6 verdict
@@ -324,6 +391,9 @@ def main() -> None:
                 "prev_head": prev_head[:10] if prev_head else None,
                 "prev_stale": prev_stale,
                 "min_of_3_count": len(min_of),
+                "drift_requeue_n": (
+                    len(drift_requeue["queries"]) if drift_requeue else 0
+                ),
                 "queries": slowest,
                 "queries_file": "BENCH_FULL.json",
                 "ann_recall": ann_recall,

@@ -97,6 +97,14 @@ def _decode_avi(data: bytes) -> dict:
                 _expect(size >= 48, "malformed strh")
                 fcc_type = data[body_start : body_start + 4]
                 if fcc_type == b"vids":
+                    # mirror the 'auds' rejection: a second video stream
+                    # would otherwise decode with the FIRST stream's
+                    # geometry (the strf branch below only parses the
+                    # first vids strf) — fail loudly instead
+                    _expect(
+                        not have_vids,
+                        "multiple vids streams unsupported (single-video scope)",
+                    )
                     have_vids = True
                     handler = data[body_start + 4 : body_start + 8]
                     if handler in (b"MJPG", b"mjpg"):
@@ -238,6 +246,73 @@ def _list(list_type: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", list_type + body)
 
 
+def _assemble_avi(
+    width: int,
+    height: int,
+    handler: bytes,
+    compression: int,
+    chunk_id: bytes,
+    chunk_bodies: list[bytes],
+    buf_size: int,
+    rate: int,
+    scale: int,
+    junk: bool,
+) -> bytes:
+    """Shared container assembly for both encoders: RIFF('AVI ') with
+    hdrl(avih + strl(strh 'vids' + strf BITMAPINFOHEADER)),
+    movi(``chunk_id`` chunks), and a proper idx1 index.  The encoders
+    differ only in handler/biCompression/chunk id and how they build
+    the per-frame chunk bodies; container fixes land here once.
+    ``buf_size`` feeds dwMaxBytesPerSec/dwSuggestedBufferSize (the
+    fixed DIB frame size for uncompressed, the largest JPEG for MJPG).
+    """
+    n = len(chunk_bodies)
+    avih = struct.pack(
+        "<10I",
+        1_000_000 * scale // rate,  # dwMicroSecPerFrame
+        buf_size * rate // max(scale, 1),  # dwMaxBytesPerSec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, buf_size,
+        width, height,
+    ) + b"\x00" * 16  # dwReserved[4]
+    strh = (
+        b"vids" + handler + struct.pack("<IHHI", 0, 0, 0, 0)
+        + struct.pack("<IIiI", scale, rate, 0, n)
+        + struct.pack("<IiI", buf_size, -1, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, compression, buf_size, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_chunks = []
+    offsets = []
+    off = 4  # relative to 'movi' tag start
+    for b in chunk_bodies:
+        movi_chunks.append(_chunk(chunk_id, b))
+        offsets.append((off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    movi = _list(b"movi", b"".join(movi_chunks))
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            chunk_id + struct.pack("<III", 0x10, o, sz) for o, sz in offsets
+        ),
+    )
+    body = hdrl
+    if junk:
+        body += _chunk(b"JUNK", b"\x00" * 24)
+    body += movi + idx1
+    riff_body = b"AVI " + body
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def encode_avi(
     width: int,
     height: int,
@@ -247,12 +322,10 @@ def encode_avi(
     junk: bool = False,
 ) -> bytes:
     """Assemble a spec-compliant uncompressed AVI from top-down RGB
-    frames (``width*height*3`` bytes each): RIFF('AVI ') with
-    hdrl(avih + strl(strh 'vids'/DIB + strf BITMAPINFOHEADER BI_RGB
-    24-bit)), movi('00db' bottom-up padded BGR frames), and a proper
-    idx1 index.  ``junk=True`` inserts a JUNK chunk to exercise the
-    decoder's ancillary walk."""
-    n = len(frames_rgb)
+    frames (``width*height*3`` bytes each): strh 'vids'/DIB, strf
+    BI_RGB 24-bit, movi '00db' bottom-up padded BGR frames.
+    ``junk=True`` inserts a JUNK chunk to exercise the decoder's
+    ancillary walk."""
     stride = (width * 3 + 3) & ~3
     frame_size = stride * height
     for f in frames_rgb:
@@ -271,50 +344,11 @@ def encode_avi(
             rows.append(bytes(row) + pad)
         return b"".join(rows)
 
-    avih = struct.pack(
-        "<10I",
-        1_000_000 * scale // rate,  # dwMicroSecPerFrame
-        frame_size * rate // max(scale, 1),  # dwMaxBytesPerSec
-        0,  # padding granularity
-        0x10,  # AVIF_HASINDEX
-        n, 0, 1, frame_size,
-        width, height,
-    ) + b"\x00" * 16  # dwReserved[4]
-    strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHI", 0, 0, 0, 0)
-        + struct.pack("<IIiI", scale, rate, 0, n)
-        + struct.pack("<IiI", frame_size, -1, 0)
-        + struct.pack("<4H", 0, 0, width, height)
+    return _assemble_avi(
+        width, height, b"DIB ", 0, b"00db",
+        [to_dib(f) for f in frames_rgb],
+        frame_size, rate, scale, junk,
     )
-    strf = struct.pack(
-        "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0,
-    )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
-    movi_chunks = []
-    offsets = []
-    off = 4  # relative to 'movi' tag start
-    for f in frames_rgb:
-        dib = to_dib(f)
-        movi_chunks.append(_chunk(b"00db", dib))
-        offsets.append((off, len(dib)))
-        off += 8 + len(dib) + (len(dib) % 2)
-    movi = _list(b"movi", b"".join(movi_chunks))
-    idx1 = _chunk(
-        b"idx1",
-        b"".join(
-            b"00db" + struct.pack("<III", 0x10, o, sz) for o, sz in offsets
-        ),
-    )
-    body = hdrl
-    if junk:
-        body += _chunk(b"JUNK", b"\x00" * 24)
-    body += movi + idx1
-    riff_body = b"AVI " + body
-    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def encode_avi_mjpeg(
@@ -332,53 +366,11 @@ def encode_avi_mjpeg(
     encoder).  This is the round-11 composition that makes
     "compressed video" a real decode: container walk from this
     module, per-frame entropy decode from jpeg.py."""
-    n = len(jpeg_frames)
     for f in jpeg_frames:
         if len(f) < 4 or f[0:2] != b"\xff\xd8":
             raise ValueError("MJPG frame is not a JPEG byte stream")
     max_size = max(len(f) for f in jpeg_frames) if jpeg_frames else 0
-    avih = struct.pack(
-        "<10I",
-        1_000_000 * scale // rate,
-        max_size * rate // max(scale, 1),
-        0,
-        0x10,  # AVIF_HASINDEX
-        n, 0, 1, max_size,
-        width, height,
-    ) + b"\x00" * 16
-    strh = (
-        b"vids" + b"MJPG" + struct.pack("<IHHI", 0, 0, 0, 0)
-        + struct.pack("<IIiI", scale, rate, 0, n)
-        + struct.pack("<IiI", max_size, -1, 0)
-        + struct.pack("<4H", 0, 0, width, height)
+    return _assemble_avi(
+        width, height, b"MJPG", MJPG_FOURCC, b"00dc",
+        list(jpeg_frames), max_size, rate, scale, junk,
     )
-    strf = struct.pack(
-        "<IiiHHIIiiII",
-        40, width, height, 1, 24, MJPG_FOURCC,
-        max_size, 0, 0, 0, 0,
-    )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
-    movi_chunks = []
-    offsets = []
-    off = 4
-    for f in jpeg_frames:
-        movi_chunks.append(_chunk(b"00dc", f))
-        offsets.append((off, len(f)))
-        off += 8 + len(f) + (len(f) % 2)
-    movi = _list(b"movi", b"".join(movi_chunks))
-    idx1 = _chunk(
-        b"idx1",
-        b"".join(
-            b"00dc" + struct.pack("<III", 0x10, o, sz) for o, sz in offsets
-        ),
-    )
-    body = hdrl
-    if junk:
-        body += _chunk(b"JUNK", b"\x00" * 24)
-    body += movi + idx1
-    riff_body = b"AVI " + body
-    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -64,12 +65,17 @@ def iterative_shuffle_partitions(
     base = max(floor, math.ceil(n_rows / _ITER_ROWS_PER_PARTITION))
     if not cpu_bound:
         return base
-    try:
-        from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession
 
-        cores = SparkSession.getActiveSession().sparkContext.defaultParallelism
-    except Exception:
-        cores = 32
+    sess = SparkSession.getActiveSession()
+    if sess is not None:
+        cores = sess.sparkContext.defaultParallelism
+    else:
+        # no active session (unit tests, offline sizing): the host's
+        # core count is the honest cap — a fixed constant would
+        # over-partition the loops this knob was measured to speed up
+        # on any smaller machine.
+        cores = os.cpu_count() or floor
     return max(base, min(math.ceil(n_rows / _ITER_ROWS_PER_CORE), cores))
 
 

@@ -364,6 +364,25 @@ def x41_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+def x420_ann_lsh(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Declared sign-LSH ANN query (round-11 verdict ask #5: promoted
+    from bench-harness-only to a first-class registry entry, the x41
+    pattern): approximate top-5 neighbors for vec_id 1..5 via
+    :func:`ann_lsh_topk` — the exact probe bench.py's ``ann_lsh_topk``
+    recall gate has tracked since round 2.  No SQL oracle (ANN output
+    is index-specific); the recall contract is pytest-gated vs exact
+    brute force (tests/test_similarity.py::
+    test_ann_lsh_recall_vs_brute_force) and tracked per-run as
+    ``ann_recall`` in bench.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ann_lsh_topk(emb, probe, k=k).orderBy(
+        "query_id", F.col("similarity").desc(), "neighbor_id"
+    )
+
+
 CLUSTER_VIEW_K = 8       # planted clusters: vec_id % 8 → one-hot anchor
 CLUSTER_VIEW_PULL = 2.5  # anchor weight vs the unit-normalized vector
 

@@ -12319,3 +12319,16 @@ ORACLE_SQL["x419_mjpeg_decode"] = """
            CAST(SUM(b * npix) AS BIGINT) AS sum_b
     FROM c GROUP BY i, t ORDER BY media_id, frame_idx
 """
+
+# ---------------------------------------------------------------------------
+# wave 103 (round 12): the sign-LSH ANN probe promoted from
+# bench-harness-only to a first-class registry entry (round-11 verdict
+# ask #5) — BENCH_FULL's timed set now reconciles with the registry by
+# RULE (tools/round_close.py check f): every timed name is either a
+# registry query or one of bench.py's two declared recall-gate
+# timings.  No SQL oracle (ANN output is index-specific; the x41
+# pattern): recall is pytest-gated vs exact brute force and tracked
+# per-run as ann_recall in bench.py.
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x420_ann_lsh": S.x420_ann_lsh})

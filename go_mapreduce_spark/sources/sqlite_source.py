@@ -597,6 +597,18 @@ class SqliteStreamReader(DataSourceStreamReader):
         lo, hi = int(start["rowid"]), int(end["rowid"])
         if hi <= lo:
             return []
+        # Split sizing assumes DENSE rowids (the default for an
+        # append-only table that never DELETEs: SQLite allocates
+        # max(rowid)+1).  ``hi - lo`` then equals the row count and
+        # splits come out balanced.  A table with large rowid gaps
+        # (DELETE churn, explicit rowid inserts) still reads
+        # CORRECTLY — the half-open ranges cover (lo, hi] exactly —
+        # but split sizing degrades to span-proportional, so some
+        # partitions may plan skewed or empty.  That table also
+        # violates the append-only offset contract above (rowids of
+        # read rows must never change), so it is outside this
+        # reader's scope; size from a COUNT(*) probe if ever
+        # extending to such tables.
         n_rows = hi - lo
         n = max(
             1,

@@ -81,6 +81,18 @@ def test_audio_stream_rejected():
         decode_avi(bytes(data))
 
 
+def test_second_vids_stream_rejected():
+    # round-11 advice: a second 'vids' strh must fail loudly, not
+    # silently decode with the first stream's geometry (mirror of the
+    # 'auds' rejection)
+    base = encode_avi(4, 3, _const_frames(4, 3, [(1, 1, 1)]))
+    strh2 = b"vids" + b"DIB " + b"\x00" * 40
+    body = base[8:] + b"strh" + struct.pack("<I", len(strh2)) + strh2
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="multiple vids"):
+        decode_avi(data)
+
+
 def test_frame_count_mismatch_rejected():
     w, h = 4, 3
     data = bytearray(encode_avi(w, h, _const_frames(w, h, [(1, 1, 1), (2, 2, 2)])))

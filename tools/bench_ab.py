@@ -98,14 +98,32 @@ def main() -> None:
         runs[q] = samples
         print(f"  {q}: min {min(samples)} of {samples}")
 
+    # calib normalization (round 12): the raw reproduces rule compares
+    # this session's steady wall against the PREV capture's wall taken
+    # on a possibly different host state.  When both captures carry a
+    # calib probe, also adjudicate in calib-normalized units — the r12
+    # A/B's two raw-rule "reproduces" (x65, x362) were both flat once
+    # the 1.36× host-speed gap (calib 0.296 vs 0.217) was divided out.
+    prev_calib = prev.get("calib_sec")
     verdicts = {}
     for q, prev_s, committed_s in regs:
         steady = min(runs[q])
+        norm = (
+            round(steady * prev_calib / calib, 3)
+            if prev_calib and calib
+            else None
+        )
         verdicts[q] = {
             "prev_committed": prev_s,
             "curr_committed": committed_s,
             "steady_min_of_reps": steady,
+            "steady_calib_norm": norm,
             "reproduces": steady > 1.2 * prev_s and steady - prev_s > 0.3,
+            "reproduces_calib_norm": (
+                norm > 1.2 * prev_s and norm - prev_s > 0.3
+                if norm is not None
+                else None
+            ),
         }
     out = {
         "purpose": (
@@ -119,6 +137,7 @@ def main() -> None:
         ),
         "n": args.reps,
         "calib_sec": calib,
+        "prev_calib_sec": prev_calib,
         "sf_dir": SF_DIR,
         "runs": runs,
         "verdicts": verdicts,

@@ -49,7 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
 )
-N_RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+N_RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 HOT_USER = 1
 HOT_FRACTION_MOD = 5  # 1-in-5 rows → 20%
 HOT_PHRASE = " skewstress alpha omega"
@@ -207,15 +207,20 @@ def bench_merge(spark, sf_dir: str, n_runs: int) -> dict:
     hot = orders.orderBy("o_orderkey").limit(n)
     tag = os.path.basename(os.path.normpath(sf_dir))
     walls = {}
-    for label, batch_src in (("uniform", uniform), ("skewed", hot)):
-        batch = batch_src.select(
+    batches = {
+        label: src.select(
             "o_orderkey",
             "o_orderstatus",
             (F.col("o_totalprice") + 1).alias("o_totalprice"),
             F.lit("upsert").alias("_op"),
         ).localCheckpoint()  # batch build excluded from the timed merge
-        best = None
-        for i in range(n_runs):
+        for label, src in (("uniform", uniform), ("skewed", hot))
+    }
+    # arms INTERLEAVED within each rep (round-11 verdict ask #2): host
+    # drift between two sequential min-of-N blocks reads as a skew
+    # ratio; alternating the arms makes drift hit both equally
+    for i in range(n_runs):
+        for label, batch in batches.items():
             root = os.path.join(
                 tempfile.gettempdir(), f"gms_skew_merge_{tag}_{label}_{i}"
             )
@@ -224,10 +229,9 @@ def bench_merge(spark, sf_dir: str, n_runs: int) -> dict:
             create_table(spark, orders, root, key_col="o_orderkey")
             t0 = time.perf_counter()
             merge_table(spark, batch, root, batch_id=f"b_{label}_{i}")
-            w = time.perf_counter() - t0
-            best = w if best is None else min(best, w)
+            w = round(time.perf_counter() - t0, 3)
+            walls[label] = min(walls.get(label, w), w)
             shutil.rmtree(root)
-        walls[label] = round(best, 3)
     ratio = round(walls["skewed"] / walls["uniform"], 3)
     print(
         f"  lakehouse_merge_hot_range: uniform={walls['uniform']}s "
@@ -242,22 +246,40 @@ def main() -> int:
     from go_mapreduce_spark.session import get_spark
 
     spark = get_spark("bench-skew")
+
+    # same calibration probe as bench.py: the r10→r11 BENCH_SKEW
+    # captures moved x190's ratio 0.678→1.445 with zero code change
+    # because each arm was a single sequential block — record the
+    # host state so a future swing can be attributed
+    def calib_probe() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(400_000_000).selectExpr("sum(id * 3 + 1)").collect()
+            c = round(time.perf_counter() - t0, 3)
+            best = c if best is None else min(best, c)
+        return best
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    calib_sec = calib_probe()
     skew_dir = build_skew_dir(spark, SF_DIR)
 
     results: dict[str, dict] = {}
     worst = 0.0
     for name in SKEW_QUERIES:
         fn = QUERIES[name]
-        walls = {}
-        for label, d in (("uniform", SF_DIR), ("skewed", skew_dir)):
-            best = None
-            for _ in range(N_RUNS):
+        walls: dict[str, float] = {}
+        # arms INTERLEAVED within each rep (round-11 verdict ask #2):
+        # uniform then skewed inside every rep, min-of-N per arm —
+        # host drift lands on both arms instead of masquerading as a
+        # skew ratio
+        for _ in range(N_RUNS):
+            for label, d in (("uniform", SF_DIR), ("skewed", skew_dir)):
                 t0 = time.perf_counter()
                 fn(spark, d).collect()
-                w = time.perf_counter() - t0
-                best = w if best is None else min(best, w)
-            walls[label] = round(best, 3)
-            spark.catalog.clearCache()
+                w = round(time.perf_counter() - t0, 3)
+                walls[label] = min(walls.get(label, w), w)
+                spark.catalog.clearCache()
         ratio = round(walls["skewed"] / walls["uniform"], 3)
         worst = max(worst, ratio)
         results[name] = {**walls, "ratio": ratio}
@@ -266,12 +288,20 @@ def main() -> int:
     results["lakehouse_merge_hot_range"] = bench_merge(spark, SF_DIR, N_RUNS)
     worst = max(worst, results["lakehouse_merge_hot_range"]["ratio"])
 
+    calib_sec_end = calib_probe()
     out = {
         "metric": "skew_stress_ratio_max",
         "value": worst,
         "unit": "x",
         "sf": SF_DIR,
         "hot_fraction": 1.0 / HOT_FRACTION_MOD,
+        "n_runs": N_RUNS,
+        "interleaved_arms": True,
+        "calib_sec": calib_sec,
+        "calib_sec_end": calib_sec_end,
+        "calib_drift_ratio": (
+            round(calib_sec_end / calib_sec, 3) if calib_sec else None
+        ),
         "queries": results,
         "gate": "ratio <= 2.0",
         "pass": worst <= 2.0,

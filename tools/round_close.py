@@ -120,6 +120,31 @@ def main() -> int:
     )
     check(f"{n_o}/{n_q}" in readme, f"README.md states oracle coverage {n_o}/{n_q}")
 
+    # (f) BENCH_FULL timed set reconciles with the registry BY RULE
+    # (round-11 verdict ask #5): every timed name is either a registry
+    # query or one of bench.py's declared recall-gate timings — no
+    # untracked bench-only entries, no registry query silently untimed.
+    bench_full = os.path.join(REPO, "BENCH_FULL.json")
+    if not os.path.isfile(bench_full):
+        check(False, "BENCH_FULL.json exists")
+    else:
+        import bench as bench_mod
+
+        timed = set(json.load(open(bench_full)).get("queries", {}))
+        allowed = set(QUERIES) | set(bench_mod.BENCH_ONLY_TIMED)
+        extra = sorted(timed - allowed)
+        untimed = sorted(set(QUERIES) - timed)
+        check(
+            not extra,
+            "BENCH_FULL.json has no timed names outside QUERIES ∪ BENCH_ONLY_TIMED"
+            + (f" (extra: {extra[:5]})" if extra else ""),
+        )
+        check(
+            not untimed,
+            "BENCH_FULL.json times every registry query"
+            + (f" (untimed: {untimed[:5]})" if untimed else ""),
+        )
+
     # (e) bench prev rotation
     head = subprocess.run(
         ["git", "-C", REPO, "rev-parse", "HEAD"], capture_output=True, text=True
