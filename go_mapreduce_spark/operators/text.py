@@ -1595,7 +1595,19 @@ def x253_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN prior p USING (model_lang)
             CROSS JOIN alln a
         ), overlap AS (
-            SELECT dg.doc_id, c.model_lang,
+            -- BROADCAST(c): the model is the vocab-sized side
+            -- (Heaps-bounded: |bigrams|x|langs| rows), the gram
+            -- stream is corpus-sized.  Without the hint Catalyst
+            -- sizes the un-materialized cached aggregate above the
+            -- threshold and the small-LOOKING explode subtree below
+            -- it, and broadcasts the CORPUS side (BuildLeft over the
+            -- Generate) — measured in the round-12 exponent split
+            -- (tools/measure_x253_split.py): the join stage carried
+            -- the query's whole sf1 exponent (0.664 vs train -0.003)
+            -- because broadcast cost grows with the corpus.  At
+            -- 100 TB the unhinted plan ships the exploded corpus to
+            -- the driver; the hinted one ships a bounded model.
+            SELECT /*+ BROADCAST(c) */ dg.doc_id, c.model_lang,
                    CAST(SUM(CAST(ln(c.c + 1) AS DECIMAL(38,6))) AS DOUBLE)
                        AS log_match
             FROM (SELECT doc_id,
