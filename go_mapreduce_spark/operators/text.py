@@ -414,27 +414,35 @@ def x74_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, count each (w_left, w_right) pair corpus-wide; emit pairs
     with count ≥ MIN_COUNT.
 
-    Plan: positions explode once, then one EQUI-join per window
-    offset on (doc_id, pos + δ) — linear in corpus size × window,
-    never the per-doc quadratic a raw doc_id join + gap filter would
-    be.  Counts partial-aggregate map-side; scan-bound at 100 TB.
+    Plan (round 12, lint-driven rewrite): pairs are generated
+    ARRAY-SIDE in one expression — for each token index i, struct
+    pairs with the next ``min(WINDOW, remaining)`` tokens via a
+    nested transform + slice, flattened and exploded once.  The
+    previous shape (positions explode once, then one equi-join per
+    window offset on (doc_id, pos + δ), unioned) produced the same
+    pairs but paid WINDOW join shuffles of two corpus-sized exploded
+    streams — and the round-12 broadcast-explode plan lint flagged
+    Catalyst broadcasting one of them at fixture scale (explode
+    output is invisible to size estimation; see SCALE.md round-12
+    notes).  Array-side generation has no join at all: the only
+    shuffle left is the final (w_left, w_right) count, which
+    partial-aggregates map-side.  Same output volume (n_tokens ×
+    WINDOW pairs), zero corpus shuffles before the aggregate —
+    scan-bound at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id", F.posexplode(lower_tokens(F.col("text"))).alias("p", "w")
+    toks = docs.select(lower_tokens(F.col("text")).alias("toks"))
+    pair_expr = F.expr(
+        f"""
+        flatten(transform(toks, (w, i) ->
+            transform(slice(toks, i + 2, {SKIPGRAM_WINDOW}),
+                      w2 -> struct(w AS w_left, w2 AS w_right))))
+        """
     )
-    left = pos.select("doc_id", "p", F.col("w").alias("w_left"))
-    pairs = None
-    for delta in range(1, SKIPGRAM_WINDOW + 1):
-        right = pos.select(
-            "doc_id",
-            (F.col("p") - delta).alias("p"),
-            F.col("w").alias("w_right"),
-        )
-        d = left.join(right, ["doc_id", "p"])
-        pairs = d if pairs is None else pairs.unionAll(d)
     return (
-        pairs.groupBy("w_left", "w_right")
+        toks.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.w_left", "pr.w_right")
+        .groupBy("w_left", "w_right")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= SKIPGRAM_MIN_COUNT)
         .orderBy("w_left", "w_right")

@@ -120,16 +120,46 @@ def _plan_children(node) -> list:
     return [ch.apply(i) for i in range(ch.size())]
 
 
+_LITERAL_CMP = re.compile(
+    r"\(?(\w+#\d+\w*)\s+(=|>=|<=|>|<|IN)\s+(-?[\d.][\w.]*|'[^']*')"
+)
+
+
+def _is_selective_literal_filter(node) -> bool:
+    """True for a Filter whose condition pins a bare column to a
+    point or CLOSED range of literals (``k = 5``, ``k IN (...)``,
+    ``k >= 1 AND k <= 5``) — the probe-slice pattern whose output is
+    bounded by key selectivity, not by plan shape.  One-sided or
+    function-wrapped predicates (``length(t) >= 2``) don't count."""
+    if node.nodeName() != "Filter":
+        return False
+    try:
+        cond = node.condition().toString()
+    except Exception:
+        cond = node.simpleString(200)
+    lo, hi, eq = set(), set(), set()
+    for attr, op, _rhs in _LITERAL_CMP.findall(cond):
+        if op in (">=", ">"):
+            lo.add(attr)
+        elif op in ("<=", "<"):
+            hi.add(attr)
+        else:
+            eq.add(attr)
+    return bool(eq or (lo & hi))
+
+
 def _subtree_reaches_data_scan(node) -> bool:
     """True if this physical subtree can deliver data-table-sized row
     counts: it reaches a file scan of a data-sized table without an
     intervening aggregate / limit / top-k (those bound the output to
-    group-count / k rows regardless of what they scan)."""
+    group-count / k rows regardless of what they scan) or point/range
+    literal key filter (probe slices are bounded by selectivity)."""
     name = node.nodeName()
     if (
         "Aggregate" in name
         or "Limit" in name
         or name.startswith("TakeOrdered")
+        or _is_selective_literal_filter(node)
     ):
         return False
     kids = _plan_children(node)
@@ -137,6 +167,75 @@ def _subtree_reaches_data_scan(node) -> bool:
         head = node.toString().splitlines()[0]
         return any(f"{t}.parquet" in head for t in DATA_SIZED_TABLES)
     return any(_subtree_reaches_data_scan(k) for k in kids)
+
+
+def _subtree_explodes_data(node) -> bool:
+    """True if this physical subtree contains a Generate (explode)
+    whose own input reaches a data-sized table scan with no bounding
+    aggregate / limit / top-k in between — i.e. the subtree's row
+    count is corpus-sized TIMES a fan-out factor, the shape Catalyst's
+    size-in-bytes estimation is blind to (explode output size is not
+    modeled, so the subtree can estimate small enough to broadcast)."""
+    name = node.nodeName()
+    if (
+        "Aggregate" in name
+        or "Limit" in name
+        or name.startswith("TakeOrdered")
+        or _is_selective_literal_filter(node)
+    ):
+        return False
+    if name.startswith("Generate"):
+        if any(_subtree_reaches_data_scan(k) for k in _plan_children(node)):
+            return True
+    return any(_subtree_explodes_data(k) for k in _plan_children(node))
+
+
+def broadcasts_over_exploded_data(df: DataFrame) -> list[str]:
+    """Broadcast joins that BUILD over an explode of a data-sized
+    table while a BOUNDED side sits opposite — the x253 failure mode
+    made a gate (round 12, SCALE.md): Catalyst does not model explode
+    output size, so a corpus-sized gram/token/shingle stream can
+    estimate below the autoBroadcast threshold and get shipped
+    through the driver, while the genuinely bounded side (a
+    vocab-sized aggregate, a dimension) streams.  Any hit means the
+    join needs an explicit BROADCAST hint on its bounded side.
+
+    Deliberately NOT flagged: (a) corpus x corpus self-joins (both
+    sides reach data scans — there is no bounded side to hint, the
+    local broadcast is Catalyst's size-based pick and flips to SMJ
+    on its own once scan estimates grow past the threshold: x178's
+    shingle postings, x227's gram candidates); (b) probe slices
+    bounded by point/range literal key filters (x41/x420's 5-vector
+    probes — bounded by selectivity, not plan shape).  Uses the
+    pre-execution sparkPlan, where the build side is carried on the
+    join node itself (EnsureRequirements adds the exchange only in
+    the executed plan), so no execution happens.
+    """
+    plan = df._jdf.queryExecution().sparkPlan()  # type: ignore[attr-defined]
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name.startswith("Broadcast") and "Join" in name:
+            head = node.toString().splitlines()[0]
+            kids = _plan_children(node)
+            build = other = None
+            if len(kids) == 2:
+                if "BuildLeft" in head:
+                    build, other = kids[0], kids[1]
+                elif "BuildRight" in head:
+                    build, other = kids[1], kids[0]
+            if (
+                build is not None
+                and _subtree_explodes_data(build)
+                and not _subtree_reaches_data_scan(other)
+            ):
+                bad.append(node.simpleString(120))
+        for k in _plan_children(node):
+            walk(k)
+
+    walk(plan)
+    return bad
 
 
 def windows_over_unbounded_input(df: DataFrame) -> list[str]:

@@ -144,13 +144,17 @@ def test_large_large_join_uses_sort_merge(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_x74_skipgram_joins_are_equi_not_nested_loop(spark, sf_dir):
-    """The per-offset equi-join construction must never degrade to a
-    nested-loop/cartesian plan (the per-doc quadratic shape)."""
+def test_x74_skipgram_has_no_joins_at_all(spark, sf_dir):
+    """Round-12 rewrite: pairs are generated array-side (nested
+    transform + slice, one explode) — the plan must contain NO join
+    of any kind; the only shuffle is the final pair count.  (The old
+    per-offset equi-join shape paid WINDOW join shuffles of two
+    corpus-sized exploded streams and tripped the broadcast-explode
+    lint at fixture scale.)"""
     from go_mapreduce_spark.operators.text import x74_skipgram_cooc
 
     plan = formatted_plan(x74_skipgram_cooc(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 
