@@ -841,6 +841,140 @@ def x200_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x421_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline as ONE lazy plan
+    (round-11 verdict ask #7): exact dedup → benchmark
+    decontamination → quality gate → sharded sequence packing →
+    per-shard manifest.  Every stage is a previously-declared,
+    individually-oracle-checked operator (x1/x200 dedup rule, x52
+    decontamination rule, x200 quality composite, x48 packing rule);
+    this query evidences that they COMPOSE without driver round-trips
+    — no collect, no materialization between stages, one DataFrame.
+
+    Stage semantics (all deterministic, DuckDB-replayed end-to-end):
+
+    1. dedup: keep min doc_id per sha256(text).
+    2. decontaminate: the holdout is the raw ``doc_id % 10 == 0``
+       slice (x52); holdout docs never train, and a surviving train
+       doc is dropped when ≥ 20% of its distinct word-3-gram shingles
+       hit the holdout shingle set.  (A survivor whose duplicate twin
+       sits in the holdout is 100% contaminated and drops — the
+       eval-leakage case the stage exists for.)
+    3. quality: the x200 composite (alpha ratio / stopword ratio /
+       length term) ≥ 0.5.
+    4. pack: shard = doc_id % PACK_SHARDS, admitted docs laid
+       end-to-end per shard in doc_id order, PACK_BUDGET-token bins
+       (x48).
+    5. manifest: per shard — docs, tokens, bins receiving a document
+       start, and an order-independent survivorship fingerprint (sum
+       of per-doc hash prefixes, the x109/x200 device) certifying
+       WHICH documents were admitted, not just how many.
+
+    100 TB shape: one corpus scan feeds dedup (one shuffle on a
+    uniform 64-hex key); the benchmark shingle set is tiny and
+    BROADCAST (set-membership probe, no corpus shuffle, no skew
+    amplification — x52's argument); quality is per-row expression
+    work fused into the same stage; packing windows partition by
+    shard (PACK_SHARDS-wide parallelism, raise with the cluster);
+    the manifest is a ≤ PACK_SHARDS-row aggregate."""
+    from go_mapreduce_spark.operators.dedup import doc_shingles, lower_tokens
+    from go_mapreduce_spark.operators.text import (
+        EN_STOPWORDS,
+        _stopword_count,
+        _tokens_ascii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup (x1/x200 rule)
+    w_dup = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    surv = (
+        docs.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 2. decontamination (x52 rule) over the non-holdout survivors
+    is_holdout = F.pmod(F.col("doc_id"), F.lit(DECON_HOLDOUT_MOD)) == 0
+    bench_sh = (
+        doc_shingles(docs.filter(is_holdout), spread=False).select("sh").distinct()
+    )
+    train = surv.filter(~is_holdout)
+    train_sh = doc_shingles(train, spread=False)
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contamination = F.coalesce("n_hit", F.lit(0)).cast("double") / F.coalesce(
+        "n_sh", F.lit(1)
+    ).cast("double")
+    clean = (
+        train.join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .filter(contamination < DECON_FLAG_FRAC)
+        .drop("n_sh", "n_hit")
+    )
+
+    # 3. quality gate (x200 composite)
+    toks = lower_tokens(F.col("text"))
+    text_len = F.length("text")
+    alpha_len = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_toks = F.size(toks)
+    sw = _stopword_count(toks, EN_STOPWORDS)
+    alpha_ratio = F.when(text_len > 0, alpha_len.cast("double") / text_len).otherwise(
+        0.0
+    )
+    sw_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    quality = F.round(
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * sw_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / 50),
+        6,
+    )
+    admitted = clean.filter(quality >= PIPE_QUALITY_MIN)
+
+    # 4. packing (x48 rule) over the admitted docs
+    w_pack = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fp_piece = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":x421")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    packed = admitted.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("bigint").alias("shard_id"),
+        F.size(_tokens_ascii(F.col("text"))).cast("bigint").alias("n_tokens"),
+        fp_piece.alias("fp"),
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0)) / PACK_BUDGET
+        ).cast("bigint"),
+    )
+
+    # 5. per-shard manifest
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("bin_id").cast("bigint").alias("n_bins"),
+            F.sum("fp").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # x221: exact proportional allocation (largest-remainder method)
 # ---------------------------------------------------------------------------

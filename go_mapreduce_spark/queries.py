@@ -12332,3 +12332,115 @@ ORACLE_SQL["x419_mjpeg_decode"] = """
 # ---------------------------------------------------------------------------
 
 QUERIES.update({"x420_ann_lsh": S.x420_ann_lsh})
+
+# ---------------------------------------------------------------------------
+# wave 104 (round 12): the end-to-end training-data pipeline composed
+# as ONE lazy plan (round-11 verdict ask #7) — dedup (x1/x200 rule) →
+# benchmark decontamination (x52 rule) → quality gate (x200
+# composite) → sharded sequence packing (x48 rule) → per-shard
+# manifest with survivorship fingerprint.  Oracle-replayed end-to-end
+# in DuckDB: the whole five-stage chain is exact SQL.
+# ---------------------------------------------------------------------------
+
+QUERIES.update({"x421_training_pipeline": C.x421_training_pipeline})
+
+
+def _x421_oracle() -> str:
+    from go_mapreduce_spark.operators.curation import (
+        DECON_FLAG_FRAC,
+        DECON_HOLDOUT_MOD,
+        PACK_BUDGET,
+        PACK_SHARDS,
+        PIPE_QUALITY_MIN,
+    )
+    from go_mapreduce_spark.operators.text import EN_STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+    WITH surv AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ), bench AS (
+        SELECT DISTINCT sh FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS sh
+            FROM (SELECT list_filter(
+                             regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> len(t) > 0) AS toks
+                  FROM documents
+                  WHERE doc_id % {DECON_HOLDOUT_MOD} = 0))
+    ), train_sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS sh
+            FROM (SELECT doc_id,
+                         list_filter(
+                             regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> len(t) > 0) AS toks
+                  FROM surv WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0))
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM train_sh GROUP BY doc_id
+    ), hits AS (
+        SELECT doc_id, COUNT(*) AS n_hit
+        FROM train_sh JOIN bench USING (sh) GROUP BY doc_id
+    ), clean AS (
+        SELECT s.doc_id, s.text
+        FROM surv s
+        LEFT JOIN sizes z ON z.doc_id = s.doc_id
+        LEFT JOIN hits h ON h.doc_id = s.doc_id
+        WHERE s.doc_id % {DECON_HOLDOUT_MOD} <> 0
+          AND CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / COALESCE(z.n_sh, 1)
+              < {DECON_FLAG_FRAC}
+    ), admitted AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   len(text) AS tl,
+                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
+                   len(ltoks) AS nt,
+                   len(list_filter(ltoks, x -> list_contains({sw}, x))) AS swc
+            FROM (SELECT doc_id, text,
+                         list_filter(
+                             regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> len(x) > 0) AS ltoks
+                  FROM clean))
+        WHERE ROUND(0.4*(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl
+                              ELSE 0.0 END)
+                  + 0.3*(CASE WHEN nt > 0 THEN CAST(swc AS DOUBLE)/nt
+                              ELSE 0.0 END)
+                  + 0.3*least(1.0, CAST(nt AS DOUBLE)/50), 6)
+              >= {PIPE_QUALITY_MIN}
+    ), sized AS (
+        SELECT doc_id,
+               doc_id % {PACK_SHARDS} AS shard_id,
+               CAST(len(list_filter(
+                        regexp_split_to_array(text, '[^A-Za-z]+'),
+                        t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+               CAST(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                               || ':x421'), 1, 8) AS BIGINT)
+                    AS DECIMAL(38,0)) AS fp
+        FROM admitted
+    ), packed AS (
+        SELECT shard_id, n_tokens, fp,
+               CAST(FLOOR(CAST(COALESCE(
+                   SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(SUM(fp) AS BIGINT) AS fingerprint
+    FROM packed GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+ORACLE_SQL["x421_training_pipeline"] = _x421_oracle()
