@@ -42,6 +42,65 @@ def sf_of(path: str) -> float:
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
+def drift_requeue_pass(
+    prev,
+    drift_ratio,
+    timings,
+    min_of,
+    queries,
+    timed_run,
+    calib_probe,
+):
+    """Drift requeue (round-11 verdict ask #1, module-level so the
+    never-yet-fired branch is unit-testable with fakes): two
+    consecutive driver captures shipped 15- and 19-query "regression"
+    tails that each next round's interleaved A/B adjudicated 0/N real
+    — pure host drift during the capture.  Close the loop AT CAPTURE
+    TIME: when the capture self-flags (calib_drift_ratio outside
+    [0.7, 1.4]), re-run every common query whose wall grew > 0.8 s vs
+    prev min-of-3 and commit the steady walls.  By this point the
+    probe has already measured the host's end state, so the re-runs
+    are the same-session steady evidence the A/B would otherwise have
+    to produce a round later.
+
+    Mutates ``timings``/``min_of`` in place; returns the requeue
+    record for the JSON (or None when no requeue ran).
+    """
+    if prev is None or drift_ratio is None or 0.7 <= drift_ratio <= 1.4:
+        return None
+    pq = prev.get("queries", {})
+    suspects = sorted(
+        (
+            (name, timings[name] - pq[name])
+            for name in timings
+            if name in pq and name in queries and timings[name] - pq[name] > 0.8
+        ),
+        key=lambda t: -t[1],
+    )
+    requeue = {
+        "rule": (
+            "calib_drift_ratio outside [0.7, 1.4] -> re-run every "
+            "common query with delta > 0.8 s vs prev, min-of-3, "
+            "commit min(first_pass, steady)"
+        ),
+        "calib_drift_ratio": drift_ratio,
+        "queries": {},
+    }
+    for name, _delta in suspects:
+        fn = queries[name]
+        steady = min(timed_run(fn) for _ in range(3))
+        requeue["queries"][name] = {
+            "prev": pq[name],
+            "first_pass": timings[name],
+            "steady_min3": round(steady, 3),
+        }
+        timings[name] = round(min(timings[name], steady), 3)
+        min_of[name] = max(min_of.get(name, 1), 3)
+    # third probe: records which host state the steady walls ran on
+    requeue["calib_sec_post_requeue"] = calib_probe()
+    return requeue
+
+
 def main() -> None:
     spark = get_spark("bench")
     # Warmup: run every query once at the smallest SF.  Codegen caches
@@ -254,42 +313,15 @@ def main() -> None:
     # the same-session steady evidence the A/B would otherwise have
     # to produce a round later.
     drift_ratio = round(calib_sec_end / calib_sec, 3) if calib_sec else None
-    drift_requeue = None
-    if (
-        prev is not None
-        and drift_ratio is not None
-        and not (0.7 <= drift_ratio <= 1.4)
-    ):
-        pq = prev.get("queries", {})
-        suspects = sorted(
-            (
-                (name, timings[name] - pq[name])
-                for name in timings
-                if name in pq and name in QUERIES and timings[name] - pq[name] > 0.8
-            ),
-            key=lambda t: -t[1],
-        )
-        drift_requeue = {
-            "rule": (
-                "calib_drift_ratio outside [0.7, 1.4] -> re-run every "
-                "common query with delta > 0.8 s vs prev, min-of-3, "
-                "commit min(first_pass, steady)"
-            ),
-            "calib_drift_ratio": drift_ratio,
-            "queries": {},
-        }
-        for name, _delta in suspects:
-            fn = QUERIES[name]
-            steady = min(_timed_run(fn) for _ in range(3))
-            drift_requeue["queries"][name] = {
-                "prev": pq[name],
-                "first_pass": timings[name],
-                "steady_min3": round(steady, 3),
-            }
-            timings[name] = round(min(timings[name], steady), 3)
-            min_of[name] = max(min_of.get(name, 1), 3)
-        # third probe: records which host state the steady walls ran on
-        drift_requeue["calib_sec_post_requeue"] = calib_probe()
+    drift_requeue = drift_requeue_pass(
+        prev,
+        drift_ratio,
+        timings,
+        min_of,
+        {n: fn for n, fn in QUERIES.items()},
+        _timed_run,
+        calib_probe,
+    )
 
     total = round(sum(timings.values()), 3)
     full = {

@@ -1,0 +1,103 @@
+"""Unit tests for bench.drift_requeue_pass (round-11 verdict ask #1).
+
+The requeue branch fires exactly when a driver capture self-flags as
+drift-polluted — i.e. during a run nobody is watching — so it must be
+proven correct with fakes BEFORE it ever fires for real: selection
+rule, min-of-3 commit, in-place timing repair, and every no-op guard.
+No Spark involved.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def _prev(queries):
+    return {"queries": queries, "calib_sec": 0.2}
+
+
+def test_requeue_fires_and_repairs_timings():
+    timings = {"a": 5.0, "b": 1.0, "c": 2.0}
+    min_of = {"a": 3}
+    queries = {"a": "fn_a", "b": "fn_b", "c": "fn_c"}
+    runs = {"fn_a": iter([3.1, 2.05, 2.5]), "fn_c": iter([1.2, 1.15, 1.3])}
+    calls = []
+
+    def timed_run(fn):
+        calls.append(fn)
+        return next(runs[fn])
+
+    rq = bench.drift_requeue_pass(
+        _prev({"a": 2.0, "b": 0.9, "c": 1.0}),
+        0.3,  # outside [0.7, 1.4] -> fires
+        timings,
+        min_of,
+        queries,
+        timed_run,
+        lambda: 0.111,
+    )
+    # a (delta 3.0) and c (delta 1.0) requeue; b (delta 0.1) does not
+    assert set(rq["queries"]) == {"a", "c"}
+    assert calls.count("fn_a") == 3 and calls.count("fn_c") == 3
+    assert rq["queries"]["a"] == {
+        "prev": 2.0,
+        "first_pass": 5.0,
+        "steady_min3": 2.05,
+    }
+    # committed wall = min(first_pass, steady), repaired in place
+    assert timings == {"a": 2.05, "b": 1.0, "c": 1.15}
+    assert min_of["a"] == 3 and min_of["c"] == 3
+    assert rq["calib_sec_post_requeue"] == 0.111
+    # worst delta first
+    assert list(rq["queries"]) == ["a", "c"]
+
+
+def test_requeue_noops():
+    timings = {"a": 5.0}
+    boom = lambda fn: (_ for _ in ()).throw(AssertionError("must not run"))
+    # no prev capture
+    assert bench.drift_requeue_pass(
+        None, 0.3, timings, {}, {"a": 1}, boom, lambda: 0
+    ) is None
+    # no calib probe
+    assert bench.drift_requeue_pass(
+        _prev({"a": 2.0}), None, timings, {}, {"a": 1}, boom, lambda: 0
+    ) is None
+    # drift inside the healthy band
+    assert bench.drift_requeue_pass(
+        _prev({"a": 2.0}), 1.0, timings, {}, {"a": 1}, boom, lambda: 0
+    ) is None
+    assert timings == {"a": 5.0}
+
+
+def test_requeue_ignores_retired_and_new_queries():
+    # prev-only names (retired) and timings-only names (new this
+    # round) must both be skipped — only the common set requeues
+    timings = {"new": 9.0, "common": 4.0}
+    rq = bench.drift_requeue_pass(
+        _prev({"retired": 0.1, "common": 1.0}),
+        0.2,
+        timings,
+        {},
+        {"new": "f_new", "common": "f_common"},
+        lambda fn: 1.1,
+        lambda: 0.1,
+    )
+    assert set(rq["queries"]) == {"common"}
+    assert timings["new"] == 9.0
+
+
+def test_requeue_never_raises_a_committed_wall():
+    # steady slower than first pass (host got WORSE): keep first pass
+    timings = {"a": 2.0}
+    rq = bench.drift_requeue_pass(
+        _prev({"a": 1.0}),
+        0.2,
+        timings,
+        {},
+        {"a": "f"},
+        lambda fn: 7.0,
+        lambda: 0.1,
+    )
+    assert timings["a"] == 2.0
+    assert rq["queries"]["a"]["steady_min3"] == 7.0
