@@ -865,10 +865,18 @@ def x421_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. pack: shard = doc_id % PACK_SHARDS, admitted docs laid
        end-to-end per shard in doc_id order, PACK_BUDGET-token bins
        (x48).
-    5. manifest: per shard — docs, tokens, bins receiving a document
-       start, and an order-independent survivorship fingerprint (sum
-       of per-doc hash prefixes, the x109/x200 device) certifying
-       WHICH documents were admitted, not just how many.
+    5. manifest: per shard — candidate/clean/admitted counts, admitted
+       tokens, bins receiving a document start, and an
+       order-independent survivorship fingerprint (sum of per-doc
+       hash prefixes, the x109/x200 device) certifying WHICH
+       documents were admitted, not just how many.  The census keeps
+       the REJECTED mass visible: on the synthetic sf0.1 fixture the
+       template-generated texts overlap the holdout so heavily (avg
+       shingle contamination 0.61) that decontamination correctly
+       rejects ~all candidates — a manifest of admitted docs alone
+       would be empty there and indistinguishable from a broken
+       pipeline; n_clean ≪ n_candidates makes the leakage a reported
+       fact instead.
 
     100 TB shape: one corpus scan feeds dedup (one shuffle on a
     uniform 64-hex key); the benchmark shingle set is tiny and
@@ -910,12 +918,7 @@ def x421_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination = F.coalesce("n_hit", F.lit(0)).cast("double") / F.coalesce(
         "n_sh", F.lit(1)
     ).cast("double")
-    clean = (
-        train.join(sizes, "doc_id", "left")
-        .join(hits, "doc_id", "left")
-        .filter(contamination < DECON_FLAG_FRAC)
-        .drop("n_sh", "n_hit")
-    )
+    is_clean = contamination < DECON_FLAG_FRAC
 
     # 3. quality gate (x200 composite)
     toks = lower_tokens(F.col("text"))
@@ -933,14 +936,12 @@ def x421_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / 50),
         6,
     )
-    admitted = clean.filter(quality >= PIPE_QUALITY_MIN)
+    is_admitted = is_clean & (quality >= PIPE_QUALITY_MIN)
 
-    # 4. packing (x48 rule) over the admitted docs
-    w_pack = (
-        Window.partitionBy("shard_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # 4. packing (x48 rule) over the ADMITTED docs: the conditional
+    # running sum skips rejected rows, so admitted docs get exactly
+    # the offsets they would have in an admitted-only relation while
+    # rejected docs stay visible for the census (bin NULL)
     fp_piece = F.conv(
         F.substring(
             F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":x421")), 256),
@@ -950,24 +951,46 @@ def x421_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("decimal(38,0)")
-    packed = admitted.select(
-        "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("bigint").alias("shard_id"),
-        F.size(_tokens_ascii(F.col("text"))).cast("bigint").alias("n_tokens"),
-        fp_piece.alias("fp"),
-    ).withColumn(
+    flagged = (
+        train.join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS))
+            .cast("bigint")
+            .alias("shard_id"),
+            is_clean.alias("clean"),
+            is_admitted.alias("admitted"),
+            F.when(is_admitted, F.size(_tokens_ascii(F.col("text"))))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("adm_tokens"),
+            F.when(is_admitted, fp_piece).otherwise(F.lit(0)).alias("fp"),
+        )
+    )
+    w_pack = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = flagged.withColumn(
         "bin_id",
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0)) / PACK_BUDGET
+        F.when(
+            F.col("admitted"),
+            F.floor(
+                F.coalesce(F.sum("adm_tokens").over(w_pack), F.lit(0)) / PACK_BUDGET
+            ),
         ).cast("bigint"),
     )
 
-    # 5. per-shard manifest
+    # 5. per-shard census manifest
     return (
         packed.groupBy("shard_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.col("clean").cast("int")).cast("bigint").alias("n_clean"),
+            F.sum(F.col("admitted").cast("int")).cast("bigint").alias("n_admitted"),
+            F.sum("adm_tokens").cast("bigint").alias("n_tokens"),
             F.countDistinct("bin_id").cast("bigint").alias("n_bins"),
             F.sum("fp").cast("bigint").alias("fingerprint"),
         )

@@ -12390,53 +12390,67 @@ def _x421_oracle() -> str:
     ), hits AS (
         SELECT doc_id, COUNT(*) AS n_hit
         FROM train_sh JOIN bench USING (sh) GROUP BY doc_id
-    ), clean AS (
-        SELECT s.doc_id, s.text
+    ), flags AS (
+        SELECT s.doc_id, s.text,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / COALESCE(z.n_sh, 1)
+                   < {DECON_FLAG_FRAC} AS clean
         FROM surv s
         LEFT JOIN sizes z ON z.doc_id = s.doc_id
         LEFT JOIN hits h ON h.doc_id = s.doc_id
         WHERE s.doc_id % {DECON_HOLDOUT_MOD} <> 0
-          AND CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / COALESCE(z.n_sh, 1)
-              < {DECON_FLAG_FRAC}
-    ), admitted AS (
-        SELECT doc_id, text FROM (
-            SELECT doc_id, text,
-                   len(text) AS tl,
-                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
-                   len(ltoks) AS nt,
-                   len(list_filter(ltoks, x -> list_contains({sw}, x))) AS swc
-            FROM (SELECT doc_id, text,
-                         list_filter(
-                             regexp_split_to_array(lower(text), '[^a-z]+'),
-                             x -> len(x) > 0) AS ltoks
-                  FROM clean))
-        WHERE ROUND(0.4*(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl
+    ), q AS (
+        SELECT doc_id, text, clean,
+               clean AND
+               ROUND(0.4*(CASE WHEN tl > 0 THEN CAST(al AS DOUBLE)/tl
                               ELSE 0.0 END)
                   + 0.3*(CASE WHEN nt > 0 THEN CAST(swc AS DOUBLE)/nt
                               ELSE 0.0 END)
                   + 0.3*least(1.0, CAST(nt AS DOUBLE)/50), 6)
-              >= {PIPE_QUALITY_MIN}
+                  >= {PIPE_QUALITY_MIN} AS admitted
+        FROM (
+            SELECT doc_id, text, clean,
+                   len(text) AS tl,
+                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
+                   len(ltoks) AS nt,
+                   len(list_filter(ltoks, x -> list_contains({sw}, x))) AS swc
+            FROM (SELECT doc_id, text, clean,
+                         list_filter(
+                             regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> len(x) > 0) AS ltoks
+                  FROM flags))
     ), sized AS (
         SELECT doc_id,
                doc_id % {PACK_SHARDS} AS shard_id,
-               CAST(len(list_filter(
-                        regexp_split_to_array(text, '[^A-Za-z]+'),
-                        t -> len(t) > 0)) AS BIGINT) AS n_tokens,
-               CAST(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
-                                               || ':x421'), 1, 8) AS BIGINT)
-                    AS DECIMAL(38,0)) AS fp
-        FROM admitted
+               clean, admitted,
+               CASE WHEN admitted THEN
+                   CAST(len(list_filter(
+                            regexp_split_to_array(text, '[^A-Za-z]+'),
+                            t -> len(t) > 0)) AS BIGINT)
+               ELSE 0 END AS adm_tokens,
+               CASE WHEN admitted THEN
+                   CAST(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                                   || ':x421'), 1, 8) AS BIGINT)
+                        AS DECIMAL(38,0))
+               ELSE 0 END AS fp
+        FROM q
     ), packed AS (
-        SELECT shard_id, n_tokens, fp,
-               CAST(FLOOR(CAST(COALESCE(
-                   SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS BIGINT) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+        SELECT shard_id, clean, admitted, adm_tokens, fp,
+               CASE WHEN admitted THEN
+                   CAST(FLOOR(CAST(COALESCE(
+                       SUM(adm_tokens) OVER (PARTITION BY shard_id
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                       0) AS BIGINT) / {PACK_BUDGET}) AS BIGINT)
+               END AS bin_id
         FROM sized
     )
     SELECT CAST(shard_id AS BIGINT) AS shard_id,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           CAST(SUM(adm_tokens) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
            CAST(SUM(fp) AS BIGINT) AS fingerprint
     FROM packed GROUP BY shard_id ORDER BY shard_id

@@ -23,12 +23,19 @@ def test_x421_manifest_shape_and_bounds(spark, sf_dir):
     assert shard_ids == sorted(shard_ids)
     assert all(0 <= s < C.PACK_SHARDS for s in shard_ids)
     for r in rows:
-        assert r.n_docs >= 1
+        # census nesting: candidates >= clean >= admitted
+        assert r.n_candidates >= 1
+        assert r.n_candidates >= r.n_clean >= r.n_admitted >= 0
         assert r.n_tokens >= 0
-        # a bin receives at most as many doc starts as there are docs,
-        # and at least one bin exists per non-empty shard
-        assert 1 <= r.n_bins <= r.n_docs
-        assert r.fingerprint > 0
+        # a bin receives at most one doc-start per admitted doc, and
+        # at least one bin exists whenever anything was admitted
+        assert r.n_bins <= r.n_admitted
+        assert (r.n_bins >= 1) == (r.n_admitted >= 1)
+        assert (r.fingerprint > 0) == (r.n_admitted >= 1)
+    # the pipeline admits SOMETHING at the test sf (the sf0.1 fixture
+    # is the template-leakage case where decon rejects ~all; sf0.001
+    # must keep a non-trivial admitted mass)
+    assert sum(r.n_admitted for r in rows) > 0
 
 
 def test_x421_each_stage_strictly_filters(spark, sf_dir):
@@ -40,7 +47,7 @@ def test_x421_each_stage_strictly_filters(spark, sf_dir):
     n_surv = docs.select(F.sha2(F.col("text"), 256)).distinct().count()
     n_admitted = (
         C.x421_training_pipeline(spark, sf_dir)
-        .agg(F.sum("n_docs"))
+        .agg(F.sum("n_admitted"))
         .collect()[0][0]
     )
     n_holdout_surv = (
