@@ -670,11 +670,14 @@ def x185_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,12) — the ONLY cross-row reduction, made
     order-independent by the decimal detour — then fold the sums
     into the next 1-row weight relation with pure IEEE scalar ops.
-    The whole trainer is one lazy plan: scan → (per round) broadcast
-    join + partial-agg → 1-row relation, so N rows stream through
-    R rounds with R map-side aggregates and zero corpus shuffles —
-    at 100 TB this is R passes over the data (or one pass if the
-    feature relation is cached), never a collect.  The DuckDB oracle
+    The trainer is one plan over an eagerly-checkpointed feature
+    relation: ONE tokenization pass materializes (f_alpha, f_stop, y)
+    — 3 doubles/doc, ~1000× smaller than the text — then each round
+    is a broadcast join + map-side aggregate over that checkpoint
+    with zero corpus shuffles; at 100 TB this is one pass over the
+    data plus R passes over the compact features, never a collect
+    (round 12: previously the regexp extraction re-ran R+2 times and
+    carried the registry's worst sf1 exponent).  The DuckDB oracle
     replays the identical recursion as chained CTEs; decimal
     addition's associativity + fixed IEEE scalar sequence make the
     final weights bit-identical.
@@ -702,7 +705,16 @@ def x185_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_toks > 0, swc.cast("double") / n_toks).otherwise(0.0), 6
         ).alias("f_stop"),
         (F.col("lang") == "en").cast("double").alias("y"),
-    )
+    ).localCheckpoint()
+    # ^ eager checkpoint of the 3-double feature relation: the per-char
+    # regexp/stopword extraction is the dominant per-pass cost and was
+    # re-run by EVERY GD round plus the count and the final MSE pass
+    # (R+2 corpus tokenizations; round-12 BENCH_SF1 measured exponent
+    # 0.599, the registry's worst).  One tokenization pass feeds all
+    # rounds; the checkpoint is ~1000× smaller than the text at any
+    # scale, which is exactly the trade the docstring's "one pass if
+    # cached" clause promises.  Values are computed once, so the
+    # decimal-sum determinism contract is unchanged.
 
     n = feats.count()  # bounded scalar; reused as an exact literal
     w = spark.range(1).select(
