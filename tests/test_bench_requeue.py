@@ -9,6 +9,8 @@ No Spark involved.
 
 from __future__ import annotations
 
+import pytest
+
 import bench
 
 
@@ -16,7 +18,13 @@ def _prev(queries):
     return {"queries": queries, "calib_sec": 0.2}
 
 
-def test_requeue_fires_and_repairs_timings():
+@pytest.fixture
+def delta_rule_only(monkeypatch):
+    """Isolate the delta rule by disabling the top-cost union."""
+    monkeypatch.setattr(bench, "TOP_COST_REQUEUE", 0)
+
+
+def test_requeue_fires_and_repairs_timings(delta_rule_only):
     timings = {"a": 5.0, "b": 1.0, "c": 2.0}
     min_of = {"a": 3}
     queries = {"a": "fn_a", "b": "fn_b", "c": "fn_c"}
@@ -70,7 +78,7 @@ def test_requeue_noops():
     assert timings == {"a": 5.0}
 
 
-def test_requeue_ignores_retired_and_new_queries():
+def test_requeue_ignores_retired_and_new_queries(delta_rule_only):
     # prev-only names (retired) and timings-only names (new this
     # round) must both be skipped — only the common set requeues
     timings = {"new": 9.0, "common": 4.0}
@@ -87,7 +95,36 @@ def test_requeue_ignores_retired_and_new_queries():
     assert timings["new"] == 9.0
 
 
-def test_requeue_never_raises_a_committed_wall():
+def test_requeue_includes_top_cost_even_without_positive_delta():
+    """The delta rule is blind to queries inflated in BOTH captures
+    (x247 in the round-12 live firing: 6.04 s vs a polluted prev of
+    6.86 s — negative delta, 2.7 s steady never shipped).  The
+    top-cost union must requeue them anyway, and new queries with no
+    prev entry record prev=None instead of raising."""
+    old = bench.TOP_COST_REQUEUE
+    bench.TOP_COST_REQUEUE = 2
+    try:
+        timings = {"both_inflated": 6.0, "cheap": 0.2, "new_heavy": 5.0}
+        rq = bench.drift_requeue_pass(
+            _prev({"both_inflated": 6.8, "cheap": 0.2}),
+            0.4,
+            timings,
+            {},
+            {"both_inflated": "f1", "cheap": "f2", "new_heavy": "f3"},
+            lambda fn: 2.7,
+            lambda: 0.1,
+        )
+        # top-2 by wall = both_inflated (6.0) and new_heavy (5.0);
+        # cheap is neither a delta suspect nor top-cost
+        assert set(rq["queries"]) == {"both_inflated", "new_heavy"}
+        assert timings["both_inflated"] == 2.7
+        assert rq["queries"]["new_heavy"]["prev"] is None
+        assert timings["cheap"] == 0.2
+    finally:
+        bench.TOP_COST_REQUEUE = old
+
+
+def test_requeue_never_raises_a_committed_wall(delta_rule_only):
     # steady slower than first pass (host got WORSE): keep first pass
     timings = {"a": 2.0}
     rq = bench.drift_requeue_pass(
