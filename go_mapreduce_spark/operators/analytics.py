@@ -298,7 +298,17 @@ def x94_measure_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation is then one fixed-order double expression over those
     exact sums.  One partial+final aggregate, constant output.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # project to the three measures, then spread: nine decimal(38,6)
+    # partial sums are BigDecimal-backed (~10² a long add) and an
+    # under-split scan runs them all in ONE task (the x394 pathology;
+    # spread is a no-op on any real multi-split corpus)
+    li = spread_for_fanout(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
     d = "decimal(38,6)"
     sums = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -486,7 +496,17 @@ def x106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     that column's values — swap in approx_count_distinct (x25's HLL)
     when a ±2% answer is acceptable.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
+    # the multi-distinct Expand fans every row out ×(1 + n_cols):
+    # spread an under-split scan before the expand and carry only the
+    # profiled columns through the shuffle (no-op at real scale;
+    # null/NDV/min/max are partition-invariant — the x386 discipline)
+    orders = spread_for_fanout(
+        load_table(spark, sf_dir, "orders").select(
+            *[name for name, _num in PROFILE_COLS]
+        )
+    )
     aggs = []
     for name, _num in PROFILE_COLS:
         c = F.col(name)
@@ -1913,14 +1933,25 @@ def x247_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         dsum(F.col("o_totalprice"), "monetary"),
     )
+    # each _global_row_number runs TWO plan-build probes (split-point
+    # sketch + bucket counts) against its input; chained lazily, the
+    # 3rd ranking's probes replayed the fact scan and both upstream
+    # windows — 6 probe jobs of growing depth, 2.6 s of the 3.3 s
+    # wall at sf0.1.  Materialize the customer-sized aggregate once
+    # (the x319/x324 bounded-relation discipline) and again after
+    # each ranking, so every probe reads a checkpointed relation.
+    rfm = rfm.localCheckpoint()
     ranked, n = _global_row_number(
         rfm, ["last_day", "o_custkey"], F.unix_date(F.col("last_day")), rn="rn_r"
     )
     ranked, _ = _global_row_number(
-        ranked, ["freq", "o_custkey"], F.col("freq"), rn="rn_f"
+        ranked.localCheckpoint(), ["freq", "o_custkey"], F.col("freq"), rn="rn_f"
     )
     ranked, _ = _global_row_number(
-        ranked, ["monetary", "o_custkey"], F.col("monetary"), rn="rn_m"
+        ranked.localCheckpoint(),
+        ["monetary", "o_custkey"],
+        F.col("monetary"),
+        rn="rn_m",
     )
     scored = ranked.select(
         "monetary",
@@ -2222,6 +2253,10 @@ def x281_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("p_brand").alias("l_partkey"))
         .distinct()
     )
+    # measured dead end (r12): checkpointing basket for its 5
+    # downstream references REGRESSED 2.77→3.54 s at sf0.1 — the
+    # branches share exchanges via ReuseExchange, so the eager
+    # materialization only added cost.  Left as the lazy plan.
     n_orders = basket.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -2532,8 +2567,15 @@ def x314_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("a").isNotNull())
     counts = steps.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
     row_tot = counts.groupBy("a").agg(F.sum("n").alias("na"))
-    pmat = counts.join(row_tot, "a").select(
-        "a", "b", (F.col("n") / F.col("na").cast("double")).alias("p")
+    pmat = (
+        counts.join(row_tot, "a")
+        .select("a", "b", (F.col("n") / F.col("na").cast("double")).alias("p"))
+        # materialize the k²-bounded matrix once (the x319 HITS
+        # discipline): the corpus-sized lag+count pass otherwise sits
+        # un-materialized under the states.count() probe AND inside
+        # all MARKOV_ROUNDS in-plan joins — Catalyst re-analyzes the
+        # corpus subtree per round and the count() replays it
+        .localCheckpoint()
     )
     states = pmat.select(F.col("a").alias("s")).distinct()
     k = states.count()  # bounded: |event types|

@@ -1044,30 +1044,40 @@ def x300_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit.  OLS comes from decimal sufficient statistics
     on the same day relation.
     """
+    from go_mapreduce_spark.operators.layout import _global_row_number
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d")
     ).agg(dsum(F.col("o_totalprice"), "rev"))
-    a, b = daily.alias("a"), daily.alias("b")
+    # calendar-bounded (≤ |days| rows): checkpoint once — it feeds
+    # both sides of the pair fan-out plus the OLS statistics, and the
+    # post-aggregate relation otherwise sits in ONE partition, so the
+    # O(days²) slope fan-out ran single-task (2.2 s of the 3.1 s wall
+    # at sf0.1).  Spread the probe side; the build side broadcasts.
+    daily = daily.localCheckpoint()
+    a, b = spread_for_fanout(daily).alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
         (
             (F.col("b.rev") - F.col("a.rev")).cast("double")
             / (F.col("b.d") - F.col("a.d")).cast("double")
         ).alias("slope")
     )
-    w = Window.orderBy("slope")  # pair relation: calendar-bounded rows
-    ranked = slopes.withColumn("rn", F.row_number().over(w))
-    cnt = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    # pair relation: calendar²-bounded rows.  Checkpoint so the exact
+    # median's rank machinery reads it instead of replaying the
+    # fan-out; the rank itself is the range-bucketed
+    # layout._global_row_number — the previous unpartitioned
+    # row_number window funneled every pair through ONE window task.
+    # The k-th order-statistic VALUES are identical either way (ties
+    # share buckets; rank→value is deterministic under any tie order).
+    slopes = slopes.localCheckpoint()
+    ranked, n_pairs = _global_row_number(slopes, ["slope"], F.col("slope"))
+    k1, k2 = (n_pairs + 1) // 2, (n_pairs + 2) // 2
     med = (
-        ranked.crossJoin(F.broadcast(cnt))
-        .filter(
-            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2))
-        )
-        .agg(
-            F.avg("slope").alias("sen_slope"),
-            F.max("n_pairs").cast("bigint").alias("n_pairs"),
-        )
+        ranked.filter(F.col("rn").isin(k1, k2))
+        .agg(F.avg("slope").alias("sen_slope"))
+        .select("sen_slope", F.lit(n_pairs).cast("bigint").alias("n_pairs"))
     )
     ols = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
@@ -1444,6 +1454,8 @@ def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's direct conditional sums.  p = (1 + #extreme)/(B + 1),
     the add-one-estimator that never reports an exact zero.
     """
+    from go_mapreduce_spark.operators.scale import spread_for_fanout
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_linestatus").isin(PERM_STATUS_A, PERM_STATUS_B))
@@ -1454,6 +1466,12 @@ def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         )
     )
+    # each chunk pass computes 4 sha256 digests per row before its
+    # partial aggregate — on an under-split scan that per-row work
+    # runs in ONE task per chunk (measured 4.8 s at sf0.1); spread the
+    # 4-column relation so the hash work parallelizes (no-op at real
+    # scale; every chunk output is a partition-invariant decimal sum)
+    li = spread_for_fanout(li)
     obs = li.agg(
         F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
         dsum_expr("CASE WHEN is_a THEN rev END", "s_a"),
