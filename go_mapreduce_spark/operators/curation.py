@@ -1402,18 +1402,17 @@ def x303_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = pos.select(
         F.col("l_orderkey").alias("po"), F.col("l_partkey").alias("pp")
     )
-    collisions = cand.join(
-        hits,
-        (F.col("l_orderkey") == F.col("po")) & (F.col("cand_part") == F.col("pp")),
-        "left_semi",
-    )
     neg = cand.join(
         hits,
         (F.col("l_orderkey") == F.col("po")) & (F.col("cand_part") == F.col("pp")),
         "left_anti",
     )
     a = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    b = collisions.agg(F.count(F.lit(1)).alias("n_collisions"))
+    # semi and anti on the same predicate partition cand exactly, so
+    # n_collisions ≡ n_candidates − n_negatives: deriving it drops a
+    # whole join branch that re-evaluated the sha256 fan-out (the
+    # count-only branch `a` prunes the hash column; only the anti
+    # join still computes it — 3 hash passes down to 1)
     c = neg.agg(
         F.count(F.lit(1)).alias("n_negatives"),
         F.count_distinct("cand_part").alias("n_distinct_neg_parts"),
@@ -1421,18 +1420,21 @@ def x303_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = pos.agg(F.count(F.lit(1)).alias("n_positives"))
     return (
         d.crossJoin(F.broadcast(a))
-        .crossJoin(F.broadcast(b))
         .crossJoin(F.broadcast(c))
         .select(
             F.col("n_positives").cast("bigint").alias("n_positives"),
             F.col("n_candidates").cast("bigint").alias("n_candidates"),
-            F.col("n_collisions").cast("bigint").alias("n_collisions"),
+            (F.col("n_candidates") - F.col("n_negatives"))
+            .cast("bigint")
+            .alias("n_collisions"),
             F.col("n_negatives").cast("bigint").alias("n_negatives"),
             F.col("n_distinct_neg_parts")
             .cast("bigint")
             .alias("n_distinct_neg_parts"),
             F.round(
-                F.col("n_collisions") / F.col("n_candidates").cast("double"), 6
+                (F.col("n_candidates") - F.col("n_negatives"))
+                / F.col("n_candidates").cast("double"),
+                6,
             ).alias("collision_rate"),
         )
     )
