@@ -167,7 +167,15 @@ def _pairwise_jaccard(
     from capped postings and the intersection is re-verified against
     full per-doc shingle sets, so scores are identical to the
     uncapped path for every surviving pair.
+
+    The shingle relation is localCheckpointed on entry: every branch
+    (both self-join sides, the per-doc sizes joined twice, the capped
+    path's hot-list/sets) otherwise replays the tokenize + shingle
+    explode + distinct shuffle — consumers whose extra aggregates
+    defeat ReuseExchange (x316) ran FOUR full passes over documents.
+    One inverted-index write (shuffle-class I/O) feeds them all.
     """
+    shingles = shingles.localCheckpoint()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is None:
         a = shingles.alias("a")
