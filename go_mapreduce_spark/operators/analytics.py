@@ -304,10 +304,10 @@ def x94_measure_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial sums are BigDecimal-backed (~10² a long add) and an
     # under-split scan runs them all in ONE task (the x394 pathology;
     # spread is a no-op on any real multi-split corpus)
+    base = load_table(spark, sf_dir, "lineitem")
     li = spread_for_fanout(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_quantity", "l_extendedprice", "l_discount"
-        )
+        base.select("l_quantity", "l_extendedprice", "l_discount"),
+        probe=base,  # projection keeps the scan split; base probe is memo-cached
     )
     d = "decimal(38,6)"
     sums = li.agg(
@@ -502,10 +502,10 @@ def x106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread an under-split scan before the expand and carry only the
     # profiled columns through the shuffle (no-op at real scale;
     # null/NDV/min/max are partition-invariant — the x386 discipline)
+    base = load_table(spark, sf_dir, "orders")
     orders = spread_for_fanout(
-        load_table(spark, sf_dir, "orders").select(
-            *[name for name, _num in PROFILE_COLS]
-        )
+        base.select(*[name for name, _num in PROFILE_COLS]),
+        probe=base,  # projection keeps the scan split; base probe is memo-cached
     )
     aggs = []
     for name, _num in PROFILE_COLS:
@@ -2858,8 +2858,10 @@ def x394_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 15 decimal(38,6) sums per row is BigDecimal-bound: spread an
     # under-split scan before the partial agg (NO-OP at real scale;
     # decimal sums are partition-invariant, hash unchanged)
+    base = load_table(spark, sf_dir, "lineitem")
     li = spread_for_fanout(
-        load_table(spark, sf_dir, "lineitem").select(*cols)
+        base.select(*cols),
+        probe=base,  # projection keeps the scan split; base probe is memo-cached
     )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
     for c in cols:

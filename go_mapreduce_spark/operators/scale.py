@@ -79,7 +79,11 @@ def iterative_shuffle_partitions(
     return max(base, min(math.ceil(n_rows / _ITER_ROWS_PER_CORE), cores))
 
 
-def spread_for_fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_for_fanout(
+    df: DataFrame,
+    min_parts: int | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Ensure a relation about to pay large PER-ROW work — a d² pair
     explode, a per-frame decode grid, or a wide non-compact-decimal
     aggregate (precision > 18 sums are BigDecimal-backed, ~10² the
@@ -101,12 +105,21 @@ def spread_for_fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     shuffle moves only those rows BEFORE the multiplier applies.
     Only safe where downstream results are partition-invariant (the
     decimal-sum discipline of functions/numeric.py) — order- or
-    partition-sensitive plans must not use it."""
+    partition-sensitive plans must not use it.
+
+    ``probe``: optional relation whose partition count stands in for
+    ``df``'s — pass the BASE table when ``df`` is a narrow
+    ``select()`` over it (a projection never changes the scan split).
+    The partition probe (``df.rdd``) costs ~200 ms of driver-side
+    planning + RDD conversion per distinct DataFrame object; the
+    memoized ``load_table`` handle caches its ``_lazy_rdd``, so
+    probing the base is once-per-file-per-session instead of
+    once-per-query-build (round 12, guide §7.3)."""
     if min_parts is None:
         min_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    if df.rdd.getNumPartitions() >= min_parts:
+    if (probe if probe is not None else df).rdd.getNumPartitions() >= min_parts:
         return df
     return df.repartition(min_parts)
 

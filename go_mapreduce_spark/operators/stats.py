@@ -1456,8 +1456,9 @@ def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_mapreduce_spark.operators.scale import spread_for_fanout
 
+    base = load_table(spark, sf_dir, "lineitem")
     li = (
-        load_table(spark, sf_dir, "lineitem")
+        base
         .filter(F.col("l_linestatus").isin(PERM_STATUS_A, PERM_STATUS_B))
         .select(
             "l_orderkey",
@@ -1471,7 +1472,7 @@ def x320_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs in ONE task per chunk (measured 4.8 s at sf0.1); spread the
     # 4-column relation so the hash work parallelizes (no-op at real
     # scale; every chunk output is a partition-invariant decimal sum)
-    li = spread_for_fanout(li)
+    li = spread_for_fanout(li, probe=base)  # narrow filter+project keeps the scan split
     obs = li.agg(
         F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
         dsum_expr("CASE WHEN is_a THEN rev END", "s_a"),
