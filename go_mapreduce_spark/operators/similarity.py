@@ -820,12 +820,26 @@ def x377_kcenter_coreset(
 
     def term_sql(vec):
         # 1 − cos(embedding, vec) with vec's norm constant-folded;
-        # repr() round-trips doubles exactly through the SQL parser
+        # repr() round-trips FINITE doubles exactly through the SQL
+        # parser — a non-finite component or zero-norm pick would
+        # format as 'infD'/'nanD' (parser error) or divide by zero,
+        # so reject such inputs loudly instead of crashing in the SQL
+        # parser (the pre-r12 F.lit path tolerated them silently)
         vals = [float(v) for v in vec]
+        if not all(math.isfinite(v) for v in vals):
+            raise ValueError(
+                "x377_kcenter_coreset: non-finite embedding component "
+                "in a selected pick — cosine distance is undefined"
+            )
         arr = "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
         acc = 0.0
         for v in vals:
             acc += v * v
+        if acc <= 0.0:
+            raise ValueError(
+                "x377_kcenter_coreset: zero-norm pick — cosine "
+                "distance is undefined"
+            )
         dot = (
             f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
             "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"

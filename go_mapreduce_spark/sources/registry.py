@@ -16,6 +16,7 @@ and prune columns into the scan node (verify via
 from __future__ import annotations
 
 import os
+import stat as stat_mod
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,9 +51,15 @@ SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 # same role a catalog/metastore plays on a real deployment.
 _SCHEMA_MEMO: dict = {}
 
-# ``spark.conf.set`` is a Py4J round trip; the two values are
-# constant, so remember which session ids were already configured.
-_CONFIGURED_SESSIONS: set = set()
+# Per-session state lives as attributes ON the SparkSession object
+# (round-13, closing the round-12 advice): keying a module-level dict
+# on ``id(spark)`` is unsound — after a session is garbage-collected a
+# NEW session can reuse the same id and would silently inherit the
+# dead session's DataFrame handles and skip the mandatory conf setup.
+# An attribute is tied to the live object itself (no id reuse), and
+# the memo is freed with the session (no process-lifetime leak of
+# dead-session plan handles).
+_CONF_SENTINEL = "_gms_confs_applied"
 
 # Lazy-DataFrame-handle memo (round-12, guide §7.3 plan-build cost /
 # §5 driver work).  Even with the schema supplied, building the reader
@@ -61,14 +68,22 @@ _CONFIGURED_SESSIONS: set = set()
 # partition probe) another ~200 ms; every query rebuilds its base
 # tables through here, so across a 432-query bench this is tens of
 # seconds of pure fixed overhead.  Memoize the analyzed-plan HANDLE
-# per (session id, abspath, mtime_ns, size): a DataFrame is an
-# immutable lazy plan — NO rows, no computed results are held, and
-# every action against it still scans the parquet inputs; PySpark
-# additionally caches ``_lazy_rdd`` on the object, so the partition
-# probe is paid once per file instead of once per query.  A
-# regenerated fixture invalidates by mtime/size key; a new session
-# (the external driver builds its own) misses by session id.
-_DF_MEMO: dict = {}
+# per (abspath, mtime_ns, size) in a dict stored on the session: a
+# DataFrame is an immutable lazy plan — NO rows, no computed results
+# are held, and every action against it still scans the parquet
+# inputs; PySpark additionally caches ``_lazy_rdd`` on the object, so
+# the partition probe is paid once per file instead of once per query.
+# A regenerated fixture invalidates by mtime/size key; a new session
+# (the external driver builds its own) starts with an empty memo.
+_DF_MEMO_ATTR = "_gms_df_memo"
+
+
+def _session_df_memo(spark: SparkSession) -> dict:
+    memo = getattr(spark, _DF_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _DF_MEMO_ATTR, memo)
+    return memo
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,19 +96,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   Spark otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
     # - UTC session tz: timestamps must collect as UTC to match the
     #   (tz-naive, UTC-stored) DuckDB oracle values.
-    if id(spark) not in _CONFIGURED_SESSIONS:
+    if not getattr(spark, _CONF_SENTINEL, False):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _CONFIGURED_SESSIONS.add(id(spark))
+        setattr(spark, _CONF_SENTINEL, True)
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = None
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        # memoize only regular single-file layouts: a directory-style
+        # <name>.parquet can have part files rewritten in place
+        # without bumping the directory's mtime, so its key would go
+        # stale — let it fall through to fresh inference every call
+        if stat_mod.S_ISREG(st.st_mode):
+            key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     except OSError:
-        pass  # e.g. a globbed/dir layout we do not memo; infer below
+        pass  # missing/unstattable (e.g. globbed layout); infer below
+    df_memo = _session_df_memo(spark)
     if key is not None:
-        memo_df = _DF_MEMO.get((id(spark), key))
+        memo_df = df_memo.get(key)
         if memo_df is not None:
             return memo_df
     schema = _SCHEMA_MEMO.get(key) if key is not None else None
@@ -117,7 +138,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     if key is not None:
-        _DF_MEMO[(id(spark), key)] = df
+        df_memo[key] = df
     return df
 
 

@@ -18,6 +18,13 @@ Checks (all must pass, exit 1 otherwise):
   d. README.md mentions the exact live registry / oracle counts.
   e. BENCH_FULL_PREV.json carries a recorded head that differs from
      the current HEAD (i.e. it was rotated, not this round's own run).
+
+Round-close also runs the FULL plan-lint sweep (round 13: the default
+pytest run lints a deterministic subset so the suite fits the external
+driver's budget; the 432-query sweep moves here):
+
+    SPARK_GRAFT_FULL_SWEEP=1 python -m pytest \
+        tests/test_window_lint.py -q
 """
 
 from __future__ import annotations
