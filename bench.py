@@ -126,6 +126,22 @@ def drift_requeue_pass(
     return requeue
 
 
+def steady_only_total_of(timings: dict, drift_requeue) -> float:
+    """Steady-only capture total (round-12 verdict ask #6): the requeue
+    commits min(first_pass, steady_min3) per query, which is
+    one-directional — a capture where the requeue fired is not
+    methodology-comparable to one where it didn't.  This substitutes the
+    requeued queries' steady_min3 walls (their first_pass stays recorded
+    in drift_requeue["queries"]), so cross-round comparisons can be done
+    steady-vs-steady without adjudication.  Equals the committed total
+    when no requeue ran."""
+    rq = drift_requeue["queries"] if drift_requeue else {}
+    return round(
+        sum(rq[n]["steady_min3"] if n in rq else w for n, w in timings.items()),
+        3,
+    )
+
+
 def main() -> None:
     spark = get_spark("bench")
     # Warmup: run every query once at the smallest SF.  Codegen caches
@@ -349,9 +365,11 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    steady_only_total = steady_only_total_of(timings, drift_requeue)
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
+        "steady_only_total": steady_only_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(SF_DIR),
@@ -439,6 +457,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_of(SF_DIR),
                 "n_queries": len(timings),
+                "steady_only_total": steady_only_total,
                 "calib_sec": calib_sec,
                 "calib_drift_ratio": (
                     round(calib_sec_end / calib_sec, 3) if calib_sec else None

@@ -124,6 +124,31 @@ def test_requeue_includes_top_cost_even_without_positive_delta():
         bench.TOP_COST_REQUEUE = old
 
 
+def test_steady_only_total_substitutes_requeued_walls(delta_rule_only):
+    """steady_only_total uses steady_min3 for requeued queries even when
+    the committed wall kept the (lower) first pass, equals the plain sum
+    with no requeue, and so stays methodology-comparable across captures
+    regardless of whether the requeue fired (round-12 verdict ask #6)."""
+    # no requeue: identical to the committed total
+    assert bench.steady_only_total_of({"a": 1.5, "b": 2.0}, None) == 3.5
+    timings = {"a": 5.0, "b": 1.0}
+    rq = bench.drift_requeue_pass(
+        _prev({"a": 2.0, "b": 0.9}),
+        0.3,
+        timings,
+        {},
+        {"a": "f_a", "b": "f_b"},
+        lambda fn: 4.2,  # steady SLOWER than nothing useful: min keeps 4.2
+        lambda: 0.1,
+    )
+    # committed: min(5.0, 4.2) = 4.2; steady-only also 4.2 here
+    assert timings == {"a": 4.2, "b": 1.0}
+    assert bench.steady_only_total_of(timings, rq) == 5.2
+    # force the asymmetric case: committed keeps first_pass, steady higher
+    rq["queries"]["a"]["steady_min3"] = 6.0
+    assert bench.steady_only_total_of(timings, rq) == 7.0
+
+
 def test_requeue_never_raises_a_committed_wall(delta_rule_only):
     # steady slower than first pass (host got WORSE): keep first pass
     timings = {"a": 2.0}
