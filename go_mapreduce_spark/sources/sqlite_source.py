@@ -40,8 +40,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -86,6 +86,27 @@ def _to_sqlite_value(v):
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
     return v
+
+
+def _batch_to_sqlite_rows(batch, schema: StructType) -> list:
+    """Arrow RecordBatch → list of executemany parameter tuples.
+
+    The per-value conversions are exactly :func:`_to_sqlite_value`
+    (bool→int, date/datetime→ISO text, everything else passthrough),
+    but applied per COLUMN from the declared schema instead of
+    per value with isinstance — the Arrow writer path's whole point
+    is that the row loop stays out of Python (guide §4: Arrow batches
+    rather than pickled rows)."""
+    cols = []
+    for i, f in enumerate(schema.fields):
+        col = batch.column(i).to_pylist()
+        t = f.dataType.simpleString()
+        if t == "boolean":
+            col = [None if v is None else int(v) for v in col]
+        elif t in ("date", "timestamp"):
+            col = [None if v is None else _to_sqlite_value(v) for v in col]
+        cols.append(col)
+    return list(zip(*cols))
 
 
 _FROM_TEXT = {
@@ -378,12 +399,18 @@ def _stage_rows_into_temp(con, table: str, cols_sql: str, messages) -> str:
     return tmp
 
 
-class SqliteWriter(DataSourceWriter):
+class SqliteWriter(DataSourceArrowWriter):
     """Two-phase write: each task stages a private sqlite file (the
     only safe parallel shape for a single-writer store); the driver
     commit collects the stages (chunked ATTACH, see
     :func:`_stage_rows_into_temp`) and applies them to the target
-    table in one transaction."""
+    table in one transaction.
+
+    Round 13: rows arrive as Arrow RecordBatches
+    (``DataSourceArrowWriter``) instead of pickled Rows — the write
+    path's per-row Python loop collapses to one ``to_pylist`` per
+    column per batch + ``executemany`` (guide §4), mirroring the
+    reader, which has been Arrow-batched since round 7."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self.schema = schema
@@ -407,15 +434,10 @@ class SqliteWriter(DataSourceWriter):
             con.execute(self._ddl())
             ph = ", ".join("?" * len(self.schema.fields))
             ins = f'INSERT INTO "{self.table}" VALUES ({ph})'
-            batch = []
-            for row in iterator:
-                batch.append(tuple(_to_sqlite_value(v) for v in row))
-                n += 1
-                if len(batch) >= 10_000:
-                    con.executemany(ins, batch)
-                    batch = []
-            if batch:
-                con.executemany(ins, batch)
+            for batch in iterator:
+                rows = _batch_to_sqlite_rows(batch, self.schema)
+                con.executemany(ins, rows)
+                n += len(rows)
             con.commit()
         finally:
             con.close()
@@ -542,8 +564,8 @@ def x410_sqlite_roundtrip(spark, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
 )
 
 
@@ -637,14 +659,18 @@ class SqliteStreamReader(DataSourceStreamReader):
         )
 
 
-class SqliteStreamWriter(DataSourceStreamWriter):
+class SqliteStreamWriter(DataSourceStreamArrowWriter):
     """Exactly-once per-epoch sink: tasks stage private .db files (the
     batch writer's two-phase shape) and the driver commit merges them
     INSIDE one transaction together with a ``(batch_id)`` marker row —
     a replayed epoch (post-crash retry) sees its marker and drops the
     stages instead of double-applying.  The same idempotence contract
     as the lakehouse streaming upsert (streaming/upsert.py), against
-    an external single-writer store."""
+    an external single-writer store.
+
+    Round 13: Arrow-batched like :class:`SqliteWriter` — per-epoch rows
+    cross the JVM→Python boundary as RecordBatches, not pickled Rows
+    (guide §4)."""
 
     MARKER_TABLE = "_gms_stream_commits"
 
@@ -669,15 +695,10 @@ class SqliteStreamWriter(DataSourceStreamWriter):
             con.execute(self._ddl())
             ph = ", ".join("?" * len(self.schema.fields))
             ins = f'INSERT INTO "{self.table}" VALUES ({ph})'
-            batch = []
-            for row in iterator:
-                batch.append(tuple(_to_sqlite_value(v) for v in row))
-                n += 1
-                if len(batch) >= 10_000:
-                    con.executemany(ins, batch)
-                    batch = []
-            if batch:
-                con.executemany(ins, batch)
+            for batch in iterator:
+                rows = _batch_to_sqlite_rows(batch, self.schema)
+                con.executemany(ins, rows)
+                n += len(rows)
             con.commit()
         finally:
             con.close()

@@ -71,6 +71,55 @@ def test_stream_reader_offsets_partitions_and_replay(db):
     assert _drain_range(r, end, end2) == got
 
 
+def _rb(ids, vs):
+    """RecordBatch in the shape the Arrow stream writer receives."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array(ids, type=pa.int64()), pa.array(vs, type=pa.float64())],
+        names=["id", "v"],
+    )
+
+
+def test_batch_to_sqlite_rows_matches_row_path_conversions():
+    """The Arrow write path must apply exactly the conversions the old
+    pickled-Row path applied per value (bool→int, date/datetime→ISO
+    text, None passthrough) — column-driven from the declared schema."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        "b boolean, d date, ts timestamp, s string, x double"
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([True, False, None], type=pa.bool_()),
+            pa.array([dt.date(2024, 2, 29), None, dt.date(1999, 1, 1)]),
+            pa.array(
+                [dt.datetime(2024, 2, 29, 12, 30, 15), None, None],
+                type=pa.timestamp("us"),
+            ),
+            pa.array(["a", None, "c"]),
+            pa.array([1.5, float("inf"), None], type=pa.float64()),
+        ],
+        names=["b", "d", "ts", "s", "x"],
+    )
+    rows = SQ._batch_to_sqlite_rows(batch, schema)
+    assert rows == [
+        (1, "2024-02-29", "2024-02-29 12:30:15", "a", 1.5),
+        (0, None, None, None, float("inf")),
+        (None, "1999-01-01", None, "c", None),
+    ]
+    # and it is exactly what _to_sqlite_value does value-wise
+    assert rows[0][:3] == tuple(
+        SQ._to_sqlite_value(v)
+        for v in (True, dt.date(2024, 2, 29), dt.datetime(2024, 2, 29, 12, 30, 15))
+    )
+
+
 def test_stream_sink_epoch_markers_are_exactly_once(tmp_path, spark):
     from pyspark.sql.types import StructType
 
@@ -78,13 +127,13 @@ def test_stream_sink_epoch_markers_are_exactly_once(tmp_path, spark):
     out = str(tmp_path / "sink.db")
     schema = StructType.fromDDL("id bigint, v double")
     w = SQ.SqliteStreamWriter(schema, {"path": out, "table": "t"}, False)
-    msg = w.write(iter([(1, 1.0), (2, 2.0)]))
+    msg = w.write(iter([_rb([1, 2], [1.0, 2.0])]))
     w.commit([msg], batchId=0)
     # a replayed epoch (same batchId) must be dropped, not re-applied
-    msg2 = w.write(iter([(1, 1.0), (2, 2.0)]))
+    msg2 = w.write(iter([_rb([1, 2], [1.0, 2.0])]))
     w.commit([msg2], batchId=0)
     # a NEW epoch applies
-    msg3 = w.write(iter([(3, 3.0)]))
+    msg3 = w.write(iter([_rb([3], [3.0])]))
     w.commit([msg3], batchId=1)
     con = sqlite3.connect(out)
     n, s = con.execute("SELECT COUNT(*), SUM(id) FROM t").fetchone()
