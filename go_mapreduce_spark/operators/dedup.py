@@ -1581,6 +1581,13 @@ def x382_semdedup(spark: SparkSession, sf_dir: str, k: int | None = None) -> Dat
         ((F.row_number().over(w_sub) - F.lit(1)) / F.lit(SEMDEDUP_CLUSTER_CAP))
         .cast("int"),
     )
+    # the (vec_id, centroid_id, sub) relation feeds BOTH self-join
+    # sides and the final census — three replays of the two-level
+    # assignment (2 corpus-wide distance group-bys + the cap window)
+    # unless it is materialized once.  3 ints per row, the same
+    # bounded-relation localCheckpoint discipline as the x316 shingle
+    # index and the x319/x324 loop matrices (guide §2/§5).
+    assign = assign.localCheckpoint()
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id")
     a = vecs.select(
         F.col("centroid_id").alias("c"),

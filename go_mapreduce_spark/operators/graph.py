@@ -510,8 +510,16 @@ def bfs_khop(edges_sym: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS) -
                 .select(F.col("v").alias("node"))
                 .distinct()
             )
-            new = nbrs.join(dist, "node", "left_anti").select(
-                "node", F.lit(r).alias("dist")
+            # the frontier feeds TWO consumers (this round's dist union
+            # and next round's expansion join) — without its own
+            # lineage cut each round's plan re-embeds the whole prior
+            # frontier join chain and the loop recomputes
+            # O(rounds²) joins (round 13; the dist cut alone never
+            # covered the frontier branch)
+            new = (
+                nbrs.join(dist, "node", "left_anti")
+                .select("node", F.lit(r).alias("dist"))
+                .localCheckpoint(eager=False)
             )
             # lazy in-loop / eager final checkpoint cadence: lineage
             # is cut at call time either way; the eager last round
