@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import os
 import random
 import re
 import string
@@ -102,7 +103,31 @@ def test_stream_replays_invariant_to_state_partitioning(spark, sf_dir, monkeypat
     assert results[2] == results[8]
 
 
-@pytest.mark.parametrize("parts", [3, 16])
+# Reference results at the session default partitioning, computed once
+# per suite run and shared by every parametrized arm below — each arm
+# previously recomputed the whole reference pass (~half its wall).
+_REF_CACHE: dict = {}
+
+
+def _refs_at_default(spark, sf_dir, names):
+    missing = [n for n in names if n not in _REF_CACHE]
+    if missing:
+        from go_mapreduce_spark.queries import QUERIES
+
+        for n in missing:
+            df = QUERIES[n](spark, sf_dir)
+            _REF_CACHE[n] = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    return {n: _REF_CACHE[n] for n in names}
+
+
+# The non-default arm (3) proves partition invariance on every run; the
+# second arm (16) is redundant with it for the catch-a-regression
+# purpose (any partition-sensitive expression already differs at 3) and
+# runs in the opt-in full sweep, same policy as the full plan lints.
+_PART_ARMS = [3, 16] if os.environ.get("SPARK_GRAFT_FULL_SWEEP") else [3]
+
+
+@pytest.mark.parametrize("parts", _PART_ARMS)
 def test_round4_queries_invariant_to_partitioning(spark, sf_dir, parts):
     """Wave 14–16 additions under the same invariance bar: decimal
     thresholds (x153), decimal-equality ties (x159), traversal loops
@@ -118,10 +143,7 @@ def test_round4_queries_invariant_to_partitioning(spark, sf_dir, parts):
         "x165_cheapest_path",
         "x169_incremental_mv",
     ]
-    refs = {}
-    for n in names:
-        df = QUERIES[n](spark, sf_dir)
-        refs[n] = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    refs = _refs_at_default(spark, sf_dir, names)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
@@ -152,7 +174,7 @@ def test_new_stream_replays_invariant_to_state_partitioning(
     assert results[2] == results[8]
 
 
-@pytest.mark.parametrize("parts", [3, 16])
+@pytest.mark.parametrize("parts", _PART_ARMS)
 def test_session_waves_invariant_to_partitioning(spark, sf_dir, parts):
     """Waves 18–24 under the same invariance bar — the queries whose
     determinism rests on an explicit discipline: decimal gradient
@@ -173,10 +195,7 @@ def test_session_waves_invariant_to_partitioning(spark, sf_dir, parts):
         "x193_sql_variables",
         "x200_curation_pipeline",
     ]
-    refs = {}
-    for n in names:
-        df = QUERIES[n](spark, sf_dir)
-        refs[n] = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    refs = _refs_at_default(spark, sf_dir, names)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -50,7 +52,16 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, stream_dir):
     assert got, "expected purchase-click pairs within 30 minutes"
 
 
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+@pytest.mark.parametrize(
+    "sf",
+    # the sf0.1 arm replays a 100k-row stream (~10-17 s) and guards the
+    # same finalization property the two small arms pin on different
+    # watermark boundaries; it rides the opt-in full sweep (the
+    # round-12 driver pytest budget policy, cf. test_window_lint)
+    ["sf0.001", "sf0.01", "sf0.1"]
+    if os.environ.get("SPARK_GRAFT_FULL_SWEEP")
+    else ["sf0.001", "sf0.01"],
+)
 def test_x135_nulls_match_actual_watermark(spark, sf):
     """Guard for the outer-null finalization semantics: recompute the
     expected null-row set from the final global watermark Spark
