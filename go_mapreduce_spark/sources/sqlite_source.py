@@ -103,7 +103,22 @@ def _batch_to_sqlite_rows(batch, schema: StructType) -> list:
         t = f.dataType.simpleString()
         if t == "boolean":
             col = [None if v is None else int(v) for v in col]
-        elif t in ("date", "timestamp"):
+        elif t == "timestamp":
+            # Arrow hands tz-AWARE datetimes (session tz) where the Row
+            # path handed naive ones; normalize to naive UTC so the
+            # stored TEXT stays byte-identical to the pre-Arrow writer
+            # ('1995-01-01 00:00:00', no '+00:00' suffix)
+            col = [
+                None
+                if v is None
+                else _to_sqlite_value(
+                    v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    if v.tzinfo is not None
+                    else v
+                )
+                for v in col
+            ]
+        elif t == "date":
             col = [None if v is None else _to_sqlite_value(v) for v in col]
         cols.append(col)
     return list(zip(*cols))

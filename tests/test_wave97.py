@@ -113,6 +113,20 @@ def test_batch_to_sqlite_rows_matches_row_path_conversions():
         (0, None, None, None, float("inf")),
         (None, "1999-01-01", None, "c", None),
     ]
+    # tz-AWARE timestamps (what Spark's Arrow batches actually carry)
+    # must store as naive UTC text, byte-identical to the old Row path
+    aware = pa.RecordBatch.from_arrays(
+        [
+            pa.array(
+                [dt.datetime(2024, 2, 29, 12, 30, 15)],
+                type=pa.timestamp("us", tz="UTC"),
+            )
+        ],
+        names=["ts"],
+    )
+    assert SQ._batch_to_sqlite_rows(
+        aware, StructType.fromDDL("ts timestamp")
+    ) == [("2024-02-29 12:30:15",)]
     # and it is exactly what _to_sqlite_value does value-wise
     assert rows[0][:3] == tuple(
         SQ._to_sqlite_value(v)
