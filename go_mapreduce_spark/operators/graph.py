@@ -771,7 +771,7 @@ EV_ITERS = 8
 
 
 def eigenvector_centrality(
-    edges: DataFrame, n_iter: int = EV_ITERS, checkpoint_every: int = 4
+    edges: DataFrame, n_iter: int = EV_ITERS, checkpoint_every: int = 1
 ) -> DataFrame:
     """Eigenvector centrality of a SYMMETRIC edge list (u, v) by
     L1-normalized power iteration: score ← A·score / ‖A·score‖₁ for
@@ -820,7 +820,12 @@ def eigenvector_centrality(
             # lazy in-loop / eager final cadence (pagerank_dangling
             # documents the A/B); lineage is cut at call time either
             # way, so the 2-refs-per-round subplan doubling stays
-            # bounded at 2^checkpoint_every
+            # bounded at 2^checkpoint_every.  Round 13: cadence 4 → 1
+            # measured (min-of-3 interleaved at sf0.1, identity
+            # asserted): ck=4 3.99 s/33 jobs, ck=2 2.92 s/28 jobs,
+            # ck=1 3.00 s/25 jobs — the uncut rounds' doubled
+            # references recompute (the x143 fusion finding); every
+            # round cut is the floor and bounds duplication at 2.
             last = i + 1 == n_iter
             if (i + 1) % checkpoint_every == 0 or last:
                 scores = scores.localCheckpoint(eager=last)
