@@ -1344,6 +1344,11 @@ def x224_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bis.orderBy(F.col("c").desc(), F.col("bg").asc())
         .limit(1)
         .select(F.col("bg").alias("ctx"))
+        # 1-row, but its plan is the CORPUS-SIZED bigram aggregate —
+        # un-cut it re-embeds in every step's union branch and the
+        # decode re-runs the explode+groupBy 8 times (round 13; the
+        # x164 frontier lesson applied to the text loops)
+        .localCheckpoint()
     )
 
     out = None
@@ -1359,6 +1364,11 @@ def x224_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w3").alias("token"),
                 "c3",
             )
+            # referenced twice (the output union and the next context)
+            # and chained step-over-step: a lazy cut per step keeps the
+            # union's k-th branch one lookup deep instead of k (the
+            # un-cut loop executed O(steps²) lookups)
+            .localCheckpoint(eager=False)
         )
         out = nxt if out is None else out.unionAll(nxt)
         # next context: drop the first word, append the chosen token
